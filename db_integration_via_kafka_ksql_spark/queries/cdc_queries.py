@@ -1,0 +1,133 @@
+"""CDC query surface (SURVEY §2.5 ST1, §2.2 T2/T3/T6, §2.3 A1-A2).
+
+The driver's `events` table plays the changelog (see
+operators.cdc.events_as_changelog): key=user_id, offset=event_id,
+event_type='error' is the DELETE rewrite. Timestamps exposed as epoch
+micros for hash parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.io import load_table
+from db_integration_via_kafka_ksql_spark.operators import cdc
+from db_integration_via_kafka_ksql_spark.registry import query
+
+# shared projection: changelog with ts as epoch micros
+def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    log = cdc.events_as_changelog(load_table(spark, sf_dir, "events"))
+    # ts arrives as epoch-nanos long (see io.load_table); DIV 1000 == DuckDB's
+    # truncate-to-micros read of the same nanosecond column.
+    return log.withColumn("ts_us", F.expr("ts DIV 1000")).drop("ts")
+
+_CHANGELOG_SQL = """
+    SELECT user_id AS key_id,
+           event_id AS "offset",
+           event_type,
+           "value",
+           props,
+           CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted,
+           epoch_us(ts) AS ts_us
+    FROM events
+"""
+
+_COMPACT_SQL = f"""
+    SELECT key_id, "offset", event_type, "value", props, __deleted, ts_us
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY key_id ORDER BY "offset" DESC) AS rn
+        FROM ({_CHANGELOG_SQL})
+    )
+    WHERE rn = 1
+"""
+
+
+@query(
+    "cdc_compact_latest",
+    oracle=_COMPACT_SQL,
+)
+def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1: latest record per key (ksqlDB TABLE materialization)."""
+    log = _changelog(spark, sf_dir)
+    return cdc.compact_latest(log, key_cols=["key_id"], order_cols=["offset"])
+
+
+@query(
+    "cdc_soft_delete_filter",
+    oracle=f"SELECT * FROM ({_COMPACT_SQL}) WHERE __deleted <> 'true'",
+)
+def cdc_soft_delete_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1+T2/T3: materialized state after delete rewrite removal —
+    what the JDBC sink's target table contains."""
+    log = _changelog(spark, sf_dir)
+    state = cdc.compact_latest(log, key_cols=["key_id"], order_cols=["offset"])
+    return cdc.soft_delete_filter(state)
+
+
+@query(
+    "cdc_upsert_merge",
+    # replay-rebuild invariant: merging the tail onto compacted-head state
+    # equals compacting the whole log (then dropping deleted keys).
+    oracle=f"SELECT * FROM ({_COMPACT_SQL}) WHERE __deleted <> 'true'",
+)
+def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2 as a batch op: upsert+delete a changelog tail onto prior state."""
+    log = _changelog(spark, sf_dir).cache()
+    thr = log.agg(F.max("offset")).first()[0] // 2
+    head = log.filter(F.col("offset") <= thr)
+    tail = log.filter(F.col("offset") > thr)
+    state = cdc.soft_delete_filter(
+        cdc.compact_latest(head, key_cols=["key_id"], order_cols=["offset"])
+    )
+    return cdc.apply_changelog(
+        state, tail, key_cols=["key_id"], order_cols=["offset"]
+    )
+
+
+@query(
+    "cdc_changelog_stats",
+    oracle=f"""
+    SELECT key_id,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(sum(CASE WHEN __deleted = 'true' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+           max("offset") AS max_offset
+    FROM ({_CHANGELOG_SQL})
+    GROUP BY key_id
+    """,
+)
+def cdc_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/offset accounting: per-key version/delete/offset verification."""
+    log = _changelog(spark, sf_dir)
+    return cdc.changelog_stats(log)
+
+
+@query(
+    "cdc_state_count",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS total
+    FROM ({_COMPACT_SQL}) WHERE __deleted <> 'true'
+    """,
+)
+def cdc_state_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: COUNT(*) pull query over materialized state
+    (TOMBSTONE_HANDLING_GUIDE.md:192-194)."""
+    log = _changelog(spark, sf_dir)
+    state = cdc.soft_delete_filter(
+        cdc.compact_latest(log, key_cols=["key_id"], order_cols=["offset"])
+    )
+    return state.agg(F.count(F.lit(1)).alias("total"))
+
+
+@query(
+    "cdc_point_lookup",
+    oracle=f"SELECT * FROM ({_COMPACT_SQL}) WHERE __deleted <> 'true' AND key_id = 7",
+)
+def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: pull-query point lookup on the materialized state
+    (TOMBSTONE_HANDLING_GUIDE.md:189)."""
+    log = _changelog(spark, sf_dir)
+    state = cdc.soft_delete_filter(
+        cdc.compact_latest(log, key_cols=["key_id"], order_cols=["offset"])
+    )
+    return state.filter(F.col("key_id") == 7)
