@@ -1,0 +1,339 @@
+"""Relational operators: projection/filter (SURVEY §2.2 T4/T6), aggregation
+(§2.3 A1-A2), joins/windows/sort/set-ops (§2.4 — the star schema the
+reference intended via cso.DimProduct/DimCustomer/FactSales,
+purge-source-db.sh:20-23, expanded per the build contract).
+
+Scale design notes (100 TB fact tables, small-to-medium dims):
+- Dim joins use ``broadcast()`` explicitly for region/nation/supplier-class
+  dims — at TPC-H-like ratios these stay tiny relative to the fact table,
+  and broadcasting removes the fact-side shuffle entirely. customer/part
+  grow with SF, so those joins are left to AQE: at runtime it picks
+  broadcast vs shuffled-hash vs sort-merge from observed sizes and splits
+  skewed partitions (session.py enables skewJoin).
+- Money arithmetic is done in DECIMAL(18,4): decimal sums are associative/
+  commutative, so results are independent of partitioning and task order —
+  required both for the DuckDB parity gate and for run-to-run stability on
+  a cluster. Final outputs cast to DOUBLE for a compact schema.
+- Aggregations are plain groupBy → partial + final HashAggregate (map-side
+  combine); no windows where an aggregation suffices. Window functions are
+  used only where per-row ranks are genuinely needed, with tie-broken
+  deterministic orderings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,4)"
+
+
+def ts_lit(iso: str) -> Column:
+    """Timezone-independent timestamp literal.
+
+    Spark 4 infers TIMESTAMP_NTZ for the testdata's non-UTC-adjusted parquet
+    timestamps; an NTZ literal keeps comparisons free of the session
+    timezone (which the external driver controls) and matches DuckDB's
+    naive-timestamp semantics. Still a foldable constant, so parquet
+    predicate pushdown applies.
+    """
+    return F.lit(iso).cast("timestamp_ntz")
+
+
+def money(c: str | Column) -> Column:
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC)
+
+
+def dsum(c: Column, alias: str) -> Column:
+    """Order-independent decimal sum exposed as double.
+
+    The sum itself is exact decimal. The double conversion truncates at 4
+    decimal places via FLOOR first: floor is tie-free (Spark narrows
+    decimals HALF_UP, DuckDB HALF_EVEN — a rounding cast can disagree on
+    exact ties) and the floored value * 1e4 fits in 2^53, where both
+    engines' int→double conversion is exact (DuckDB's direct
+    decimal(38,12)→double cast is off by an ulp for >2^53 mantissas).
+    """
+    return (
+        F.floor(F.sum(c).cast("decimal(27,12)") * F.lit(10000)).cast("double")
+        / F.lit(10000.0)
+    ).alias(alias)
+
+
+def pricing_summary(lineitem: DataFrame, ship_before: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over the fact table (§2.3 extension).
+
+    Pure two-column groupBy with partial aggregation — at 100 TB this scans
+    once, combines map-side to ~|flags|x|status| rows per task, and shuffles
+    only those. Predicate on l_shipdate is pushed to the parquet scan.
+    """
+    li = lineitem.filter(F.col("l_shipdate") < ts_lit(ship_before))
+    qty = money("l_quantity")
+    price = money("l_extendedprice")
+    disc = money("l_discount")
+    tax = money("l_tax")
+    disc_price = price * (F.lit(1).cast(DEC) - disc)
+    # charge needs care: every step below is EXACT decimal arithmetic in
+    # both Spark and DuckDB. (9,4)-terms multiply to (21,8)/(20,8); times
+    # price at (15,4) lands on (37,12)/(35,12) — inside precision 38, so
+    # neither engine rounds and the sums agree bit-for-bit. A narrower
+    # chain (e.g. casting disc_price to scale 6) rounds, and the two
+    # engines' rounding modes differ.
+    one4 = F.lit(1).cast("decimal(9,4)")
+    factor = (one4 - F.col("l_discount").cast("decimal(9,4)")) * (
+        one4 + F.col("l_tax").cast("decimal(9,4)")
+    )
+    charge = F.col("l_extendedprice").cast("decimal(15,4)") * factor
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(qty, "sum_qty"),
+            dsum(price, "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            (F.sum(qty).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(price).cast("double") / cnt).alias("avg_price"),
+            (F.sum(disc).cast("double") / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+    )
+
+
+def revenue(lineitem_cols: DataFrame) -> Column:
+    return money("l_extendedprice") * (F.lit(1).cast(DEC) - money("l_discount"))
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str,
+    cutoff: str,
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-style: top-k unshipped orders by revenue.
+
+    Join order: filtered customer (selective, ~1/5) into orders, then into
+    lineitem. customer→orders is AQE-decided (broadcast at small SF,
+    shuffled-hash at scale); orders→lineitem co-partitions on orderkey.
+    Top-k is a TakeOrderedAndProject — no global sort materialization.
+    """
+    cut = ts_lit(cutoff)
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(F.col("o_orderdate") < cut).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = lineitem.filter(F.col("l_shipdate") > cut).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    joined = cust.join(ords, cust.c_custkey == ords.o_custkey).join(
+        li, ords.o_orderkey == li.l_orderkey
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        dsum(revenue(joined), "revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str,
+    date_from: str,
+    date_to: str,
+) -> DataFrame:
+    """TPC-H Q5-style: revenue by nation where customer and supplier share
+    the nation. nation/region are broadcast (tiny at any SF); the
+    supplier-nation equality is enforced post-join via column equality.
+    """
+    nr = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("n_nationkey", "n_name")
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= ts_lit(date_from))
+        & (F.col("o_orderdate") < ts_lit(date_to))
+    ).select("o_orderkey", "o_custkey")
+    joined = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ords, F.col("l_orderkey") == ords.o_orderkey)
+        .join(
+            customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            supplier.select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nr), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(dsum(revenue(joined), "revenue"))
+
+
+def sales_by_region_segment(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Star join: fact → dims rollup (the reference's intended
+    FactSales/DimCustomer analysis, purge-source-db.sh:20-23)."""
+    joined = (
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return joined.groupBy("r_name", "c_mktsegment").agg(
+        dsum(revenue(joined), "revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def top_orders_per_customer(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window rank: top-k orders per customer by value (§2.4 extension).
+
+    Deterministic tie-break on o_orderkey. At scale this is the one shuffle-
+    sort this module keeps — rank semantics genuinely need the window.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            money("o_totalprice").cast("double").alias("o_totalprice"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def running_customer_spend(orders: DataFrame) -> DataFrame:
+    """Window running total of spend per customer in order-date order."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate"),
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+def top_expensive_orders(orders: DataFrame, k: int = 20) -> DataFrame:
+    """Global top-k (TakeOrderedAndProject — never a full sort at scale)."""
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            money("o_totalprice").cast("double").alias("o_totalprice"),
+            "o_orderpriority",
+        )
+    )
+
+
+def order_value_extremes_union(orders: DataFrame, low: float, high: float) -> DataFrame:
+    """Set op (§2.4 UNION ALL, purge-source-db.sh:77-83): label and union
+    the tails of the order-value distribution."""
+    base = orders.select(
+        "o_orderkey", money("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    lo = base.filter(F.col("o_totalprice") < low).withColumn(
+        "bucket", F.lit("low")
+    )
+    hi = base.filter(F.col("o_totalprice") > high).withColumn(
+        "bucket", F.lit("high")
+    )
+    return lo.unionByName(hi)
+
+
+def customers_with_open_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi join (EXISTS): customers holding an open order."""
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    return customer.join(
+        orders.select("o_custkey"),
+        customer.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+def segment_distinct_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Distinct aggregation: per segment, distinct ordering customers and
+    order count. count(DISTINCT) expands to a two-phase aggregate — at
+    scale prefer approx_count_distinct; the exact form is kept here because
+    the oracle gate needs exact values."""
+    joined = orders.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(money("o_totalprice"), "total_value"),
+    )
+
+
+def events_hourly_counts(events_with_ts_ns: DataFrame) -> DataFrame:
+    """Tumbling-window aggregation in batch form: events per hour per type.
+
+    ts arrives as epoch-nanos long (io.load_table); the hour bucket is
+    integer arithmetic, so the same groupBy works identically in a
+    Structured Streaming window() at the streaming layer.
+    """
+    return (
+        events_with_ts_ns.withColumn(
+            "hour_bucket", F.expr("ts DIV 3600000000000")
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(money("value"), "sum_value"),
+        )
+    )

@@ -1,1 +1,281 @@
-"""Filled in as operators land."""
+"""Relational query surface (SURVEY §2.2-2.4 + star-schema extension).
+
+Every oracle mirrors the Spark decimal-cast discipline exactly (see
+operators.relational module docstring): DECIMAL(18,4) money math, the
+charge chain re-narrowed through DECIMAL(18,6), final CAST AS DOUBLE.
+ms-precision parquet timestamps surface as TIMESTAMP_NTZ in Spark 4 and
+pass through as-is (same naive semantics as DuckDB); only the nanosecond
+events.ts needs the epoch-micros treatment (see cdc_queries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from db_integration_via_kafka_ksql_spark.io import load_table
+from db_integration_via_kafka_ksql_spark.operators import relational as R
+from db_integration_via_kafka_ksql_spark.registry import query
+
+_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * "
+    "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+)
+
+
+def _msum(expr: str, alias: str) -> str:
+    """Exact decimal sum → tie-free FLOOR at 4dp → exact double (matches
+    operators.relational.dsum; see its docstring for why not a plain cast)."""
+    return (
+        f"CAST(FLOOR(CAST(sum({expr}) AS DECIMAL(27,12)) * 10000) AS DOUBLE)"
+        f" / 10000 AS {alias}"
+    )
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag,
+           l_linestatus,
+           {_msum("CAST(l_quantity AS DECIMAL(18,4))", "sum_qty")},
+           {_msum("CAST(l_extendedprice AS DECIMAL(18,4))", "sum_base_price")},
+           {_msum(_REV, "sum_disc_price")},
+           {_msum(
+               "CAST(l_extendedprice AS DECIMAL(15,4))"
+               " * ((CAST(1 AS DECIMAL(9,4)) - CAST(l_discount AS DECIMAL(9,4)))"
+               " * (CAST(1 AS DECIMAL(9,4)) + CAST(l_tax AS DECIMAL(9,4))))",
+               "sum_charge",
+           )},
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.pricing_summary(load_table(spark, sf_dir, "lineitem"), "1998-09-02")
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {_msum(_REV, "revenue")},
+           o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        segment="BUILDING",
+        cutoff="1998-01-01",
+        k=10,
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {_msum(_REV, "revenue")}
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.local_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        region_name="ASIA",
+        date_from="1996-01-01",
+        date_to="1999-01-01",
+    )
+
+
+@query(
+    "star_sales_by_region_segment",
+    oracle=f"""
+    SELECT r_name,
+           c_mktsegment,
+           {_msum(_REV, "revenue")},
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, c_mktsegment
+    """,
+)
+def star_sales_by_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.sales_by_region_segment(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "window_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+           rnk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rnk
+        FROM orders
+    )
+    WHERE rnk <= 3
+    """,
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_orders_per_customer(load_table(spark, sf_dir, "orders"), k=3)
+
+
+@query(
+    "window_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.running_customer_spend(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "topk_expensive_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+           o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.top_expensive_orders(load_table(spark, sf_dir, "orders"), k=20)
+
+
+@query(
+    "union_order_value_extremes",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+           'low' AS bucket
+    FROM orders WHERE CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) < 5000
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+           'high' AS bucket
+    FROM orders WHERE CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) > 400000
+    """,
+)
+def union_order_value_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.order_value_extremes_union(
+        load_table(spark, sf_dir, "orders"), low=5000.0, high=400000.0
+    )
+
+
+@query(
+    "semi_join_customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+    )
+    """,
+)
+def semi_join_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customers_with_open_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "segment_distinct_stats",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           count(*) AS n_orders,
+           {_msum("CAST(o_totalprice AS DECIMAL(18,4))", "total_value")}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def segment_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.segment_distinct_stats(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "events_hourly_counts",
+    oracle=f"""
+    SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+           event_type,
+           count(*) AS n_events,
+           {_msum('CAST("value" AS DECIMAL(18,4))', "sum_value")}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg, batch form (streaming twin lives in streaming/)."""
+    return R.events_hourly_counts(load_table(spark, sf_dir, "events"))
