@@ -1,0 +1,267 @@
+"""Deduplication operators over a document corpus: exact, MinHash+LSH,
+n-gram Jaccard, SimHash, embedding near-dup.
+
+Reference: none (the reference has no text surface — SURVEY §2.4); these are
+the BASELINE.json LLM-data-pipeline extensions, designed for 100 TB:
+
+- **exact_duplicates**: hash-groupBy on md5(text). One shuffle keyed by a
+  uniform hash → no skew; map-side partial agg collapses per-partition
+  duplicates first.
+- **minhash_lsh_pairs**: shingle→minhash→band→bucket-join. The candidate
+  join keys on (band_id, band_key) — uniform md5-derived keys, expected
+  bucket size ~1 at high k; the full n² pair space is never formed. The
+  exact-Jaccard rerank joins the (small) candidate set back to the word
+  sets and intersects arrays per pair — per-row work bounded by doc length,
+  no extra shuffle beyond the candidate join.
+- **ngram_jaccard_pairs**: exact pairs via shared-shingle inverted index —
+  the join is keyed by shingle (uniform), and hot shingles can be capped
+  via document-frequency filtering (df_cap) exactly like a stopword cut.
+- **simhash_pairs**: 16-bit fingerprints, byte-banded candidates, hamming
+  filter via xor+bit_count — constant per-pair cost.
+- **embedding_dup_pairs**: integer-quantized cosine threshold; candidates
+  from hyperplane-LSH buckets so the pair space is n²/2^planes.
+
+All scoring that feeds the DuckDB parity gate is integer/string-exact
+(md5, bigint dots); see functions/text.py and functions/vector.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.functions import text as T
+from db_integration_via_kafka_ksql_spark.functions import vector as V
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the
+    representative (min doc_id) and the copy count."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _word_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "doc_id", F.array_distinct(F.split(F.col(text_col), " ")).alias("ws")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash-LSH with exact-Jaccard rerank.
+
+    k salted min-hashes over distinct words, `bands` bands of k/bands rows;
+    docs sharing any band key become candidates; candidates are reranked
+    with exact word-set Jaccard and kept when >= threshold.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    rows = k // bands
+    sets = _word_sets(docs, text_col)
+    wordrows = sets.select("doc_id", F.explode("ws").alias("w"))
+    sig = wordrows.groupBy("doc_id").agg(
+        *T.minhash_signature(F.col("w"), k),
+        F.count(F.lit(1)).alias("set_size"),
+    )
+    band_frames = []
+    for b in range(bands):
+        key = F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)])
+        band_frames.append(
+            sig.select(
+                "doc_id", F.lit(b).alias("band_id"), key.alias("band_key")
+            )
+        )
+    all_bands = band_frames[0]
+    for bf in band_frames[1:]:
+        all_bands = all_bands.unionByName(bf)
+    a, b_ = all_bands.alias("a"), all_bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa = sets.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("wsa"))
+    wb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("wsb"))
+    scored = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("wsa", "wsb")).cast("bigint"))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("wsa") + F.size("wsb") - F.col("inter")).cast("double"),
+        )
+    )
+    return scored.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs via a shared-shingle inverted index.
+
+    Only pairs sharing >= 1 shingle are generated (inverted-index join on
+    the shingle), so cost tracks real overlap, not n². `df_cap` drops
+    shingles appearing in more than df_cap docs (hot-key guard at scale —
+    a shingle in 1M docs would otherwise emit 10^12 pairs).
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
+    """
+    sh = docs.select(
+        "doc_id", F.array_distinct(T.shingles(text_col, n)).alias("sh")
+    )
+    inv = sh.select("doc_id", F.explode("sh").alias("g"))
+    if df_cap is not None:
+        hot = inv.groupBy("g").count().filter(F.col("count") > df_cap).select("g")
+        inv = inv.join(hot, "g", "left_anti")
+    sizes = sh.select("doc_id", F.size("sh").cast("bigint").alias("sz"))
+    ia, ib = inv.alias("a"), inv.alias("b")
+    inter = (
+        ia.join(
+            ib,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc 16-bit SimHash fingerprint + its two byte-bands."""
+    return docs.select(
+        "doc_id",
+        T.simhash16_expr(f"array_distinct(split({text_col}, ' '))").alias("simhash"),
+    ).select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 256).alias("band_lo"),
+        (F.col("simhash").cast("bigint") / 256).cast("bigint").alias("band_hi"),
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share a byte band (pigeonhole:
+    hamming <= 3 on 16 bits can still differ in both bytes, so the band
+    recall is approximate by design — that's the documented LSH trade-off;
+    hamming <= 1 pairs are always caught). xor+bit_count rerank."""
+    fp = simhash_fingerprints(docs, text_col)
+    lo = fp.select("doc_id", "simhash", F.lit(0).alias("band_id"), F.col("band_lo").alias("bk"))
+    hi = fp.select("doc_id", "simhash", F.lit(1).alias("band_id"), F.col("band_hi").alias("bk"))
+    bands = lo.unionByName(hi)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold_pct: int = 95,
+    n_planes: int = 6,
+    dims: int = 64,
+    brute_force: bool = False,
+) -> DataFrame:
+    """Near-duplicate vector pairs: quantized-cosine >= threshold_pct/100.
+
+    The score (qdot) is exact integer math. The threshold test uses
+    IEEE-double sqrt of the exact integer norms: sqrt is correctly rounded
+    by the standard, so the comparison is bit-identical in any conforming
+    engine (DuckDB parity verified). Candidates come from hyperplane-LSH
+    buckets (n²/2^planes pair space); brute_force=True skips bucketing
+    (baseline / oracle path).
+
+    Returns (vec_a, vec_b, qdot) with vec_a < vec_b.
+    """
+    q = embeddings.select("vec_id", V.quantize("embedding").alias("q"))
+    q = q.select(
+        "vec_id",
+        "q",
+        F.expr(
+            "aggregate(q, cast(0 as bigint), (acc, x) -> acc + x * x)"
+        ).alias("n2"),
+    )
+    if not brute_force:
+        q = q.withColumn("bucket", V.lsh_bucket("q", n_planes, dims))
+        a, b = q.alias("a"), q.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+    else:
+        a, b = q.alias("a"), q.alias("b")
+        pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    scored = pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.expr(
+            "aggregate(zip_with(a.q, b.q, (x, y) -> x * y), "
+            "cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("qdot"),
+        F.col("a.n2").alias("na"),
+        F.col("b.n2").alias("nb"),
+    )
+    t = threshold_pct / 100
+    return (
+        scored.filter(
+            (F.col("qdot") > 0)
+            & F.expr(
+                f"CAST(qdot AS DOUBLE) >= {t} * "
+                f"sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))"
+            )
+        )
+        .select("vec_a", "vec_b", "qdot")
+    )

@@ -1,0 +1,162 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+Arrow-batched Pandas-UDF feature extraction.
+
+Contract (build spec): image/audio/video are `binary` columns with typed
+metadata. The actual codecs (PIL/ffmpeg/...) are NOT in this container, so
+`decode_image` is a clearly-marked stub (NotImplementedError) with a
+deterministic fake used by tests — but the Spark-side plumbing is real:
+schema, partitioning, `mapInPandas` signature, Arrow batch shape.
+
+Scale notes:
+- Payloads stay opaque bytes end-to-end; Spark never deserializes them
+  JVM-side, so a 100 TB binary column flows scan→Arrow→Python in batches
+  (`spark.sql.execution.arrow.maxRecordsPerBatch` controls batch memory —
+  size it so batch_rows × avg_payload fits the executor's Python heap).
+- `mapInPandas` is per-partition streaming over Arrow record batches: no
+  collect, no pivot through the driver.
+- Feature extraction emits fixed-width numeric columns; downstream joins/
+  aggs are ordinary columnar ops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+# typed metadata for an opaque media payload
+MEDIA_META_FIELDS = [
+    StructField("media_type", StringType()),
+    StructField("byte_len", LongType()),
+    StructField("width", LongType()),      # fake-decoded dims for images
+    StructField("height", LongType()),
+]
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("byte_histogram", ArrayType(LongType())),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Derive an opaque binary payload column + typed metadata struct from
+    the documents table (the container has no real media files; UTF-8
+    bytes of the text stand in — deterministic and size-realistic).
+
+    Output: (doc_id, payload binary, meta struct<media_type,byte_len,width,height>).
+    """
+    payload = F.encode(F.col(text_col), "UTF-8")
+    byte_len = F.octet_length(payload).cast("bigint")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("media_type"),
+            byte_len.alias("byte_len"),
+            # deterministic fake dims: a wxh factorization of the length
+            (byte_len % 64 + 1).alias("width"),
+            (byte_len / (byte_len % 64 + 1)).cast("bigint").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def payload_meta(docs: DataFrame) -> DataFrame:
+    """Flat metadata view of the payload column (oracle-checkable: the
+    payload is byte-equal to the UTF-8 text, so md5(payload) == md5(text))."""
+    with_payload = attach_payload(docs)
+    return with_payload.select(
+        "doc_id",
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """STUB — real image decode requires PIL/libjpeg, absent here.
+
+    Raises NotImplementedError; tests and extract_features use
+    `_fake_decode` instead. On a real cluster, swap this for
+    `PIL.Image.open(io.BytesIO(payload))`.
+    """
+    raise NotImplementedError(
+        "image decoding requires PIL/libjpeg (not in this container); "
+        "use _fake_decode for deterministic testing"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """Deterministic stand-in: 'decodes' a payload to (width, height, raw
+    bytes) without any codec."""
+    w = len(payload) % 64 + 1
+    h = len(payload) // w if w else 0
+    return w, h, payload
+
+
+def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column:
+    byte length, mean byte value, n_bins byte histogram.
+
+    Runs as mapInPandas — per-partition, no driver involvement. The
+    histogram math is numpy-vectorized inside each Arrow batch.
+    """
+    import numpy as np  # imported in the UDF closure for executor shipping
+    import pandas as pd
+
+    def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            n = len(pdf)
+            byte_len = np.empty(n, dtype=np.int64)
+            mean_byte = np.empty(n, dtype=np.float64)
+            hists: list[list[int]] = []
+            for i, p in enumerate(payloads):
+                arr = np.frombuffer(p, dtype=np.uint8)
+                byte_len[i] = arr.size
+                mean_byte[i] = float(arr.mean()) if arr.size else 0.0
+                hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
+                hists.append(hist.astype(np.int64).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "byte_len": byte_len,
+                    "mean_byte": mean_byte,
+                    "byte_histogram": hists,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        featurize, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: emits (doc_id, frame_idx) rows for
+    every_n-th 'frame', where frame count is derived from the payload size
+    (real codec absent — the explode/partitioning shape is the point).
+    At scale this is a generator expression, no shuffle."""
+    n_frames = (F.col("meta.byte_len") / F.lit(100)).cast("bigint") + 1
+    return media.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(0, cast(meta.byte_len / 100 as bigint), {every_n})")
+        ).alias("frame_idx"),
+    ).filter(F.col("frame_idx") <= n_frames)

@@ -1,0 +1,151 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, per the build contract:
+- **brute_topk**: exact top-k by quantized dot product. The (small) query
+  set is broadcast; every corpus partition scores its rows against all
+  queries map-side, then a per-query top-k via window. At 100 TB the scan
+  dominates and parallelizes perfectly; the final top-k shuffles only
+  n_queries × k × partitions candidate rows (TakeOrdered-like).
+- **lsh_topk**: hyperplane-LSH bucketed approximate top-k. Corpus and
+  queries bucket deterministically (functions/vector.lsh_bucket); the
+  candidate join is bucket-equi, pair space n·m/2^planes. Recall is
+  approximate (a true neighbor in a different bucket is missed) — the
+  standard LSH trade; multi-probe would raise it.
+
+Scores for the oracle gate are integer qdot (bit-exact in DuckDB); the
+float cosine is available via functions/vector.cosine for callers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.functions import vector as V
+
+
+def _quantized(embeddings: DataFrame) -> DataFrame:
+    return embeddings.select("vec_id", V.quantize("embedding").alias("q"))
+
+
+def brute_topk(
+    embeddings: DataFrame, query_ids: list[int], k: int = 5
+) -> DataFrame:
+    """Exact top-k neighbors (by quantized dot product) for each query id.
+
+    Self-neighbors are excluded. Ties break on neighbor id ascending, so
+    the result set is fully deterministic.
+    Returns (query_id, neighbor_id, qdot, rnk).
+    """
+    q = _quantized(embeddings)
+    queries = q.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    corpus = q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc"))
+    scored = corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            "aggregate(zip_with(qq, qc, (x, y) -> x * y), "
+            "cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "qdot", "rnk")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    May return < k rows per query (bucket smaller than k) — the honest
+    approximation contract. Same output schema/determinism as brute_topk.
+    """
+    q = _quantized(embeddings).withColumn("bucket", V.lsh_bucket("q", n_planes, dims))
+    queries = q.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("bucket").alias("qbucket"),
+    )
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc"), "bucket"
+    )
+    scored = corpus.join(
+        F.broadcast(queries),
+        (F.col("qbucket") == F.col("bucket"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            "aggregate(zip_with(qq, qc, (x, y) -> x * y), "
+            "cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "qdot", "rnk")
+    )
+
+
+def label_centroid_assignment(embeddings: DataFrame) -> DataFrame:
+    """Assign each vector to the nearest label centroid (quantized space).
+
+    A one-step IVF coarse quantizer: centroids = per-label mean of
+    quantized vectors (exact integer sums / bigint count via floor
+    division — portable), assignment = argmin squared distance, computed
+    as |v|² - 2<v,c> + |c|² in exact integer math.
+    Returns (vec_id, label, assigned_label, correct).
+    """
+    q = embeddings.select(
+        "vec_id", "label", V.quantize("embedding").alias("q")
+    )
+    n_dims = 64
+    # exact integer centroid: floor of per-dim sum / count
+    sums = q.select(
+        "label", *[F.expr(f"element_at(q, {i + 1})").alias(f"d{i}") for i in range(n_dims)]
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"d{i}").alias(f"s{i}") for i in range(n_dims)],
+    )
+    cent = sums.select(
+        F.col("label").alias("c_label"),
+        F.array(
+            *[F.expr(f"cast(floor(s{i} / n) as bigint)") for i in range(n_dims)]
+        ).alias("c"),
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.expr(
+            "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("c_label").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label").alias("assigned_label"),
+            (F.col("label") == F.col("c_label")).alias("correct"),
+        )
+    )

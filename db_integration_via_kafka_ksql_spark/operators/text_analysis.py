@@ -1,0 +1,110 @@
+"""Text-analysis operators over the documents table: token statistics,
+quality scoring, language-ID, fingerprinting.
+
+All pure Column expressions (functions/text.py) — zero Python UDFs, zero
+extra shuffles beyond the terminal groupBy where one exists. Each operator
+is a narrow map over the corpus scan: at 100 TB these run at parquet scan
+speed with full column pruning (only `doc_id`/`text`/`lang` are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.functions import text as T
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token accounting: whitespace tokens, BPE-ish sub-word
+    pieces, distinct words, char length, avg token length."""
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        T.token_piece_count("text").alias("n_pieces"),
+        F.size(T.distinct_words("text")).cast("bigint").alias("n_distinct"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        (
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+            / T.token_count("text").cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(docs: DataFrame, min_tokens: int = 50) -> DataFrame:
+    """Heuristic quality score in [0,1]: length, lexical diversity,
+    stopword and punctuation ratios — the standard pre-training filters.
+
+    Double math is a fixed sequence of exact-operand IEEE ops (divisions
+    of exact ints, scaled adds) — bit-identical in DuckDB.
+    """
+    n_tok = T.token_count("text").cast("double")
+    n_dis = F.size(T.distinct_words("text")).cast("double")
+    stop_hits = sum(
+        (T.stopword_hits("text", lang) for lang in T.STOPWORDS),
+        F.lit(0),
+    ).cast("double")
+    punct = (
+        F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")).cast("double")
+        / F.length("text").cast("double")
+    )
+    len_score = F.least(n_tok / F.lit(float(min_tokens)), F.lit(1.0))
+    diversity = n_dis / n_tok
+    stop_ratio = stop_hits / n_tok
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * diversity
+        + F.lit(0.2) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.1) * (F.lit(1.0) - punct)
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        diversity.alias("diversity"),
+        stop_ratio.alias("stop_ratio"),
+        punct.alias("punct_ratio"),
+        score.alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language-ID: per-language distinct-stopword hit counts,
+    argmax with deterministic tie-break (functions/text.LANG_PRIORITY).
+
+    On the driver's synthetic corpus (shared vocabulary across langs) the
+    measured accuracy is low by construction — the confusion query reports
+    it honestly; the operator itself is the real n-gram/stopword scheme.
+    """
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            T.stopword_hits("text", lang).alias(f"sc_{lang}")
+            for lang in T.LANG_PRIORITY
+        ],
+    )
+    pred = T.predicted_lang({l: f"sc_{l}" for l in T.LANG_PRIORITY})
+    return scored.withColumn("pred_lang", pred)
+
+
+def language_confusion(docs: DataFrame) -> DataFrame:
+    """(actual, predicted) → count — the lang-ID evaluation rollup."""
+    return (
+        language_id(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per doc + content hash.
+
+    rolling_fp collides for docs sharing the exact word sequence;
+    md5 is the exact-content check. Both deterministic & portable.
+    """
+    return docs.select(
+        "doc_id",
+        T.rolling_fingerprint("text").alias("rolling_fp"),
+        F.md5("text").alias("content_md5"),
+        (T.rolling_fingerprint("text") % 1024).alias("fp_bucket"),
+    )

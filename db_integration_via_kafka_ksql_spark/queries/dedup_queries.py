@@ -1,1 +1,246 @@
-"""Filled in as operators land."""
+"""Deduplication query surface with DuckDB oracles.
+
+The MinHash/SimHash/Jaccard SQL below is generated from the same
+parameters (k, bands, thresholds, salts) as the Spark operators — the two
+engines compute the same md5-derived integers/strings, so candidate sets
+and scores coincide exactly. See operators/dedup.py for the scale design
+of each operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from db_integration_via_kafka_ksql_spark.functions.vector import (
+    QUANT,
+    lsh_bucket_sql_duckdb,
+)
+from db_integration_via_kafka_ksql_spark.io import load_table
+from db_integration_via_kafka_ksql_spark.operators import dedup as D
+from db_integration_via_kafka_ksql_spark.registry import query
+
+_W = "string_split(text, ' ')"
+
+MINHASH_K = 8
+MINHASH_BANDS = 4
+MINHASH_THRESHOLD = 0.7
+NGRAM_N = 3
+NGRAM_THRESHOLD = 0.2
+SIMHASH_MAX_HAMMING = 3
+EMB_THRESHOLD_PCT = 40
+EMB_LSH_PLANES = 4
+DIMS = 64
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keep_doc,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(k: int, bands: int, threshold: float) -> str:
+    rows = k // bands
+    sig_cols = ",\n               ".join(
+        f"min(md5('s{i}|' || w)) AS h{i}" for i in range(k)
+    )
+    band_selects = []
+    for b in range(bands):
+        key = " || ".join(f"h{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
+        )
+    bands_sql = "\n        UNION ALL ".join(band_selects)
+    return f"""
+    WITH sets AS (SELECT doc_id, list_distinct({_W}) AS ws FROM documents),
+    w AS (SELECT doc_id, unnest(ws) AS w FROM sets),
+    sig AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM w GROUP BY doc_id
+    ),
+    bands AS (
+        {bands_sql}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(sa.ws, sb.ws)) AS BIGINT) AS inter,
+               len(sa.ws) + len(sb.ws) AS sz_sum
+        FROM cand
+        JOIN sets sa ON sa.doc_id = doc_a
+        JOIN sets sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(sz_sum - inter AS DOUBLE) AS jaccard
+    FROM scored
+    WHERE CAST(inter AS DOUBLE) / CAST(sz_sum - inter AS DOUBLE) >= {threshold}
+    """
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(MINHASH_K, MINHASH_BANDS, MINHASH_THRESHOLD),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+    )
+
+
+_SH3 = (
+    f"CASE WHEN len({_W}) < {NGRAM_N} THEN [text] "
+    f"ELSE [array_to_string(list_slice({_W}, i, i + {NGRAM_N - 1}), ' ') "
+    f"for i in generate_series(1, len({_W}) - {NGRAM_N - 1})] END"
+)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_SH3}) AS sh FROM documents),
+    inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(sh) AS sz FROM sh)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+          >= {NGRAM_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=NGRAM_N, threshold=NGRAM_THRESHOLD
+    )
+
+
+def _simhash_sql(words_sql: str) -> str:
+    """DuckDB mirror of functions.text.simhash16_expr."""
+    h = "('0x' || substr(md5(w), 1, 4))::BIGINT"
+    bits = []
+    for j in range(16):
+        vote = (
+            f"list_sum([CASE WHEN ({h} // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END "
+            f"for w in {words_sql}])"
+        )
+        bits.append(f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+_SIMHASH = _simhash_sql(f"list_distinct({_W})")
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, CAST({_SIMHASH} AS BIGINT) AS simhash FROM documents
+    ),
+    bands AS (
+        SELECT doc_id, simhash, 0 AS band_id, simhash % 256 AS bk FROM fp
+        UNION ALL
+        SELECT doc_id, simhash, 1 AS band_id, simhash // 256 AS bk FROM fp
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=SIMHASH_MAX_HAMMING
+    )
+
+
+_QUANTIZE = (
+    f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+)
+_QDOT = f"CAST(list_sum([a.q[i] * b.q[i] for i in generate_series(1, {DIMS})]) AS BIGINT)"
+_EMB_COND = (
+    f"CAST(qdot AS DOUBLE) >= {EMB_THRESHOLD_PCT / 100} * "
+    f"sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))"
+)
+
+
+@query(
+    "dedup_embedding_pairs",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_QUANTIZE} AS q,
+               CAST(list_sum([x * x for x in {_QUANTIZE}]) AS BIGINT) AS n2
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_QDOT} AS qdot, a.n2 AS na, b.n2 AS nb
+        FROM q a JOIN q b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, qdot FROM scored WHERE qdot > 0 AND {_EMB_COND}
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force baseline (exact): every pair scored. The scale path is
+    dedup_embedding_pairs_lsh below."""
+    return D.embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold_pct=EMB_THRESHOLD_PCT,
+        brute_force=True,
+    )
+
+
+@query(
+    "dedup_embedding_pairs_lsh",
+    oracle=f"""
+    WITH q0 AS (
+        SELECT vec_id, {_QUANTIZE} AS q,
+               CAST(list_sum([x * x for x in {_QUANTIZE}]) AS BIGINT) AS n2
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, q, n2, {lsh_bucket_sql_duckdb('q', EMB_LSH_PLANES, DIMS)} AS bucket
+        FROM q0
+    ),
+    scored AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_QDOT} AS qdot, a.n2 AS na, b.n2 AS nb
+        FROM q a JOIN q b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, qdot FROM scored WHERE qdot > 0 AND {_EMB_COND}
+    """,
+)
+def dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed near-dup pairs: candidates restricted to one
+    hyperplane bucket (recall < 1 by design; pair space /2^planes)."""
+    return D.embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold_pct=EMB_THRESHOLD_PCT,
+        n_planes=EMB_LSH_PLANES,
+        dims=DIMS,
+        brute_force=False,
+    )

@@ -1,1 +1,126 @@
-"""Filled in as operators land."""
+"""Similarity-search query surface with DuckDB oracles.
+
+Scores are quantized integer dot products (bit-exact across engines, see
+functions/vector.py); ranking ties break on neighbor id, so the top-k set
+is fully deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from db_integration_via_kafka_ksql_spark.functions.vector import (
+    QUANT,
+    lsh_bucket_sql_duckdb,
+)
+from db_integration_via_kafka_ksql_spark.io import load_table
+from db_integration_via_kafka_ksql_spark.operators import similarity as S
+from db_integration_via_kafka_ksql_spark.registry import query
+
+DIMS = 64
+QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+TOP_K = 5
+LSH_PLANES = 4
+
+_QUANTIZE = (
+    f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+)
+_QDOT = (
+    f"CAST(list_sum([qs.q[i] * c.q[i] for i in generate_series(1, {DIMS})]) AS BIGINT)"
+)
+_QIDS = ", ".join(str(i) for i in QUERY_IDS)
+
+
+@query(
+    "sim_brute_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANTIZE} AS q FROM embeddings),
+    s AS (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id, {_QDOT} AS qdot
+        FROM q qs JOIN q c
+          ON qs.vec_id IN ({_QIDS}) AND c.vec_id <> qs.vec_id
+    )
+    SELECT query_id, neighbor_id, qdot, rnk
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC
+        ) AS INTEGER) AS rnk
+        FROM s
+    )
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: brute-force top-k by quantized dot product."""
+    return S.brute_topk(
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOP_K
+    )
+
+
+@query(
+    "sim_lsh_topk",
+    oracle=f"""
+    WITH q0 AS (SELECT vec_id, {_QUANTIZE} AS q FROM embeddings),
+    q AS (
+        SELECT vec_id, q, {lsh_bucket_sql_duckdb('q', LSH_PLANES, DIMS)} AS bucket
+        FROM q0
+    ),
+    s AS (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id, {_QDOT} AS qdot
+        FROM q qs JOIN q c
+          ON qs.vec_id IN ({_QIDS}) AND c.bucket = qs.bucket
+         AND c.vec_id <> qs.vec_id
+    )
+    SELECT query_id, neighbor_id, qdot, rnk
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC
+        ) AS INTEGER) AS rnk
+        FROM s
+    )
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (scale path: pair space /2^planes,
+    may return < k rows per query when the bucket is small)."""
+    return S.lsh_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_IDS,
+        k=TOP_K,
+        n_planes=LSH_PLANES,
+        dims=DIMS,
+    )
+
+
+def _centroid_oracle(dims: int) -> str:
+    sum_cols = ", ".join(f"sum(q[{i + 1}]) AS s{i}" for i in range(dims))
+    cent_list = ", ".join(
+        f"CAST(floor(CAST(s{i} AS DOUBLE) / n) AS BIGINT)" for i in range(dims)
+    )
+    return f"""
+    WITH q AS (SELECT vec_id, label, {_QUANTIZE} AS q FROM embeddings),
+    sums AS (SELECT label, count(*) AS n, {sum_cols} FROM q GROUP BY label),
+    cent AS (SELECT label AS c_label, [{cent_list}] AS c FROM sums),
+    scored AS (
+        SELECT q.vec_id, q.label, cent.c_label,
+               CAST(list_sum([(q.q[i] - cent.c[i]) * (q.q[i] - cent.c[i])
+                    for i in generate_series(1, {dims})]) AS BIGINT) AS dist2
+        FROM q CROSS JOIN cent
+    )
+    SELECT vec_id, label, c_label AS assigned_label, label = c_label AS correct
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY dist2 ASC, c_label ASC
+        ) AS rnk
+        FROM scored
+    )
+    WHERE rnk = 1
+    """
+
+
+@query("sim_centroid_assignment", oracle=_centroid_oracle(DIMS))
+def sim_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style coarse quantizer: assign each vector to the nearest
+    per-label centroid (exact integer distance math)."""
+    return S.label_centroid_assignment(load_table(spark, sf_dir, "embeddings"))

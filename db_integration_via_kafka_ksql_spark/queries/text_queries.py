@@ -1,1 +1,122 @@
-"""Filled in as operators land."""
+"""Text-analysis query surface with DuckDB oracles.
+
+Oracle mirroring discipline: every formula is either integer/string math
+(md5 hashing, counts) or a fixed-order sequence of IEEE double ops on
+exact operands — bit-identical across engines. DuckDB syntax differences
+(list comprehensions vs transform(), `//` vs `div`, 'g' regex flag) are
+purely syntactic; the computed values coincide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from db_integration_via_kafka_ksql_spark.functions import text as T
+from db_integration_via_kafka_ksql_spark.io import load_table
+from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
+from db_integration_via_kafka_ksql_spark.registry import query
+
+_W = "string_split(text, ' ')"
+_DW = f"list_distinct({_W})"
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]) + "]"
+
+
+def _sw_hits(lang: str) -> str:
+    return f"len(list_filter({_W}, w -> list_contains({_sw_list(lang)}, w)))"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_W}) AS BIGINT) AS n_tokens,
+           CAST(list_sum([(length(w) + 3) // 4 for w in {_W}]) AS BIGINT) AS n_pieces,
+           CAST(len({_DW}) AS BIGINT) AS n_distinct,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / CAST(len({_W}) AS DOUBLE) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_SUM = " + ".join(_sw_hits(lang) for lang in T.STOPWORDS)
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(n_dis AS DOUBLE) / CAST(n_tok AS DOUBLE) AS diversity,
+           CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE) AS stop_ratio,
+           CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           0.4 * least(CAST(n_tok AS DOUBLE) / 50.0, 1.0)
+             + 0.3 * (CAST(n_dis AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             + 0.2 * (1.0 - CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             + 0.1 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+             AS quality
+    FROM (
+        SELECT doc_id,
+               len({_W}) AS n_tok,
+               len({_DW}) AS n_dis,
+               {_STOP_SUM} AS stop_hits,
+               length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+               length(text) AS n_chars
+        FROM documents
+    )
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.quality_scores(load_table(spark, sf_dir, "documents"), min_tokens=50)
+
+
+_LANG_SCORES = ",\n           ".join(
+    f"{_sw_hits(lang)} AS sc_{lang}" for lang in T.LANG_PRIORITY
+)
+_PRED_CASE = T.predicted_lang_case({l: f"sc_{l}" for l in T.LANG_PRIORITY})
+
+
+@query(
+    "text_language_confusion",
+    oracle=f"""
+    SELECT lang, pred_lang, count(*) AS n_docs
+    FROM (
+        SELECT lang, {_PRED_CASE} AS pred_lang
+        FROM (
+            SELECT lang,
+           {_LANG_SCORES}
+            FROM documents
+        )
+    )
+    GROUP BY lang, pred_lang
+    """,
+)
+def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.language_confusion(load_table(spark, sf_dir, "documents"))
+
+
+_FP = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"[('0x' || substr(md5(w), 1, 8))::BIGINT for w in {_W}]), "
+    f"(acc, x) -> (acc * 31 + x) % {T.HASH_MOD})"
+)
+
+
+@query(
+    "text_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           {_FP} AS rolling_fp,
+           md5(text) AS content_md5,
+           {_FP} % 1024 AS fp_bucket
+    FROM documents
+    """,
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.fingerprints(load_table(spark, sf_dir, "documents"))

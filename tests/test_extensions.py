@@ -1,0 +1,127 @@
+"""Unit tests for the LLM-pipeline extension operators (dedup, similarity,
+text, multimodal) — semantics on small hand-built data, exact values for
+the numpy feature path, and the LSH ⊆ brute-force containment invariants
+the oracle gate can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.io import load_table
+from db_integration_via_kafka_ksql_spark.operators import (
+    dedup as D,
+    multimodal as M,
+    similarity as S,
+    text_analysis as TA,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "completely different words entirely here now"),
+        (5, "ab"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates_groups_identical_text(docs):
+    out = {r["keep_doc"]: r["n_copies"] for r in D.exact_duplicates(docs).collect()}
+    assert out[1] == 2  # docs 1 and 3
+    assert out[2] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_minhash_finds_near_dup_and_exact_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 3)] == 1.0  # exact dup → jaccard 1
+    # 1 vs 2: word sets differ only dog/cat → |∩|=7, |∪|=9
+    assert (1, 2) in pairs and pairs[(1, 2)] == pytest.approx(7 / 9)
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_short_doc_whole_text_shingle(docs):
+    # doc 5 ("ab") has the single shingle "ab"; no overlap with others
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.1).collect()
+    ids = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 3) in ids
+    assert not any(5 in p for p in ids)
+
+
+def test_simhash_exact_dup_zero_hamming(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_pairs(docs, max_hamming=16).collect()
+    }
+    assert pairs[(1, 3)] == 0
+
+
+def test_df_cap_drops_hot_shingles(spark):
+    # one shingle shared by all docs; df_cap=2 must drop it entirely
+    rows = [(i, "x y z") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert D.ngram_jaccard_pairs(df, n=3, threshold=0.0, df_cap=2).count() == 0
+    assert D.ngram_jaccard_pairs(df, n=3, threshold=0.0).count() == 6
+
+
+def test_lsh_pairs_subset_of_brute(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in D.embedding_dup_pairs(emb, threshold_pct=40, brute_force=True).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in D.embedding_dup_pairs(emb, threshold_pct=40, brute_force=False).collect()
+    }
+    assert lsh <= brute
+    assert len(brute) > 0
+
+
+def test_lsh_topk_subset_of_brute_candidates(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = S.brute_topk(emb, [0, 1], k=500).collect()
+    brute_scores = {(r["query_id"], r["neighbor_id"]): r["qdot"] for r in brute}
+    for r in S.lsh_topk(emb, [0, 1], k=5).collect():
+        # every LSH hit is a real neighbor with the same exact score
+        assert brute_scores[(r["query_id"], r["neighbor_id"])] == r["qdot"]
+
+
+def test_byte_features_exact_values(spark):
+    docs = spark.createDataFrame([(1, "aa"), (2, "a b")], ["doc_id", "text"])
+    media = M.attach_payload(docs)
+    rows = {r["doc_id"]: r for r in M.extract_features(media, n_bins=16).collect()}
+    # "aa" = bytes [97, 97]: len 2, mean 97.0, all in bin 97*16//256 = 6
+    assert rows[1]["byte_len"] == 2
+    assert rows[1]["mean_byte"] == 97.0
+    assert rows[1]["byte_histogram"][6] == 2 and sum(rows[1]["byte_histogram"]) == 2
+    # "a b" = [97, 32, 98]: mean (97+32+98)/3
+    assert rows[2]["mean_byte"] == pytest.approx((97 + 32 + 98) / 3)
+
+
+def test_decode_image_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG")
+    w, h, raw = M._fake_decode(b"x" * 130)
+    assert w == 130 % 64 + 1 and raw == b"x" * 130
+
+
+def test_quality_scores_bounds(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    stats = TA.quality_scores(docs).agg(
+        F.min("quality").alias("lo"), F.max("quality").alias("hi")
+    ).first()
+    assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+
+
+def test_token_pieces_ceil_semantics(spark):
+    df = spark.createDataFrame([(1, "abcd abcdefgh ab")], ["doc_id", "text"])
+    row = TA.token_stats(df).first()
+    assert row["n_pieces"] == 1 + 2 + 1
+    assert row["n_tokens"] == 3
