@@ -1,0 +1,136 @@
+"""Kafka changelog source: keyed Avro change events with tombstones.
+
+Reference parity (SURVEY §2.1):
+- S1: topic subscribe — the capture side (Debezium) stays external; our
+  engine starts at the topic, exactly like the reference's ksqlDB.
+- S3: Avro key+value decode. OSS Spark has no Schema Registry client
+  (SURVEY §1.4), so schemas are carried explicitly in engine config —
+  mirroring the reference's hard-won "schema must exist before DDL"
+  ordering (the-whole-thing.sh:23-40).
+- S4: startingOffsets=earliest for full replay.
+- T1-T3: Debezium envelope unwrap + delete rewrite + tombstone
+  pass-through, as column expressions over the raw (key, value) frame.
+- K5: permissive decode — unparseable records go to a dead-letter frame
+  instead of failing the stream (errors.tolerance=all).
+
+Tombstone discipline (SURVEY §7.3.1 — THE bug class the reference
+exists to solve): the raw `value` column is kept alongside the decoded
+struct; `value IS NULL` is the tombstone predicate and must be tested
+BEFORE any projection that would erase the distinction. Writing back out,
+a tombstone row emits key-bytes + literal NULL value (not an Avro-encoded
+null), keeping the output topic log-compaction-valid (ST4).
+
+This module needs the spark-sql-kafka-0-10 package on the classpath at
+runtime (not bundled with pip pyspark; absent in this container). All
+builders below construct configs/expressions lazily so importing and
+unit-testing the logic needs no Kafka.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True if the Kafka source can actually be used in this session."""
+    try:
+        spark.readStream.format("kafka").option(
+            "kafka.bootstrap.servers", "none:0"
+        ).option("subscribe", "probe").load()
+        return True
+    except Exception:
+        return False
+
+
+@dataclass
+class AvroChangelogConfig:
+    """Engine-carried schema config (no registry in OSS Spark)."""
+
+    topic: str
+    key_schema_json: str            # e.g. Debezium key: STRUCT{id:int}
+    value_schema_json: str          # unwrapped row incl. __deleted
+    bootstrap_servers: str = "localhost:9092"
+    starting_offsets: str = "earliest"     # S4
+    extra_options: dict[str, str] = field(default_factory=dict)
+
+
+def read_stream(spark: SparkSession, cfg: AvroChangelogConfig) -> DataFrame:
+    """Raw keyed changelog stream: (key binary, value binary, topic,
+    partition, offset, timestamp)."""
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", cfg.bootstrap_servers)
+        .option("subscribe", cfg.topic)
+        .option("startingOffsets", cfg.starting_offsets)
+    )
+    for k, v in cfg.extra_options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def decode_changelog(raw: DataFrame, cfg: AvroChangelogConfig) -> DataFrame:
+    """Decode Avro key/value with dead-letter tolerance, preserving
+    tombstones.
+
+    Output columns:
+      key struct, row struct (null for tombstones), __tombstone boolean,
+      __deleted string ('true' for delete-rewrite rows AND tombstones),
+      offset, partition, __dead boolean (value present but undecodable).
+    """
+    from pyspark.sql.avro.functions import from_avro
+
+    key = from_avro(F.col("key"), cfg.key_schema_json).alias("key")
+    # PERMISSIVE mode: parse failures yield null columns instead of errors
+    row = from_avro(
+        F.col("value"), cfg.value_schema_json, {"mode": "PERMISSIVE"}
+    ).alias("row")
+    out = raw.select(
+        key,
+        row,
+        F.col("value").isNull().alias("__tombstone"),   # T3
+        F.col("value"),
+        "offset",
+        "partition",
+    )
+    return out.select(
+        "key",
+        "row",
+        "__tombstone",
+        # delete rewrite (T2) OR tombstone → deleted
+        F.when(F.col("__tombstone"), F.lit("true"))
+        .otherwise(F.coalesce(F.col("row.__deleted"), F.lit("false")))
+        .alias("__deleted"),
+        # dead-letter: non-null bytes that decoded to null (K5)
+        (~F.col("__tombstone") & F.col("row").isNull()).alias("__dead"),
+        "offset",
+        "partition",
+    )
+
+
+def write_changelog(
+    compacted: DataFrame, cfg: AvroChangelogConfig, deleted_col: str = "__deleted"
+) -> DataFrame:
+    """Mirror a compacted batch to an output topic, tombstones intact
+    (ST3/ST4): deleted keys emit (key, NULL), others (key, avro(row)).
+
+    Returns the (key, value) frame ready for .write.format('kafka') —
+    callers own the actual write so tests can inspect the frame.
+    """
+    from pyspark.sql.avro.functions import to_avro
+
+    is_del: Column = F.col(deleted_col).cast("string") == F.lit("true")
+    payload_cols = [c for c in compacted.columns if c != deleted_col]
+    return compacted.select(
+        to_avro(F.struct(*[F.col(c) for c in payload_cols])).alias("_all_value"),
+        to_avro(F.struct(*[F.col(c) for c in compacted.columns if c in ("id", "key_id")])).alias("key"),
+        is_del.alias("_is_del"),
+    ).select(
+        "key",
+        # literal NULL value for tombstones — never an Avro-encoded null
+        F.when(F.col("_is_del"), F.lit(None).cast("binary"))
+        .otherwise(F.col("_all_value"))
+        .alias("value"),
+    )

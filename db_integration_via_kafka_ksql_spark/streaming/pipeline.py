@@ -1,0 +1,115 @@
+"""CdcPipeline: the whole reference pipeline as one StreamingQuery.
+
+Reference architecture (SURVEY §3.2): Debezium → Kafka → ksqlDB TABLE
+transform → JDBC upsert/delete sink, ~2 s commit cadence. Spark-native
+collapse (SURVEY §7.2 Phase 3):
+
+    readStream (kafka/file changelog)
+      → projection preserving key + __deleted          (T4/T5)
+      → foreachBatch:
+            per-batch compaction (offset order)        (ST1/ST6)
+            state-store merge  → pull-query surface    (ST1)
+            sink upserts + deletes                     (K1/K2)
+            optional mirrored changelog output          (ST3/ST4)
+      checkpointed                                      (ST5)
+
+Exactly-once story: checkpoint gives at-least-once micro-batches; the
+sink's keyed MERGE/DELETE and the state store's apply_batch are
+idempotent per batch, so replays converge — the same design the reference
+reaches via Kafka offsets + JDBC PK upsert.
+
+Scale: the only shuffle per micro-batch is the compaction groupBy(key)
+with map-side partial agg (operators/cdc.py); sink writes are parallel
+executor JDBC in the cluster path. Trigger default 2 s mirrors
+KSQL_KSQL_COMMIT_INTERVAL_MS=2000 (docker-compose.yaml:273).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+from typing import Any, Protocol
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from db_integration_via_kafka_ksql_spark.operators import cdc
+from db_integration_via_kafka_ksql_spark.streaming.state import ParquetStateStore
+
+
+class BatchSink(Protocol):
+    """Anything that can apply a compacted micro-batch (DbApiSink,
+    JdbcMergeSink, or a test double)."""
+
+    def write_batch(self, upserts: DataFrame, delete_keys: DataFrame) -> None: ...
+
+
+@dataclass
+class CdcPipeline:
+    source: DataFrame                      # streaming changelog DataFrame
+    key_cols: Sequence[str]
+    order_cols: Sequence[str]
+    deleted_col: str = "__deleted"
+    projection: Sequence[str] | None = None            # T4: column projection
+    sink: BatchSink | None = None
+    state: ParquetStateStore | None = None
+    mirror: Callable[[DataFrame], None] | None = None  # ST3: derived topic
+    checkpoint_dir: str | None = None
+    trigger_seconds: float = 2.0
+    query_name: str = "cdc_pipeline"
+    batches_seen: list[int] = field(default_factory=list)
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        """The ksqlDB-CTAS equivalent: projection that must carry the key
+        and the soft-delete marker through (T5 — the reference's central
+        'key must appear in the projection' rule)."""
+        if self.projection is None:
+            return df
+        cols = list(self.projection)
+        for required in (*self.key_cols, *self.order_cols, self.deleted_col):
+            if required not in cols:
+                cols.append(required)
+        return df.select(*cols)
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """One micro-batch: compact in offset order, split live/deleted,
+        fan out to state store, sink, and mirror. Public so batch replays
+        (rebuild) reuse the identical code path."""
+        self.batches_seen.append(epoch_id)
+        projected = self._transform(batch_df)
+        compacted = cdc.compact_latest(
+            projected, key_cols=list(self.key_cols), order_cols=list(self.order_cols)
+        ).localCheckpoint()  # computed once, consumed by up to 3 outputs
+        live = compacted.filter(
+            F.col(self.deleted_col).cast("string") != F.lit("true")
+        )
+        deleted = compacted.filter(
+            F.col(self.deleted_col).cast("string") == F.lit("true")
+        )
+        if self.state is not None:
+            self.state.apply_batch(compacted)
+        if self.sink is not None:
+            self.sink.write_batch(live, deleted.select(*self.key_cols))
+        if self.mirror is not None:
+            self.mirror(compacted)
+
+    def start(self) -> StreamingQuery:
+        writer = (
+            self.source.writeStream.queryName(self.query_name)
+            .foreachBatch(self.process_batch)
+            .outputMode("update")
+        )
+        if self.checkpoint_dir:
+            writer = writer.option("checkpointLocation", self.checkpoint_dir)
+        if self.trigger_seconds:
+            writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
+        return writer.start()
+
+    # -- introspection (M2/M3: SHOW QUERIES / connector status) ----------
+    @staticmethod
+    def active_queries(spark: Any) -> list[dict[str, Any]]:
+        return [
+            {"id": str(q.id), "name": q.name, "active": q.isActive}
+            for q in spark.streams.active
+        ]

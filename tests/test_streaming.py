@@ -1,0 +1,241 @@
+"""Scenario tests from the reference's test strategy (SURVEY §5), run
+against the full streaming pipeline: file changelog source → CdcPipeline
+(per-batch compaction) → sqlite sink + parquet state store + mirror.
+
+Covers: count-parity, delete-propagation, insert-after-delete,
+delete-then-reinsert-in-one-batch (SURVEY §7.3.2), replay-rebuild (ST5),
+log-compaction invariant (ST4), checkpoint recovery.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from db_integration_via_kafka_ksql_spark.operators import cdc
+from db_integration_via_kafka_ksql_spark.sinks.dbapi import DbApiSink
+from db_integration_via_kafka_ksql_spark.sources.changelog import (
+    file_changelog_stream,
+    snapshot_as_changelog,
+)
+from db_integration_via_kafka_ksql_spark.streaming.pipeline import CdcPipeline
+from db_integration_via_kafka_ksql_spark.streaming.state import ParquetStateStore
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("title", StringType()),
+        StructField("__deleted", StringType()),
+        StructField("offset", LongType()),
+    ]
+)
+
+
+def _write_file(spark, directory, rows, name):
+    """One flat parquet file per feed — the file streaming source lists
+    files, not nested dataset directories."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(directory, exist_ok=True)
+    ids, titles, deleted, offsets = zip(*rows)
+    table = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "title": pa.array(titles, pa.string()),
+            "__deleted": pa.array(deleted, pa.string()),
+            "offset": pa.array(offsets, pa.int64()),
+        }
+    )
+    pq.write_table(table, f"{directory}/{name}")
+
+
+class _Harness:
+    def __init__(self, spark, tmp_path):
+        self.spark = spark
+        self.src = str(tmp_path / "chlog")
+        self.db = str(tmp_path / "sink.db")
+        self.mirrored = []
+        self.state = ParquetStateStore(
+            spark,
+            str(tmp_path / "state"),
+            key_cols=["id"],
+            order_cols=["offset"],
+            n_buckets=2,
+        )
+        self.sink = DbApiSink(
+            connect=lambda: sqlite3.connect(self.db),
+            table="movies_sink",
+            key_cols=["id"],
+            dialect="sqlite",
+        )
+        self.checkpoint = str(tmp_path / "ckpt")
+        self.n = 0
+
+    def feed(self, rows):
+        self.n += 1
+        _write_file(self.spark, self.src, rows, f"batch_{self.n:03d}.parquet")
+
+    def pipeline(self):
+        stream = file_changelog_stream(self.spark, self.src, SCHEMA)
+        return CdcPipeline(
+            source=stream,
+            key_cols=["id"],
+            order_cols=["offset"],
+            projection=["id", "title"],  # T4 (key/order/__deleted auto-kept)
+            sink=self.sink,
+            state=self.state,
+            mirror=lambda df: self.mirrored.append(df.collect()),
+            checkpoint_dir=self.checkpoint,
+            trigger_seconds=0,
+            query_name="test_cdc",
+        )
+
+    def sink_rows(self):
+        con = sqlite3.connect(self.db)
+        con.row_factory = sqlite3.Row
+        try:
+            return {
+                r["id"]: dict(r)
+                for r in con.execute("SELECT * FROM movies_sink").fetchall()
+            }
+        finally:
+            con.close()
+
+
+@pytest.fixture
+def harness(spark, tmp_path):
+    return _Harness(spark, tmp_path)
+
+
+def test_full_cdc_scenarios(harness, spark):
+    h = harness
+    # batch 1: 10 inserts (the reference's populate step)
+    h.feed([(i, f"movie_{i}", "false", i) for i in range(1, 11)])
+    pipe = h.pipeline()
+    q = pipe.start()
+    try:
+        q.processAllAvailable()
+        # count-parity: source keys == sink rows == state rows (README.md:133-138)
+        assert len(h.sink_rows()) == 10
+        assert h.state.read().count() == 10
+
+        # batch 2: update id=1, delete id=2, insert id=11
+        h.feed(
+            [
+                (1, "movie_1_v2", "false", 11),
+                (2, "movie_2_final", "true", 12),
+                (11, "movie_11", "false", 13),
+            ]
+        )
+        q.processAllAvailable()
+        rows = h.sink_rows()
+        assert rows[1]["title"] == "movie_1_v2"            # upsert applied
+        assert 2 not in rows                          # delete-propagation
+        assert 11 in rows and len(rows) == 10
+        state_ids = {r["id"] for r in h.state.read().collect()}
+        assert state_ids == set(range(1, 12)) - {2}
+
+        # batch 3: insert-after-delete (TOMBSTONE_HANDLING_GUIDE.md:197-205)
+        h.feed([(2, "movie_2_reborn", "false", 14)])
+        q.processAllAvailable()
+        assert h.sink_rows()[2]["title"] == "movie_2_reborn"
+
+        # batch 4: delete + re-insert of one key INSIDE one batch — offset
+        # order must win (SURVEY §7.3.2)
+        h.feed([(3, "x", "true", 15), (3, "movie_3_v2", "false", 16)])
+        q.processAllAvailable()
+        assert h.sink_rows()[3]["title"] == "movie_3_v2"
+
+        # batch 5: the reverse — update then delete in one batch
+        h.feed([(4, "doomed", "false", 17), (4, "doomed", "true", 18)])
+        q.processAllAvailable()
+        assert 4 not in h.sink_rows()
+    finally:
+        q.stop()
+
+    # ST4 log-compaction invariant: replaying the mirrored (compacted)
+    # output and keeping last-per-key == live state
+    mirror_rows = [r for batch in h.mirrored for r in batch]
+    mirror_df = spark.createDataFrame(mirror_rows, h.state.read().schema)
+    replayed = cdc.soft_delete_filter(
+        cdc.compact_latest(mirror_df, key_cols=["id"], order_cols=["offset"])
+    )
+    state_now = {(r["id"], r["title"]) for r in h.state.read().collect()}
+    assert {(r["id"], r["title"]) for r in replayed.collect()} == state_now
+
+    # ST5 replay-rebuild: full-log batch compaction == incremental state
+    full_log = spark.read.schema(SCHEMA).parquet(h.src)
+    rebuilt = ParquetStateStore(
+        spark, h.state.path + "_rebuilt", key_cols=["id"], order_cols=["offset"]
+    )
+    rebuilt.rebuild(full_log)
+    assert {
+        (r["id"], r["title"]) for r in rebuilt.read().collect()
+    } == state_now
+    rebuilt.destroy()
+
+
+def test_checkpoint_recovery(harness):
+    h = harness
+    h.feed([(1, "a", "false", 1), (2, "b", "false", 2)])
+    q = h.pipeline().start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(h.sink_rows()) == 2
+
+    # new data while the query is down; restart from checkpoint — only the
+    # new file is processed (offsets recovered), sink converges
+    h.feed([(3, "c", "false", 3), (1, "a2", "false", 4)])
+    q2 = h.pipeline().start()
+    q2.processAllAvailable()
+    q2.stop()
+    rows = h.sink_rows()
+    assert len(rows) == 3 and rows[1]["title"] == "a2"
+
+
+def test_projection_preserves_key_and_marker(spark):
+    """T5: the projection can't lose the key/order/__deleted columns —
+    the bug class the reference's PARTITION BY workaround exists for."""
+    df = spark.createDataFrame([(1, "t", "false", 1)], SCHEMA)
+    pipe = CdcPipeline(
+        source=df,  # _transform only; never started
+        key_cols=["id"],
+        order_cols=["offset"],
+        projection=["title"],
+    )
+    out = pipe._transform(df)
+    assert set(out.columns) == {"id", "title", "__deleted", "offset"}
+
+
+def test_snapshot_as_changelog_defaults(spark):
+    snap = spark.createDataFrame([(1, "a")], ["id", "title"])
+    out = snapshot_as_changelog(snap)
+    row = out.first()
+    assert row["__deleted"] == "false" and row["offset"] == 0
+
+
+def test_pull_queries_over_state(harness, spark):
+    """§3.3: pull queries (point lookup + COUNT(*)) served from the
+    materialized state, not the changelog."""
+    h = harness
+    h.feed([(i, f"m{i}", "false", i) for i in range(1, 6)])
+    q = h.pipeline().start()
+    q.processAllAvailable()
+    q.stop()
+    state = h.state.read()
+    state.createOrReplaceTempView("movies_transformed")
+    point = spark.sql("SELECT title FROM movies_transformed WHERE id = 1")
+    assert point.first()["title"] == "m1"
+    total = spark.sql("SELECT COUNT(*) AS total FROM movies_transformed")
+    assert total.first()["total"] == 5
