@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from db_integration_via_kafka_ksql_spark.registry import QUERIES  # noqa: E402
 from db_integration_via_kafka_ksql_spark.session import get_spark  # noqa: E402
 
-# headline set: the CDC core + the heaviest relational/extension queries.
+# headline set: the CDC core, the heaviest relational queries, and one
+# representative per extension family (dedup/similarity/text/multimodal).
 HEADLINE = [
     "cdc_compact_latest",
     "cdc_upsert_merge",
@@ -31,6 +32,12 @@ HEADLINE = [
     "window_top_orders_per_customer",
     "segment_distinct_stats",
     "events_hourly_counts",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_pairs",
+    "sim_brute_topk",
+    "text_fingerprints",
+    "mm_byte_features",
 ]
 
 

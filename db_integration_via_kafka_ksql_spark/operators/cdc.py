@@ -11,12 +11,15 @@ Reference parity (citations into /root/reference):
 
 Scale design (100 TB changelog):
 - ``compact_latest`` uses ``max(struct(order_cols..., payload...))`` —
-  a hash aggregation with **map-side partial combine**, so each input
-  partition collapses to <= |distinct keys in partition| rows before the
-  shuffle. On a changelog with high churn (many versions per key) this
-  moves orders of magnitude less data than the window-function
-  formulation (`row_number() OVER (PARTITION BY key ORDER BY ...)`),
-  which must shuffle *every* version and sort within partitions.
+  an aggregation with **map-side partial combine** (verified in the
+  physical plan: partial_max before the Exchange; struct max plans as
+  SortAggregate since struct types aren't hash-aggregatable, but the
+  partial combine still collapses each input partition to <= |distinct
+  keys in partition| rows before the shuffle). On a changelog with high
+  churn (many versions per key) this moves orders of magnitude less data
+  than the window-function formulation
+  (`row_number() OVER (PARTITION BY key ORDER BY ...)`), which must
+  shuffle *every* version and sort within partitions.
 - State size after compaction ~ unique keys (the reference documents
   1-2 KB/key, TOMBSTONE_HANDLING_GUIDE.md:315-326); output partitioning
   is by key hash, ready for an idempotent keyed MERGE sink.

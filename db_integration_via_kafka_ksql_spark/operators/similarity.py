@@ -41,7 +41,12 @@ def brute_topk(
     queries = q.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
-    corpus = q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc"))
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # scoring work = |corpus| x |queries|: spread the corpus even when its
+    # byte size is tiny (AQE would otherwise run one task)
+    corpus = q.repartition(par).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc")
+    )
     scored = corpus.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
@@ -78,7 +83,8 @@ def lsh_topk(
         F.col("q").alias("qq"),
         F.col("bucket").alias("qbucket"),
     )
-    corpus = q.select(
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    corpus = q.repartition(par).select(
         F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc"), "bucket"
     )
     scored = corpus.join(
