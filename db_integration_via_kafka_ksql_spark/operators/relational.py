@@ -337,3 +337,108 @@ def events_hourly_counts(events_with_ts_ns: DataFrame) -> DataFrame:
             dsum(money("value"), "sum_value"),
         )
     )
+
+
+def rollup_sales_by_region_segment(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """ROLLUP with subtotal rows (grouping-sets family, §2.3 extension).
+
+    Same star join as sales_by_region_segment; the rollup adds the
+    per-region and grand-total rows in the same single shuffle —
+    Spark expands grouping sets map-side, so no extra pass over the fact
+    table.
+    """
+    joined = (
+        lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            customer.select("c_custkey", "c_nationkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return joined.rollup("r_name", "c_mktsegment").agg(
+        dsum(revenue(joined), "revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.grouping_id().cast("bigint").alias("grp"),
+    )
+
+
+def cube_order_stats(orders: DataFrame) -> DataFrame:
+    """CUBE over status x priority: every subtotal combination in one
+    shuffle (map-side grouping-set expansion)."""
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(money("o_totalprice"), "total_value"),
+        F.grouping_id().cast("bigint").alias("grp"),
+    )
+
+
+def customer_order_counts_outer(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left outer join with zero-fill: every customer, ordering or not
+    (the reference's count-parity check generalized, §2.4 joins)."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(money("o_totalprice")).alias("val"),
+    )
+    return (
+        customer.select("c_custkey", "c_mktsegment")
+        .join(per_cust, customer.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("n_orders"),
+            F.coalesce(F.col("val").cast("double"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+def late_shipment_orders(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4-style EXISTS correlated subquery: orders having at least
+    one lineitem shipped after the order date, counted by priority.
+    Plans as a left-semi join — the fact side never duplicates."""
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    sel = orders.join(
+        late,
+        (orders.o_orderkey == late.l_orderkey)
+        & (late.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return sel.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def moving_avg_spend(orders: DataFrame) -> DataFrame:
+    """Sliding-frame window: 3-order moving average of spend per customer
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). The decimal sum keeps the
+    frame arithmetic exact; the divide is per-row (frame-size count)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate"),
+        (
+            F.sum(money("o_totalprice")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("avg3_spend"),
+    )

@@ -279,3 +279,103 @@ def segment_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window agg, batch form (streaming twin lives in streaming/)."""
     return R.events_hourly_counts(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "rollup_sales_by_region_segment",
+    oracle=f"""
+    SELECT r_name,
+           c_mktsegment,
+           {_msum(_REV, "revenue")},
+           count(*) AS n_lineitems,
+           CAST(GROUPING(r_name, c_mktsegment) AS BIGINT) AS grp
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, c_mktsegment)
+    """,
+)
+def rollup_sales_by_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.rollup_sales_by_region_segment(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@query(
+    "cube_order_stats",
+    oracle=f"""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           count(*) AS n_orders,
+           {_msum("CAST(o_totalprice AS DECIMAL(18,4))", "total_value")},
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grp
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.cube_order_stats(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "outer_join_customer_order_counts",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(coalesce(cnt, 0) AS BIGINT) AS n_orders,
+           coalesce(CAST(val AS DOUBLE), 0.0) AS total_spend
+    FROM customer
+    LEFT JOIN (
+        SELECT o_custkey,
+               count(*) AS cnt,
+               sum(CAST(o_totalprice AS DECIMAL(18,4))) AS val
+        FROM orders GROUP BY o_custkey
+    ) ON c_custkey = o_custkey
+    """,
+)
+def outer_join_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customer_order_counts_outer(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@query(
+    "exists_late_shipment_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.late_shipment_orders(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@query(
+    "window_moving_avg_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+             / CAST(count(*) OVER w AS DOUBLE) AS avg3_spend
+    FROM orders
+    WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate ASC, o_orderkey ASC
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_moving_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.moving_avg_spend(load_table(spark, sf_dir, "orders"))
