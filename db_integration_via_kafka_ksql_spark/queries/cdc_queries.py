@@ -131,3 +131,43 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdc.compact_latest(log, key_cols=["key_id"], order_cols=["offset"])
     )
     return state.filter(F.col("key_id") == 7)
+
+
+@query(
+    "sessionize_events_batch",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id,
+               epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts)
+                    ) >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts_us,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, session_id,
+           min(ts_us) AS start_us,
+           max(ts_us) AS end_us,
+           count(*) AS n_events
+    FROM marked
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch form (30-min gap). The streaming
+    twin (applyInPandasWithState, streaming/windows.sessionize_events) is
+    exercised by tests/test_streaming_windows.py; this registered form
+    makes the session semantics oracle-verifiable."""
+    from db_integration_via_kafka_ksql_spark.streaming.windows import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
+    )
+    return sessionize_batch(ev, gap_minutes=30)
