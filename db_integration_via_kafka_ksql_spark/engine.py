@@ -1,0 +1,120 @@
+"""Engine facade: the user-facing control surface (SURVEY §2.7 M1-M4).
+
+The reference drives everything through shell + REST: idempotent ksqlDB
+DDL (M1), SHOW TABLES/STREAMS/QUERIES introspection (M2), connector
+deploy/delete/status (M3), and a comment-stripping ';'-splitting SQL
+script runner (M4, apply-ksql-transformations.sh:44-87). One Engine
+object replaces the container zoo:
+
+    eng = Engine(spark)
+    eng.register_tables("/root/testdata/sf0.01")       # M1 (idempotent)
+    eng.sql("SELECT count(*) FROM lineitem")           # pull query
+    eng.run_sql_script(path_or_text)                   # M4
+    handle = eng.deploy(pipeline)                      # M3 (idempotent)
+    eng.show_queries()                                 # M2
+    handle.stop()
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from db_integration_via_kafka_ksql_spark.io import TABLES, load_table
+from db_integration_via_kafka_ksql_spark.streaming.pipeline import CdcPipeline
+
+
+@dataclass
+class QueryHandle:
+    """M3: a deployed pipeline's lifecycle handle (≈ connector status)."""
+
+    name: str
+    _query: Any
+
+    @property
+    def active(self) -> bool:
+        return bool(self._query.isActive)
+
+    def status(self) -> dict[str, Any]:
+        return {
+            "name": self.name,
+            "id": str(self._query.id),
+            "active": self.active,
+            # reference: SHOW QUERIES reports RUNNING (the-whole-thing.sh:61-71)
+            "state": "RUNNING" if self.active else "STOPPED",
+        }
+
+    def await_idle(self) -> None:
+        self._query.processAllAvailable()
+
+    def stop(self) -> None:
+        if self.active:
+            self._query.stop()
+
+
+class Engine:
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+
+    # -- M1: idempotent table registration -----------------------------
+    def register_tables(self, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+        """CREATE TABLE IF NOT EXISTS equivalent: re-runnable view
+        registration over the parquet datasets."""
+        for t in tables:
+            load_table(self.spark, sf_dir, t).createOrReplaceTempView(t)
+
+    # -- pull queries ---------------------------------------------------
+    def sql(self, statement: str) -> DataFrame:
+        return self.spark.sql(statement)
+
+    # -- M4: SQL script runner -----------------------------------------
+    @staticmethod
+    def split_statements(script: str) -> list[str]:
+        """Strip comments, split on ';' — the reference's statement driver
+        (apply-ksql-transformations.sh strips '--' lines then POSTs each
+        statement). String literals containing ';' are respected."""
+        no_comments = re.sub(r"--[^\n]*", "", script)
+        stmts, buf, in_str = [], [], False
+        for ch in no_comments:
+            if ch == "'":
+                in_str = not in_str
+            if ch == ";" and not in_str:
+                s = "".join(buf).strip()
+                if s:
+                    stmts.append(s)
+                buf = []
+            else:
+                buf.append(ch)
+        tail = "".join(buf).strip()
+        if tail:
+            stmts.append(tail)
+        return stmts
+
+    def run_sql_script(self, script_or_path: str) -> list[DataFrame]:
+        if os.path.exists(script_or_path):
+            with open(script_or_path) as f:
+                script = f.read()
+        else:
+            script = script_or_path
+        return [self.spark.sql(s) for s in self.split_statements(script)]
+
+    # -- M2: introspection ---------------------------------------------
+    def show_tables(self) -> list[str]:
+        return [t.name for t in self.spark.catalog.listTables()]
+
+    def show_queries(self) -> list[dict[str, Any]]:
+        return CdcPipeline.active_queries(self.spark)
+
+    # -- M3: pipeline lifecycle ----------------------------------------
+    def deploy(self, pipeline: CdcPipeline) -> QueryHandle:
+        """Idempotent deploy: an active query with the same name is
+        stopped first (the reference's delete-then-recreate connector
+        pattern, start-source-connector.sh:57-66)."""
+        for q in self.spark.streams.active:
+            if q.name == pipeline.query_name:
+                q.stop()
+        return QueryHandle(pipeline.query_name, pipeline.start())

@@ -122,28 +122,45 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
     import pandas as pd
 
     def featurize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        bin_shift = 8 - (n_bins - 1).bit_length()  # 256/n_bins as a shift
         for pdf in batches:
-            payloads = pdf["payload"]
             n = len(pdf)
-            byte_len = np.empty(n, dtype=np.int64)
-            mean_byte = np.empty(n, dtype=np.float64)
-            hists: list[list[int]] = []
-            for i, p in enumerate(payloads):
-                arr = np.frombuffer(p, dtype=np.uint8)
-                byte_len[i] = arr.size
-                mean_byte[i] = float(arr.mean()) if arr.size else 0.0
-                hist, _ = np.histogram(arr, bins=n_bins, range=(0, 256))
-                hists.append(hist.astype(np.int64).tolist())
+            # one flat buffer for the whole Arrow batch: per-row loops are
+            # replaced by reduceat/bincount over the concatenation
+            lens = np.fromiter(
+                (len(p) for p in pdf["payload"]), dtype=np.int64, count=n
+            )
+            flat = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            starts = np.zeros(n, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            nonempty = lens > 0
+            sums = np.zeros(n, dtype=np.float64)
+            if flat.size:
+                # reduceat needs strictly valid start indices: clamp the
+                # starts of empty rows (their sum is fixed to 0 after)
+                safe_starts = np.minimum(starts, flat.size - 1)
+                sums_ne = np.add.reduceat(flat.astype(np.int64), safe_starts)
+                sums = np.where(nonempty, sums_ne, 0).astype(np.float64)
+            mean_byte = np.divide(
+                sums, lens, out=np.zeros(n, dtype=np.float64), where=nonempty
+            )
+            # histogram: encode (row, bin) into one bincount
+            row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            codes = row_idx * n_bins + (flat >> bin_shift)
+            hist = np.bincount(codes, minlength=n * n_bins).reshape(n, n_bins)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64"),
-                    "byte_len": byte_len,
+                    "byte_len": lens,
                     "mean_byte": mean_byte,
-                    "byte_histogram": hists,
+                    "byte_histogram": list(hist.astype(np.int64)),
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(
+    par = media.sparkSession.sparkContext.defaultParallelism
+    # Python-side work scales with payload bytes, not row width — spread
+    # small inputs across workers (same rationale as the pair joins)
+    return media.select("doc_id", "payload").repartition(par).mapInPandas(
         featurize, schema=FEATURE_SCHEMA
     )
 

@@ -1,0 +1,74 @@
+"""Engine facade tests: M1 idempotent registration, M2 introspection,
+M3 idempotent deploy/status/stop, M4 SQL-script splitting + execution."""
+
+from __future__ import annotations
+
+from db_integration_via_kafka_ksql_spark.engine import Engine
+from db_integration_via_kafka_ksql_spark.sources.changelog import (
+    file_changelog_stream,
+)
+from db_integration_via_kafka_ksql_spark.streaming.pipeline import CdcPipeline
+from tests.test_streaming import SCHEMA, _write_file
+
+
+def test_register_tables_idempotent_and_show_tables(spark, sf_dir):
+    eng = Engine(spark)
+    eng.register_tables(sf_dir)
+    eng.register_tables(sf_dir)  # M1: re-runnable
+    tables = set(eng.show_tables())
+    assert {"lineitem", "orders", "documents"} <= tables
+    assert eng.sql("SELECT count(*) AS n FROM region").first()["n"] == 5
+
+
+def test_split_statements_strips_comments_and_respects_strings():
+    script = """
+    -- header comment
+    SELECT 1;   -- trailing comment
+    SELECT 'a;b' AS s;
+
+    SELECT 3
+    """
+    stmts = Engine.split_statements(script)
+    assert stmts == ["SELECT 1", "SELECT 'a;b' AS s", "SELECT 3"]
+
+
+def test_run_sql_script_executes_each_statement(spark, sf_dir):
+    eng = Engine(spark)
+    eng.register_tables(sf_dir)
+    results = eng.run_sql_script(
+        "SELECT count(*) AS n FROM nation; SELECT 'x' AS v"
+    )
+    assert results[0].first()["n"] == 25
+    assert results[1].first()["v"] == "x"
+
+
+def test_deploy_is_idempotent_and_reports_status(spark, tmp_path):
+    eng = Engine(spark)
+    src = str(tmp_path / "chlog")
+    _write_file(spark, src, [(1, "a", "false", 1)], "b1.parquet")
+
+    def make():
+        return CdcPipeline(
+            source=file_changelog_stream(spark, src, SCHEMA),
+            key_cols=["id"],
+            order_cols=["offset"],
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            trigger_seconds=0,
+            query_name="engine_test_pipe",
+        )
+
+    h1 = eng.deploy(make())
+    try:
+        assert h1.status()["state"] == "RUNNING"
+        assert any(q["name"] == "engine_test_pipe" for q in eng.show_queries())
+        # redeploy under the same name: old query stopped, new one running
+        h2 = eng.deploy(make())
+        try:
+            assert not h1.active and h2.active
+            names = [q["name"] for q in eng.show_queries()]
+            assert names.count("engine_test_pipe") == 1
+        finally:
+            h2.stop()
+        assert h2.status()["state"] == "STOPPED"
+    finally:
+        h1.stop()
