@@ -18,7 +18,10 @@ def spark():
         app_name="tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.sql.session.timeZone": "UTC"},
+        extra_conf={
+            "spark.sql.session.timeZone": "UTC",
+            "spark.sql.warehouse.dir": "/tmp/spark_graft_test_warehouse",
+        },
     )
     yield s
 
