@@ -442,3 +442,44 @@ def moving_avg_spend(orders: DataFrame) -> DataFrame:
             / F.count(F.lit(1)).over(w).cast("double")
         ).alias("avg3_spend"),
     )
+
+
+def min_price_parts_per_brand(part: DataFrame) -> DataFrame:
+    """TPC-H Q2-style correlated scalar subquery: the part(s) at each
+    brand's minimum retail price. Expressed as an aggregation self-join —
+    Catalyst plans the same shape for the EXISTS/scalar-subquery SQL, and
+    the agg side is tiny (one row per brand) so it broadcasts."""
+    min_per_brand = part.groupBy(F.col("p_brand").alias("mb_brand")).agg(
+        F.min("p_retailprice").alias("min_price")
+    )
+    return (
+        part.join(
+            F.broadcast(min_per_brand),
+            (F.col("p_brand") == F.col("mb_brand"))
+            & (F.col("p_retailprice") == F.col("min_price")),
+        )
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            money("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+    )
+
+
+def json_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` column and
+    aggregate the extracted field — get_json_object stays JVM-side
+    (Jackson) with no Python involvement; at scale, prefer from_json with
+    an explicit schema once the shape is known (single parse, typed)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -379,3 +379,35 @@ def exists_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_moving_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.moving_avg_spend(load_table(spark, sf_dir, "orders"))
+
+
+@query(
+    "scalar_subquery_min_price_parts",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name,
+           CAST(CAST(p_retailprice AS DECIMAL(18,4)) AS DOUBLE) AS p_retailprice
+    FROM part
+    WHERE p_retailprice = (
+        SELECT min(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = part.p_brand
+    )
+    """,
+)
+def scalar_subquery_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.min_price_parts_per_brand(load_table(spark, sf_dir, "part"))
+
+
+@query(
+    "json_props_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+           max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column extraction + rollup."""
+    return R.json_props_stats(load_table(spark, sf_dir, "events"))
