@@ -125,3 +125,12 @@ def test_token_pieces_ceil_semantics(spark):
     row = TA.token_stats(df).first()
     assert row["n_pieces"] == 1 + 2 + 1
     assert row["n_tokens"] == 3
+
+
+def test_pandas_udf_topk_equals_expression_topk(spark, sf_dir):
+    """The Arrow/numpy ANN path returns exactly the expression path's
+    result (same quantization, same tie-break)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    expr_res = sorted(map(tuple, S.brute_topk(emb, [0, 1, 2], k=5).collect()))
+    np_res = sorted(map(tuple, S.brute_topk_pandas(emb, [0, 1, 2], k=5).collect()))
+    assert expr_res == np_res
