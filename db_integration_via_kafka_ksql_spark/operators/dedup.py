@@ -53,8 +53,17 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Spread the corpus across cores BEFORE the per-doc heavy expressions
+    (shingling, simhash folds). A small parquet input scans as one task,
+    and the expression would otherwise evaluate single-threaded — on big
+    inputs maxPartitionBytes already splits the scan and this is ~free."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par)
+
+
 def _word_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    return docs.select(
+    return _spread(docs).select(
         "doc_id", F.array_distinct(F.split(F.col(text_col), " ")).alias("ws")
     )
 
@@ -149,7 +158,7 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
-    sh = docs.select(
+    sh = _spread(docs).select(
         "doc_id", F.array_distinct(T.shingles(text_col, n)).alias("sh")
     )
     inv = sh.select("doc_id", F.explode("sh").alias("g"))
@@ -188,7 +197,7 @@ def ngram_jaccard_pairs(
 
 def simhash_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc 16-bit SimHash fingerprint + its two byte-bands."""
-    return docs.select(
+    return _spread(docs).select(
         "doc_id",
         T.simhash16_expr(f"array_distinct(split({text_col}, ' '))").alias("simhash"),
     ).select(

@@ -157,10 +157,12 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
                 }
             )
 
-    par = media.sparkSession.sparkContext.defaultParallelism
-    # Python-side work scales with payload bytes, not row width — spread
-    # small inputs across workers (same rationale as the pair joins)
-    return media.select("doc_id", "payload").repartition(par).mapInPandas(
+    # Parallelism follows the input partitioning deliberately: at scale,
+    # spark.sql.files.maxPartitionBytes splits the scan; on small inputs a
+    # forced fan-out would cost more in Python-worker spawn (numpy import
+    # per worker, measured ~8 s for 32 cold workers) than the numpy work
+    # itself (~0.7 s for the whole sf0.1 corpus in ONE task).
+    return media.select("doc_id", "payload").mapInPandas(
         featurize, schema=FEATURE_SCHEMA
     )
 

@@ -73,8 +73,13 @@ def cdc_soft_delete_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1/K2 as a batch op: upsert+delete a changelog tail onto prior state."""
-    log = _changelog(spark, sf_dir).cache()
-    thr = log.agg(F.max("offset")).first()[0] // 2
+    # threshold from the raw column (parquet footer stats / aggregate
+    # pushdown eligible); head/tail re-scan with the offset predicate
+    # pushed down — cheaper than caching the full changelog
+    thr = (
+        load_table(spark, sf_dir, "events").agg(F.max("event_id")).first()[0] // 2
+    )
+    log = _changelog(spark, sf_dir)
     head = log.filter(F.col("offset") <= thr)
     tail = log.filter(F.col("offset") > thr)
     state = cdc.soft_delete_filter(

@@ -244,3 +244,42 @@ def dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims=DIMS,
         brute_force=False,
     )
+
+
+NGRAM_DF_CAP = 30
+
+
+@query(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_SH3}) AS sh FROM documents),
+    inv0 AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    hot AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) > {NGRAM_DF_CAP}),
+    inv AS (SELECT * FROM inv0 WHERE g NOT IN (SELECT g FROM hot)),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(sh) AS sz FROM sh)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+          >= {NGRAM_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path n-gram Jaccard: shingles in more than NGRAM_DF_CAP
+    docs are dropped from the inverted index (a df(g)>cap shingle would
+    emit >cap²/2 candidate pairs while carrying no dedup signal — the
+    standard hot-term cut). Jaccard uses capped intersections over full
+    set sizes, i.e. a lower bound; pairs found are real near-dups."""
+    return D.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=NGRAM_N,
+        threshold=NGRAM_THRESHOLD,
+        df_cap=NGRAM_DF_CAP,
+    )

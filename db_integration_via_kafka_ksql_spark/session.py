@@ -47,6 +47,8 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # parquet scan batching: wide scans at 100 TB want large vectorized batches
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # min/max/count over plain parquet columns answer from footer stats
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
