@@ -176,3 +176,39 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
     )
     return sessionize_batch(ev, gap_minutes=30)
+
+
+@query(
+    "asof_join_events",
+    # DuckDB's native ASOF JOIN is the oracle for our union-sort-window
+    # formulation (operators/asof.py)
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, "value" FROM events
+    ),
+    l AS (SELECT * FROM ev WHERE event_id % 2 = 1),
+    r AS (SELECT * FROM ev WHERE event_id % 2 = 0)
+    SELECT l.user_id, l.event_id, l.ts_us, l."value",
+           r."value" AS value_asof, r.event_id AS event_id_asof
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator — Spark has no built-in): align each
+    odd event with the latest even event at or before it, per user."""
+    from db_integration_via_kafka_ksql_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
+    )
+    left = ev.filter(F.col("event_id") % 2 == 1)
+    right = ev.filter(F.col("event_id") % 2 == 0)
+    return asof_join(
+        left,
+        right,
+        key_cols=["user_id"],
+        ts_col="ts_us",
+        value_cols=["value", "event_id"],
+        order_col="event_id",
+    )

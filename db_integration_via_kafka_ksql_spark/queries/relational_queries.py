@@ -411,3 +411,77 @@ def scalar_subquery_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFra
 def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON column extraction + rollup."""
     return R.json_props_stats(load_table(spark, sf_dir, "events"))
+
+
+@query(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_open,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS n_finished,
+           CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS n_pending
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (groupBy().pivot()): order-status counts as columns per
+    segment. Explicit value list keeps the plan one-pass (no distinct-
+    values pre-query) — required practice at scale."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "c_mktsegment",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+@query(
+    "intersect_urgent_open_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def intersect_urgent_open_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set semantics): customers with an open order
+    AND an urgent order. Plans as a left-semi join after dedup."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    urgent_c = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return open_c.intersect(urgent_c)
+
+
+@query(
+    "except_no_open_order_customers",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def except_no_open_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct anti semantics): ordering customers with no open
+    order. Plans as a left-anti join after dedup."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    all_c = orders.select("o_custkey")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return all_c.subtract(open_c)
