@@ -212,3 +212,66 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["value", "event_id"],
         order_col="event_id",
     )
+
+
+_SESSIONS_SQL = """
+    WITH ordered AS (
+        SELECT user_id,
+               epoch_us(ts) AS ts_us,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY epoch_us(ts)
+                    ) >= 1800000000 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts_us,
+               CAST(sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, session_id,
+           min(ts_us) AS start_us,
+           max(ts_us) AS end_us
+    FROM marked
+    GROUP BY user_id, session_id
+"""
+
+
+@query(
+    "range_join_events_sessions",
+    oracle=f"""
+    WITH sess AS ({_SESSIONS_SQL})
+    SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+           s.session_id, s.start_us, s.end_us
+    FROM events e
+    JOIN sess s
+      ON e.user_id = s.user_id
+     AND epoch_us(e.ts) >= s.start_us
+     AND epoch_us(e.ts) <= s.end_us
+    """,
+)
+def range_join_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed range join (custom operator): each event joined to the
+    session interval containing it. Round-trips the sessionizer: every
+    event falls inside exactly one of its user's sessions."""
+    from db_integration_via_kafka_ksql_spark.operators.rangejoin import (
+        keyed_range_join,
+    )
+    from db_integration_via_kafka_ksql_spark.streaming.windows import sessionize_batch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
+    )
+    sessions = sessionize_batch(
+        ev.select("user_id", "ts_us", "value"), gap_minutes=30
+    ).select("user_id", "session_id", "start_us", "end_us")
+    return keyed_range_join(
+        ev.select("user_id", "event_id", "ts_us"),
+        sessions,
+        key_cols=["user_id"],
+        point_col="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+    ).select("user_id", "event_id", "ts_us", "session_id", "start_us", "end_us")

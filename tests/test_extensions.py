@@ -134,3 +134,32 @@ def test_pandas_udf_topk_equals_expression_topk(spark, sf_dir):
     expr_res = sorted(map(tuple, S.brute_topk(emb, [0, 1, 2], k=5).collect()))
     np_res = sorted(map(tuple, S.brute_topk_pandas(emb, [0, 1, 2], k=5).collect()))
     assert expr_res == np_res
+
+
+def test_interval_join_bucketed_exact(spark):
+    """Bucketed unkeyed interval join == theta join, including intervals
+    spanning many buckets and points on boundaries."""
+    from db_integration_via_kafka_ksql_spark.operators.rangejoin import (
+        interval_join_bucketed,
+    )
+
+    points = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 5, 10, 99, 100, 250, 999])],
+        ["pid", "x"],
+    )
+    intervals = spark.createDataFrame(
+        [(0, 0, 10), (1, 90, 260), (2, 240, 1000), (3, 400, 450)],
+        ["iid", "lo", "hi"],
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join_bucketed(points, intervals, "x", "lo", "hi", 64).collect()
+    }
+    want = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals,
+            (points.x >= intervals.lo) & (points.x <= intervals.hi),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
