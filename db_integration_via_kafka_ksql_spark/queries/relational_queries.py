@@ -485,3 +485,26 @@ def except_no_open_order_customers(spark: SparkSession, sf_dir: str) -> DataFram
     all_c = orders.select("o_custkey")
     open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return all_c.subtract(open_c)
+
+
+@query("approx_order_stats")  # rows-only: sketch results are engine-specific
+def approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB workhorses where exact distinct
+    counts / percentiles would shuffle the world: HLL++ distinct customers
+    and t-digest-free percentile_approx of order value per segment. No
+    DuckDB oracle (sketch internals differ by engine); tolerance vs exact
+    is asserted in tests/test_extensions.py.
+    """
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_value"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("approx_p99_value"),
+    )

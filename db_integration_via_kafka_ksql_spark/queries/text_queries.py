@@ -145,3 +145,35 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.top_terms_per_source(load_table(spark, sf_dir, "documents"), k=5)
+
+
+@query(
+    "text_clean_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                ' +', ' ', 'g')) AS clean_text,
+           CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT)
+             AS n_clean_tokens
+    FROM documents
+    """,
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning/normalization: lowercase, strip non-alnum, collapse
+    whitespace — the standard pre-tokenization scrub, all JVM-side regex
+    (patterns restricted to the RE2∩Java common subset for the oracle)."""
+    from pyspark.sql import functions as F
+
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.split(clean, " ")).cast("bigint").alias("n_clean_tokens"),
+    )

@@ -163,3 +163,30 @@ def test_interval_join_bucketed_exact(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_approx_stats_within_tolerance(spark, sf_dir):
+    """HLL distinct within 5% of exact; approx median within 2% of exact
+    (accuracy=10000 on ~thousands of rows is near-exact)."""
+    from db_integration_via_kafka_ksql_spark.registry import QUERIES
+
+    approx = {r["c_mktsegment"]: r for r in QUERIES["approx_order_stats"](spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    exact = {
+        r["c_mktsegment"]: r
+        for r in joined.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    for seg, a in approx.items():
+        e = exact[seg]
+        assert abs(a["approx_customers"] - e["n"]) / e["n"] < 0.05
+        assert abs(a["approx_median_value"] - e["med"]) / e["med"] < 0.02
