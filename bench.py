@@ -38,6 +38,8 @@ HEADLINE = [
     "sim_brute_topk",
     "text_fingerprints",
     "mm_byte_features",
+    "asof_join_events",
+    "range_join_events_sessions",
 ]
 
 

@@ -2,7 +2,8 @@
 
 Every oracle mirrors the Spark decimal-cast discipline exactly (see
 operators.relational module docstring): DECIMAL(18,4) money math, the
-charge chain re-narrowed through DECIMAL(18,6), final CAST AS DOUBLE.
+q1 charge chain kept exact in DECIMAL(9,4)x(15,4) space, sums floored at
+4 decimal places (tie-free), final CAST AS DOUBLE.
 ms-precision parquet timestamps surface as TIMESTAMP_NTZ in Spark 4 and
 pass through as-is (same naive semantics as DuckDB); only the nanosecond
 events.ts needs the epoch-micros treatment (see cdc_queries).
