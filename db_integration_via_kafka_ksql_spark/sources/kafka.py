@@ -87,9 +87,24 @@ def decode_changelog(raw: DataFrame, cfg: AvroChangelogConfig) -> DataFrame:
     row = from_avro(
         F.col("value"), cfg.value_schema_json, {"mode": "PERMISSIVE"}
     ).alias("row")
-    out = raw.select(
-        key,
-        row,
+    return classify_decoded(raw.select(key, row, "value", "offset", "partition"))
+
+
+def classify_decoded(decoded: DataFrame) -> DataFrame:
+    """Tombstone / delete-rewrite / dead-letter classification over an
+    already-decoded frame with (key, row struct, value binary) columns.
+
+    Split out from decode_changelog so the T2/T3/K5 logic — THE bug class
+    the reference exists to solve — is testable without the Avro jar
+    (tests/test_kafka_avro.py builds the decoded frame directly).
+
+    Ordering invariant: `value IS NULL` (the tombstone predicate) is
+    evaluated on the RAW bytes, before any projection that could erase
+    the null/decoded distinction.
+    """
+    out = decoded.select(
+        "key",
+        "row",
         F.col("value").isNull().alias("__tombstone"),   # T3
         F.col("value"),
         "offset",

@@ -52,3 +52,32 @@ def test_avro_roundtrip_preserves_tombstones(spark):
     out = K.write_changelog(compacted, cfg).collect()
     by_null = {r["value"] is None for r in out}
     assert by_null == {True, False}  # one tombstone, one payload
+
+
+def test_classify_decoded_tombstone_rewrite_deadletter(spark):
+    """T2/T3/K5 classification on a hand-built decoded frame (no Avro
+    needed): tombstone (null value), delete-rewrite row, healthy row, and
+    a poison record (bytes present, decode failed)."""
+    from pyspark.sql import Row
+
+    rows = [
+        # healthy insert
+        Row(key=Row(id=1), row=Row(id=1, title="a", __deleted="false"),
+            value=bytearray(b"x"), offset=1, partition=0),
+        # delete rewrite (T2): value present, __deleted='true'
+        Row(key=Row(id=2), row=Row(id=2, title="b", __deleted="true"),
+            value=bytearray(b"y"), offset=2, partition=0),
+        # tombstone (T3): raw value NULL
+        Row(key=Row(id=2), row=None, value=None, offset=3, partition=0),
+        # dead letter (K5): bytes present but undecodable
+        Row(key=Row(id=3), row=None, value=bytearray(b"garbage"), offset=4,
+            partition=0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["offset"]: r for r in K.classify_decoded(df).collect()}
+    assert out[1]["__deleted"] == "false" and not out[1]["__dead"]
+    assert out[2]["__deleted"] == "true" and not out[2]["__tombstone"]
+    assert out[3]["__tombstone"] and out[3]["__deleted"] == "true"
+    assert out[4]["__dead"] and not out[4]["__tombstone"]
+    # the key survives the tombstone — the reference's central invariant
+    assert out[3]["key"]["id"] == 2
