@@ -509,3 +509,28 @@ def approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_value"),
         F.percentile_approx("o_totalprice", 0.99, 10000).alias("approx_p99_value"),
     )
+
+
+@query(
+    "monthly_order_volume",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           count(*) AS n_orders,
+           {_msum("CAST(o_totalprice AS DECIMAL(18,4))", "revenue")}
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
+def monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-bucket rollup: orders and revenue per month. date_trunc on
+    TIMESTAMP_NTZ is timezone-free — identical buckets in both engines."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            R.dsum(R.money("o_totalprice"), "revenue"),
+        )
+    )
