@@ -82,14 +82,20 @@ def lsh_bucket(vec: str, n_planes: int, dims: int) -> Column:
     At scale: bucket is computed scan-side (no shuffle), and the candidate
     join keys on it — expected bucket occupancy n/2^p keeps the pair count
     ~n²/2^p instead of n².
+
+    The per-plane sum is a zip_with fold against a constant sign array, not
+    dims unrolled element_at terms: the unrolled form generated a ~400-node
+    expression tree whose whole-stage-codegen compile cost ~7 s (janino) on
+    first action per join side; the fold form compiles in milliseconds and
+    evaluates the same integer math.
     """
     terms = []
     for p in range(n_planes):
         signs = [hyperplane_sign(p, i) for i in range(dims)]
-        # sum of ±q_i as element_at arithmetic
-        s = " + ".join(
-            f"({'' if sg > 0 else '-'}element_at({vec}, {i + 1}))"
-            for i, sg in enumerate(signs)
+        arr = "array(" + ",".join(str(sg) for sg in signs) + ")"
+        s = (
+            f"aggregate(zip_with({vec}, {arr}, (x, s) -> x * s), "
+            f"cast(0 as bigint), (acc, v) -> acc + v)"
         )
         terms.append(f"(CASE WHEN ({s}) > 0 THEN {1 << p} ELSE 0 END)")
     return F.expr(" + ".join(terms))

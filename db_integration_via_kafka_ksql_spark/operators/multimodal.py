@@ -172,10 +172,9 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     every_n-th 'frame', where frame count is derived from the payload size
     (real codec absent — the explode/partitioning shape is the point).
     At scale this is a generator expression, no shuffle."""
-    n_frames = (F.col("meta.byte_len") / F.lit(100)).cast("bigint") + 1
     return media.select(
         "doc_id",
         F.explode(
             F.expr(f"sequence(0, cast(meta.byte_len / 100 as bigint), {every_n})")
         ).alias("frame_idx"),
-    ).filter(F.col("frame_idx") <= n_frames)
+    )

@@ -296,7 +296,8 @@ def customers_with_open_orders(customer: DataFrame, orders: DataFrame) -> DataFr
 
 
 def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    """Left-anti join (NOT EXISTS): customers with no order in the given
+    orders frame (callers scope the frame, e.g. to open orders)."""
     return customer.join(
         orders.select("o_custkey"),
         customer.c_custkey == F.col("o_custkey"),

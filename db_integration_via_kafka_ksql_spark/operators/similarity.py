@@ -71,20 +71,40 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 4,
     dims: int = 64,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
     May return < k rows per query (bucket smaller than k) — the honest
     approximation contract. Same output schema/determinism as brute_topk.
+
+    multiprobe=True also probes the n_planes buckets at hamming distance 1
+    from each query's bucket — the classic multi-probe LSH recall lift, and
+    nearly free here because only the (tiny, broadcast) query side explodes:
+    candidate volume grows ×(n_planes+1) per query but stays a vanishing
+    fraction of the corpus. Recall measured in tests/test_extensions.py.
     """
-    q = _quantized(embeddings).withColumn("bucket", V.lsh_bucket("q", n_planes, dims))
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # one quantize+bucket pass for both the query side and the corpus side
+    # (and a smaller codegen unit — see embedding_dup_pairs)
+    q = (
+        _quantized(embeddings)
+        .withColumn("bucket", V.lsh_bucket("q", n_planes, dims))
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
     queries = q.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
         F.col("bucket").alias("qbucket"),
     )
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    corpus = q.repartition(par).select(
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.expr(f"qbucket ^ {1 << i}") for i in range(n_planes)],
+        )
+        queries = queries.withColumn("qbucket", F.explode(probes))
+    corpus = q.select(
         F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc"), "bucket"
     )
     scored = corpus.join(

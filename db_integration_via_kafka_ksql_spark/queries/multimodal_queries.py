@@ -33,10 +33,55 @@ def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.payload_meta(load_table(spark, sf_dir, "documents"))
 
 
-@query("mm_byte_features")  # no oracle: numpy-side math, rows-only check
+@query(
+    "mm_byte_features",
+    # DuckDB recomputation of the numpy byte math: expand the UTF-8 blob
+    # byte-by-byte via hex() (2 hex chars per byte), then aggregate. The
+    # mean is an exact-int sum divided in float64 on both sides (IEEE
+    # division of exactly-representable ints — bit-identical), and the
+    # 16-bin histogram is flattened to CSV because the driver's value-hash
+    # reprs arrays differently across engines (numpy array vs python list).
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(hex(text::BLOB), 2*i.idx - 1, 2))::BIGINT AS byte
+      FROM documents,
+           LATERAL unnest(range(1, octet_length(text::BLOB)::BIGINT + 1)) AS i(idx)
+    ), agg AS (
+      SELECT doc_id,
+             sum(byte)::DOUBLE / count(*) AS mean_byte,
+             concat_ws(',',
+               count(*) FILTER (byte // 16 = 0),  count(*) FILTER (byte // 16 = 1),
+               count(*) FILTER (byte // 16 = 2),  count(*) FILTER (byte // 16 = 3),
+               count(*) FILTER (byte // 16 = 4),  count(*) FILTER (byte // 16 = 5),
+               count(*) FILTER (byte // 16 = 6),  count(*) FILTER (byte // 16 = 7),
+               count(*) FILTER (byte // 16 = 8),  count(*) FILTER (byte // 16 = 9),
+               count(*) FILTER (byte // 16 = 10), count(*) FILTER (byte // 16 = 11),
+               count(*) FILTER (byte // 16 = 12), count(*) FILTER (byte // 16 = 13),
+               count(*) FILTER (byte // 16 = 14), count(*) FILTER (byte // 16 = 15)
+             ) AS hist_csv
+      FROM b GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           octet_length(d.text::BLOB)::BIGINT AS byte_len,
+           coalesce(a.mean_byte, 0.0) AS mean_byte,
+           coalesce(a.hist_csv, '0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0') AS hist_csv
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
 def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/mapInPandas feature extraction, flattened for the driver's
+    value-hash compare (histogram array -> CSV string)."""
     media = M.attach_payload(load_table(spark, sf_dir, "documents"))
-    return M.extract_features(media)
+    feats = M.extract_features(media)
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "mean_byte",
+        F.array_join(
+            F.transform("byte_histogram", lambda x: x.cast("string")), ","
+        ).alias("hist_csv"),
+    )
 
 
 @query(

@@ -12,6 +12,7 @@ events.ts needs the epoch-micros treatment (see cdc_queries).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from db_integration_via_kafka_ksql_spark.io import load_table
 from db_integration_via_kafka_ksql_spark.operators import relational as R
@@ -236,15 +237,22 @@ def semi_join_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> Da
 
 @query(
     "anti_join_customers_without_orders",
+    # scoped to *open* orders so the result is non-empty at sf0.01 (every
+    # customer has some order there; an all-orders anti-join returns 0 rows
+    # and would hash-match trivially) — NOT EXISTS form preserved.
     oracle="""
     SELECT c_custkey, c_name, c_nationkey
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderstatus = 'O'
+    )
     """,
 )
 def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     return R.customers_without_orders(
-        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+        load_table(spark, sf_dir, "customer"), orders
     )
 
 

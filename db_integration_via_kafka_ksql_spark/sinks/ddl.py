@@ -94,8 +94,10 @@ def evolve_sql(
     stmts = []
     for f in schema.fields:
         if f.name.lower() not in target_cols:
+            # bare ADD (no COLUMN keyword): T-SQL rejects 'ADD COLUMN',
+            # and postgres/sqlite accept the bare form too
             stmts.append(
-                f"ALTER TABLE {table} ADD COLUMN "
+                f"ALTER TABLE {table} ADD "
                 f"{f.name.lower()} {sql_type(f.dataType, dialect)}"
             )
     return stmts

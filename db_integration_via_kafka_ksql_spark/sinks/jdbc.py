@@ -57,10 +57,19 @@ class JdbcMergeSink:
             self.url, props.get("user", ""), props.get("password", "")
         )
         try:
-            stmt = conn.createStatement()
-            for s in statements:
-                stmt.execute(s)
-            conn.commit()
+            # DriverManager connections default to autoCommit=true, under
+            # which (a) conn.commit() throws on e.g. the Postgres driver
+            # and (b) each statement commits individually — the MERGE and
+            # DELETE must land atomically for idempotent replay.
+            conn.setAutoCommit(False)
+            try:
+                stmt = conn.createStatement()
+                for s in statements:
+                    stmt.execute(s)
+                conn.commit()
+            except Exception:
+                conn.rollback()
+                raise
         finally:
             conn.close()
 

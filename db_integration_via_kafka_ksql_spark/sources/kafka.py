@@ -28,6 +28,7 @@ unit-testing the logic needs no Kafka.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -126,21 +127,36 @@ def classify_decoded(decoded: DataFrame) -> DataFrame:
 
 
 def write_changelog(
-    compacted: DataFrame, cfg: AvroChangelogConfig, deleted_col: str = "__deleted"
+    compacted: DataFrame,
+    cfg: AvroChangelogConfig,
+    key_cols: Sequence[str],
+    deleted_col: str = "__deleted",
 ) -> DataFrame:
     """Mirror a compacted batch to an output topic, tombstones intact
     (ST3/ST4): deleted keys emit (key, NULL), others (key, avro(row)).
 
+    `key_cols` is explicit (the pipeline knows its key): deriving it by
+    convention risks an empty key struct, under which every record would
+    serialize to identical key bytes and log compaction on the output
+    topic would collapse all rows to one.
+
     Returns the (key, value) frame ready for .write.format('kafka') —
     callers own the actual write so tests can inspect the frame.
     """
+    key_cols = list(key_cols)
+    missing = [c for c in key_cols if c not in compacted.columns]
+    if not key_cols or missing:
+        raise ValueError(
+            f"write_changelog needs key columns present in the frame; "
+            f"key_cols={key_cols}, missing={missing}, frame={compacted.columns}"
+        )
     from pyspark.sql.avro.functions import to_avro
 
     is_del: Column = F.col(deleted_col).cast("string") == F.lit("true")
     payload_cols = [c for c in compacted.columns if c != deleted_col]
     return compacted.select(
         to_avro(F.struct(*[F.col(c) for c in payload_cols])).alias("_all_value"),
-        to_avro(F.struct(*[F.col(c) for c in compacted.columns if c in ("id", "key_id")])).alias("key"),
+        to_avro(F.struct(*[F.col(c) for c in key_cols])).alias("key"),
         is_del.alias("_is_del"),
     ).select(
         "key",

@@ -55,10 +55,29 @@ class CdcPipeline:
     sink: BatchSink | None = None
     state: ParquetStateStore | None = None
     mirror: Callable[[DataFrame], None] | None = None  # ST3: derived topic
+    # K5 (errors.tolerance=all): undecodable records carry __dead=true and
+    # MUST NOT reach compaction — a poison record at a high offset would
+    # win last-per-key and upsert a NULL payload over good state. They are
+    # split out first and routed to this handler (the DLQ); None drops them.
+    dead_letter: Callable[[DataFrame], None] | None = None
+    dead_col: str = "__dead"
+    # S5 (schema-change capture): when the incoming batch schema differs
+    # from the previous one, a DDL event is emitted to this handler — the
+    # history-topic equivalent of Debezium's schema.history.internal.kafka
+    # (reference start-source-connector.sh:85-89). The sink separately
+    # auto-evolves (K3); this hook is the *capture* side, giving consumers
+    # a replayable DDL log.
+    schema_history: Callable[[dict[str, Any]], None] | None = None
+    # S6 (transaction metadata): when set, rows carry a source-transaction
+    # id (reference provide.transaction.metadata=true) and each txn is
+    # compacted + applied as its own atomic unit, in commit order (min
+    # order-col within the txn). None = epoch-level atomicity (default).
+    txn_col: str | None = None
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "cdc_pipeline"
     batches_seen: list[int] = field(default_factory=list)
+    _last_schema: list[tuple[str, str]] | None = field(default=None, repr=False)
 
     def _transform(self, df: DataFrame) -> DataFrame:
         """The ksqlDB-CTAS equivalent: projection that must carry the key
@@ -72,11 +91,29 @@ class CdcPipeline:
                 cols.append(required)
         return df.select(*cols)
 
-    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        """One micro-batch: compact in offset order, split live/deleted,
-        fan out to state store, sink, and mirror. Public so batch replays
-        (rebuild) reuse the identical code path."""
-        self.batches_seen.append(epoch_id)
+    def _capture_schema_change(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """S5: diff the incoming schema against the last seen one and emit
+        a DDL event (the history-topic record) on change."""
+        cur = [(f.name, f.dataType.simpleString()) for f in batch_df.schema.fields]
+        if self._last_schema is not None and cur != self._last_schema:
+            prev = dict(self._last_schema)
+            now = dict(cur)
+            event = {
+                "epoch_id": epoch_id,
+                "added": sorted(set(now) - set(prev)),
+                "removed": sorted(set(prev) - set(now)),
+                "retyped": sorted(
+                    c for c in set(now) & set(prev) if now[c] != prev[c]
+                ),
+                "schema": cur,
+            }
+            if self.schema_history is not None:
+                self.schema_history(event)
+        self._last_schema = cur
+
+    def _apply(self, batch_df: DataFrame) -> None:
+        """Compact one atomic unit (a micro-batch, or one source txn) in
+        offset order, split live/deleted, fan out to state/sink/mirror."""
         projected = self._transform(batch_df)
         compacted = cdc.compact_latest(
             projected, key_cols=list(self.key_cols), order_cols=list(self.order_cols)
@@ -93,6 +130,39 @@ class CdcPipeline:
             self.sink.write_batch(live, deleted.select(*self.key_cols))
         if self.mirror is not None:
             self.mirror(compacted)
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """One micro-batch: dead-letter split, schema-change capture, then
+        atomic apply (whole batch, or per source txn when txn_col is set).
+        Public so batch replays (rebuild) reuse the identical code path."""
+        self.batches_seen.append(epoch_id)
+        if self.dead_col in batch_df.columns:
+            dead = batch_df.filter(F.col(self.dead_col) == F.lit(True))
+            batch_df = batch_df.filter(
+                (F.col(self.dead_col).isNull()) | (F.col(self.dead_col) == F.lit(False))
+            ).drop(self.dead_col)
+            if self.dead_letter is not None:
+                self.dead_letter(dead)
+        self._capture_schema_change(batch_df, epoch_id)
+        if self.txn_col and self.txn_col in batch_df.columns:
+            # commit order = first change (min order col) within each txn;
+            # the txn-id list is driver-side but bounded by txns/batch, the
+            # same serial-apply the reference's Connect sink does
+            order = list(self.order_cols)[0]
+            txns = [
+                r[0]
+                for r in batch_df.groupBy(self.txn_col)
+                .agg(F.min(order).alias("_first"))
+                .orderBy("_first")
+                .select(self.txn_col)
+                .collect()
+            ]
+            for t in txns:
+                self._apply(
+                    batch_df.filter(F.col(self.txn_col) == F.lit(t)).drop(self.txn_col)
+                )
+        else:
+            self._apply(batch_df)
 
     def start(self) -> StreamingQuery:
         writer = (

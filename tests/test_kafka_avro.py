@@ -49,7 +49,7 @@ def test_avro_roundtrip_preserves_tombstones(spark):
         ["key_id", "offset", "title", "__deleted"],
     )
     cfg = K.AvroChangelogConfig(topic="t", key_schema_json="", value_schema_json="")
-    out = K.write_changelog(compacted, cfg).collect()
+    out = K.write_changelog(compacted, cfg, key_cols=["key_id"]).collect()
     by_null = {r["value"] is None for r in out}
     assert by_null == {True, False}  # one tombstone, one payload
 
@@ -81,3 +81,18 @@ def test_classify_decoded_tombstone_rewrite_deadletter(spark):
     assert out[4]["__dead"] and not out[4]["__tombstone"]
     # the key survives the tombstone — the reference's central invariant
     assert out[3]["key"]["id"] == 2
+
+
+def test_write_changelog_rejects_missing_key_cols(spark):
+    """An empty/absent key struct would make every record share identical
+    key bytes — log compaction on the output topic would collapse all rows
+    to one. The writer must refuse instead (jar-free: validation happens
+    before any Avro touch)."""
+    compacted = spark.createDataFrame(
+        [(1, 10, "keep", "false")], ["key_id", "offset", "title", "__deleted"]
+    )
+    cfg = K.AvroChangelogConfig(topic="t", key_schema_json="", value_schema_json="")
+    with pytest.raises(ValueError, match="key columns"):
+        K.write_changelog(compacted, cfg, key_cols=[])
+    with pytest.raises(ValueError, match="missing"):
+        K.write_changelog(compacted, cfg, key_cols=["nope"])

@@ -43,7 +43,15 @@ def test_staged_merge_sql_is_set_based():
 
 def test_evolve_adds_only_missing():
     stmts = ddl.evolve_sql("t", {"id", "title"}, SCHEMA, "postgres")
-    assert stmts == ["ALTER TABLE t ADD COLUMN rating DECIMAL(3,1)"]
+    # bare ADD, no COLUMN keyword: T-SQL rejects 'ADD COLUMN' and the
+    # bare form is valid in postgres/sqlite too
+    assert stmts == ["ALTER TABLE t ADD rating DECIMAL(3,1)"]
+
+
+def test_evolve_sql_mssql_dialect():
+    stmts = ddl.evolve_sql("t", {"id", "title"}, SCHEMA, "mssql")
+    assert stmts == ["ALTER TABLE t ADD rating DECIMAL(3,1)"]
+    assert "ADD COLUMN" not in stmts[0]
 
 
 @pytest.fixture

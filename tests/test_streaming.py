@@ -239,3 +239,110 @@ def test_pull_queries_over_state(harness, spark):
     assert point.first()["title"] == "m1"
     total = spark.sql("SELECT COUNT(*) AS total FROM movies_transformed")
     assert total.first()["total"] == 5
+
+
+def test_dead_letter_rows_never_reach_state_or_sink(harness, spark):
+    """K5 end-to-end: a poison record (__dead=true) at the HIGHEST offset
+    must not win compaction — it goes to the dead-letter handler, and the
+    good row at the lower offset lands in state and sink."""
+    h = harness
+    dlq = []
+    # good insert at offset 1; poison record (decode failure -> NULL
+    # payload) for the SAME key at offset 2
+    h.feed([(1, "good", "false", 1), (1, None, "false", 2)])
+    stream = file_changelog_stream(h.spark, h.src, SCHEMA)
+    # widen with the __dead marker the decoder attaches
+    from pyspark.sql import functions as F
+
+    pipe = CdcPipeline(
+        source=stream.withColumn("__dead", F.col("title").isNull()),
+        key_cols=["id"],
+        order_cols=["offset"],
+        sink=h.sink,
+        state=h.state,
+        dead_letter=lambda df: dlq.extend(df.collect()),
+        checkpoint_dir=h.checkpoint,
+        trigger_seconds=0,
+        query_name="test_dead_letter",
+    )
+    q = pipe.start()
+    q.processAllAvailable()
+    q.stop()
+    # state kept the good row, not the NULL-payload poison
+    state = {r["id"]: r for r in h.state.read().collect()}
+    assert state[1]["title"] == "good"
+    assert h.sink_rows()[1]["title"] == "good"
+    # the poison record went to the DLQ with its provenance intact
+    assert len(dlq) == 1 and dlq[0]["offset"] == 2
+
+
+def test_schema_evolution_end_to_end(harness, spark):
+    """S5 + K3 end-to-end: batch 2 adds a `rating` column. The pipeline
+    emits a DDL history event (schema-change capture) and the sink ALTERs
+    the table before merging, so old rows read NULL and new rows carry the
+    value."""
+    h = harness
+    ddl_events = []
+    pipe = CdcPipeline(
+        source=None,  # driving process_batch directly (the foreachBatch path)
+        key_cols=["id"],
+        order_cols=["offset"],
+        sink=h.sink,
+        state=None,
+        schema_history=ddl_events.append,
+        query_name="test_evolve",
+    )
+    base = spark.createDataFrame(
+        [(1, "m1", "false", 1)], ["id", "title", "__deleted", "offset"]
+    )
+    pipe.process_batch(base, 0)
+    widened = spark.createDataFrame(
+        [(2, "m2", 8.5, "false", 2)],
+        ["id", "title", "rating", "__deleted", "offset"],
+    )
+    pipe.process_batch(widened, 1)
+    rows = h.sink_rows()
+    assert rows[1]["title"] == "m1" and rows[1]["rating"] is None
+    assert rows[2]["rating"] == 8.5
+    # the capture side recorded exactly one DDL event, at the right epoch
+    assert len(ddl_events) == 1
+    assert ddl_events[0]["added"] == ["rating"]
+    assert ddl_events[0]["epoch_id"] == 1 and ddl_events[0]["removed"] == []
+
+
+def test_txn_atomic_application(harness, spark):
+    """S6 (provide.transaction.metadata): rows sharing a txn id apply as
+    one atomic unit, txns in commit order. Two txns touch the same key —
+    last txn wins; each sink call sees exactly one txn's rows."""
+    h = harness
+    calls = []
+
+    class RecordingSink:
+        def write_batch(self, upserts, delete_keys):
+            calls.append(sorted((r["id"], r["title"]) for r in upserts.collect()))
+
+    pipe = CdcPipeline(
+        source=None,
+        key_cols=["id"],
+        order_cols=["offset"],
+        sink=RecordingSink(),
+        txn_col="txn_id",
+        query_name="test_txn",
+    )
+    batch = spark.createDataFrame(
+        [
+            # txn B commits second (offsets 3-4) but appears first in the frame
+            ("B", 2, "b_v2", "false", 3),
+            ("B", 3, "new", "false", 4),
+            # txn A commits first (offsets 1-2)
+            ("A", 1, "a_v1", "false", 1),
+            ("A", 2, "b_v1", "false", 2),
+        ],
+        ["txn_id", "id", "title", "__deleted", "offset"],
+    )
+    pipe.process_batch(batch, 0)
+    # two atomic units, in commit order, each with only its own rows
+    assert calls == [
+        [(1, "a_v1"), (2, "b_v1")],
+        [(2, "b_v2"), (3, "new")],
+    ]
