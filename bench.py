@@ -47,8 +47,8 @@ HEADLINE = [
     "events_hourly_counts",
     "dedup_exact",
     "dedup_ngram_jaccard_capped",
-    "dedup_embedding_pairs_lsh",
-    "sim_lsh_topk",
+    "dedup_embedding_pairs_lsh_mp",
+    "sim_lsh_topk_mp",
     "text_fingerprints",
     "mm_byte_features",
     "asof_join_events",

@@ -246,6 +246,47 @@ def dedup_embedding_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROBES = "[bucket" + "".join(
+    f", xor(bucket, {1 << i})" for i in range(EMB_LSH_PLANES)
+) + "]"
+
+
+@query(
+    "dedup_embedding_pairs_lsh_mp",
+    oracle=f"""
+    WITH q0 AS (
+        SELECT vec_id, {_QUANTIZE} AS q,
+               CAST(list_sum([x * x for x in {_QUANTIZE}]) AS BIGINT) AS n2
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, q, n2,
+               {lsh_bucket_sql_duckdb('q', EMB_LSH_PLANES, DIMS)} AS bucket
+        FROM q0
+    ),
+    qp AS (SELECT vec_id, q, n2, unnest({_PROBES}) AS probe FROM q),
+    scored AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_QDOT} AS qdot, a.n2 AS na, b.n2 AS nb
+        FROM qp a JOIN q b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, qdot FROM scored WHERE qdot > 0 AND {_EMB_COND}
+    """,
+)
+def dedup_embedding_pairs_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH near-dup pairs: each vector also probes the
+    n_planes buckets one bit-flip away. Candidate space ×(planes+1),
+    recall 12→29 of 59 brute pairs at sf0.01 (test_extensions.py floors)."""
+    return D.embedding_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold_pct=EMB_THRESHOLD_PCT,
+        n_planes=EMB_LSH_PLANES,
+        dims=DIMS,
+        brute_force=False,
+        multiprobe=True,
+    )
+
+
 NGRAM_DF_CAP = 30
 
 

@@ -93,6 +93,52 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QPROBES = "[bucket" + "".join(
+    f", xor(bucket, {1 << i})" for i in range(LSH_PLANES)
+) + "]"
+
+
+@query(
+    "sim_lsh_topk_mp",
+    oracle=f"""
+    WITH q0 AS (SELECT vec_id, {_QUANTIZE} AS q FROM embeddings),
+    q AS (
+        SELECT vec_id, q, {lsh_bucket_sql_duckdb('q', LSH_PLANES, DIMS)} AS bucket
+        FROM q0
+    ),
+    qp AS (
+        SELECT vec_id, q, unnest({_QPROBES}) AS probe
+        FROM q WHERE vec_id IN ({_QIDS})
+    ),
+    s AS (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id, {_QDOT} AS qdot
+        FROM qp qs JOIN q c
+          ON c.bucket = qs.probe AND c.vec_id <> qs.vec_id
+    )
+    SELECT query_id, neighbor_id, qdot, rnk
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC
+        ) AS INTEGER) AS rnk
+        FROM s
+    )
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_lsh_topk_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: each query also probes its hamming-1
+    buckets — recall lift at ×(planes+1) candidate cost on the (tiny)
+    query side only. The production ANN shape for this engine."""
+    return S.lsh_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_IDS,
+        k=TOP_K,
+        n_planes=LSH_PLANES,
+        dims=DIMS,
+        multiprobe=True,
+    )
+
+
 def _centroid_oracle(dims: int) -> str:
     sum_cols = ", ".join(f"sum(q[{i + 1}]) AS s{i}" for i in range(dims))
     cent_list = ", ".join(

@@ -24,6 +24,12 @@ This module needs the spark-sql-kafka-0-10 package on the classpath at
 runtime (not bundled with pip pyspark; absent in this container). All
 builders below construct configs/expressions lazily so importing and
 unit-testing the logic needs no Kafka.
+
+The Avro ENCODING itself is fully exercised in-container despite the
+missing spark-avro jar: decode_changelog_py / write_changelog_py (bottom
+of this module) run the same contracts over a pure-Python Avro binary
+codec (functions/avro_codec.py) that is differentially verified against
+the canonical Java Avro library bundled inside pyspark.
 """
 
 from __future__ import annotations
@@ -31,6 +37,9 @@ from __future__ import annotations
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
+import pandas as pd  # module-level so pandas_udf type hints resolve under
+#                      `from __future__ import annotations` (string hints
+#                      are looked up in module globals)
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -164,4 +173,135 @@ def write_changelog(
         F.when(F.col("_is_del"), F.lit(None).cast("binary"))
         .otherwise(F.col("_all_value"))
         .alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jar-free twins: same contracts, pure-Python Avro binary codec
+# (functions/avro_codec.py — public-spec implementation, differentially
+# tested against the canonical Java Avro library in tests/test_kafka_avro.py).
+# Use these when the spark-avro connector jar is unavailable; on a real
+# cluster prefer decode_changelog/write_changelog (JVM-side, no Python hop).
+# The python value path supports flat scalar records (no bytes-typed
+# fields: the JSON bridge between JVM structs and the Python codec has no
+# binary representation) — exactly the Debezium-unwrapped CDC row shape.
+# ---------------------------------------------------------------------------
+
+
+def _avro_to_spark_ddl(schema_json: str) -> str:
+    """Spark DDL string for a flat Avro record schema (for from_json)."""
+    import json as _json
+
+    type_map = {
+        "long": "bigint",
+        "int": "int",
+        "string": "string",
+        "double": "double",
+        "float": "float",
+        "boolean": "boolean",
+    }
+    fields = []
+    for f in _json.loads(schema_json)["fields"]:
+        t = f["type"]
+        if isinstance(t, list):
+            t = next(b for b in t if b != "null")
+        fields.append(f"{f['name']} {type_map[t]}")
+    return ", ".join(fields)
+
+
+def decode_changelog_py(raw: DataFrame, cfg: AvroChangelogConfig) -> DataFrame:
+    """decode_changelog without the spark-avro jar: Arrow-batched Python
+    Avro decode to JSON, struct-ified JVM-side via from_json, then the
+    shared tombstone/delete/dead-letter classification.
+
+    Decode errors yield a NULL row with the raw bytes intact, so
+    classify_decoded marks them __dead (K5) — identical contract to the
+    PERMISSIVE spark-avro path.
+    """
+    import json as _json
+
+    from db_integration_via_kafka_ksql_spark.functions.avro_codec import (
+        FlatRecordCodec,
+    )
+
+    key_schema, value_schema = cfg.key_schema_json, cfg.value_schema_json
+
+    def _decoder(schema_json: str):
+        codec = FlatRecordCodec(schema_json)
+
+        def decode_series(s: pd.Series) -> pd.Series:
+            out = []
+            for v in s:
+                if v is None:
+                    out.append(None)
+                    continue
+                try:
+                    out.append(_json.dumps(codec.decode(bytes(v))))
+                except Exception:
+                    out.append(None)  # undecodable → NULL row → __dead
+            return pd.Series(out, dtype=object)
+
+        return F.pandas_udf(decode_series, "string")
+
+    key_json = _decoder(key_schema)(F.col("key"))
+    row_json = _decoder(value_schema)(F.col("value"))
+    decoded = raw.select(
+        F.from_json(key_json, _avro_to_spark_ddl(key_schema)).alias("key"),
+        F.from_json(row_json, _avro_to_spark_ddl(value_schema)).alias("row"),
+        "value",
+        "offset",
+        "partition",
+    )
+    return classify_decoded(decoded)
+
+
+def write_changelog_py(
+    compacted: DataFrame,
+    cfg: AvroChangelogConfig,
+    key_cols: Sequence[str],
+    deleted_col: str = "__deleted",
+) -> DataFrame:
+    """write_changelog without the spark-avro jar: the same (key, value)
+    output contract — tombstones as LITERAL NULL values, never an
+    Avro-encoded all-null record (the byte-level distinction the
+    reference's tombstone guide is about: an encoded null is one union
+    byte per field, a tombstone is no bytes at all)."""
+    import json as _json
+
+    from db_integration_via_kafka_ksql_spark.functions.avro_codec import (
+        FlatRecordCodec,
+    )
+
+    key_cols = list(key_cols)
+    missing = [c for c in key_cols if c not in compacted.columns]
+    if not key_cols or missing:
+        raise ValueError(
+            f"write_changelog_py needs key columns present in the frame; "
+            f"key_cols={key_cols}, missing={missing}, frame={compacted.columns}"
+        )
+    key_schema, value_schema = cfg.key_schema_json, cfg.value_schema_json
+
+    def _encoder(schema_json: str):
+        codec = FlatRecordCodec(schema_json)
+
+        def encode_series(s: pd.Series) -> pd.Series:
+            return pd.Series(
+                [None if j is None else codec.encode(_json.loads(j)) for j in s],
+                dtype=object,
+            )
+
+        return F.pandas_udf(encode_series, "binary")
+
+    payload_cols = [c for c in compacted.columns if c != deleted_col]
+    is_del: Column = F.col(deleted_col).cast("string") == F.lit("true")
+    return compacted.select(
+        _encoder(key_schema)(
+            F.to_json(F.struct(*[F.col(c) for c in key_cols]))
+        ).alias("key"),
+        # tombstone: NULL json in → NULL bytes out (literal NULL value)
+        _encoder(value_schema)(
+            F.when(is_del, F.lit(None).cast("string")).otherwise(
+                F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
+            )
+        ).alias("value"),
     )

@@ -190,3 +190,52 @@ def test_approx_stats_within_tolerance(spark, sf_dir):
         e = exact[seg]
         assert abs(a["approx_customers"] - e["n"]) / e["n"] < 0.05
         assert abs(a["approx_median_value"] - e["med"]) / e["med"] < 0.02
+
+
+def test_lsh_recall_vs_brute_with_documented_floors(spark, sf_dir):
+    """Measured LSH recall against the brute-force twins at sf0.01 with
+    the 4-plane config the registered queries use.
+
+    Documented floors (threshold_pct=40 ~ 66deg pairs; per-plane agreement
+    p ~ 0.63, so single-probe recall ~ p^4 ~ 0.16 and hamming<=1
+    multi-probe ~ p^4 + 4 p^3 (1-p) ~ 0.53):
+      - pair dedup:  single-probe >= 0.15, multi-probe >= 0.40
+      - top-k:       multi-probe >= 0.50 of the exact top-5 sets
+    Multi-probe must strictly dominate single-probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r["vec_a"], r["vec_b"])
+        for r in D.embedding_dup_pairs(
+            emb, threshold_pct=40, n_planes=4, brute_force=True
+        ).collect()
+    }
+    sp = {
+        (r["vec_a"], r["vec_b"])
+        for r in D.embedding_dup_pairs(emb, threshold_pct=40, n_planes=4).collect()
+    }
+    mp = {
+        (r["vec_a"], r["vec_b"])
+        for r in D.embedding_dup_pairs(
+            emb, threshold_pct=40, n_planes=4, multiprobe=True
+        ).collect()
+    }
+    assert sp <= mp <= brute
+    recall_sp = len(sp) / len(brute)
+    recall_mp = len(mp) / len(brute)
+    print(f"pair recall: single-probe {recall_sp:.3f}, multi-probe {recall_mp:.3f}")
+    assert recall_sp >= 0.15
+    assert recall_mp >= 0.40
+    assert recall_mp > recall_sp
+
+    qids = list(range(8))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_topk(emb, qids, k=5).collect()
+    }
+    mp_topk = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_topk(emb, qids, k=5, n_planes=4, multiprobe=True).collect()
+    }
+    topk_recall = len(mp_topk & exact) / len(exact)
+    print(f"top-k recall (multi-probe): {topk_recall:.3f}")
+    assert topk_recall >= 0.50

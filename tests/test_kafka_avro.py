@@ -96,3 +96,119 @@ def test_write_changelog_rejects_missing_key_cols(spark):
         K.write_changelog(compacted, cfg, key_cols=[])
     with pytest.raises(ValueError, match="missing"):
         K.write_changelog(compacted, cfg, key_cols=["nope"])
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python Avro binary codec path (functions/avro_codec.py): the
+# spark-avro jar is unobtainable in-container (no network; probed Maven
+# Central), so the round trip runs on our public-spec codec instead —
+# differentially verified against the canonical Java Avro library
+# (avro-1.12.1.jar, bundled inside pyspark) via py4j.
+# ---------------------------------------------------------------------------
+
+KEY_SCHEMA = (
+    '{"type":"record","name":"k","fields":[{"name":"id","type":"long"}]}'
+)
+VALUE_SCHEMA = (
+    '{"type":"record","name":"v","fields":['
+    '{"name":"id","type":"long"},'
+    '{"name":"title","type":["null","string"],"default":null},'
+    '{"name":"rating","type":["null","double"],"default":null},'
+    '{"name":"watched","type":["null","boolean"],"default":null},'
+    '{"name":"__deleted","type":["null","string"],"default":null}]}'
+)
+
+
+def test_python_codec_roundtrip_and_java_differential(spark):
+    """Encode with our codec, decode with JAVA Avro (and the reverse):
+    any deviation from the real binary encoding fails."""
+    from db_integration_via_kafka_ksql_spark.functions.avro_codec import (
+        FlatRecordCodec,
+    )
+
+    codec = FlatRecordCodec(VALUE_SCHEMA)
+    rows = [
+        {"id": 1, "title": "movie", "rating": 8.5, "watched": True, "__deleted": "false"},
+        {"id": -2, "title": "", "rating": -0.0, "watched": False, "__deleted": "true"},
+        {"id": 2**40, "title": "ünïcode ✓", "rating": None, "watched": None, "__deleted": None},
+    ]
+    jvm = spark._sc._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(VALUE_SCHEMA)
+    reader = jvm.org.apache.avro.generic.GenericDatumReader(schema)
+    writer = jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    factory = jvm.org.apache.avro.io.DecoderFactory.get()
+    efactory = jvm.org.apache.avro.io.EncoderFactory.get()
+    for row in rows:
+        # our python roundtrip is lossless
+        assert codec.decode(codec.encode(row)) == row
+        # JAVA decodes our bytes to the same record
+        dec = factory.binaryDecoder(codec.encode(row), None)
+        rec = reader.read(None, dec)
+        for k, v in row.items():
+            got = rec.get(k)
+            got = str(got) if type(got).__name__ == "Utf8" or (
+                got is not None and k in ("title", "__deleted")
+            ) else got
+            assert got == v, (k, got, v)
+        # and WE decode JAVA's bytes back to the same dict
+        out = jvm.java.io.ByteArrayOutputStream()
+        enc = efactory.binaryEncoder(out, None)
+        writer.write(rec, enc)
+        enc.flush()
+        assert codec.decode(bytes(out.toByteArray())) == row
+
+
+def test_avro_roundtrip_tombstone_literal_null_python_codec(spark):
+    """§7.3.1 THE bug class, now executed against real Avro bytes: the
+    write path emits tombstones as literal NULL values; an ALL-NULL-FIELDS
+    Avro record (the classic 'Avro-encoded null' mistake) is bytes, is NOT
+    a tombstone, and must classify as a live record — while a true
+    tombstone survives the full write→decode→classify loop."""
+    cfg = K.AvroChangelogConfig(
+        topic="t", key_schema_json=KEY_SCHEMA, value_schema_json=VALUE_SCHEMA
+    )
+    compacted = spark.createDataFrame(
+        [
+            (1, "keep", 7.0, True, "false"),
+            (2, "gone", 1.0, False, "true"),   # deleted → tombstone
+        ],
+        ["id", "title", "rating", "watched", "__deleted"],
+    )
+    wire = K.write_changelog_py(compacted, cfg, key_cols=["id"]).collect()
+    values = {i: r["value"] for i, r in enumerate(wire)}
+    assert sum(v is None for v in values.values()) == 1     # one tombstone
+    live = next(v for v in values.values() if v is not None)
+    assert len(live) > 1                                    # real payload bytes
+
+    # an Avro-encoded all-null record: one 0x00 union byte per nullable
+    # field after the id — NOT None, must NOT be treated as a tombstone
+    from db_integration_via_kafka_ksql_spark.functions.avro_codec import (
+        FlatRecordCodec,
+    )
+
+    poisonish = FlatRecordCodec(VALUE_SCHEMA).encode(
+        {"id": 3, "title": None, "rating": None, "watched": None, "__deleted": None}
+    )
+    key3 = FlatRecordCodec(KEY_SCHEMA).encode({"id": 3})
+    raw = spark.createDataFrame(
+        [
+            (bytearray(wire[0]["key"]), None if wire[0]["value"] is None else bytearray(wire[0]["value"]), 1, 0),
+            (bytearray(wire[1]["key"]), None if wire[1]["value"] is None else bytearray(wire[1]["value"]), 2, 0),
+            (bytearray(key3), bytearray(poisonish), 3, 0),
+            (bytearray(key3), bytearray(b"\xff garbage"), 4, 0),  # undecodable
+        ],
+        "key binary, value binary, offset long, partition int",
+    )
+    out = {r["offset"]: r for r in K.decode_changelog_py(raw, cfg).collect()}
+    # the live row decoded faithfully
+    live_rows = [r for r in out.values() if not r["__tombstone"] and not r["__dead"]]
+    by_id = {r["row"]["id"]: r for r in live_rows}
+    assert by_id[1]["row"]["title"] == "keep" and by_id[1]["__deleted"] == "false"
+    # the tombstone stayed a tombstone (literal NULL value)
+    tombs = [r for r in out.values() if r["__tombstone"]]
+    assert len(tombs) == 1 and tombs[0]["key"]["id"] == 2
+    assert tombs[0]["__deleted"] == "true"
+    # the encoded-all-null record is a LIVE record, not a tombstone
+    assert by_id[3]["__tombstone"] is False and by_id[3]["row"]["title"] is None
+    # garbage bytes → dead letter, not tombstone
+    assert out[4]["__dead"] and not out[4]["__tombstone"]
