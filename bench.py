@@ -34,7 +34,10 @@ from db_integration_via_kafka_ksql_spark.session import get_spark  # noqa: E402
 
 # headline set: the CDC core, the heaviest relational queries, and the
 # scale-path representative per extension family (dedup/similarity/text/
-# multimodal). Brute-force oracle baselines are deliberately excluded.
+# multimodal). Brute-force oracle baselines are deliberately excluded;
+# dedup_clusters_embedding is oracle-checked but not headlined (iterative
+# multi-job connected components — its wall-clock is driver round-trips,
+# not data-path cost, at bench scale).
 HEADLINE = [
     "cdc_compact_latest",
     "cdc_upsert_merge",
@@ -46,6 +49,7 @@ HEADLINE = [
     "segment_distinct_stats",
     "events_hourly_counts",
     "dedup_exact",
+    "corpus_curation_stats",
     "dedup_ngram_jaccard_capped",
     "dedup_embedding_pairs_lsh_mp",
     "sim_lsh_topk_mp",

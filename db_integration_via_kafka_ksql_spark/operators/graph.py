@@ -1,0 +1,130 @@
+"""Distributed connected components over a pair graph — the clustering
+step of near-duplicate deduplication (pairs → clusters → keep one doc per
+cluster).
+
+Reference: none (the reference has no dedup surface); this is the
+LLM-data-pipeline extension family. Algorithm: iterative min-label
+propagation with pointer jumping — each round every node takes the min
+label among {itself, its neighbors}, then labels compress by one hop
+(label := label(label)). Pointer jumping gives O(log n) rounds instead of
+O(diameter); the same family as the large-star/small-star method used for
+web-scale graphs (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14).
+
+Scale notes:
+- per round: ONE key shuffle for the neighbor-min aggregate and one
+  self-join for pointer jumping; both key on uniformly-distributed ids.
+- `localCheckpoint` per round truncates lineage — mandatory for iterative
+  DataFrame algorithms (the plan would otherwise double every round).
+- the convergence probe is a single scalar count per round (driver-side,
+  O(1) data).
+- edge lists for dedup graphs are tiny relative to the corpus (only
+  near-dup candidates), so even 100 TB corpora propagate labels over a
+  comparatively small frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node with the MIN node id of its connected component.
+
+    nodes: one row per node (id_col); isolated nodes keep their own label.
+    edges: undirected pairs (src_col, dst_col), any orientation.
+    Returns (id, label) — label is the component representative.
+    """
+    labels = nodes.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(id_col).cast("bigint").alias("label"),
+    ).localCheckpoint(eager=True)
+    e = (
+        edges.select(
+            F.col(src_col).cast("bigint").alias("id"),
+            F.col(dst_col).cast("bigint").alias("nbr"),
+        )
+        .union(
+            edges.select(
+                F.col(dst_col).cast("bigint").alias("id"),
+                F.col(src_col).cast("bigint").alias("nbr"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min label among neighbors (one key shuffle)
+        nbr_min = (
+            e.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+            .groupBy("id")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer jumping: label := label(label) (one self-join)
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("id").alias("label"), F.col("label").alias("hop")
+                ).alias("y"),
+                "label",
+                "left",
+            )
+            .select("id", F.least(F.coalesce("hop", "label"), F.col("label")).alias("label"))
+            # lazy: the convergence count below is the materializing action,
+            # so each round costs ONE job, not two
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str,
+    pair_b: str,
+) -> DataFrame:
+    """Near-dup clustering: (id, cluster_rep, is_rep). `is_rep` marks the
+    one row per cluster a keep-one curation pass retains (min id wins —
+    deterministic, engine-independent).
+
+    Only nodes that appear in >= 1 pair enter the iteration — for dedup
+    graphs that is a small fraction of the corpus (near-dup candidates),
+    so the per-round frames are edge-sized, not corpus-sized; isolated
+    docs are their own representative via the final left join."""
+    touched = (
+        pairs.select(F.col(pair_a).cast("bigint").alias("id"))
+        .union(pairs.select(F.col(pair_b).cast("bigint").alias("id")))
+        .distinct()
+    )
+    cc = connected_components(
+        touched, pairs, id_col="id", src_col=pair_a, dst_col=pair_b
+    )
+    base = nodes.select(F.col(id_col).cast("bigint").alias("id"))
+    labeled = base.join(cc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("label", "id").alias("cluster_rep"),
+        (F.coalesce("label", "id") == F.col("id")).alias("is_rep"),
+    )
+    return labeled

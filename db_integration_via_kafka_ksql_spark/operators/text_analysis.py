@@ -31,12 +31,17 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame, min_tokens: int = 50) -> DataFrame:
+def quality_scores(
+    docs: DataFrame, min_tokens: int = 50, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic quality score in [0,1]: length, lexical diversity,
     stopword and punctuation ratios — the standard pre-training filters.
 
     Double math is a fixed sequence of exact-operand IEEE ops (divisions
     of exact ints, scaled adds) — bit-identical in DuckDB.
+
+    keep_cols: extra source columns carried through (lets composers avoid
+    a join-back — one scan instead of two).
     """
     n_tok = T.token_count("text").cast("double")
     n_dis = F.size(T.distinct_words("text")).cast("double")
@@ -64,6 +69,7 @@ def quality_scores(docs: DataFrame, min_tokens: int = 50) -> DataFrame:
         stop_ratio.alias("stop_ratio"),
         punct.alias("punct_ratio"),
         score.alias("quality"),
+        *keep_cols,
     )
 
 
@@ -130,4 +136,31 @@ def top_terms_per_source(docs: DataFrame, k: int = 5) -> DataFrame:
         tf.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("source", "term", "tf", "rnk")
+    )
+
+
+def curate_corpus(
+    docs: DataFrame, min_quality: float = 0.75, min_tokens: int = 50
+) -> DataFrame:
+    """End-to-end curation pass: quality filter → exact-dedup keep-one →
+    per-source token accounting. The standard shape of a pre-training
+    data refresh ("how many tokens survive curation, per source?").
+
+    Scale shape: quality scoring is scan-side column math (ONE scan, no
+    join-back — keep_cols threads source/text through); the keep-one dedup
+    is ONE md5-keyed shuffle using min(struct(...)) — the winning row
+    rides the aggregate, no join-back; the final rollup shuffles the
+    (already tiny) kept set by source. Two shuffles total, uniform keys.
+    """
+    f = quality_scores(
+        docs, min_tokens=min_tokens, keep_cols=("source", "text")
+    ).filter(F.col("quality") >= min_quality)
+    kept = (
+        f.groupBy(F.md5("text").alias("h"))
+        .agg(F.min(F.struct("doc_id", "source", "n_tokens")).alias("r"))
+        .select("r.*")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )

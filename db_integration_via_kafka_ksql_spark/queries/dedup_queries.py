@@ -17,6 +17,7 @@ from db_integration_via_kafka_ksql_spark.functions.vector import (
 )
 from db_integration_via_kafka_ksql_spark.io import load_table
 from db_integration_via_kafka_ksql_spark.operators import dedup as D
+from db_integration_via_kafka_ksql_spark.operators import graph as G
 from db_integration_via_kafka_ksql_spark.registry import query
 
 _W = "string_split(text, ' ')"
@@ -285,6 +286,66 @@ def dedup_embedding_pairs_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
         brute_force=False,
         multiprobe=True,
     )
+
+
+@query(
+    "dedup_clusters_embedding",
+    # the multi-probe pair CTEs verbatim, then connected components via a
+    # recursive reachability CTE (UNION = set semantics, so cycles
+    # terminate); rep = min vec_id per component — the same deterministic
+    # keep-one rule the Spark operator uses.
+    oracle=f"""
+    WITH RECURSIVE q0 AS (
+        SELECT vec_id, {_QUANTIZE} AS q,
+               CAST(list_sum([x * x for x in {_QUANTIZE}]) AS BIGINT) AS n2
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, q, n2,
+               {{bucket_expr}} AS bucket
+        FROM q0
+    ),
+    qp AS (SELECT vec_id, q, n2, unnest({_PROBES}) AS probe FROM q),
+    scored AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_QDOT} AS qdot, a.n2 AS na, b.n2 AS nb
+        FROM qp a JOIN q b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+        SELECT vec_a, vec_b FROM scored WHERE qdot > 0 AND {_EMB_COND}
+    ),
+    edges AS (
+        SELECT vec_a AS s, vec_b AS t FROM pairs
+        UNION ALL
+        SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(src, node) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s
+    )
+    SELECT CAST(src AS BIGINT) AS vec_id,
+           CAST(min(node) AS BIGINT) AS cluster_rep,
+           (src = min(node)) AS is_rep
+    FROM reach GROUP BY src
+    """.replace(
+        "{bucket_expr}", lsh_bucket_sql_duckdb("q", EMB_LSH_PLANES, DIMS)
+    ),
+)
+def dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: multi-probe LSH pairs → connected components
+    (min-label propagation + pointer jumping, operators/graph.py) →
+    (vec_id, cluster_rep, is_rep). `is_rep` is the keep-one curation mask:
+    filtering on it yields the deduplicated corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_dup_pairs(
+        emb,
+        threshold_pct=EMB_THRESHOLD_PCT,
+        n_planes=EMB_LSH_PLANES,
+        dims=DIMS,
+        multiprobe=True,
+    )
+    return G.dedup_clusters(emb, pairs, "vec_id", "vec_a", "vec_b")
 
 
 NGRAM_DF_CAP = 30

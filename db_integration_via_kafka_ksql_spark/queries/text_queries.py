@@ -177,3 +177,54 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean.alias("clean_text"),
         F.size(F.split(clean, " ")).cast("bigint").alias("n_clean_tokens"),
     )
+
+
+_QUALITY_EXPR = """0.4 * least(CAST(n_tok AS DOUBLE) / 50.0, 1.0)
+             + 0.3 * (CAST(n_dis AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             + 0.2 * (1.0 - CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             + 0.1 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))"""
+
+CURATION_MIN_QUALITY = 0.75
+
+
+@query(
+    "corpus_curation_stats",
+    # the full curation pass in SQL: same quality expression as
+    # text_quality_scores, threshold filter, keep-one per md5(text)
+    # (min doc_id wins), then per-source token accounting.
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               {_QUALITY_EXPR} AS quality
+        FROM (
+            SELECT doc_id, source, text,
+                   len({_W}) AS n_tok,
+                   len({_DW}) AS n_dis,
+                   {_STOP_SUM} AS stop_hits,
+                   length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+                   length(text) AS n_chars
+            FROM documents
+        )
+    ),
+    f AS (SELECT * FROM scored WHERE quality >= {CURATION_MIN_QUALITY}),
+    kept AS (
+        SELECT min(doc_id) AS doc_id,
+               arg_min(source, doc_id) AS source,
+               arg_min(n_tokens, doc_id) AS n_tokens
+        FROM f GROUP BY md5(text)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation report: quality filter → exact-dedup keep-one →
+    tokens surviving per source (operators/text_analysis.curate_corpus)."""
+    return TA.curate_corpus(
+        load_table(spark, sf_dir, "documents"),
+        min_quality=CURATION_MIN_QUALITY,
+        min_tokens=50,
+    )

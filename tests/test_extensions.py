@@ -239,3 +239,64 @@ def test_lsh_recall_vs_brute_with_documented_floors(spark, sf_dir):
     topk_recall = len(mp_topk & exact) / len(exact)
     print(f"top-k recall (multi-probe): {topk_recall:.3f}")
     assert topk_recall >= 0.50
+
+
+def test_connected_components_chain_cycle_isolated(spark):
+    """Known topology: a 5-chain (worst case for plain propagation — needs
+    pointer jumping), a 3-cycle, and an isolated node."""
+    from db_integration_via_kafka_ksql_spark.operators import graph as G
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 10)], ["id"])
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, cycle 6-7-8-6; 9 isolated
+        [(2, 1), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (8, 6)],
+        ["src", "dst"],
+    )
+    out = {r["id"]: r["label"] for r in G.connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 6, 9: 9}
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """Pointer jumping must close a 64-node chain well inside max_iter
+    (O(log n) rounds, not O(n))."""
+    from db_integration_via_kafka_ksql_spark.operators import graph as G
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    out = G.connected_components(nodes, edges, max_iter=10).collect()
+    assert {r["label"] for r in out} == {0}
+
+
+def test_dedup_clusters_keep_one_mask(spark, sf_dir):
+    """is_rep keeps exactly one doc per cluster and every non-rep's
+    representative is itself a rep."""
+    from db_integration_via_kafka_ksql_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_clusters_embedding"](spark, sf_dir).collect()
+    reps = {r["vec_id"] for r in rows if r["is_rep"]}
+    for r in rows:
+        assert r["cluster_rep"] in reps
+        assert r["is_rep"] == (r["vec_id"] == r["cluster_rep"])
+        assert r["cluster_rep"] <= r["vec_id"]
+
+
+def test_curate_corpus_keep_one_semantics(spark):
+    """Exact dups across different sources: the min-doc_id copy wins and
+    only its source gets the tokens."""
+    from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
+
+    text = "high quality document with many distinct interesting words " * 10
+    rows = [
+        (5, text, "en", "srcB", len(text)),
+        (2, text, "en", "srcA", len(text)),        # same text, lower id wins
+        (7, "tiny", "en", "srcC", 4),              # fails the quality gate
+        (9, text + "unique tail", "en", "srcC", len(text) + 11),
+    ]
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r["source"]: r for r in TA.curate_corpus(docs, min_quality=0.65).collect()}
+    assert "srcA" in out and out["srcA"]["n_docs"] == 1   # doc 2 kept
+    assert "srcB" not in out                              # doc 5 deduped away
+    assert out["srcC"]["n_docs"] == 1                     # doc 9 only (7 low quality)
