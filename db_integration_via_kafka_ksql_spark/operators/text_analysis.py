@@ -164,3 +164,34 @@ def curate_corpus(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates_pct: dict[str, int],
+    default_pct: int = 100,
+    salt: str = "mix1",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Deterministic stratified sampling — the training-mix construction
+    step ("keep 30% of crawl, 100% of reference sources").
+
+    Selection is hash-Bernoulli: keep a row iff
+    md5(salt|id) mod 100 < rate_pct(stratum). Deterministic (same mix on
+    every run / engine — no RNG state), scan-side (no shuffle at all: the
+    filter pushes into the scan stage), and composable with downstream
+    curation. Changing the salt draws an independent sample.
+    """
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return docs.filter(bucket < rate)

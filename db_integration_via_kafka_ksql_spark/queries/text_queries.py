@@ -10,6 +10,7 @@ purely syntactic; the computed values coincide.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from db_integration_via_kafka_ksql_spark.functions import text as T
 from db_integration_via_kafka_ksql_spark.io import load_table
@@ -227,4 +228,41 @@ def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         min_quality=CURATION_MIN_QUALITY,
         min_tokens=50,
+    )
+
+
+SAMPLE_RATES = {"src0": 25, "src1": 50}
+SAMPLE_DEFAULT = 75
+SAMPLE_SALT = "mix1"
+
+
+@query(
+    "sample_stratified_sources",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM documents
+    WHERE ('0x' || substr(md5('{SAMPLE_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < CASE source WHEN 'src0' THEN {SAMPLE_RATES["src0"]}
+                        WHEN 'src1' THEN {SAMPLE_RATES["src1"]}
+                        ELSE {SAMPLE_DEFAULT} END
+    GROUP BY source
+    """,
+)
+def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-Bernoulli training-mix sampling, rolled up per
+    source (operators/text_analysis.stratified_sample). min/max doc ids in
+    the output pin the exact membership, not just the counts."""
+    sampled = TA.stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        rates_pct=SAMPLE_RATES,
+        default_pct=SAMPLE_DEFAULT,
+        salt=SAMPLE_SALT,
+    )
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )

@@ -178,3 +178,22 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> Column | DataF
         F.max("ts_us").alias("end_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact-dedup: keep the first arrival per key, with state
+    bounded by the watermark (dropDuplicatesWithinWatermark — state for a
+    key is dropped once the watermark passes it, so unbounded streams run
+    in bounded memory; a duplicate arriving later than the watermark delay
+    is the documented trade-off, same as any watermarked operator).
+
+    Batch twin: operators/dedup.exact_duplicates keep_doc semantics.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -300,3 +300,19 @@ def test_curate_corpus_keep_one_semantics(spark):
     assert "srcA" in out and out["srcA"]["n_docs"] == 1   # doc 2 kept
     assert "srcB" not in out                              # doc 5 deduped away
     assert out["srcC"]["n_docs"] == 1                     # doc 9 only (7 low quality)
+
+
+def test_stratified_sample_deterministic_and_rate(spark, sf_dir):
+    from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"] for r in TA.stratified_sample(docs, {}, default_pct=30).collect()}
+    b = {r["doc_id"] for r in TA.stratified_sample(docs, {}, default_pct=30).collect()}
+    assert a == b                                  # same salt → same sample
+    c = {r["doc_id"] for r in TA.stratified_sample(docs, {}, 30, salt="mix2").collect()}
+    assert a != c                                  # new salt → new draw
+    n = docs.count()
+    assert 0.2 * n <= len(a) <= 0.4 * n            # rate ~30%
+    # rate 0 and 100 are exact
+    assert TA.stratified_sample(docs, {}, default_pct=0).count() == 0
+    assert TA.stratified_sample(docs, {}, default_pct=100).count() == n

@@ -201,3 +201,41 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         assert got == {(1, "gold"), (2, "silver"), (3, "unknown")}
     finally:
         q.stop()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """First arrival per user_id wins; in-watermark duplicates are dropped
+    across micro-batches; state is watermark-bounded."""
+    from db_integration_via_kafka_ksql_spark.streaming.windows import (
+        streaming_dedup,
+    )
+
+    src = str(tmp_path / "ev_dedup")
+    _write_events(
+        src,
+        [
+            (T0, 1, "click", 1.0),
+            (T0 + 1000, 1, "click", 2.0),        # same key, same batch → dropped
+            (T0 + 2000, 2, "view", 3.0),
+        ],
+        "b1.parquet",
+    )
+    q = _run_stream(
+        spark,
+        src,
+        lambda s: streaming_dedup(s, ["user_id"], watermark="2 hours"),
+        "dedup_out",
+    )
+    try:
+        q.processAllAvailable()
+        # cross-batch duplicate of user 1, still inside the watermark
+        _write_events(src, [(T0 + 5000, 1, "click", 9.0)], "b2.parquet")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_out").collect()
+        by_user = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r)
+        assert len(by_user[1]) == 1 and by_user[1][0]["value"] == 1.0
+        assert len(by_user[2]) == 1
+    finally:
+        q.stop()
