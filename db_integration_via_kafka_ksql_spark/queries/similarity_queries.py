@@ -170,3 +170,66 @@ def sim_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style coarse quantizer: assign each vector to the nearest
     per-label centroid (exact integer distance math)."""
     return S.label_centroid_assignment(load_table(spark, sf_dir, "embeddings"))
+
+
+NPROBE = 2
+
+
+def _ivf_oracle(dims: int, nprobe: int) -> str:
+    sum_cols = ", ".join(f"sum(q[{i + 1}]) AS s{i}" for i in range(dims))
+    cent_list = ", ".join(
+        f"CAST(floor(CAST(s{i} AS DOUBLE) / n) AS BIGINT)" for i in range(dims)
+    )
+    dist2 = (
+        f"CAST(list_sum([(q.q[i] - cent.c[i]) * (q.q[i] - cent.c[i]) "
+        f"for i in generate_series(1, {dims})]) AS BIGINT)"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id, label, {_QUANTIZE} AS q FROM embeddings),
+    sums AS (SELECT label, count(*) AS n, {sum_cols} FROM q GROUP BY label),
+    cent AS (SELECT label AS c_label, [{cent_list}] AS c FROM sums),
+    assign AS (
+        SELECT q.vec_id, q.q, cent.c_label, {dist2} AS dist2,
+               row_number() OVER (
+                   PARTITION BY q.vec_id ORDER BY {dist2} ASC, cent.c_label ASC
+               ) AS arnk
+        FROM q CROSS JOIN cent
+    ),
+    corpus AS (
+        SELECT vec_id AS neighbor_id, q AS qc, c_label AS list_id
+        FROM assign WHERE arnk = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, q AS qq, c_label AS probe_list
+        FROM assign WHERE vec_id IN ({_QIDS}) AND arnk <= {nprobe}
+    ),
+    s AS (
+        SELECT qs.query_id, c.neighbor_id,
+               CAST(list_sum([qs.qq[i] * c.qc[i]
+                    for i in generate_series(1, {dims})]) AS BIGINT) AS qdot
+        FROM probes qs JOIN corpus c
+          ON c.list_id = qs.probe_list AND c.neighbor_id <> qs.query_id
+    )
+    SELECT query_id, neighbor_id, qdot, rnk
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC
+        ) AS INTEGER) AS rnk
+        FROM s
+    )
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@query("sim_ivf_topk", oracle=_ivf_oracle(DIMS, NPROBE))
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF two-level ANN: corpus bucketed into per-centroid inverted
+    lists, each query probes its nprobe nearest lists only — the classic
+    FAISS-IVF shape, scoring ~nprobe/nlists of the corpus."""
+    return S.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_IDS,
+        k=TOP_K,
+        nprobe=NPROBE,
+        dims=DIMS,
+    )

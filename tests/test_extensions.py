@@ -241,6 +241,32 @@ def test_lsh_recall_vs_brute_with_documented_floors(spark, sf_dir):
     assert topk_recall >= 0.50
 
 
+def test_ivf_recall_vs_brute(spark, sf_dir):
+    """IVF top-k recall at nprobe=2 of 10 lists vs the exact brute twin.
+
+    Scores are identical integer qdots in both paths, so every IVF hit is
+    also correct (subset property on (query, neighbor, qdot) triples);
+    recall is governed purely by whether true neighbors land in a probed
+    list. The floor is the measured sf0.01 value with headroom."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_topk(emb, qids, k=5).collect()
+    }
+    ivf_rows = S.ivf_topk(emb, qids, k=5, nprobe=2).collect()
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
+    recall = len(ivf & exact) / len(exact)
+    print(f"ivf top-k recall (nprobe=2): {recall:.3f}")
+    assert recall >= 0.50
+    # nprobe = nlists degenerates to exact search over all lists
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, qids, k=5, nprobe=10).collect()
+    }
+    assert full == exact
+
+
 def test_connected_components_chain_cycle_isolated(spark):
     """Known topology: a 5-chain (worst case for plain propagation — needs
     pointer jumping), a 3-cycle, and an isolated node."""
