@@ -77,18 +77,32 @@ class FlatRecordCodec:
             t = f["type"]
             nullable = False
             if isinstance(t, list):  # union — only ["null", T] supported
-                branches = [b for b in t if b != "null"]
-                if len(branches) != 1 or len(t) != 2 or "null" not in t:
+                # order matters: the wire union index IS the branch
+                # position, and this codec writes 0=null/1=value. A
+                # ["T","null"] schema would flip the indices and silently
+                # mis-decode under a canonical reader — reject it.
+                if len(t) != 2 or t[0] != "null":
                     raise ValueError(f"unsupported union {t} for field {f['name']}")
-                t, nullable = branches[0], True
+                t, nullable = t[1], True
             if not isinstance(t, str) or t not in _PRIMITIVES:
                 raise ValueError(f"unsupported type {t} for field {f['name']}")
             self.fields.append((f["name"], t, nullable))
 
     # -- encode -----------------------------------------------------------
     def _encode_value(self, t: str, v: Any) -> bytes:
-        if t in ("long", "int"):
-            return _zigzag_encode(int(v))
+        if t == "int":
+            # Avro int is 32-bit: out-of-range values would still varint-
+            # encode here but overflow a canonical Java int reader — reject
+            # instead of silently diverging from the spec
+            iv = int(v)
+            if not -(1 << 31) <= iv < (1 << 31):
+                raise ValueError(f"int field value {iv} outside int32 range")
+            return _zigzag_encode(iv)
+        if t == "long":
+            lv = int(v)
+            if not -(1 << 63) <= lv < (1 << 63):
+                raise ValueError(f"long field value {lv} outside int64 range")
+            return _zigzag_encode(lv)
         if t == "string":
             raw = str(v).encode("utf-8")
             return _zigzag_encode(len(raw)) + raw

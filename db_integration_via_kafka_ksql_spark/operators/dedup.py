@@ -30,6 +30,19 @@ millions of rows out, so the planner happily runs it in one task. Every
 pair join below repartitions its probe side to the cluster's default
 parallelism first — a no-op cost on big inputs, a 30x win on small ones.
 (Measured at sf0.1: embedding brute pairs 28.7s → ~2s on local[32].)
+
+**localCheckpoint trade-off (applies to every eager=True site here, in
+similarity.py and in graph.py).** Multi-consumer intermediates (shingle
+arrays, quantized+bucketed vectors) are localCheckpoint'd, which (a) runs
+a Spark job at operator-BUILD time — these builders are deliberately NOT
+lazy, unlike the relational operators — and (b) pins the snapshot on
+executor-local storage, so losing an executor fails the job instead of
+recomputing from lineage (plain .checkpoint() to a reliable store is the
+HA alternative, at a distributed-FS write cost). We take that trade
+because the checkpointed frames are small derived forms (arrays/ints, not
+the corpus), and without truncation the 3-4x recompute + double-per-round
+lineage growth is a certain cost while executor loss is a rare one —
+rerunning the query on failure is acceptable for batch dedup/ANN jobs.
 """
 
 from __future__ import annotations

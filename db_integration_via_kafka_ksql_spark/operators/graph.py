@@ -15,7 +15,10 @@ Scale notes:
 - per round: ONE key shuffle for the neighbor-min aggregate and one
   self-join for pointer jumping; both key on uniformly-distributed ids.
 - `localCheckpoint` per round truncates lineage — mandatory for iterative
-  DataFrame algorithms (the plan would otherwise double every round).
+  DataFrame algorithms (the plan would otherwise double every round). The
+  snapshots live on executor-local storage: an executor loss mid-iteration
+  fails the job (no lineage to recompute from) — acceptable for a batch
+  clustering pass; see the trade-off note in operators/dedup.py.
 - the convergence probe is a single scalar count per round (driver-side,
   O(1) data).
 - edge lists for dedup graphs are tiny relative to the corpus (only
@@ -36,12 +39,19 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node with the MIN node id of its connected component.
 
     nodes: one row per node (id_col); isolated nodes keep their own label.
     edges: undirected pairs (src_col, dst_col), any orientation.
     Returns (id, label) — label is the component representative.
+
+    stats (optional): mutated in place with {"rounds": N, "converged": b}
+    — N counts executed rounds INCLUDING the final no-change round that
+    detects convergence, so a graph of longest chain L costs about
+    ceil(log2(L)) + 1 rounds (pointer jumping halves label distance per
+    round; asserted in tests/test_extensions.py on a 1k-node chain).
     """
     labels = nodes.select(
         F.col(id_col).cast("bigint").alias("id"),
@@ -60,7 +70,10 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # min label among neighbors (one key shuffle)
         nbr_min = (
             e.join(labels.withColumnRenamed("id", "nbr"), "nbr")
@@ -94,7 +107,11 @@ def connected_components(
         )
         labels = jumped
         if changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels
 
 
@@ -104,6 +121,7 @@ def dedup_clusters(
     id_col: str,
     pair_a: str,
     pair_b: str,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup clustering: (id, cluster_rep, is_rep). `is_rep` marks the
     one row per cluster a keep-one curation pass retains (min id wins —
@@ -119,7 +137,7 @@ def dedup_clusters(
         .distinct()
     )
     cc = connected_components(
-        touched, pairs, id_col="id", src_col=pair_a, dst_col=pair_b
+        touched, pairs, id_col="id", src_col=pair_a, dst_col=pair_b, stats=stats
     )
     base = nodes.select(F.col(id_col).cast("bigint").alias("id"))
     labeled = base.join(cc, "id", "left").select(

@@ -14,6 +14,10 @@ Two paths, per the build contract:
 
 Scores for the oracle gate are integer qdot (bit-exact in DuckDB); the
 float cosine is available via functions/vector.cosine for callers.
+
+lsh_topk eagerly localCheckpoints the quantized+bucketed corpus (it feeds
+both join sides): build-time job + executor-local snapshot, traded against
+a 2x recompute — see the trade-off note in operators/dedup.py.
 """
 
 from __future__ import annotations
@@ -170,16 +174,19 @@ def label_centroid_assignment(embeddings: DataFrame) -> DataFrame:
             "cast(0 as bigint), (acc, v) -> acc + v)"
         ).alias("dist2"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("dist2").asc(), F.col("c_label").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select(
-            "vec_id",
-            "label",
-            F.col("c_label").alias("assigned_label"),
-            (F.col("label") == F.col("c_label")).alias("correct"),
-        )
+    # argmin as a partial aggregate, NOT a window: the broadcast cross join
+    # emits the n x nlists rows inside each corpus partition, so
+    # min(struct(dist2, c_label)) combines map-side and only ~n rows reach
+    # the exchange — a window argmin would shuffle all n x nlists rows
+    # (the round-2 scale-killer; same trick as cdc.compact_latest).
+    best = scored.groupBy("vec_id", "label").agg(
+        F.min(F.struct(F.col("dist2"), F.col("c_label"))).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        "label",
+        F.col("m.c_label").alias("assigned_label"),
+        (F.col("label") == F.col("m.c_label")).alias("correct"),
     )
 
 
@@ -187,7 +194,7 @@ def ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    nprobe: int = 2,
+    nprobe: int = 4,
     dims: int = 64,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the classic two-level ANN.
@@ -208,32 +215,48 @@ def ivf_topk(
     Returns (query_id, neighbor_id, qdot, rnk); may return < k rows per
     query when the probed lists hold fewer than k vectors.
     """
-    q = embeddings.select(
-        "vec_id", "label", V.quantize("embedding").alias("q")
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    # the quantized corpus feeds THREE consumers (centroid sums, corpus
+    # assignment, probe side) and the centroid frame two joins — compute
+    # each once (localCheckpoint trade-off: see operators/dedup.py note)
+    q = (
+        embeddings.select("vec_id", "label", V.quantize("embedding").alias("q"))
+        .repartition(par)
+        .localCheckpoint(eager=True)
     )
-    cent = F.broadcast(_label_centroids(q, dims))
+    cent = F.broadcast(_label_centroids(q, dims).localCheckpoint(eager=True))
     dist2 = F.expr(
         "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
         "cast(0 as bigint), (acc, v) -> acc + v)"
     ).alias("dist2")
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
-    # corpus → inverted lists: argmin-dist2 centroid per vector
+    # corpus → inverted lists: argmin-dist2 centroid per vector, as a
+    # partial aggregate (min of an orderable struct) rather than a window.
+    # The broadcast cross join materializes the n x nlists scored rows
+    # inside each corpus partition, so the min combines map-side and only
+    # ~n rows ever reach the exchange; a row_number window here shuffled
+    # the full n x nlists blow-up (round-2 verdict's one scale-killer).
+    # The vector itself rides the struct (never compared: dist2 + c_label
+    # already order totally within a vec_id group).
+    corpus = (
+        q.crossJoin(cent)
+        .select("vec_id", "q", "c_label", dist2)
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(F.col("dist2"), F.col("c_label"), F.col("q"))
+            ).alias("m")
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("m.q").alias("qc"),
+            F.col("m.c_label").alias("list_id"),
+        )
+    )
+    # queries → nprobe nearest lists each: the window runs over
+    # |query_ids| x nlists rows only (tiny, broadcast downstream) — fine.
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("dist2").asc(), F.col("c_label").asc()
     )
-    corpus = (
-        q.repartition(par)
-        .crossJoin(cent)
-        .select("vec_id", "q", "c_label", dist2)
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .filter(F.col("rnk") == 1)
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("q").alias("qc"),
-            F.col("c_label").alias("list_id"),
-        )
-    )
-    # queries → nprobe nearest lists each
     probes = (
         q.filter(F.col("vec_id").isin(query_ids))
         .crossJoin(cent)

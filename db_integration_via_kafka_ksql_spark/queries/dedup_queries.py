@@ -113,6 +113,7 @@ _SH3 = (
 
 @query(
     "dedup_ngram_jaccard",
+    driver=False,  # uncapped baseline twin of dedup_ngram_jaccard_capped
     oracle=f"""
     WITH sh AS (SELECT doc_id, list_distinct({_SH3}) AS sh FROM documents),
     inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -191,6 +192,7 @@ _EMB_COND = (
 
 @query(
     "dedup_embedding_pairs",
+    driver=False,  # brute-force oracle baseline of the LSH variants
     oracle=f"""
     WITH q AS (
         SELECT vec_id, {_QUANTIZE} AS q,
@@ -217,6 +219,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_pairs_lsh",
+    driver=False,  # single-probe twin of dedup_embedding_pairs_lsh_mp
     oracle=f"""
     WITH q0 AS (
         SELECT vec_id, {_QUANTIZE} AS q,

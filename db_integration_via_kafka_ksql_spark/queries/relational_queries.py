@@ -460,6 +460,7 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "intersect_urgent_open_customers",
+    driver=False,  # set-op twin of semi_join_customers_with_open_orders
     oracle="""
     SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
     INTERSECT
@@ -479,6 +480,7 @@ def intersect_urgent_open_customers(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "except_no_open_order_customers",
+    driver=False,  # set-op twin of anti_join_customers_without_orders
     oracle="""
     SELECT o_custkey FROM orders
     EXCEPT
@@ -521,6 +523,7 @@ def approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "monthly_order_volume",
+    driver=False,  # calendar-rollup twin of events_hourly_counts
     oracle=f"""
     SELECT date_trunc('month', o_orderdate) AS order_month,
            count(*) AS n_orders,

@@ -33,6 +33,7 @@ _QIDS = ", ".join(str(i) for i in QUERY_IDS)
 
 @query(
     "sim_brute_topk",
+    driver=False,  # exact oracle baseline of the LSH/IVF scale paths
     oracle=f"""
     WITH q AS (SELECT vec_id, {_QUANTIZE} AS q FROM embeddings),
     s AS (
@@ -59,6 +60,7 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_lsh_topk",
+    driver=False,  # single-probe twin of sim_lsh_topk_mp
     oracle=f"""
     WITH q0 AS (SELECT vec_id, {_QUANTIZE} AS q FROM embeddings),
     q AS (
@@ -165,14 +167,22 @@ def _centroid_oracle(dims: int) -> str:
     """
 
 
-@query("sim_centroid_assignment", oracle=_centroid_oracle(DIMS))
+@query(
+    "sim_centroid_assignment",
+    driver=False,  # internal stage of sim_ivf_topk (level-1 quantizer)
+    oracle=_centroid_oracle(DIMS),
+)
 def sim_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style coarse quantizer: assign each vector to the nearest
     per-label centroid (exact integer distance math)."""
     return S.label_centroid_assignment(load_table(spark, sf_dir, "embeddings"))
 
 
-NPROBE = 2
+# nprobe calibration (round 3): recall vs brute top-5 measured at
+# nprobe 2/3/4 = 0.40/0.525/0.65 (sf0.001) and 0.375/0.50/0.60 (sf0.01).
+# 4 of 10 lists clears the 0.50 floor at BOTH sfs with headroom while the
+# probe join still touches well under half the corpus.
+NPROBE = 4
 
 
 def _ivf_oracle(dims: int, nprobe: int) -> str:

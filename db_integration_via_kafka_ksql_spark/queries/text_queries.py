@@ -266,3 +266,63 @@ def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+_SAMPLE_PRED = f"""('0x' || substr(md5('{SAMPLE_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < CASE source WHEN 'src0' THEN {SAMPLE_RATES["src0"]}
+                        WHEN 'src1' THEN {SAMPLE_RATES["src1"]}
+                        ELSE {SAMPLE_DEFAULT} END"""
+
+
+@query(
+    "training_mix_curated",
+    # the real training-mix build: hash-Bernoulli stratified sample, THEN
+    # the full curation pass (quality filter → keep-one exact dedup →
+    # per-source token accounting) over the sampled subset only.
+    oracle=f"""
+    WITH sampled AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE {_SAMPLE_PRED}
+    ),
+    scored AS (
+        SELECT doc_id, source, text,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               {_QUALITY_EXPR} AS quality
+        FROM (
+            SELECT doc_id, source, text,
+                   len({_W}) AS n_tok,
+                   len({_DW}) AS n_dis,
+                   {_STOP_SUM} AS stop_hits,
+                   length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+                   length(text) AS n_chars
+            FROM sampled
+        )
+    ),
+    f AS (SELECT * FROM scored WHERE quality >= {CURATION_MIN_QUALITY}),
+    kept AS (
+        SELECT min(doc_id) AS doc_id,
+               arg_min(source, doc_id) AS source,
+               arg_min(n_tokens, doc_id) AS n_tokens
+        FROM f GROUP BY md5(text)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def training_mix_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-mix construction: stratified_sample →
+    curate_corpus chained (sample first, so curation's quality scan only
+    touches the kept fraction — at 100 TB the sample predicate is
+    scan-side column math and the whole pipeline still has exactly the
+    curation pass's two uniform-key shuffles)."""
+    sampled = TA.stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        rates_pct=SAMPLE_RATES,
+        default_pct=SAMPLE_DEFAULT,
+        salt=SAMPLE_SALT,
+    )
+    return TA.curate_corpus(
+        sampled, min_quality=CURATION_MIN_QUALITY, min_tokens=50
+    )

@@ -24,17 +24,40 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Oracle-baseline twins and redundant variants: fully implemented and
+# DuckDB-parity-gated in tests (tests/test_oracle_parity.py runs BOTH
+# registries), but kept OUT of queries() because the external driver
+# verifies at most 50 entries — the 50 driver slots go to the scale-path
+# variant of each family, never to its intentionally-quadratic or
+# single-probe baseline twin.
+AUX_QUERIES: dict[str, QueryFn] = {}
+AUX_ORACLES: dict[str, str] = {}
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query (and optionally its DuckDB oracle SQL)."""
+
+def query(
+    name: str, oracle: str | None = None, driver: bool = True
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query (and optionally its DuckDB oracle SQL).
+
+    driver=False registers into the auxiliary registry: still parity-gated
+    locally, not exported to the external driver's 50-row window."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        (QUERIES if driver else AUX_QUERIES)[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            (ORACLES if driver else AUX_ORACLES)[name] = oracle
         return fn
 
     return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    """Driver + auxiliary queries (for tests and local tooling)."""
+    return {**QUERIES, **AUX_QUERIES}
+
+
+def all_oracles() -> dict[str, str]:
+    return {**ORACLES, **AUX_ORACLES}
 
 
 # importing the query modules populates the registry

@@ -205,6 +205,15 @@ def _avro_to_spark_ddl(schema_json: str) -> str:
         t = f["type"]
         if isinstance(t, list):
             t = next(b for b in t if b != "null")
+        if t not in type_map:
+            # the python codec itself accepts `bytes`, but this JSON-hop
+            # decode path cannot round-trip raw bytes through from_json —
+            # fail loudly instead of a bare KeyError
+            raise ValueError(
+                f"field {f['name']}: Avro type {t!r} not representable on "
+                "the JSON-hop decode path (use the spark-avro jar path for "
+                "bytes-typed fields)"
+            )
         fields.append(f"{f['name']} {type_map[t]}")
     return ", ".join(fields)
 

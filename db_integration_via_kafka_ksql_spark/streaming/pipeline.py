@@ -145,21 +145,34 @@ class CdcPipeline:
                 self.dead_letter(dead)
         self._capture_schema_change(batch_df, epoch_id)
         if self.txn_col and self.txn_col in batch_df.columns:
-            # commit order = first change (min order col) within each txn;
-            # the txn-id list is driver-side but bounded by txns/batch, the
-            # same serial-apply the reference's Connect sink does
-            order = list(self.order_cols)[0]
+            # commit order = first change within each txn, compared on ALL
+            # order cols with the txn id as a deterministic tie-break (two
+            # txns sharing a min offset would otherwise apply in arbitrary
+            # order, breaking last-txn-wins reproducibility). The txn-id
+            # list is driver-side but bounded by txns/batch — the same
+            # serial-apply the reference's Connect sink does. A NULL txn id
+            # (Debezium snapshot events ship no transaction metadata) is a
+            # real group: it must be applied, not dropped, so both the
+            # groupBy collect and the per-txn filter are null-safe.
+            firsts = [
+                F.min(c).alias(f"_first{i}") for i, c in enumerate(self.order_cols)
+            ]
             txns = [
                 r[0]
                 for r in batch_df.groupBy(self.txn_col)
-                .agg(F.min(order).alias("_first"))
-                .orderBy("_first")
+                .agg(*firsts)
+                .orderBy(
+                    *[f"_first{i}" for i in range(len(self.order_cols))],
+                    self.txn_col,
+                )
                 .select(self.txn_col)
                 .collect()
             ]
             for t in txns:
                 self._apply(
-                    batch_df.filter(F.col(self.txn_col) == F.lit(t)).drop(self.txn_col)
+                    batch_df.filter(
+                        F.col(self.txn_col).eqNullSafe(F.lit(t))
+                    ).drop(self.txn_col)
                 )
         else:
             self._apply(batch_df)

@@ -242,23 +242,32 @@ def test_lsh_recall_vs_brute_with_documented_floors(spark, sf_dir):
 
 
 def test_ivf_recall_vs_brute(spark, sf_dir):
-    """IVF top-k recall at nprobe=2 of 10 lists vs the exact brute twin.
+    """IVF top-k recall at the default nprobe=4 of 10 lists vs the exact
+    brute twin.
 
     Scores are identical integer qdots in both paths, so every IVF hit is
     also correct (subset property on (query, neighbor, qdot) triples);
     recall is governed purely by whether true neighbors land in a probed
-    list. The floor is the measured sf0.01 value with headroom."""
+    list. Floor 0.50 — measured (round 3) 0.65 at sf0.001 and 0.60 at
+    sf0.01 at nprobe=4 (nprobe=2 measured 0.40/0.375, below floor — that
+    is why 4 is the default, not a weakened floor). More probes must not
+    lose pairs (monotonicity assert)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qids = list(range(8))
     exact = {
         (r["query_id"], r["neighbor_id"])
         for r in S.brute_topk(emb, qids, k=5).collect()
     }
-    ivf_rows = S.ivf_topk(emb, qids, k=5, nprobe=2).collect()
+    ivf_rows = S.ivf_topk(emb, qids, k=5, nprobe=4).collect()
     ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
     recall = len(ivf & exact) / len(exact)
-    print(f"ivf top-k recall (nprobe=2): {recall:.3f}")
+    print(f"ivf top-k recall (nprobe=4): {recall:.3f}")
     assert recall >= 0.50
+    narrow = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, qids, k=5, nprobe=2).collect()
+    }
+    assert len(narrow & exact) <= len(ivf & exact)
     # nprobe = nlists degenerates to exact search over all lists
     full = {
         (r["query_id"], r["neighbor_id"])
@@ -292,6 +301,26 @@ def test_connected_components_long_chain_converges_fast(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
     out = G.connected_components(nodes, edges, max_iter=10).collect()
     assert {r["label"] for r in out} == {0}
+
+
+def test_connected_components_1k_chain_round_bound(spark):
+    """The O(log n) claim, measured: a 1000-node chain (the worst case for
+    label propagation) must converge in <= ceil(log2(n)) + 1 executed
+    rounds (the +1 is the final no-change round that detects
+    convergence)."""
+    import math
+
+    from db_integration_via_kafka_ksql_spark.operators import graph as G
+
+    n = 1000
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    stats: dict = {}
+    out = G.connected_components(nodes, edges, max_iter=25, stats=stats).collect()
+    assert {r["label"] for r in out} == {0}
+    assert stats["converged"]
+    bound = math.ceil(math.log2(n)) + 1
+    assert stats["rounds"] <= bound, f"{stats['rounds']} rounds > {bound}"
 
 
 def test_dedup_clusters_keep_one_mask(spark, sf_dir):

@@ -8,13 +8,15 @@ from __future__ import annotations
 import pytest
 
 from db_integration_via_kafka_ksql_spark.plans.audit import audit
-from db_integration_via_kafka_ksql_spark.registry import QUERIES
+from db_integration_via_kafka_ksql_spark.registry import all_queries
 
 
 @pytest.fixture(scope="module")
 def reports(spark, sf_dir):
+    queries = all_queries()
+
     def build(name):
-        return audit(QUERIES[name](spark, sf_dir))
+        return audit(queries[name](spark, sf_dir))
 
     return build
 
@@ -77,3 +79,18 @@ def test_brute_topk_broadcasts_queries(reports):
     r = reports("sim_brute_topk")
     # query set is broadcast; corpus side never shuffles before scoring
     assert r.n_broadcast_exchanges >= 1
+
+
+def test_ivf_assignment_is_partial_agg_not_window(reports):
+    # round-2 verdict's scale-killer: corpus→list assignment must be a
+    # map-side-combined aggregate (~n rows to the exchange), never a
+    # row_number window over the n x nlists cross product.
+    r = reports("sim_centroid_assignment")
+    assert r.has_partial_aggregate
+    assert r.windows == 0, "centroid assignment regressed to a window argmin"
+
+    r = reports("sim_ivf_topk")
+    assert r.has_partial_aggregate
+    # only the (|queries| x nlists) probe ranking and the final per-query
+    # top-k may use windows — never the corpus assignment
+    assert r.windows <= 2, "IVF corpus assignment regressed to a window argmin"

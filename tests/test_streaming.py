@@ -346,3 +346,40 @@ def test_txn_atomic_application(harness, spark):
         [(1, "a_v1"), (2, "b_v1")],
         [(2, "b_v2"), (3, "new")],
     ]
+
+
+def test_txn_null_metadata_rows_are_applied(harness, spark):
+    """S6 edge: Debezium snapshot events carry NULL transaction metadata.
+    A NULL txn id must be applied as its own atomic unit, not silently
+    dropped (an equality filter never matches NULL — the round-2 advisor
+    finding: enabling txn_col on a topic holding snapshot records would
+    lose the entire snapshot)."""
+    calls = []
+
+    class RecordingSink:
+        def write_batch(self, upserts, delete_keys):
+            calls.append(sorted((r["id"], r["title"]) for r in upserts.collect()))
+
+    pipe = CdcPipeline(
+        source=None,
+        key_cols=["id"],
+        order_cols=["offset"],
+        sink=RecordingSink(),
+        txn_col="txn_id",
+        query_name="test_txn_null",
+    )
+    batch = spark.createDataFrame(
+        [
+            # snapshot rows: no txn metadata, lowest offsets → apply first
+            (None, 1, "snap_v1", "false", 1),
+            (None, 2, "snap_v2", "false", 2),
+            # streaming txn A afterwards, updating key 1
+            ("A", 1, "a_v2", "false", 3),
+        ],
+        ["txn_id", "id", "title", "__deleted", "offset"],
+    )
+    pipe.process_batch(batch, 0)
+    assert calls == [
+        [(1, "snap_v1"), (2, "snap_v2")],
+        [(1, "a_v2")],
+    ]
