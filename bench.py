@@ -72,12 +72,17 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def cc_stress(spark, sf_dir: str) -> tuple[float, int, int]:
-    """Connected-components over the sf-dir's multi-probe LSH pair set
-    (the dedup_clusters_embedding scale path), returning (sec, rounds,
-    n_clustered). Rounds INCLUDE the final no-change convergence round;
-    the O(log n) pointer-jumping claim means this stays ~10 even as the
-    pair graph grows 100x."""
+def cc_stress(spark, sf_dir: str) -> dict:
+    """The dedup_clusters_embedding scale path, two ways over the same
+    multi-probe LSH pair set:
+
+    - production (strategy=auto): pair generation + size-adaptive
+      clustering, timed end-to-end — this is the headline row;
+    - distributed iteration (strategy=distributed) on the SAME pairs:
+      rounds-to-convergence + wall time, evidencing the O(log n)
+      pointer-jumping claim for the >DRIVER_CC_MAX_EDGES regime that the
+      auto path would route there at real scale.
+    """
     from db_integration_via_kafka_ksql_spark.io import load_table
     from db_integration_via_kafka_ksql_spark.operators import dedup as D
     from db_integration_via_kafka_ksql_spark.operators import graph as G
@@ -88,20 +93,42 @@ def cc_stress(spark, sf_dir: str) -> tuple[float, int, int]:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+
+    def pair_frame():
+        return D.embedding_dup_pairs(
+            emb,
+            threshold_pct=EMB_THRESHOLD_PCT,
+            n_planes=EMB_LSH_PLANES,
+            dims=DIMS,
+            multiprobe=True,
+        )
+
     stats: dict = {}
     t0 = time.perf_counter()
-    pairs = D.embedding_dup_pairs(
-        emb,
-        threshold_pct=EMB_THRESHOLD_PCT,
-        n_planes=EMB_LSH_PLANES,
-        dims=DIMS,
-        multiprobe=True,
+    out = G.dedup_clusters(
+        emb, pair_frame(), "vec_id", "vec_a", "vec_b", stats=stats
     )
-    out = G.dedup_clusters(emb, pairs, "vec_id", "vec_a", "vec_b", stats=stats)
     run_query(out)
-    dt = time.perf_counter() - t0
+    auto_sec = time.perf_counter() - t0
     n_clustered = out.filter("vec_id <> cluster_rep").count()
-    return dt, stats.get("rounds", -1), n_clustered
+
+    dstats: dict = {}
+    t0 = time.perf_counter()
+    run_query(
+        G.dedup_clusters(
+            emb, pair_frame(), "vec_id", "vec_a", "vec_b",
+            stats=dstats, strategy="distributed",
+        )
+    )
+    dist_sec = time.perf_counter() - t0
+    return {
+        "auto_sec": round(auto_sec, 4),
+        "auto_strategy": stats.get("strategy"),
+        "n_edges": stats.get("n_edges"),
+        "docs_clustered": n_clustered,
+        "distributed_sec": round(dist_sec, 4),
+        "distributed_rounds": dstats.get("rounds"),
+    }
 
 
 def replay_throughput(spark, n_events: int, n_keys: int) -> float:
@@ -173,8 +200,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
-    cc_sec, cc_rounds, cc_n = cc_stress(spark, sf_dir)
-    timings["dedup_clusters_embedding"] = round(cc_sec, 4)
+    cc = cc_stress(spark, sf_dir)
+    timings["dedup_clusters_embedding"] = cc["auto_sec"]
 
     n_events = int(os.environ.get("SPARK_GRAFT_REPLAY_EVENTS", "5000000"))
     replay_rate = replay_throughput(spark, n_events, max(n_events // 10, 1))
@@ -188,8 +215,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "cc_rounds_to_convergence": cc_rounds,
-                "cc_docs_clustered": cc_n,
+                "cc": cc,
                 "replay_events_per_sec": round(replay_rate),
                 "replay_n_events": n_events,
             }

@@ -32,6 +32,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(edge_rows: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find with path compression; parent pointers always point to
+    the smaller id, so every root IS its component's min — the same label
+    convention as the distributed path."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -40,6 +65,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 25,
     stats: dict | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Label every node with the MIN node id of its connected component.
 
@@ -47,11 +73,25 @@ def connected_components(
     edges: undirected pairs (src_col, dst_col), any orientation.
     Returns (id, label) — label is the component representative.
 
-    stats (optional): mutated in place with {"rounds": N, "converged": b}
-    — N counts executed rounds INCLUDING the final no-change round that
-    detects convergence, so a graph of longest chain L costs about
+    strategy:
+    - "auto" (default): count the (already materialized) edge list; if it
+      fits on the driver (<= DRIVER_CC_MAX_EDGES) run union-find there and
+      broadcast the label map back — near-dup edge lists are typically
+      minuscule next to the corpus, and the iterative path's per-round job
+      overhead dwarfs a one-pass collect at that size. Larger edge lists
+      take the distributed iteration.
+    - "distributed": always iterate (min-label propagation + pointer
+      jumping, O(log n) rounds).
+    - "driver": always collect — raises above DRIVER_CC_MAX_EDGES.
+    Both paths produce the identical labeling (equivalence-tested).
+
+    stats (optional): mutated in place with {"rounds": N, "converged": b,
+    "strategy": s, "n_edges": m}. On the distributed path N counts
+    executed rounds INCLUDING the final no-change round that detects
+    convergence, so a graph of longest chain L costs about
     ceil(log2(L)) + 1 rounds (pointer jumping halves label distance per
-    round; asserted in tests/test_extensions.py on a 1k-node chain).
+    round; asserted in tests/test_extensions.py on a 1k-node chain). On
+    the driver path N is 0.
     """
     labels = nodes.select(
         F.col(id_col).cast("bigint").alias("id"),
@@ -70,6 +110,38 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
+    if strategy not in ("auto", "distributed", "driver"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy != "distributed":
+        # e is doubled (both orientations); n_edges counts the originals
+        n_edges = e.count() // 2
+        if n_edges <= DRIVER_CC_MAX_EDGES:
+            mapping = _driver_union_find(
+                [(r["id"], r["nbr"]) for r in e.filter("id < nbr").collect()]
+            )
+            if stats is not None:
+                stats.update(
+                    rounds=0, converged=True,
+                    strategy="driver_union_find", n_edges=n_edges,
+                )
+            spark = nodes.sparkSession
+            if not mapping:
+                return labels
+            map_df = F.broadcast(
+                spark.createDataFrame(
+                    list(mapping.items()), "id bigint, new_label bigint"
+                )
+            )
+            return labels.join(map_df, "id", "left").select(
+                "id", F.coalesce("new_label", "label").alias("label")
+            )
+        if strategy == "driver":
+            raise ValueError(
+                f"driver strategy refused: {n_edges} edges > "
+                f"{DRIVER_CC_MAX_EDGES} (use auto/distributed)"
+            )
+    if stats is not None:
+        stats["strategy"] = "distributed"
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -122,6 +194,7 @@ def dedup_clusters(
     pair_a: str,
     pair_b: str,
     stats: dict | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Near-dup clustering: (id, cluster_rep, is_rep). `is_rep` marks the
     one row per cluster a keep-one curation pass retains (min id wins —
@@ -131,13 +204,22 @@ def dedup_clusters(
     graphs that is a small fraction of the corpus (near-dup candidates),
     so the per-round frames are edge-sized, not corpus-sized; isolated
     docs are their own representative via the final left join."""
+    # the pair frame feeds four consumers (both unions below, twice each);
+    # without a one-shot materialization the (expensive) candidate join
+    # that produced it recomputes per consumer — measured 22s → 15s at
+    # sf0.1 bench. Edge-sized, so the snapshot is tiny.
+    pairs = pairs.select(
+        F.col(pair_a).cast("bigint").alias(pair_a),
+        F.col(pair_b).cast("bigint").alias(pair_b),
+    ).localCheckpoint(eager=True)
     touched = (
-        pairs.select(F.col(pair_a).cast("bigint").alias("id"))
-        .union(pairs.select(F.col(pair_b).cast("bigint").alias("id")))
+        pairs.select(F.col(pair_a).alias("id"))
+        .union(pairs.select(F.col(pair_b).alias("id")))
         .distinct()
     )
     cc = connected_components(
-        touched, pairs, id_col="id", src_col=pair_a, dst_col=pair_b, stats=stats
+        touched, pairs, id_col="id", src_col=pair_a, dst_col=pair_b,
+        stats=stats, strategy=strategy,
     )
     base = nodes.select(F.col(id_col).cast("bigint").alias("id"))
     labeled = base.join(cc, "id", "left").select(

@@ -195,3 +195,30 @@ def stratified_sample(
         % 100
     )
     return docs.filter(bucket < rate)
+
+
+def epoch_split(
+    docs: DataFrame,
+    n_epochs: int,
+    salt: str = "epoch1",
+    id_col: str = "doc_id",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic replacement-free epoch assignment: every doc lands in
+    EXACTLY one of n_epochs partitions (epoch = md5(salt|id) mod n), so
+    multi-epoch training sees each document once per salt — the
+    without-replacement guarantee `stratified_sample`'s independent
+    Bernoulli draws cannot give. Rotating the salt reshuffles membership
+    for the next pass. Scan-side column math, zero shuffle; filtering one
+    epoch prunes at the scan exactly like the sampler."""
+    if n_epochs < 1:
+        raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
+    assigned = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % n_epochs
+    )
+    return docs.withColumn(epoch_col, assigned.cast("int"))

@@ -287,8 +287,15 @@ def test_connected_components_chain_cycle_isolated(spark):
         [(2, 1), (2, 3), (3, 4), (4, 5), (6, 7), (7, 8), (8, 6)],
         ["src", "dst"],
     )
-    out = {r["id"]: r["label"] for r in G.connected_components(nodes, edges).collect()}
-    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 6, 9: 9}
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 6, 9: 9}
+    for strategy in ("driver", "distributed"):
+        out = {
+            r["id"]: r["label"]
+            for r in G.connected_components(
+                nodes, edges, strategy=strategy
+            ).collect()
+        }
+        assert out == expected, strategy
 
 
 def test_connected_components_long_chain_converges_fast(spark):
@@ -299,7 +306,9 @@ def test_connected_components_long_chain_converges_fast(spark):
     n = 64
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
-    out = G.connected_components(nodes, edges, max_iter=10).collect()
+    out = G.connected_components(
+        nodes, edges, max_iter=10, strategy="distributed"
+    ).collect()
     assert {r["label"] for r in out} == {0}
 
 
@@ -316,11 +325,45 @@ def test_connected_components_1k_chain_round_bound(spark):
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
     stats: dict = {}
-    out = G.connected_components(nodes, edges, max_iter=25, stats=stats).collect()
+    out = G.connected_components(
+        nodes, edges, max_iter=25, stats=stats, strategy="distributed"
+    ).collect()
     assert {r["label"] for r in out} == {0}
     assert stats["converged"]
     bound = math.ceil(math.log2(n)) + 1
     assert stats["rounds"] <= bound, f"{stats['rounds']} rounds > {bound}"
+
+
+def test_connected_components_driver_matches_distributed(spark):
+    """The auto/driver union-find shortcut must produce the identical
+    labeling as the distributed iteration on a messy random graph
+    (multi-component, cycles, duplicate + reversed edges, isolates)."""
+    import random
+
+    from db_integration_via_kafka_ksql_spark.operators import graph as G
+
+    rng = random.Random(7)
+    n = 400
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    edges += [(b, a) for a, b in edges[:50]] + edges[:20]  # reversed + dup
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    stats_drv: dict = {}
+    drv = {
+        r["id"]: r["label"]
+        for r in G.connected_components(
+            nodes, e, strategy="driver", stats=stats_drv
+        ).collect()
+    }
+    dist = {
+        r["id"]: r["label"]
+        for r in G.connected_components(
+            nodes, e, strategy="distributed"
+        ).collect()
+    }
+    assert drv == dist
+    assert stats_drv["strategy"] == "driver_union_find"
+    assert stats_drv["rounds"] == 0
 
 
 def test_dedup_clusters_keep_one_mask(spark, sf_dir):
@@ -371,3 +414,34 @@ def test_stratified_sample_deterministic_and_rate(spark, sf_dir):
     # rate 0 and 100 are exact
     assert TA.stratified_sample(docs, {}, default_pct=0).count() == 0
     assert TA.stratified_sample(docs, {}, default_pct=100).count() == n
+
+
+def test_epoch_split_is_replacement_free_partition(spark, sf_dir):
+    """Epochs are a deterministic PARTITION of the corpus: disjoint,
+    exhaustive, stable under re-run; a new salt reshuffles membership."""
+    from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    split = TA.epoch_split(docs, n_epochs=4)
+    counts = {r["epoch"]: r["n"] for r in split.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {0, 1, 2, 3}          # all epochs populated
+    assert sum(counts.values()) == n            # exhaustive
+    # each doc in exactly one epoch (no replacement across epochs)
+    assert split.select("doc_id").distinct().count() == n
+    e0 = {r["doc_id"] for r in split.filter("epoch = 0").collect()}
+    e0_again = {
+        r["doc_id"]
+        for r in TA.epoch_split(docs, n_epochs=4).filter("epoch = 0").collect()
+    }
+    assert e0 == e0_again                       # deterministic
+    e0_rot = {
+        r["doc_id"]
+        for r in TA.epoch_split(docs, n_epochs=4, salt="epoch2")
+        .filter("epoch = 0")
+        .collect()
+    }
+    assert e0 != e0_rot                         # salt rotation reshuffles
+    with pytest.raises(ValueError, match="n_epochs"):
+        TA.epoch_split(docs, n_epochs=0)
