@@ -104,12 +104,14 @@ def cc_stress(spark, sf_dir: str) -> dict:
         )
 
     stats: dict = {}
-    t0 = time.perf_counter()
-    out = G.dedup_clusters(
-        emb, pair_frame(), "vec_id", "vec_a", "vec_b", stats=stats
-    )
-    run_query(out)
-    auto_sec = time.perf_counter() - t0
+    auto_sec = float("inf")
+    for _ in range(2):  # best-of-2, same methodology as the headline rows
+        t0 = time.perf_counter()
+        out = G.dedup_clusters(
+            emb, pair_frame(), "vec_id", "vec_a", "vec_b", stats=stats
+        )
+        run_query(out)
+        auto_sec = min(auto_sec, time.perf_counter() - t0)
     n_clustered = out.filter("vec_id <> cluster_rep").count()
 
     dstats: dict = {}
