@@ -133,6 +133,101 @@ def cc_stress(spark, sf_dir: str) -> dict:
     }
 
 
+def propagation_latency(
+    spark, n_probes: int = 5, trigger_seconds: float = 2.0
+) -> dict:
+    """End-to-end change propagation latency through the full CdcPipeline
+    (file-changelog stream → per-batch compaction → sink apply) at the
+    reference's 2 s commit cadence: wall time from a change file landing
+    in the source directory to that key being applied at the sink.
+
+    Reference budget: ≤10 s documented wait (README.md:146-147,176-178);
+    the commit interval itself is 2 s (docker-compose.yaml:273), so the
+    floor for any single change is ~trigger/2 on average plus batch cost.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from db_integration_via_kafka_ksql_spark.sources.changelog import (
+        file_changelog_stream,
+    )
+    from db_integration_via_kafka_ksql_spark.streaming.pipeline import CdcPipeline
+
+    schema = StructType(
+        [
+            StructField("key_id", LongType()),
+            StructField("payload", StringType()),
+            StructField("__deleted", StringType()),
+            StructField("offset", LongType()),
+        ]
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_latency_")
+    try:
+        src = os.path.join(tmp, "changelog")
+        os.makedirs(src)
+
+        def drop_file(key: int) -> None:
+            # write outside the watched dir, then rename in (atomic visibility)
+            table = pa.table(
+                {
+                    "key_id": pa.array([key], pa.int64()),
+                    "payload": pa.array([f"v{key}"], pa.string()),
+                    "__deleted": pa.array(["false"], pa.string()),
+                    "offset": pa.array([key], pa.int64()),
+                }
+            )
+            staged = os.path.join(tmp, f"stage_{key}.parquet")
+            pq.write_table(table, staged)
+            os.rename(staged, os.path.join(src, f"batch_{key}.parquet"))
+
+        seen: set[int] = set()
+
+        class CollectSink:
+            def write_batch(self, upserts, delete_keys) -> None:
+                for r in upserts.select("key_id").collect():
+                    seen.add(r[0])
+
+        drop_file(0)  # seed batch so the stream reaches steady state first
+        pipe = CdcPipeline(
+            source=file_changelog_stream(spark, src, schema, max_files_per_trigger=16),
+            key_cols=["key_id"],
+            order_cols=["offset"],
+            sink=CollectSink(),
+            checkpoint_dir=os.path.join(tmp, "ckpt"),
+            trigger_seconds=trigger_seconds,
+            query_name="bench_latency",
+        )
+        q = pipe.start()
+        try:
+            deadline = time.perf_counter() + 60
+            while 0 not in seen and time.perf_counter() < deadline:
+                time.sleep(0.02)
+            lats = []
+            for i in range(1, n_probes + 1):
+                t0 = time.perf_counter()
+                drop_file(i)
+                while i not in seen and time.perf_counter() - t0 < 60:
+                    time.sleep(0.02)
+                lats.append(time.perf_counter() - t0)
+        finally:
+            q.stop()
+        lats.sort()
+        return {
+            "p50_sec": round(lats[len(lats) // 2], 3),
+            "max_sec": round(lats[-1], 3),
+            "n_probes": n_probes,
+            "trigger_seconds": trigger_seconds,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def replay_throughput(spark, n_events: int, n_keys: int) -> float:
     """Changelog replay-rebuild events/s (the reference's headline metric:
     ~100K msgs/s ksqlDB TABLE rebuild, TOMBSTONE_HANDLING_GUIDE.md:336-339).
@@ -208,6 +303,10 @@ def main() -> None:
     n_events = int(os.environ.get("SPARK_GRAFT_REPLAY_EVENTS", "5000000"))
     replay_rate = replay_throughput(spark, n_events, max(n_events // 10, 1))
 
+    latency = propagation_latency(
+        spark, n_probes=int(os.environ.get("SPARK_GRAFT_LATENCY_PROBES", "5"))
+    )
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -220,6 +319,7 @@ def main() -> None:
                 "cc": cc,
                 "replay_events_per_sec": round(replay_rate),
                 "replay_n_events": n_events,
+                "propagation_latency": latency,
             }
         )
     )

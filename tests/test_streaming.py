@@ -383,3 +383,16 @@ def test_txn_null_metadata_rows_are_applied(harness, spark):
         [(1, "snap_v1"), (2, "snap_v2")],
         [(1, "a_v2")],
     ]
+
+
+def test_propagation_latency_bench_plumbing(spark):
+    """The bench's end-to-end latency probe (file lands in the changelog
+    dir → key applied at the sink) completes and reports sane numbers.
+    The latency *value* is host-dependent; here we only pin that a change
+    actually propagates through the live StreamingQuery within the 60 s
+    probe timeout (a timed-out probe would report ~60 s)."""
+    import bench
+
+    out = bench.propagation_latency(spark, n_probes=1, trigger_seconds=0.5)
+    assert out["n_probes"] == 1
+    assert 0 < out["p50_sec"] <= out["max_sec"] < 55
