@@ -94,3 +94,66 @@ def test_ivf_assignment_is_partial_agg_not_window(reports):
     # only the (|queries| x nlists) probe ranking and the final per-query
     # top-k may use windows — never the corpus assignment
     assert r.windows <= 2, "IVF corpus assignment regressed to a window argmin"
+
+
+def test_star_join_all_dims_broadcast_single_shuffle(reports):
+    """The star join's scale shape: every dimension (orders side included)
+    broadcasts, so the fact table is scanned once and shuffled exactly
+    once — for the final groupBy, never for a join."""
+    r = reports("star_sales_by_region_segment")
+    assert r.broadcast_hash_joins == 4
+    assert r.sort_merge_joins == 0
+    assert r.nested_loop_joins == 0
+    assert r.n_shuffle_exchanges == 1
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        assert len(r.scans[t].read_columns) <= 3, f"{t} scan not pruned"
+
+
+def test_asof_join_is_union_sort_window_not_join(reports):
+    """As-of join compiles to union + single keyed shuffle + window —
+    no join node at all, and in particular nothing quadratic."""
+    r = reports("asof_join_events")
+    assert r.n_shuffle_exchanges == 1
+    assert r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins == 0
+    assert r.windows == 1
+
+
+def test_range_join_is_bucketed_equi_not_cartesian(reports):
+    """The keyed point-in-interval join must stay a broadcast equi-join
+    on the bucket key — a cartesian/nested-loop here explodes at scale."""
+    r = reports("range_join_events_sessions")
+    assert r.nested_loop_joins == 0
+    assert r.broadcast_hash_joins == 1
+
+
+def test_curation_composite_one_scan_two_shuffles(reports):
+    """Corpus curation (quality filter → keep-one dedup → per-source
+    stats) reads documents ONCE and shuffles twice (dedup key, then
+    source key) — the min(struct) keep-one rides the aggregate, no
+    join-back to the corpus."""
+    for name in ("corpus_curation_stats", "training_mix_curated"):
+        r = reports(name)
+        assert list(r.scans) == ["documents"], name
+        assert r.n_shuffle_exchanges == 2, name
+        assert r.has_partial_aggregate, name
+        assert r.broadcast_hash_joins + r.sort_merge_joins == 0, name
+
+
+def test_embedding_pair_join_never_nested_loop(reports):
+    """Multi-probe LSH pair generation joins on the band bucket —
+    broadcast-hash on the (checkpointed) compact side, and never a
+    nested-loop/cartesian fallback."""
+    r = reports("dedup_embedding_pairs_lsh_mp")
+    assert r.nested_loop_joins == 0
+    assert r.broadcast_hash_joins == 1
+
+
+def test_upsert_merge_is_partial_agg_no_window(reports):
+    """Two-changelog merge compacts via max(struct) partial aggregation
+    (map-side combine before each of its two key shuffles) — regression
+    guard against the row_number-window formulation, which shuffles
+    every version of every key."""
+    r = reports("cdc_upsert_merge")
+    assert r.has_partial_aggregate
+    assert r.windows == 0
+    assert r.n_shuffle_exchanges == 2
