@@ -25,6 +25,7 @@ class ScanInfo:
     location: str
     read_columns: list[str]
     pushed_filters: list[str]
+    partition_filters: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -97,6 +98,7 @@ def audit(df: DataFrame) -> PlanReport:
         loc = re.search(r"Location:.*?\[(.*?)\]", block)
         schema = re.search(r"ReadSchema: struct<(.*?)>", block, re.S)
         pushed = re.search(r"PushedFilters: \[(.*?)\]", block)
+        part = re.search(r"PartitionFilters: \[(.*?)\]", block)
         location = loc.group(1) if loc else "?"
         name = location.rstrip("/").split("/")[-1].replace(".parquet", "")
         cols = (
@@ -109,5 +111,10 @@ def audit(df: DataFrame) -> PlanReport:
             if pushed
             else []
         )
-        r.scans[name] = ScanInfo(location, cols, filters)
+        part_filters = (
+            [f.strip() for f in part.group(1).split(",") if f.strip()]
+            if part
+            else []
+        )
+        r.scans[name] = ScanInfo(location, cols, filters, part_filters)
     return r

@@ -10,4 +10,7 @@ auto.create/auto.evolve, batch+retry, error tolerance
                 (K4-K5); test-grade (sqlite) but contract-complete
 - jdbc.py     — the cluster-scale path: executors stage the batch via
                 spark JDBC, one server-side MERGE applies it (K1)
+- dataset.py  — partitioned training-dataset materialization (extension
+                surface): hive-partitioned parquet with bounded file
+                counts and pruning-verified reads
 """
