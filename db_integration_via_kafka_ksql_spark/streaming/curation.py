@@ -1,0 +1,131 @@
+"""Incremental corpus curation: streaming ingest → dedup → partitioned append.
+
+The batch pass (`operators/text_analysis.curate_corpus`) answers "what
+survives curation today?"; this module runs the same column math
+continuously: documents stream in (file source standing in for a topic,
+as in the CDC tests), each micro-batch is quality-filtered, deduped
+within the batch AND against everything already accepted, and appended to
+the hive-partitioned dataset trainers read (`sinks/dataset.py` layout).
+
+Design mirrors the CDC pipeline's external-state stance:
+
+- **cross-batch dedup state** is a hash-keyed `ParquetStateStore` (the
+  same store the CDC TABLE uses) — size ∝ unique accepted docs, one
+  md5-key shuffle per batch;
+- **exactly-once append without a transactional table format**: each
+  micro-batch writes ONLY its own `ingest_batch=<epoch_id>` partitions
+  via dynamic partition overwrite. A replayed batch recomputes the same
+  accepted set (the state is unchanged until after the write) and
+  overwrites its own partitions instead of duplicating them; if the
+  failure happened after the state update, the replay's anti-join yields
+  an empty batch, dynamic overwrite touches no partitions, and the
+  earlier append stands. Either way replays converge.
+- **the dataset is the recovery log**: `rebuild_state()` derives the
+  dedup state from the dataset itself (distinct hashes), so losing the
+  state directory costs one scan, not correctness — the same
+  "log is the source of truth" rebuild as `ParquetStateStore.rebuild`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+    quality_scores,
+)
+from db_integration_via_kafka_ksql_spark.streaming.state import ParquetStateStore
+
+
+@dataclass
+class StreamingCurator:
+    """Continuous curation into a partitioned training dataset."""
+
+    spark: SparkSession
+    dataset_path: str
+    state_path: str
+    min_quality: float = 0.75
+    min_tokens: int = 50
+    batch_col: str = "ingest_batch"
+    checkpoint_dir: str | None = None
+    trigger_seconds: float = 2.0
+    query_name: str = "streaming_curation"
+
+    def __post_init__(self) -> None:
+        self.state = ParquetStateStore(
+            self.spark, self.state_path, key_cols=["h"], order_cols=["offset"]
+        )
+
+    # -- per-batch plan ---------------------------------------------------
+    def curate_batch(self, docs: DataFrame) -> DataFrame:
+        """Quality filter + within-batch keep-one: the batch pass's exact
+        shape (one scan, keep-one riding a min(struct) aggregate)."""
+        f = quality_scores(
+            docs, min_tokens=self.min_tokens, keep_cols=("source", "text")
+        ).filter(F.col("quality") >= self.min_quality)
+        return (
+            f.groupBy(F.md5("text").alias("h"))
+            .agg(
+                F.min(
+                    F.struct("doc_id", "source", "text", "n_tokens", "quality")
+                ).alias("r")
+            )
+            .select("h", "r.*")
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """One micro-batch: curate, drop already-accepted hashes, append
+        this batch's partitions (idempotent overwrite), then record the
+        new hashes in the dedup state."""
+        kept = self.curate_batch(batch_df)
+        if self.state.exists():
+            kept = kept.join(self.state.read().select("h"), on="h", how="left_anti")
+        accepted = kept.withColumn(
+            self.batch_col, F.lit(epoch_id).cast("bigint")
+        ).localCheckpoint()  # computed once: dataset write + state update
+        (
+            accepted.repartition(F.col("source"))
+            .sortWithinPartitions("source", "doc_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.batch_col, "source")
+            .parquet(self.dataset_path)
+        )
+        self.state.apply_batch(
+            accepted.select(
+                "h",
+                F.col(self.batch_col).alias("offset"),
+                F.lit("false").alias("__deleted"),
+            )
+        )
+
+    # -- surfaces ---------------------------------------------------------
+    def read_corpus(self) -> DataFrame:
+        """The accepted corpus as trainers read it (partition-pruned on
+        ingest_batch/source filters)."""
+        return self.spark.read.parquet(self.dataset_path)
+
+    def rebuild_state(self) -> None:
+        """Recover the dedup state from the dataset itself (one scan)."""
+        self.state.rebuild(
+            self.read_corpus().select(
+                "h",
+                F.col(self.batch_col).cast("bigint").alias("offset"),
+                F.lit("false").alias("__deleted"),
+            )
+        )
+
+    def start(self, doc_stream: DataFrame) -> StreamingQuery:
+        writer = (
+            doc_stream.writeStream.queryName(self.query_name)
+            .foreachBatch(self.process_batch)
+            .outputMode("update")
+        )
+        if self.checkpoint_dir:
+            writer = writer.option("checkpointLocation", self.checkpoint_dir)
+        if self.trigger_seconds:
+            writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
+        return writer.start()
