@@ -60,6 +60,10 @@ HEADLINE = [
     "sim_lsh_topk_mp",
     "sim_ivf_topk",
     "text_fingerprints",
+    "text_repetition_scores",
+    "decontam_ngram_overlap",
+    "seq_packing_offsets",
+    "pii_scrub_contacts",
     "mm_byte_features",
     "asof_join_events",
     "range_join_events_sessions",

@@ -78,14 +78,22 @@ def shingles(text: str | Column = "text", n: int = 3) -> Column:
     )
 
 
-def shingles_of_words(words_col: str, text_col: str, n: int = 3) -> Column:
-    """`shingles` over a pre-projected words array (computed ONCE per row
-    at the projection boundary — no per-shingle re-split). Same output."""
-    return F.expr(
+def shingles_of_words_sql(words_col: str, text_col: str, n: int = 3) -> str:
+    """Raw Spark-SQL fragment of `shingles_of_words` — for callers that
+    must compose it inside a larger lambda expression (nesting a
+    python-side F.transform over an expr-built lambda array mis-resolves
+    the inner lambda variable; keep the whole nest in one SQL string)."""
+    return (
         f"CASE WHEN size({words_col}) < {n} THEN array({text_col}) "
         f"ELSE transform(sequence(1, size({words_col}) - {n - 1}), "
         f"i -> concat_ws(' ', slice({words_col}, i, {n}))) END"
     )
+
+
+def shingles_of_words(words_col: str, text_col: str, n: int = 3) -> Column:
+    """`shingles` over a pre-projected words array (computed ONCE per row
+    at the projection boundary — no per-shingle re-split). Same output."""
+    return F.expr(shingles_of_words_sql(words_col, text_col, n))
 
 
 def salted_hash(value: Column, salt: int) -> Column:

@@ -197,6 +197,205 @@ def stratified_sample(
     return docs.filter(bucket < rate)
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1), adapted to
+    the corpus's single-line documents: per-doc fraction of tokens covered
+    by (a) the most frequent word n-gram and (b) all duplicated word
+    n-grams, for n in {2, 3}. High values mark boilerplate / degenerate
+    repetition — the standard pre-training repetition cut.
+
+    Scale shape: ONE explode over per-doc n-gram arrays (built scan-side
+    from a single split), ONE (doc_id, n, gram)-keyed count with map-side
+    combine (keys are uniform — no doc dominates beyond its own length),
+    then a (doc_id)-keyed rollup of the already-collapsed counts. No
+    windows, no joins; both shuffles are proportional to corpus tokens,
+    not pairs.
+    """
+    base = docs.select(
+        "doc_id", "text", T.words("text").alias("w")
+    ).select(
+        "doc_id",
+        "text",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        "w",
+    )
+    tagged = [
+        F.expr(
+            f"transform({T.shingles_of_words_sql('w', 'text', n)}, "
+            f"g -> struct({n} as n, g as gram))"
+        )
+        for n in (2, 3)
+    ]
+    grams = base.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.flatten(F.array(*tagged))).alias("g"),
+    ).select("doc_id", "n_tokens", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counts = grams.groupBy("doc_id", "n_tokens", "n", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+    def _top(n: int):  # occurrences of the most frequent n-gram
+        return F.max(F.when(F.col("n") == n, F.col("c"))).cast("bigint")
+
+    def _dup(n: int):  # total occurrences of n-grams seen more than once
+        return F.sum(
+            F.when((F.col("n") == n) & (F.col("c") >= 2), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).cast("bigint")
+
+    def _frac(cnt, n: int):  # token coverage of those occurrences
+        return (F.lit(float(n)) * cnt.cast("double")) / F.col(
+            "n_tokens"
+        ).cast("double")
+
+    agg = counts.groupBy("doc_id", "n_tokens").agg(
+        _top(2).alias("top_bigram_n"),
+        _dup(2).alias("dup_bigram_n"),
+        _top(3).alias("top_trigram_n"),
+        _dup(3).alias("dup_trigram_n"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "top_bigram_n",
+        "dup_bigram_n",
+        "top_trigram_n",
+        "dup_trigram_n",
+        _frac(F.col("top_bigram_n"), 2).alias("top_bigram_frac"),
+        _frac(F.col("dup_bigram_n"), 2).alias("dup_bigram_frac"),
+        _frac(F.col("top_trigram_n"), 3).alias("top_trigram_frac"),
+        _frac(F.col("dup_trigram_n"), 3).alias("dup_trigram_frac"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame, bench_mod: int = 11, n: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: per corpus doc, how many of its distinct
+    word n-grams also occur in the held-out benchmark set (docs with
+    doc_id % bench_mod == 0 stand in for an eval suite), plus the
+    contamination flag. Training sets are scrubbed of eval overlap this
+    way before every run (n-gram collision decontamination).
+
+    Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    (eval suites are fixed-size) — distinct it and BROADCAST; the corpus
+    side is scan-side n-gram construction + array_distinct, one explode,
+    a broadcast left-semi join (no shuffle of corpus grams), and a
+    doc_id-keyed count with map-side combine. Corpus rows are never
+    shuffled by gram, so hot n-grams cannot skew the plan.
+    """
+    grams = docs.select(
+        "doc_id", "text", T.words("text").alias("w")
+    ).select(
+        "doc_id",
+        F.array_distinct(T.shingles_of_words("w", "text", n)).alias("grams"),
+    ).select("doc_id", "grams", F.size("grams").cast("bigint").alias("n_grams"))
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    bench_grams = (
+        grams.filter(is_bench)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    corpus = grams.filter(~is_bench)
+    overlap = (
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return (
+        corpus.select("doc_id", "n_grams")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias(
+                "n_overlap"
+            ),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    capacity: int = 256,
+    shard_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: within each shard, documents
+    are concatenated in doc_id order and cut into fixed `capacity`-token
+    training sequences; each doc is mapped to its token offset and the
+    sequence span [first_seq, last_seq] it lands in. This is the standard
+    GPT-style packing (concatenate, then chunk) — no padding waste, docs
+    may straddle a boundary.
+
+    Scale shape: ONE shuffle keyed by the shard columns with a per-shard
+    sort (running-sum window). Parallelism = number of shards: real
+    pipelines shard by (source, hash-bucket) exactly like `epoch_split`
+    so no shard outgrows an executor; a single global pack order is
+    inherently sequential and deliberately not offered.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*shard_cols)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = T.token_count("text").cast("bigint")
+    cum = docs.select(
+        *shard_cols, "doc_id", n_tok.alias("n_tokens")
+    ).withColumn("end_offset", F.sum("n_tokens").over(w))
+    return cum.select(
+        *shard_cols,
+        "doc_id",
+        "n_tokens",
+        (F.col("end_offset") - F.col("n_tokens")).alias("start_offset"),
+        F.expr(f"(end_offset - n_tokens) div {capacity}")
+        .cast("bigint")
+        .alias("first_seq"),
+        F.expr(f"(end_offset - 1) div {capacity}").cast("bigint").alias("last_seq"),
+    )
+
+
+# PII patterns restricted to the RE2 ∩ Java-regex common subset (no
+# backreferences, no lookaround) so the identical strings run in Spark
+# (JVM) and DuckDB (RE2). Longer alternation branches first: both engines
+# scan leftmost and try branches in order.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\b(?:\d{2}-\d{3}-\d{3}-\d{4}|\d{3}[-.]\d{3}[-.]\d{4})\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """PII scan + redaction: per-row counts of email / phone / IPv4
+    matches in the ORIGINAL text, plus the redacted text with each
+    category replaced by its [TAG] (applied in the fixed PII_PATTERNS
+    order — email first, so a phone-shaped local part is already gone
+    before the phone pass).
+
+    Pure JVM regex column math — scan-side, zero shuffle, pushes the
+    projection into the scan like every other text filter. At 100 TB this
+    runs at parquet read speed; there is no per-row Python anywhere.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    red = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return df.select(*id_cols, *counts, red.alias("redacted"))
+
+
 def epoch_split(
     docs: DataFrame,
     n_epochs: int,

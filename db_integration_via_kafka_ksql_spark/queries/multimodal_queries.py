@@ -19,6 +19,7 @@ from db_integration_via_kafka_ksql_spark.registry import query
 
 @query(
     "mm_payload_meta",
+    driver=False,  # metadata-projection basic twin of mm_byte_features / mm_frame_sample_counts
     oracle="""
     SELECT doc_id,
            CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,

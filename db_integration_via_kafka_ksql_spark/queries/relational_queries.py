@@ -356,6 +356,7 @@ def outer_join_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFr
 
 @query(
     "exists_late_shipment_orders",
+    driver=False,  # EXISTS form of the semi-join family (semi_join_customers_with_open_orders holds the driver slot)
     oracle="""
     SELECT o_orderpriority, count(*) AS n_orders
     FROM orders
@@ -374,6 +375,7 @@ def exists_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_moving_avg_spend",
+    driver=False,  # bounded-frame twin of window_running_customer_spend
     oracle="""
     SELECT o_custkey, o_orderkey, o_orderdate,
            CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
@@ -498,7 +500,9 @@ def except_no_open_order_customers(spark: SparkSession, sf_dir: str) -> DataFram
     return all_c.subtract(open_c)
 
 
-@query("approx_order_stats")  # rows-only: sketch results are engine-specific
+@query(
+    "approx_order_stats", driver=False
+)  # rows-only even under the driver (sketch results are engine-specific) — the tolerance pytest is the real check; driver slot freed for an oracle-backed query
 def approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB workhorses where exact distinct
     counts / percentiles would shuffle the world: HLL++ distinct customers

@@ -231,6 +231,227 @@ def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sh(n: int, words: str = "w", text: str = "text") -> str:
+    """DuckDB mirror of functions/text.shingles_of_words for word n-grams."""
+    return (
+        f"CASE WHEN len({words}) < {n} THEN [{text}] "
+        f"ELSE [array_to_string(list_slice({words}, i, i + {n - 1}), ' ') "
+        f"for i in generate_series(1, len({words}) - {n - 1})] END"
+    )
+
+
+def _rep_cnt(n: int, dup: bool) -> str:
+    if dup:
+        return f"sum(CASE WHEN n = {n} AND c >= 2 THEN c ELSE 0 END)"
+    return f"max(CASE WHEN n = {n} THEN c END)"
+
+
+def _rep_cols() -> str:
+    parts = []
+    for n, label in ((2, "bigram"), (3, "trigram")):
+        for dup, kind in ((False, "top"), (True, "dup")):
+            parts.append(
+                f"CAST({_rep_cnt(n, dup)} AS BIGINT) AS {kind}_{label}_n"
+            )
+    for n, label in ((2, "bigram"), (3, "trigram")):
+        for dup, kind in ((False, "top"), (True, "dup")):
+            parts.append(
+                f"CAST({n} AS DOUBLE) * CAST({_rep_cnt(n, dup)} AS DOUBLE)"
+                f" / CAST(n_tokens AS DOUBLE) AS {kind}_{label}_frac"
+            )
+    return ",\n           ".join(parts)
+
+
+@query(
+    "text_repetition_scores",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    g AS (
+        SELECT doc_id, len(w) AS n_tokens, 2 AS n, unnest({_sh(2)}) AS gram FROM ws
+        UNION ALL
+        SELECT doc_id, len(w) AS n_tokens, 3 AS n, unnest({_sh(3)}) AS gram FROM ws
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, n, gram, count(*) AS c
+        FROM g GROUP BY doc_id, n_tokens, n, gram
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           {_rep_cols()}
+    FROM c GROUP BY doc_id, n_tokens
+    """,
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition cut inputs: per-doc token coverage of the
+    most frequent and of all duplicated word {{2,3}}-grams
+    (operators/text_analysis.repetition_stats)."""
+    return TA.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+DECONTAM_BENCH_MOD = 11
+DECONTAM_N = 5
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    d AS (SELECT doc_id, list_distinct({_sh(DECONTAM_N)}) AS grams FROM ws),
+    g AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM d),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+    ov AS (
+        SELECT doc_id, count(*) AS n_overlap
+        FROM g
+        WHERE doc_id % {DECONTAM_BENCH_MOD} != 0
+          AND gram IN (SELECT gram FROM bench)
+        GROUP BY doc_id
+    )
+    SELECT corpus.doc_id,
+           CAST(corpus.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS INT)
+             AS contaminated
+    FROM (
+        SELECT doc_id, len(grams) AS n_grams FROM d
+        WHERE doc_id % {DECONTAM_BENCH_MOD} != 0
+    ) corpus
+    LEFT JOIN ov ON ov.doc_id = corpus.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct {DECONTAM_N}-gram overlap of
+    each corpus doc against the held-out benchmark subset
+    (operators/text_analysis.decontaminate)."""
+    return TA.decontaminate(
+        load_table(spark, sf_dir, "documents"),
+        bench_mod=DECONTAM_BENCH_MOD,
+        n=DECONTAM_N,
+    )
+
+
+PACK_CAPACITY = 256
+
+
+@query(
+    "seq_packing_offsets",
+    oracle=f"""
+    SELECT source, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(end_offset - n_tokens AS BIGINT) AS start_offset,
+           CAST((end_offset - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS first_seq,
+           CAST((end_offset - 1) // {PACK_CAPACITY} AS BIGINT) AS last_seq
+    FROM (
+        SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               sum(len(string_split(text, ' '))) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS end_offset
+        FROM documents
+    )
+    """,
+)
+def seq_packing_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-then-chunk sequence packing: per-doc token offset
+    and [first_seq, last_seq] span at {PACK_CAPACITY}-token capacity,
+    sharded by source (operators/text_analysis.pack_sequences)."""
+    return TA.pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        capacity=PACK_CAPACITY,
+        shard_cols=("source",),
+    )
+
+
+_PII_E = TA.PII_PATTERNS["email"]
+_PII_P = TA.PII_PATTERNS["phone"]
+_PII_I = TA.PII_PATTERNS["ipv4"]
+
+
+@query(
+    "pii_scrub_contacts",
+    # the contact blob is built deterministically FROM the driver's own
+    # customer table (the testdata contains no literal PII), so the driver
+    # row exercises real match+redact work with per-row-varying content.
+    oracle=f"""
+    WITH t AS (
+        SELECT c_custkey,
+               'contact ' || c_name
+               || CASE WHEN c_custkey % 2 = 0
+                       THEN ' at ' || CAST(10 + c_custkey % 90 AS VARCHAR)
+                            || '-' || CAST(100 + c_custkey % 900 AS VARCHAR)
+                            || '-' || CAST(100 + (c_custkey * 7) % 900 AS VARCHAR)
+                            || '-' || CAST(1000 + (c_custkey * 13) % 9000 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN c_custkey % 3 > 0
+                       THEN ' mail user' || CAST(c_custkey AS VARCHAR)
+                            || '@example.com' ELSE '' END
+               || CASE WHEN c_custkey % 5 > 0
+                       THEN ' ip 10.' || CAST(c_custkey % 200 AS VARCHAR)
+                            || '.' || CAST(c_nationkey AS VARCHAR) || '.7'
+                       ELSE '' END AS text
+        FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(text, '{_PII_E}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_P}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_PII_I}')) AS BIGINT) AS n_ipv4,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_E}', '[EMAIL]', 'g'),
+               '{_PII_P}', '[PHONE]', 'g'),
+               '{_PII_I}', '[IPV4]', 'g') AS redacted
+    FROM t
+    """,
+)
+def pii_scrub_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction (operators/text_analysis.scrub_pii) over a
+    contact blob derived from the customer table — emails, TPC-H-format
+    phones (dd-ddd-ddd-dddd, synthesized from the keys: the driver's
+    customer table carries no phone column), and synthetic IPv4s, each
+    present on a different per-row-varying subset."""
+    c = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    phone = F.concat(
+        (F.lit(10) + ck % 90).cast("string"),
+        F.lit("-"),
+        (F.lit(100) + ck % 900).cast("string"),
+        F.lit("-"),
+        (F.lit(100) + (ck * 7) % 900).cast("string"),
+        F.lit("-"),
+        (F.lit(1000) + (ck * 13) % 9000).cast("string"),
+    )
+    blob = F.concat(
+        F.lit("contact "),
+        F.col("c_name"),
+        F.when(
+            F.col("c_custkey") % 2 == 0,
+            F.concat(F.lit(" at "), phone),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("c_custkey") % 3 > 0,
+            F.concat(
+                F.lit(" mail user"),
+                F.col("c_custkey").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("c_custkey") % 5 > 0,
+            F.concat(
+                F.lit(" ip 10."),
+                (F.col("c_custkey") % 200).cast("string"),
+                F.lit("."),
+                F.col("c_nationkey").cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return TA.scrub_pii(
+        c.select("c_custkey", blob.alias("text")),
+        text_col="text",
+        id_cols=("c_custkey",),
+    )
+
+
 SAMPLE_RATES = {"src0": 25, "src1": 50}
 SAMPLE_DEFAULT = 75
 SAMPLE_SALT = "mix1"

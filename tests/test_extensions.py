@@ -168,9 +168,12 @@ def test_interval_join_bucketed_exact(spark):
 def test_approx_stats_within_tolerance(spark, sf_dir):
     """HLL distinct within 5% of exact; approx median within 2% of exact
     (accuracy=10000 on ~thousands of rows is near-exact)."""
-    from db_integration_via_kafka_ksql_spark.registry import QUERIES
+    from db_integration_via_kafka_ksql_spark.registry import all_queries
 
-    approx = {r["c_mktsegment"]: r for r in QUERIES["approx_order_stats"](spark, sf_dir).collect()}
+    approx = {
+        r["c_mktsegment"]: r
+        for r in all_queries()["approx_order_stats"](spark, sf_dir).collect()
+    }
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     joined = orders.join(
@@ -445,3 +448,91 @@ def test_epoch_split_is_replacement_free_partition(spark, sf_dir):
     assert e0 != e0_rot                         # salt rotation reshuffles
     with pytest.raises(ValueError, match="n_epochs"):
         TA.epoch_split(docs, n_epochs=0)
+
+
+def test_repetition_stats_exact_counts(spark):
+    """'a b a b a b': bigrams {a b:3, b a:2} → top=3, dup=5; trigrams
+    {a b a:2, b a b:2} → top=2, dup=4. Fractions are n*count/n_tokens."""
+    from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "u v w x y z")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in TA.repetition_stats(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 6
+    assert r1["top_bigram_n"] == 3 and r1["dup_bigram_n"] == 5
+    assert r1["top_trigram_n"] == 2 and r1["dup_trigram_n"] == 4
+    assert r1["top_bigram_frac"] == 2.0 * 3 / 6
+    assert r1["dup_trigram_frac"] == 3.0 * 4 / 6
+    r2 = rows[2]  # all-distinct doc: no duplication anywhere
+    assert r2["dup_bigram_n"] == 0 and r2["dup_trigram_n"] == 0
+    assert r2["top_bigram_n"] == 1 and r2["top_bigram_frac"] == 2.0 / 6
+
+
+def test_decontaminate_flags_bench_overlap_only(spark):
+    """doc 11 shares a 5-gram with bench doc 0; doc 12 is disjoint; bench
+    docs themselves are excluded from the output."""
+    from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven"),      # bench (id % 11 == 0)
+            (1, "zz one two three four five yy xx"),       # overlaps bench 5-gram
+            (2, "p q r s t u v w"),                        # clean
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in TA.decontaminate(docs, bench_mod=11).collect()}
+    assert set(out) == {1, 2}  # bench doc 0 excluded from the report
+    # doc 1 contains "one two three four five" — exactly one bench 5-gram
+    assert out[1]["n_overlap"] == 1 and out[1]["contaminated"] == 1
+    assert out[1]["n_grams"] == 4  # 8 words → 4 distinct 5-grams
+    assert out[2]["n_overlap"] == 0 and out[2]["contaminated"] == 0
+
+
+def test_pack_sequences_offsets_and_straddle(spark):
+    """Known token counts, capacity 8: offsets are the running sum in
+    doc_id order per shard; a doc crossing a chunk boundary spans both
+    sequences (concat-then-chunk semantics)."""
+    from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a b c d e"),        # 5 tokens: [0, 5)  → seq 0
+            (2, "s", "f g h i j"),        # 5 tokens: [5, 10) → seqs 0-1 (straddles)
+            (3, "s", "k l"),              # 2 tokens: [10, 12) → seq 1
+            (4, "t", "m n o"),            # other shard restarts at offset 0
+        ],
+        ["doc_id", "source", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TA.pack_sequences(docs, capacity=8, shard_cols=("source",)).collect()
+    }
+    assert (out[1]["start_offset"], out[1]["first_seq"], out[1]["last_seq"]) == (0, 0, 0)
+    assert (out[2]["start_offset"], out[2]["first_seq"], out[2]["last_seq"]) == (5, 0, 1)
+    assert (out[3]["start_offset"], out[3]["first_seq"], out[3]["last_seq"]) == (10, 1, 1)
+    assert (out[4]["start_offset"], out[4]["first_seq"], out[4]["last_seq"]) == (0, 0, 0)
+
+
+def test_scrub_pii_counts_and_redaction(spark):
+    """Counts are measured on the original text; redaction replaces every
+    category with its tag in the fixed email → phone → ipv4 order."""
+    from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org and 555-867-5309 via 192.168.0.1"),
+            (2, "tpch phone 25-989-741-2988 twice 25-989-741-2988"),
+            (3, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in TA.scrub_pii(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 1, 1)
+    assert out[1]["redacted"] == "mail [EMAIL] and [PHONE] via [IPV4]"
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ipv4"]) == (0, 2, 0)
+    assert out[2]["redacted"] == "tpch phone [PHONE] twice [PHONE]"
+    assert out[3]["redacted"] == "no pii here at all"
+    assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
