@@ -211,13 +211,20 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     windows, no joins; both shuffles are proportional to corpus tokens,
     not pairs.
     """
-    base = docs.select(
-        "doc_id", "text", T.words("text").alias("w")
-    ).select(
-        "doc_id",
-        "text",
-        F.size("w").cast("bigint").alias("n_tokens"),
-        "w",
+    # the explode multiplies rows ~2×tokens while the input is KBs — AQE
+    # would run it in one task (the output-expanding pitfall documented in
+    # operators/dedup.py); pin the map-side parallelism explicitly.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.select("doc_id", "text")
+        .repartition(par)
+        .select("doc_id", "text", T.words("text").alias("w"))
+        .select(
+            "doc_id",
+            "text",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            "w",
+        )
     )
     tagged = [
         F.expr(
@@ -286,12 +293,23 @@ def decontaminate(
     doc_id-keyed count with map-side combine. Corpus rows are never
     shuffled by gram, so hot n-grams cannot skew the plan.
     """
-    grams = docs.select(
-        "doc_id", "text", T.words("text").alias("w")
-    ).select(
-        "doc_id",
-        F.array_distinct(T.shingles_of_words("w", "text", n)).alias("grams"),
-    ).select("doc_id", "grams", F.size("grams").cast("bigint").alias("n_grams"))
+    # grams feeds three consumers (bench set, corpus explode, final
+    # projection): compute the compact per-doc array form once and pin it
+    # (the localCheckpoint trade-off documented in operators/dedup.py);
+    # repartition first for the same output-expansion reason as
+    # repetition_stats.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        docs.select("doc_id", "text")
+        .repartition(par)
+        .select("doc_id", "text", T.words("text").alias("w"))
+        .select(
+            "doc_id",
+            F.array_distinct(T.shingles_of_words("w", "text", n)).alias("grams"),
+        )
+        .select("doc_id", "grams", F.size("grams").cast("bigint").alias("n_grams"))
+        .localCheckpoint(eager=True)
+    )
     is_bench = (F.col("doc_id") % bench_mod) == 0
     bench_grams = (
         grams.filter(is_bench)
