@@ -157,3 +157,43 @@ def test_upsert_merge_is_partial_agg_no_window(reports):
     assert r.has_partial_aggregate
     assert r.windows == 0
     assert r.n_shuffle_exchanges == 2
+
+
+def test_repetition_partial_agg_no_joins(reports):
+    """Repetition stats: gram counting is partial-aggregated map-side
+    before its shuffle; no join anywhere; only the explicit-parallelism
+    round-robin + two uniform-key agg shuffles."""
+    r = reports("text_repetition_scores")
+    assert r.has_partial_aggregate
+    assert r.n_shuffle_exchanges == 3
+    assert r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins == 0
+    assert len(r.scans["documents"].read_columns) == 2  # doc_id + text only
+
+
+def test_decontam_bench_grams_broadcast(reports):
+    """Decontamination: the benchmark gram set and the per-doc overlap
+    counts are both broadcast — corpus rows are never shuffled by gram
+    (hot n-grams cannot skew the plan)."""
+    r = reports("decontam_ngram_overlap")
+    assert r.broadcast_hash_joins == 2  # left-semi vs bench + final left join
+    assert r.sort_merge_joins == 0
+    assert r.has_partial_aggregate
+    assert r.n_shuffle_exchanges <= 2  # bench-gram distinct + per-doc count
+
+
+def test_seq_packing_single_shard_shuffle(reports):
+    """Sequence packing: exactly one shuffle (the shard-keyed window);
+    nothing else moves data."""
+    r = reports("seq_packing_offsets")
+    assert r.windows == 1
+    assert r.n_shuffle_exchanges == 1
+    assert r.n_broadcast_exchanges == 0
+    assert len(r.scans["documents"].read_columns) == 3
+
+
+def test_pii_scrub_is_scan_only(reports):
+    """PII scrub: pure scan-side column math — zero exchanges of any
+    kind, three columns read."""
+    r = reports("pii_scrub_contacts")
+    assert r.n_exchanges == 0
+    assert len(r.scans["customer"].read_columns) == 3
