@@ -1,0 +1,141 @@
+"""End-to-end training-data build: the LLM-pipeline extension surface
+composed into the pipeline a pre-training data team actually runs, over
+the driver's own testdata.
+
+  1. scan      documents (+ embeddings for near-dup clustering)
+  2. cut       quality score + Gopher-style repetition filters
+  3. scrub     PII redaction (text is replaced by its redacted form)
+  4. decontam  drop docs overlapping the held-out benchmark subset
+  5. dedup     exact keep-one, then embedding near-dup clusters keep-one
+  6. mix       deterministic stratified sample → replacement-free epochs
+  7. pack      concat-then-chunk sequence offsets per (epoch, source)
+  8. ship      hive-partitioned parquet (epoch/source) trainers prune
+
+Every stage is the same operator the registered query surface verifies
+against DuckDB; this file just composes them. Run:
+
+    python examples/training_data_pipeline.py [sf_dir]   (~30 s at sf0.01)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.io import load_table
+from db_integration_via_kafka_ksql_spark.operators import dedup as D
+from db_integration_via_kafka_ksql_spark.operators import graph as G
+from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
+from db_integration_via_kafka_ksql_spark.session import get_spark
+from db_integration_via_kafka_ksql_spark.sinks.dataset import (
+    read_dataset,
+    write_dataset,
+)
+
+MIN_QUALITY = 0.70
+MAX_DUP_BIGRAM_FRAC = 0.60
+BENCH_MOD = 11
+SAMPLE_RATES = {"src0": 50}
+SAMPLE_DEFAULT = 90
+N_EPOCHS = 4
+PACK_CAPACITY = 256
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="training_data_pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    stages: list[tuple[str, int]] = []
+
+    docs = load_table(spark, sf_dir, "documents")
+    stages.append(("scanned", docs.count()))
+
+    # 2. quality + repetition cuts (both scan-side / uniform-shuffle ops)
+    ok_quality = TA.quality_scores(docs, keep_cols=("source", "text")).filter(
+        F.col("quality") >= MIN_QUALITY
+    )
+    ok_rep = TA.repetition_stats(docs).filter(
+        F.col("dup_bigram_frac") <= MAX_DUP_BIGRAM_FRAC
+    )
+    kept = ok_quality.join(ok_rep.select("doc_id"), "doc_id", "left_semi")
+    stages.append(("after quality+repetition cut", kept.count()))
+
+    # 3. PII scrub: text continues downstream in redacted form
+    kept = (
+        TA.scrub_pii(kept, id_cols=("doc_id", "source"))
+        .withColumnRenamed("redacted", "text")
+        .drop("n_email", "n_phone", "n_ipv4")
+    )
+
+    # 4. benchmark decontamination (doc_id % BENCH_MOD == 0 is the eval set)
+    clean = TA.decontaminate(docs, bench_mod=BENCH_MOD).filter(
+        F.col("contaminated") == 0
+    )
+    kept = kept.join(clean.select("doc_id"), "doc_id", "left_semi")
+    stages.append(("after decontamination", kept.count()))
+
+    # 5a. exact dedup keep-one
+    winners = D.exact_duplicates(kept).select(F.col("keep_doc").alias("doc_id"))
+    kept = kept.join(winners, "doc_id", "left_semi")
+    stages.append(("after exact dedup", kept.count()))
+
+    # 5b. embedding near-dup clusters keep-one (vec_id aligns with doc_id)
+    emb = load_table(spark, sf_dir, "embeddings")
+    clusters = G.dedup_clusters(
+        emb,
+        D.embedding_dup_pairs(emb, multiprobe=True),
+        "vec_id",
+        "vec_a",
+        "vec_b",
+    )
+    reps = clusters.filter("is_rep").select(F.col("vec_id").alias("doc_id"))
+    kept = kept.join(reps, "doc_id", "left_semi")
+    stages.append(("after near-dup clustering", kept.count()))
+
+    # 6. training mix: stratified sample, then replacement-free epochs
+    mixed = TA.stratified_sample(
+        kept, rates_pct=SAMPLE_RATES, default_pct=SAMPLE_DEFAULT
+    )
+    mixed = TA.epoch_split(mixed, n_epochs=N_EPOCHS)
+    stages.append(("after stratified sampling", mixed.count()))
+
+    # 7. sequence packing per (epoch, source) shard
+    packed = TA.pack_sequences(
+        mixed, capacity=PACK_CAPACITY, shard_cols=("epoch", "source")
+    )
+    corpus = mixed.join(
+        packed.select("doc_id", "start_offset", "first_seq", "last_seq"),
+        "doc_id",
+    )
+
+    # 8. ship as hive-partitioned parquet; prove the pruned read path
+    out = os.path.join(tempfile.mkdtemp(prefix="training_set_"), "corpus")
+    write_dataset(
+        corpus, out, partition_cols=("epoch", "source"), sort_cols=("doc_id",)
+    )
+    epoch0 = read_dataset(spark, out).filter("epoch = 0")
+    n_epoch0 = epoch0.count()
+    n_seqs = (
+        epoch0.groupBy("source").agg(F.max("last_seq").alias("m")).agg(
+            F.sum(F.col("m") + 1)
+        ).collect()[0][0]
+    )
+
+    width = max(len(s) for s, _ in stages)
+    for stage, n in stages:
+        print(f"  {stage:<{width}}  {n:>7,}")
+    print(f"  dataset: {out}")
+    print(
+        f"  epoch 0 reads {n_epoch0:,} docs in {n_seqs:,} packed"
+        f" {PACK_CAPACITY}-token sequences (partition-pruned scan)"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
