@@ -1,0 +1,140 @@
+"""Property-based tests (hypothesis) for the training-pipeline text
+operators, each differential against a plain-Python reference model —
+the operator must agree with the obvious sequential implementation for
+EVERY corpus, not just the fixtures.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
+
+# small shared vocabulary → realistic n-gram collisions
+_word = st.sampled_from(["a", "b", "c", "dd", "ee", "xyz"])
+_doc = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=8)
+
+
+def _docs_df(spark, texts, with_source=False):
+    if with_source:
+        rows = [(i, "s" if i % 2 else "t", t) for i, t in enumerate(texts)]
+        return spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    return spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+
+def _grams(words: list[str], n: int, text: str) -> list[str]:
+    if len(words) < n:
+        return [text]
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus)
+def test_repetition_matches_counter_model(spark, texts):
+    out = {r["doc_id"]: r for r in TA.repetition_stats(_docs_df(spark, texts)).collect()}
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        r = out[i]
+        assert r["n_tokens"] == len(words)
+        for n, label in ((2, "bigram"), (3, "trigram")):
+            c = Counter(_grams(words, n, t))
+            top = max(c.values())
+            dup = sum(v for v in c.values() if v >= 2)
+            assert r[f"top_{label}_n"] == top, (t, n)
+            assert r[f"dup_{label}_n"] == dup, (t, n)
+            assert r[f"top_{label}_frac"] == n * top / len(words)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc, min_size=2, max_size=8), mod=st.integers(2, 4))
+def test_decontaminate_matches_set_model(spark, texts, mod):
+    n = 3
+    out = {
+        r["doc_id"]: r
+        for r in TA.decontaminate(_docs_df(spark, texts), bench_mod=mod, n=n).collect()
+    }
+    bench: set[str] = set()
+    for i, t in enumerate(texts):
+        if i % mod == 0:
+            bench |= set(_grams(t.split(" "), n, t))
+    for i, t in enumerate(texts):
+        if i % mod == 0:
+            assert i not in out  # bench docs never reported
+            continue
+        grams = set(_grams(t.split(" "), n, t))
+        overlap = len(grams & bench)
+        assert out[i]["n_grams"] == len(grams)
+        assert out[i]["n_overlap"] == overlap
+        assert out[i]["contaminated"] == (1 if overlap else 0)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus, capacity=st.integers(2, 16))
+def test_pack_sequences_shardwise_running_model(spark, texts, capacity):
+    """Offsets are the contiguous running sum per shard in doc_id order;
+    spans are the chunk indices the doc's token range covers; per-shard
+    token totals are conserved."""
+    rows = TA.pack_sequences(
+        _docs_df(spark, texts, with_source=True),
+        capacity=capacity,
+        shard_cols=("source",),
+    ).collect()
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["source"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        offset = 0
+        for r in rs:
+            assert r["start_offset"] == offset  # contiguous, no gaps
+            end = offset + r["n_tokens"]
+            assert r["first_seq"] == offset // capacity
+            assert r["last_seq"] == (end - 1) // capacity
+            assert r["first_seq"] <= r["last_seq"]
+            offset = end
+        assert offset == sum(r["n_tokens"] for r in rs)  # conservation
+
+
+_pii_bits = st.lists(
+    st.sampled_from(
+        [
+            "plain",
+            "words",
+            "go-here",
+            "bob.smith+x@corp.example.org",
+            "u7@ex.io",
+            "25-989-741-2988",
+            "555-867-5309",
+            "192.168.0.1",
+            "10.0.200.7",
+        ]
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(bits=_pii_bits)
+def test_scrub_pii_removes_everything_and_is_idempotent(spark, bits):
+    """After one scrub pass no pattern matches remain (rescrubbing the
+    redacted text is the identity and counts drop to zero)."""
+    df = _docs_df(spark, [" ".join(bits)])
+    once = TA.scrub_pii(df).collect()[0]
+    again = TA.scrub_pii(
+        spark.createDataFrame([(1, once["redacted"])], ["doc_id", "text"])
+    ).collect()[0]
+    assert (again["n_email"], again["n_phone"], again["n_ipv4"]) == (0, 0, 0)
+    assert again["redacted"] == once["redacted"]
+    # counts on the original text match a python re count of the same regexes
+    import re
+
+    text = " ".join(bits)
+    for cat, pat in TA.PII_PATTERNS.items():
+        expected = len(re.findall(pat, text))
+        assert once[f"n_{cat}"] == expected, cat
