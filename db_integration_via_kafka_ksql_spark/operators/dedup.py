@@ -81,6 +81,45 @@ def _word_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _band_keys_of_sets(sets: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band_id, band_key) rows from per-doc word-set arrays:
+    k salted min-hashes, `bands` bands of k/bands concatenated rows,
+    flattened with a single explode."""
+    rows = k // bands
+    sig = (
+        sets.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id")
+        .agg(*T.minhash_signature(F.col("w"), k))
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(
+                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.band_key").alias("band_key"),
+    )
+
+
+def minhash_band_keys(
+    docs: DataFrame, k: int = 8, bands: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Public band-key builder: the LSH bucket assignment of each doc as
+    (doc_id, band_id, band_key) rows — the shared primitive of the batch
+    pair generator above and the streaming near-dup filter
+    (streaming/neardup.py). Docs sharing any (band_id, band_key) are
+    LSH candidates."""
+    return _band_keys_of_sets(_word_sets(docs, text_col), k, bands)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     k: int = 8,
@@ -96,7 +135,6 @@ def minhash_lsh_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    rows = k // bands
     # the word sets feed the signature aggregation AND both rerank sides;
     # without a materialization the split+distinct scan recomputes 3x (and
     # the signature — k md5's per word occurrence, the heavy part — once
@@ -104,30 +142,11 @@ def minhash_lsh_pairs(
     # once on executor storage; at scale that is O(corpus tokens) local
     # disk, strictly cheaper than re-tokenizing the corpus per consumer.
     sets = _word_sets(docs, text_col).localCheckpoint(eager=True)
-    wordrows = sets.select("doc_id", F.explode("ws").alias("w"))
-    sig = wordrows.groupBy("doc_id").agg(
-        *T.minhash_signature(F.col("w"), k),
-    )
     # bands via ONE explode, not a `bands`-way union: each union branch
     # would re-run the whole signature aggregation (measured 4x recompute
     # at bands=4). The signature table is tiny (doc_id + k hex strings) —
     # checkpoint it so the self-join's two sides share one computation.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat(
-                    *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    all_bands = (
-        sig.select("doc_id", F.explode(band_structs).alias("bb"))
-        .select("doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_key").alias("band_key"))
-        .localCheckpoint(eager=True)
-    )
+    all_bands = _band_keys_of_sets(sets, k, bands).localCheckpoint(eager=True)
     par = docs.sparkSession.sparkContext.defaultParallelism
     # probe side spread round-robin: the band join's OUTPUT is quadratic
     # in bucket occupancy, so parallelism must not follow input size

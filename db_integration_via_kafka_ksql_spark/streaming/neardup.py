@@ -1,0 +1,147 @@
+"""Streaming near-duplicate dedup: MinHash/LSH with cross-batch bucket
+state — fuzzy dedup of a continuous document feed, the companion of
+`StreamingCurator`'s exact-hash pass.
+
+Per micro-batch:
+
+1. band keys for EVERY incoming doc (`operators/dedup.minhash_band_keys`
+   — the same primitive the batch pair generator uses);
+2. within-batch transitive closure: band-collision pairs → connected
+   components (`operators/graph.dedup_clusters`) → min-doc_id reps;
+3. cross-batch filter: any doc sharing a (band_id, band_key) bucket with
+   ANY previously-seen doc is dropped;
+4. idempotent append of the survivors (dynamic overwrite of the batch's
+   own `ingest_batch` partition — the `StreamingCurator` replay story);
+5. state grows by the batch's band keys — for ALL docs, accepted or
+   dropped, so later docs that resemble an already-dropped doc are still
+   caught (collision witnesses must persist).
+
+**Semantics (documented honestly).** One-pass streaming cannot retract:
+if a "bridge" doc arrives after two mutually-distant docs were already
+emitted, both stay in the output even though a batch pass over the union
+would keep only one. The guarantees that DO hold for every arrival order
+(property-tested in tests/test_streaming_neardup.py):
+
+- accepted docs are pairwise bucket-disjoint — no two docs in the output
+  are LSH-candidates of each other;
+- every dropped doc has a witness: a bucket shared with an earlier-seen
+  doc (previous batch) or with a same-batch cluster-mate;
+- a single-batch run is EXACTLY the batch keep-one (component minima);
+- replays of either crash interleaving converge (same as the curator).
+
+Scale shape: band keys are uniform md5-derived strings (no hot buckets);
+the state is bucket-partitioned parquet keyed by (band_id, band_key,
+doc_id) with size ∝ seen docs × bands; the per-batch probe is one
+shuffle join of batch keys against the state — batch-sized left side, so
+at 100 TB of history the join broadcasts the BATCH, never the state.
+Edges are band collisions (no Jaccard rerank — that would require
+persisting word sets; the standard stream-dedup trade, tunable via
+k/bands).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from db_integration_via_kafka_ksql_spark.operators.dedup import minhash_band_keys
+from db_integration_via_kafka_ksql_spark.operators.graph import dedup_clusters
+from db_integration_via_kafka_ksql_spark.streaming.state import ParquetStateStore
+
+
+@dataclass
+class StreamingNearDup:
+    """Continuous LSH near-dup filtering into a partitioned dataset."""
+
+    spark: SparkSession
+    dataset_path: str
+    state_path: str
+    k: int = 8
+    bands: int = 4
+    batch_col: str = "ingest_batch"
+    checkpoint_dir: str | None = None
+    trigger_seconds: float = 2.0
+    query_name: str = "streaming_neardup"
+
+    def __post_init__(self) -> None:
+        self.state = ParquetStateStore(
+            self.spark,
+            self.state_path,
+            key_cols=["band_id", "band_key", "doc_id"],
+            order_cols=["offset"],
+        )
+
+    def accepted_of_batch(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(accepted docs, full band-key frame) for one batch."""
+        bk = minhash_band_keys(docs, k=self.k, bands=self.bands).localCheckpoint()
+        # within-batch transitive closure → min-doc_id representative
+        pairs = (
+            bk.alias("a")
+            .join(
+                bk.alias("b"),
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        reps = dedup_clusters(
+            docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b"
+        ).filter("is_rep")
+        # cross-batch: drop docs colliding with ANY previously-seen bucket
+        survivors = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+        if self.state.exists():
+            hist = self.state.read().select("band_id", "band_key")
+            hits = (
+                bk.join(hist, ["band_id", "band_key"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            survivors = survivors.join(hits, "doc_id", "left_anti")
+        return survivors, bk
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():  # idle trigger — nothing to dedup or record
+            return
+        accepted, bk = self.accepted_of_batch(batch_df)
+        accepted = accepted.withColumn(
+            self.batch_col, F.lit(epoch_id).cast("bigint")
+        ).localCheckpoint()
+        (
+            accepted.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.batch_col)
+            .parquet(self.dataset_path)
+        )
+        # state grows by every incoming doc's buckets (witnesses persist);
+        # replays upsert the same composite keys — idempotent.
+        self.state.apply_batch(
+            bk.select(
+                "band_id",
+                "band_key",
+                "doc_id",
+                F.lit(epoch_id).cast("bigint").alias("offset"),
+                F.lit("false").alias("__deleted"),
+            )
+        )
+
+    def read_corpus(self) -> DataFrame:
+        return self.spark.read.parquet(self.dataset_path)
+
+    def start(self, doc_stream: DataFrame) -> StreamingQuery:
+        writer = (
+            doc_stream.writeStream.queryName(self.query_name)
+            .foreachBatch(self.process_batch)
+            .outputMode("update")
+        )
+        if self.checkpoint_dir:
+            writer = writer.option("checkpointLocation", self.checkpoint_dir)
+        if self.trigger_seconds:
+            writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
+        return writer.start()

@@ -1,0 +1,216 @@
+"""Streaming MinHash/LSH near-dup dedup (streaming/neardup.py).
+
+The module docstring's guarantee list, made executable: pairwise
+bucket-disjoint output, a collision witness for every drop,
+single-batch == batch keep-one, crash-replay convergence — the first
+two property-tested over random corpora AND random batch splits
+(the arrival-order freedom is exactly what hypothesis should drive).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.operators.dedup import minhash_band_keys
+from db_integration_via_kafka_ksql_spark.streaming.neardup import StreamingNearDup
+
+# near-dup-prone corpus: few distinct words, heavy overlap between docs
+_doc = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]),
+    min_size=3,
+    max_size=8,
+).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=10)
+
+
+def _dedup(spark, tmp_path, tag=""):
+    return StreamingNearDup(
+        spark,
+        dataset_path=str(tmp_path / f"corpus{tag}"),
+        state_path=str(tmp_path / f"state{tag}"),
+        trigger_seconds=0,
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _buckets(spark, rows) -> dict[int, set]:
+    bk = minhash_band_keys(_df(spark, rows)).collect()
+    out: dict[int, set] = {}
+    for r in bk:
+        out.setdefault(r["doc_id"], set()).add((r["band_id"], r["band_key"]))
+    return out
+
+
+def _batch_keep_one(buckets: dict[int, set]) -> set[int]:
+    """Reference model: connected components over bucket-collision edges
+    (python union-find), min doc id per component kept."""
+    parent = {d: d for d in buckets}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(buckets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if buckets[a] & buckets[b]:
+                parent[find(a)] = find(b)
+    comps: dict[int, list[int]] = {}
+    for d in ids:
+        comps.setdefault(find(d), []).append(d)
+    return {min(members) for members in comps.values()}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus, data=st.data())
+def test_streaming_invariants_any_split(spark, tmp_path_factory, texts, data):
+    """For EVERY corpus and EVERY batch split: (1) accepted docs are
+    pairwise bucket-disjoint, (2) every dropped doc shares a bucket with
+    an earlier-or-same-batch doc."""
+    rows = list(enumerate(texts))
+    n_batches = data.draw(st.integers(1, min(4, len(rows))), label="n_batches")
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(1, len(rows) - 1),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+                unique=True,
+            ),
+            label="cuts",
+        )
+        if len(rows) > 1
+        else []
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(rows)]:
+        if rows[prev:c]:
+            batches.append(rows[prev:c])
+        prev = c
+
+    d = _dedup(spark, tmp_path_factory.mktemp("nd"))
+    for i, b in enumerate(batches):
+        d.process_batch(_df(spark, b), i)
+
+    kept = {r["doc_id"] for r in d.read_corpus().collect()}
+    buckets = _buckets(spark, rows)
+    arrival = {doc_id: bi for bi, b in enumerate(batches) for doc_id, _ in b}
+    ks = sorted(kept)
+    for i, a in enumerate(ks):  # (1) pairwise bucket-disjoint
+        for b in ks[i + 1 :]:
+            assert not (buckets[a] & buckets[b]), (a, b)
+    for doc_id, _ in rows:  # (2) witness for every drop
+        if doc_id in kept:
+            continue
+        assert any(
+            other != doc_id
+            and arrival[other] <= arrival[doc_id]
+            and buckets[other] & buckets[doc_id]
+            for other in buckets
+        ), f"doc {doc_id} dropped without witness"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus)
+def test_single_batch_equals_batch_keep_one(spark, tmp_path_factory, texts):
+    """All data in one batch == the batch-mode connected-components
+    keep-one (component minima) exactly."""
+    rows = list(enumerate(texts))
+    d = _dedup(spark, tmp_path_factory.mktemp("nd1"))
+    d.process_batch(_df(spark, rows), 0)
+    kept = {r["doc_id"] for r in d.read_corpus().collect()}
+    assert kept == _batch_keep_one(_buckets(spark, rows))
+
+
+def test_cross_batch_near_dup_dropped(spark, tmp_path):
+    """A later near-duplicate (one word changed) of an accepted doc is
+    dropped; an unrelated doc passes; resemblance to a DROPPED doc also
+    drops (witnesses persist)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    d = _dedup(spark, tmp_path)
+    d.process_batch(_df(spark, [(1, base)]), 0)
+    d.process_batch(
+        _df(
+            spark,
+            [
+                (2, base.replace("eta", "iota")),      # near-dup of 1 → drop
+                (3, "one two three four five six"),    # unrelated → keep
+            ],
+        ),
+        1,
+    )
+    # resembles 2 (which was dropped) — must still be caught
+    d.process_batch(_df(spark, [(4, base.replace("eta", "iota"))]), 2)
+    assert {r["doc_id"] for r in d.read_corpus().collect()} == {1, 3}
+
+
+def test_replay_interleavings_converge(spark, tmp_path):
+    """Both crash-replay interleavings (before/after the state update)
+    leave the dataset identical — the StreamingCurator idempotence story."""
+    rows = [(1, "alpha beta gamma delta"), (2, "one two three four")]
+    d = _dedup(spark, tmp_path)
+    d.process_batch(_df(spark, rows), 5)
+    first = sorted(r["doc_id"] for r in d.read_corpus().collect())
+
+    d.state.destroy()                      # crash before state update
+    d.process_batch(_df(spark, rows), 5)   # replay
+    assert sorted(r["doc_id"] for r in d.read_corpus().collect()) == first
+
+    d.process_batch(_df(spark, rows), 5)   # crash after state update: replay
+    assert sorted(r["doc_id"] for r in d.read_corpus().collect()) == first
+
+
+def test_live_stream_end_to_end(spark, tmp_path):
+    """Through a real StreamingQuery over a file source: exact dup and
+    near-dup across files dropped, distinct docs kept, idle empty batch
+    tolerated."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def drop(name, rows):
+        ids, texts = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}
+            ),
+            f"{src}/{name}",
+        )
+
+    d = _dedup(spark, tmp_path)
+    d.checkpoint_dir = str(tmp_path / "ckpt")
+    drop("f1.parquet", [(1, "alpha beta gamma delta epsilon zeta")])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = d.start(stream)
+    try:
+        q.processAllAvailable()
+        drop(
+            "f2.parquet",
+            [
+                (2, "alpha beta gamma delta epsilon zeta"),  # exact dup
+                (3, "one two three four five six"),          # new
+            ],
+        )
+        q.processAllAvailable()
+        q.processAllAvailable()  # idle trigger → empty batch path
+    finally:
+        q.stop()
+    assert {r["doc_id"] for r in d.read_corpus().collect()} == {1, 3}
