@@ -253,9 +253,18 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         ).cast("bigint")
 
     def _frac(cnt, n: int):  # token coverage of those occurrences
-        return (F.lit(float(n)) * cnt.cast("double")) / F.col(
-            "n_tokens"
-        ).cast("double")
+        # Sub-n-gram docs (n_tokens < n) have no true n-grams — the
+        # shingle builder falls back to one whole-text gram, which would
+        # make the fraction exceed 1.0 (a 1-token doc gets
+        # top_bigram_frac = 2.0) and read as "maximally repetitive" to a
+        # Gopher-style threshold consumer. The fraction is undefined
+        # there: emit NULL. The *_n count columns still report the
+        # fallback gram's occurrences.
+        return F.when(
+            F.col("n_tokens") >= n,
+            (F.lit(float(n)) * cnt.cast("double"))
+            / F.col("n_tokens").cast("double"),
+        )
 
     agg = counts.groupBy("doc_id", "n_tokens").agg(
         _top(2).alias("top_bigram_n"),

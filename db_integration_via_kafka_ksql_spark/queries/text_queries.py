@@ -255,9 +255,12 @@ def _rep_cols() -> str:
             )
     for n, label in ((2, "bigram"), (3, "trigram")):
         for dup, kind in ((False, "top"), (True, "dup")):
+            # NULL for sub-n-gram docs — mirrors repetition_stats: the
+            # fraction is undefined when no true n-gram exists.
             parts.append(
+                f"CASE WHEN n_tokens >= {n} THEN "
                 f"CAST({n} AS DOUBLE) * CAST({_rep_cnt(n, dup)} AS DOUBLE)"
-                f" / CAST(n_tokens AS DOUBLE) AS {kind}_{label}_frac"
+                f" / CAST(n_tokens AS DOUBLE) END AS {kind}_{label}_frac"
             )
     return ",\n           ".join(parts)
 

@@ -77,9 +77,15 @@ class StreamingNearDup:
     def accepted_of_batch(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(accepted docs, full band-key frame) for one batch."""
         bk = minhash_band_keys(docs, k=self.k, bands=self.bands).localCheckpoint()
-        # within-batch transitive closure → min-doc_id representative
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        # within-batch transitive closure → min-doc_id representative.
+        # The band self-join's OUTPUT is quadratic in bucket occupancy, so
+        # one side is spread round-robin (the same AQE single-task pitfall
+        # minhash_lsh_pairs pins against in operators/dedup.py): a skewed
+        # micro-batch must not run the quadratic join in one task.
         pairs = (
-            bk.alias("a")
+            bk.repartition(par)
+            .alias("a")
             .join(
                 bk.alias("b"),
                 (F.col("a.band_id") == F.col("b.band_id"))
@@ -97,9 +103,19 @@ class StreamingNearDup:
         # cross-batch: drop docs colliding with ANY previously-seen bucket
         survivors = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
         if self.state.exists():
+            # history probe: the BATCH's band keys are the small side, so
+            # they must be the broadcast BUILD side. A `bk.join(hist, ...,
+            # "left_semi")` would put the batch on the stream side — Spark
+            # can only build a broadcast hash join on the right for LEFT
+            # SEMI, which at large state degrades to shuffling the full
+            # bucket history every micro-batch. Inner join with the batch
+            # broadcast keeps the state scan-side and shuffle-free.
             hist = self.state.read().select("band_id", "band_key")
             hits = (
-                bk.join(hist, ["band_id", "band_key"], "left_semi")
+                hist.join(
+                    F.broadcast(bk.select("band_id", "band_key", "doc_id")),
+                    ["band_id", "band_key"],
+                )
                 .select("doc_id")
                 .distinct()
             )

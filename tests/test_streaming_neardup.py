@@ -131,24 +131,33 @@ def test_single_batch_equals_batch_keep_one(spark, tmp_path_factory, texts):
 
 
 def test_cross_batch_near_dup_dropped(spark, tmp_path):
-    """A later near-duplicate (one word changed) of an accepted doc is
-    dropped; an unrelated doc passes; resemblance to a DROPPED doc also
-    drops (witnesses persist)."""
+    """A later near-duplicate (exactly one TOKEN changed) of an accepted
+    doc is dropped; an unrelated doc passes; resemblance to a DROPPED doc
+    also drops (witnesses persist)."""
     base = "alpha beta gamma delta epsilon zeta eta theta"
+    # substitute exactly one token: str.replace("eta", "iota") would also
+    # rewrite z**eta** and th**eta** (3 of 8 words), and the variant stops
+    # being an LSH candidate of `base` at k=8/bands=4.
+    near = " ".join(w if w != "eta" else "iota" for w in base.split())
+    # fixture self-check: the variant must actually share a band key with
+    # its original, or the test silently tests nothing.
+    b = _buckets(spark, [(1, base), (2, near)])
+    assert b[1] & b[2], "fixture bug: near-dup is not an LSH candidate of base"
+
     d = _dedup(spark, tmp_path)
     d.process_batch(_df(spark, [(1, base)]), 0)
     d.process_batch(
         _df(
             spark,
             [
-                (2, base.replace("eta", "iota")),      # near-dup of 1 → drop
+                (2, near),                             # near-dup of 1 → drop
                 (3, "one two three four five six"),    # unrelated → keep
             ],
         ),
         1,
     )
     # resembles 2 (which was dropped) — must still be caught
-    d.process_batch(_df(spark, [(4, base.replace("eta", "iota"))]), 2)
+    d.process_batch(_df(spark, [(4, near)]), 2)
     assert {r["doc_id"] for r in d.read_corpus().collect()} == {1, 3}
 
 

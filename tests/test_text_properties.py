@@ -47,7 +47,12 @@ def test_repetition_matches_counter_model(spark, texts):
             dup = sum(v for v in c.values() if v >= 2)
             assert r[f"top_{label}_n"] == top, (t, n)
             assert r[f"dup_{label}_n"] == dup, (t, n)
-            assert r[f"top_{label}_frac"] == n * top / len(words)
+            if len(words) < n:  # no true n-gram → fraction undefined
+                assert r[f"top_{label}_frac"] is None
+                assert r[f"dup_{label}_frac"] is None
+            else:
+                assert r[f"top_{label}_frac"] == n * top / len(words)
+                assert r[f"dup_{label}_frac"] == n * dup / len(words)
 
 
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
