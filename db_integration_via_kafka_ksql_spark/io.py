@@ -11,7 +11,9 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLES = (
     "region",
@@ -30,11 +32,43 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
-    # read it as epoch-nanos long (queries expose epoch-micros via `DIV 1000`,
-    # matching DuckDB's truncate-to-micros read of the same column).
+    # events.parquet has shipped with `ts` as either TIMESTAMP(NANOS) or
+    # timestamp[us]; tolerate both. The legacy flag only affects
+    # nanos-precision columns (read as epoch-nanos long); micros arrive as
+    # TIMESTAMP_NTZ. Consumers must go through epoch_us_col(), never do
+    # integer math on `ts` directly.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin the session timezone so the NTZ -> timestamp cast inside
+    # epoch_us_col is host-independent and matches DuckDB's epoch_us(ts).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def epoch_us_col(df: DataFrame, ts_col: str = "ts") -> Column:
+    """Epoch-microseconds expression for ``ts_col``, robust to encoding.
+
+    The single audited place that knows how timestamps arrive on disk:
+
+    - ``LongType``: legacy parquet TIMESTAMP(NANOS) read via
+      ``nanosAsLong`` — truncate to micros (``DIV 1000``), matching
+      DuckDB's micros read of the same nanosecond column.
+    - ``TIMESTAMP``/``TIMESTAMP_NTZ`` (parquet timestamp[us]/[ms]):
+      ``unix_micros`` after a cast to timestamp; with the session
+      timezone pinned to UTC (load_table) this equals DuckDB
+      ``epoch_us(ts)`` exactly.
+
+    Pure Column arithmetic either way — stays inside whole-stage codegen,
+    no UDF, pushdown-friendly.
+    """
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, LongType):
+        return F.expr(f"`{ts_col}` DIV 1000")
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(F.col(ts_col).cast("timestamp"))
+    raise TypeError(
+        f"column {ts_col!r} has unsupported timestamp encoding {dt}; "
+        "expected epoch-nanos LongType or a parquet timestamp type"
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

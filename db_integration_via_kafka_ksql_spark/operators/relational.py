@@ -321,17 +321,18 @@ def segment_distinct_stats(customer: DataFrame, orders: DataFrame) -> DataFrame:
     )
 
 
-def events_hourly_counts(events_with_ts_ns: DataFrame) -> DataFrame:
+def events_hourly_counts(events: DataFrame) -> DataFrame:
     """Tumbling-window aggregation in batch form: events per hour per type.
 
-    ts arrives as epoch-nanos long (io.load_table); the hour bucket is
-    integer arithmetic, so the same groupBy works identically in a
-    Structured Streaming window() at the streaming layer.
+    The hour bucket is integer arithmetic over epoch-micros (derived
+    type-robustly via io.epoch_us_col), so the same groupBy works
+    identically in a Structured Streaming window() at the streaming layer.
     """
+    from db_integration_via_kafka_ksql_spark.io import epoch_us_col
+
     return (
-        events_with_ts_ns.withColumn(
-            "hour_bucket", F.expr("ts DIV 3600000000000")
-        )
+        events.withColumn("__ts_us", epoch_us_col(events, "ts"))
+        .withColumn("hour_bucket", F.expr("__ts_us DIV 3600000000"))
         .groupBy("hour_bucket", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

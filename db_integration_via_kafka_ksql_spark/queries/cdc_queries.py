@@ -11,16 +11,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from db_integration_via_kafka_ksql_spark.io import load_table
+from db_integration_via_kafka_ksql_spark.io import epoch_us_col, load_table
 from db_integration_via_kafka_ksql_spark.operators import cdc
 from db_integration_via_kafka_ksql_spark.registry import query
 
 # shared projection: changelog with ts as epoch micros
 def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = cdc.events_as_changelog(load_table(spark, sf_dir, "events"))
-    # ts arrives as epoch-nanos long (see io.load_table); DIV 1000 == DuckDB's
-    # truncate-to-micros read of the same nanosecond column.
-    return log.withColumn("ts_us", F.expr("ts DIV 1000")).drop("ts")
+    # epoch_us_col handles both historical `ts` encodings (epoch-nanos long
+    # and timestamp[us]) and matches DuckDB epoch_us(ts) in either case.
+    return log.withColumn("ts_us", epoch_us_col(log, "ts")).drop("ts")
 
 _CHANGELOG_SQL = """
     SELECT user_id AS key_id,
@@ -172,9 +172,8 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the session semantics oracle-verifiable."""
     from db_integration_via_kafka_ksql_spark.streaming.windows import sessionize_batch
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
-    )
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select("user_id", epoch_us_col(raw, "ts").alias("ts_us"), "value")
     return sessionize_batch(ev, gap_minutes=30)
 
 
@@ -199,8 +198,9 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     odd event with the latest even event at or before it, per user."""
     from db_integration_via_kafka_ksql_spark.operators.asof import asof_join
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id", "event_id", epoch_us_col(raw, "ts").alias("ts_us"), "value"
     )
     left = ev.filter(F.col("event_id") % 2 == 1)
     right = ev.filter(F.col("event_id") % 2 == 0)
@@ -261,8 +261,9 @@ def range_join_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from db_integration_via_kafka_ksql_spark.streaming.windows import sessionize_batch
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id", "event_id", epoch_us_col(raw, "ts").alias("ts_us"), "value"
     )
     sessions = sessionize_batch(
         ev.select("user_id", "ts_us", "value"), gap_minutes=30

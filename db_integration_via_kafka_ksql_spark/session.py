@@ -44,6 +44,9 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # host-independent timestamp semantics: NTZ casts and unix_micros
+        # must not depend on the machine's local timezone
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # parquet scan batching: wide scans at 100 TB want large vectorized batches
         .config("spark.sql.parquet.enableVectorizedReader", "true")

@@ -153,11 +153,10 @@ def test_sessionize_gap_and_timeout(spark, tmp_path):
 def test_sessionize_batch_twin_agrees(spark, sf_dir):
     """The stateful stream's session definition == the batch window
     formulation, checked on the driver's events table (closed input)."""
-    from db_integration_via_kafka_ksql_spark.io import load_table
+    from db_integration_via_kafka_ksql_spark.io import epoch_us_col, load_table
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
-    )
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select("user_id", epoch_us_col(raw, "ts").alias("ts_us"), "value")
     sessions = sessionize_batch(ev, gap_minutes=30)
     agg = sessions.agg(
         F.sum("n_events").alias("total_events"),

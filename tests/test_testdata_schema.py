@@ -1,0 +1,134 @@
+"""Schema-drift guard for the driver-generated testdata.
+
+Round 4 post-mortem: the driver regenerated events.parquet with `ts` as
+timestamp[us] (previously TIMESTAMP(NANOS)), and the engine's hard-coded
+nanos assumption broke 10 driver queries, 15 tests, and the whole bench
+at once. This test makes the NEXT regeneration fail as exactly one clear
+assertion naming the drifted column, instead of 25 scattered analysis
+errors.
+
+Columns with more than one historically-observed on-disk encoding (the
+`ts` family) list every encoding the engine supports; everything else is
+pinned exactly.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from db_integration_via_kafka_ksql_spark.io import TABLES, epoch_us_col, load_table
+
+# spark dtype strings as reported by DataFrame.dtypes
+EXPECTED = {
+    "region": {"r_regionkey": {"int"}, "r_name": {"string"}},
+    "nation": {
+        "n_nationkey": {"int"},
+        "n_name": {"string"},
+        "n_regionkey": {"int"},
+    },
+    "customer": {
+        "c_custkey": {"bigint"},
+        "c_name": {"string"},
+        "c_nationkey": {"int"},
+        "c_acctbal": {"double"},
+        "c_mktsegment": {"string"},
+    },
+    "supplier": {
+        "s_suppkey": {"bigint"},
+        "s_name": {"string"},
+        "s_nationkey": {"int"},
+        "s_acctbal": {"double"},
+    },
+    "part": {
+        "p_partkey": {"bigint"},
+        "p_name": {"string"},
+        "p_brand": {"string"},
+        "p_type": {"string"},
+        "p_size": {"int"},
+        "p_retailprice": {"double"},
+    },
+    "orders": {
+        "o_orderkey": {"bigint"},
+        "o_custkey": {"bigint"},
+        "o_orderstatus": {"string"},
+        "o_totalprice": {"double"},
+        # date columns have shipped as either NTZ or tz'd micros
+        "o_orderdate": {"timestamp_ntz", "timestamp"},
+        "o_orderpriority": {"string"},
+    },
+    "lineitem": {
+        "l_orderkey": {"bigint"},
+        "l_partkey": {"bigint"},
+        "l_suppkey": {"bigint"},
+        "l_linenumber": {"int"},
+        "l_quantity": {"double"},
+        "l_extendedprice": {"double"},
+        "l_discount": {"double"},
+        "l_tax": {"double"},
+        "l_returnflag": {"string"},
+        "l_linestatus": {"string"},
+        "l_shipdate": {"timestamp_ntz", "timestamp"},
+    },
+    "events": {
+        "event_id": {"bigint"},
+        # both encodings the engine supports (io.epoch_us_col):
+        # TIMESTAMP(NANOS) read as epoch-nanos bigint, or timestamp[us]
+        "ts": {"bigint", "timestamp_ntz", "timestamp"},
+        "user_id": {"bigint"},
+        "event_type": {"string"},
+        "value": {"double"},
+        "props": {"string"},
+    },
+    "documents": {
+        "doc_id": {"bigint"},
+        "text": {"string"},
+        "lang": {"string"},
+        "source": {"string"},
+        "n_chars": {"bigint"},
+    },
+    "embeddings": {
+        "vec_id": {"bigint"},
+        "embedding": {"array<float>", "array<double>"},
+        "label": {"int"},
+    },
+}
+
+
+@pytest.mark.parametrize("table", TABLES)
+def test_table_schema_matches_expected(spark, sf_dir, table):
+    actual = dict(load_table(spark, sf_dir, table).dtypes)
+    expected = EXPECTED[table]
+    assert set(actual) == set(expected), (
+        f"testdata drift: {table} columns changed — "
+        f"got {sorted(actual)}, expected {sorted(expected)}"
+    )
+    for col, allowed in expected.items():
+        assert actual[col] in allowed, (
+            f"testdata drift: {table}.{col} is {actual[col]!r}, engine "
+            f"supports {sorted(allowed)}; audit every consumer "
+            f"(io.epoch_us_col for ts-family columns) before widening"
+        )
+
+
+def test_events_ts_epoch_us_matches_duckdb(spark, sf_dir):
+    """epoch_us_col must agree with DuckDB's epoch_us(ts) — the oracle's
+    view of the same column — on the live data, whatever the encoding."""
+    import os
+
+    import duckdb
+
+    raw = load_table(spark, sf_dir, "events")
+    got = {
+        r["event_id"]: r["ts_us"]
+        for r in raw.select("event_id", epoch_us_col(raw, "ts").alias("ts_us"))
+        .orderBy("event_id")
+        .limit(100)
+        .collect()
+    }
+    path = os.path.join(sf_dir, "events.parquet")
+    want = dict(
+        duckdb.sql(
+            f"SELECT event_id, epoch_us(ts) FROM '{path}' ORDER BY event_id LIMIT 100"
+        ).fetchall()
+    )
+    assert got == want
