@@ -107,16 +107,21 @@ def cc_stress(spark, sf_dir: str) -> dict:
             multiprobe=True,
         )
 
+    # The timed action here is a filter+count over the cluster assignment
+    # (not the noop write used for headline rows): it references both
+    # output columns, so nothing prunable precedes it — the full pair
+    # generation + clustering runs inside the timing — and it yields
+    # n_clustered from the timed run itself instead of a third full pass.
     stats: dict = {}
     auto_sec = float("inf")
+    n_clustered = None
     for _ in range(2):  # best-of-2, same methodology as the headline rows
         t0 = time.perf_counter()
         out = G.dedup_clusters(
             emb, pair_frame(), "vec_id", "vec_a", "vec_b", stats=stats
         )
-        run_query(out)
+        n_clustered = out.filter("vec_id <> cluster_rep").count()
         auto_sec = min(auto_sec, time.perf_counter() - t0)
-    n_clustered = out.filter("vec_id <> cluster_rep").count()
 
     dstats: dict = {}
     t0 = time.perf_counter()
@@ -282,52 +287,94 @@ def main() -> None:
     extras = sorted(set(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",")) - {""})
     names += [n for n in extras if n in QUERIES and n not in names]
 
-    # warm the JVM/codegen once with the cheapest query so q1 doesn't pay
-    # session startup, and spawn the Arrow Python workers once so the
-    # Pandas-UDF queries measure steady-state, not first-fork; both
-    # excluded from timings.
-    run_query(QUERIES[names[0]](spark, sf_dir))
-    spark.range(2).toDF("x").mapInPandas(lambda it: it, "x long").count()
+    errors: dict[str, str] = {}
+
+    # Warm the JVM/codegen on a synthetic job (never a registered query —
+    # round 4's bench died in warmup when one query broke), and spawn the
+    # Arrow Python workers once so Pandas-UDF queries measure steady-state,
+    # not first-fork; both excluded from timings.
+    spark.range(1_000_000).selectExpr("sum(id) as s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    try:
+        # touch the parquet read path (footer parsing, vectorized reader
+        # codegen) on the smallest table so the first timed query doesn't
+        # pay scan-infrastructure init
+        from db_integration_via_kafka_ksql_spark.io import load_table
+
+        load_table(spark, sf_dir, "region").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception as e:
+        errors["__scan_warmup__"] = repr(e)[:500]
+    try:
+        spark.range(2).toDF("x").mapInPandas(lambda it: it, "x long").count()
+    except Exception as e:  # Arrow path broken ≠ whole bench broken
+        errors["__arrow_warmup__"] = repr(e)
 
     # best-of-2: the container's host shows multi-x performance variance
     # over time; the minimum is the reproducible cost of the plan (and the
-    # second run amortizes whole-stage-codegen compilation)
-    timings: dict[str, float] = {}
+    # second run amortizes whole-stage-codegen compilation).
+    # Fault-isolated: a failing query records null + an error string and
+    # the rest of the report still lands — one hole is diagnosable, an
+    # empty report isn't (round-4 lesson).
+    timings: dict[str, float | None] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run_query(QUERIES[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run_query(QUERIES[name](spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as e:
+            timings[name] = None
+            errors[name] = repr(e)[:500]
 
-    cc = cc_stress(spark, sf_dir)
-    timings["dedup_clusters_embedding"] = cc["auto_sec"]
+    try:
+        cc = cc_stress(spark, sf_dir)
+        timings["dedup_clusters_embedding"] = cc["auto_sec"]
+    except Exception as e:
+        cc = None
+        timings["dedup_clusters_embedding"] = None
+        errors["dedup_clusters_embedding"] = repr(e)[:500]
 
     n_events = int(os.environ.get("SPARK_GRAFT_REPLAY_EVENTS", "5000000"))
-    replay_rate = replay_throughput(spark, n_events, max(n_events // 10, 1))
-
-    latency = propagation_latency(
-        spark, n_probes=int(os.environ.get("SPARK_GRAFT_LATENCY_PROBES", "5"))
-    )
-
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cc": cc,
-                "replay_events_per_sec": round(replay_rate),
-                "replay_n_events": n_events,
-                "propagation_latency": latency,
-            }
+    try:
+        replay_rate = round(
+            replay_throughput(spark, n_events, max(n_events // 10, 1))
         )
-    )
+    except Exception as e:
+        replay_rate = None
+        errors["__replay__"] = repr(e)[:500]
+
+    try:
+        latency = propagation_latency(
+            spark, n_probes=int(os.environ.get("SPARK_GRAFT_LATENCY_PROBES", "5"))
+        )
+    except Exception as e:
+        latency = None
+        errors["__latency__"] = repr(e)[:500]
+
+    total = round(sum(v for v in timings.values() if v is not None), 4)
+    report = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cc": cc,
+        "replay_events_per_sec": replay_rate,
+        "replay_n_events": n_events,
+        "propagation_latency": latency,
+    }
+    if errors:
+        report["errors"] = errors
+    print(json.dumps(report))
     spark.stop()
+    # partial results are still a report; only exit nonzero if nothing ran
+    if all(v is None for v in timings.values()):
+        sys.exit(1)
 
 
 if __name__ == "__main__":

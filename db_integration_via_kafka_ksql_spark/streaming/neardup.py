@@ -82,7 +82,12 @@ class StreamingNearDup:
         # The band self-join's OUTPUT is quadratic in bucket occupancy, so
         # one side is spread round-robin (the same AQE single-task pitfall
         # minhash_lsh_pairs pins against in operators/dedup.py): a skewed
-        # micro-batch must not run the quadratic join in one task.
+        # micro-batch must not run the quadratic join in one task. This
+        # relies on the planner broadcasting side b (micro-batches are
+        # small), which preserves the probe side's partitioning; under a
+        # shuffled join both sides re-shuffle by band key and a single hot
+        # bucket would still land in one partition — salt band_key on one
+        # side if that regime ever matters.
         pairs = (
             bk.repartition(par)
             .alias("a")
@@ -110,6 +115,12 @@ class StreamingNearDup:
             # SEMI, which at large state degrades to shuffling the full
             # bucket history every micro-batch. Inner join with the batch
             # broadcast keeps the state scan-side and shuffle-free.
+            # Assumes micro-batches stay broadcast-sized (bands × batch
+            # rows ≪ the 8 GB broadcast cap) — true at the 2 s trigger
+            # cadence this pipeline targets. A bulk catch-up replay should
+            # come through the batch dedup path instead; if huge batches
+            # ever must stream, drop this hint and let
+            # autoBroadcastJoinThreshold pick the join side.
             hist = self.state.read().select("band_id", "band_key")
             hits = (
                 hist.join(

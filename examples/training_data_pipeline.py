@@ -59,8 +59,12 @@ def main() -> None:
     ok_quality = TA.quality_scores(docs, keep_cols=("source", "text")).filter(
         F.col("quality") >= MIN_QUALITY
     )
+    # dup_bigram_frac is NULL for sub-bigram docs (no gram population to
+    # measure); policy: too short to be repetitive, so keep them here and
+    # let the quality cut decide their fate
     ok_rep = TA.repetition_stats(docs).filter(
-        F.col("dup_bigram_frac") <= MAX_DUP_BIGRAM_FRAC
+        F.col("dup_bigram_frac").isNull()
+        | (F.col("dup_bigram_frac") <= MAX_DUP_BIGRAM_FRAC)
     )
     kept = ok_quality.join(ok_rep.select("doc_id"), "doc_id", "left_semi")
     stages.append(("after quality+repetition cut", kept.count()))
