@@ -262,9 +262,14 @@ def replay_throughput(spark, n_events: int, n_keys: int) -> float:
         store = ParquetStateStore(
             spark, f"{tmp}/state", key_cols=["key_id"], order_cols=["offset"]
         )
-        t0 = time.perf_counter()
-        store.rebuild(full_log)
-        dt = time.perf_counter() - t0
+        # best-of-2, same as the headline rows: the first rebuild pays the
+        # cold page-cache read of the just-written changelog; the min is
+        # the reproducible cost of the rebuild plan
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            store.rebuild(full_log)
+            dt = min(dt, time.perf_counter() - t0)
         return n_events / dt
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
