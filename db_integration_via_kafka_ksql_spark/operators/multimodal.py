@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -164,6 +165,81 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
     # itself (~0.7 s for the whole sf0.1 corpus in ONE task).
     return media.select("doc_id", "payload").mapInPandas(
         featurize, schema=FEATURE_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_width", LongType()),
+        StructField("src_height", LongType()),
+        StructField("dst_width", LongType()),
+        StructField("dst_height", LongType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, dst_width: int = 32, dst_height: int = 32
+) -> DataFrame:
+    """Nearest-neighbor resize of every payload to a fixed raster size.
+
+    The decode step is the stub (`_fake_decode` — no codec libs here:
+    payload bytes ARE the raster, row-major, 1 byte/px); the resize math,
+    Arrow batching, and output schema are the real production plumbing.
+    On a cluster, swap the decode line for `decode_image` and the same
+    numpy index-sampling resize applies to the decoded raster.
+
+    Scale notes: output size is fixed (dst_w × dst_h bytes/row), so this
+    is the op that turns an unbounded-size image column into a
+    fixed-width training input — downstream batching gets uniform rows.
+    Per-batch work is one fancy-index gather per image; no shuffle, no
+    driver involvement, parallelism = scan partitioning.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def resize_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # target pixel grid is the same for every image: precompute the
+        # per-axis nearest-source index ratios once per batch shape
+        ty = np.arange(dst_height, dtype=np.int64)
+        tx = np.arange(dst_width, dtype=np.int64)
+        for pdf in batches:
+            out_ids, sw, sh, blobs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raw = _fake_decode(bytes(payload))
+                if w <= 0 or h <= 0:  # empty payload: all-zero raster
+                    resized = np.zeros(dst_height * dst_width, dtype=np.uint8)
+                else:
+                    raster = np.frombuffer(raw, dtype=np.uint8)[: w * h].reshape(
+                        h, w
+                    )
+                    # nearest-neighbor: floor-scaled source indices
+                    rows = ty * h // dst_height
+                    cols = tx * w // dst_width
+                    resized = raster[np.ix_(rows, cols)].ravel()
+                out_ids.append(doc_id)
+                sw.append(w)
+                sh.append(h)
+                blobs.append(resized.tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_ids, dtype="int64"),
+                    "src_width": pd.Series(sw, dtype="int64"),
+                    "src_height": pd.Series(sh, dtype="int64"),
+                    "dst_width": pd.Series(
+                        [dst_width] * len(out_ids), dtype="int64"
+                    ),
+                    "dst_height": pd.Series(
+                        [dst_height] * len(out_ids), dtype="int64"
+                    ),
+                    "resized": blobs,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        resize_batch, schema=RESIZE_SCHEMA
     )
 
 

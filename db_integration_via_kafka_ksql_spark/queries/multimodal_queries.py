@@ -86,6 +86,52 @@ def mm_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mm_resize_nn",
+    driver=False,  # driver window is full; locally parity-gated like driver slots
+    # DuckDB recomputes the nearest-neighbor gather byte-for-byte: for each
+    # target pixel (y,x) of the 8x8 grid, the source byte is
+    # raster[(y*h//8)*w + (x*w//8)] (raster = first w*h payload bytes,
+    # row-major), pulled out of hex(payload) two chars at a pixel. h can be
+    # 0 for sub-64-byte docs (w = len%64+1 > len) — those resize to an
+    # all-zero raster on both sides.
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             octet_length(text::BLOB)::BIGINT % 64 + 1 AS w,
+             octet_length(text::BLOB)::BIGINT
+               // (octet_length(text::BLOB)::BIGINT % 64 + 1) AS h,
+             hex(text::BLOB) AS payload_hex
+      FROM documents
+    ), px AS (
+      SELECT doc_id,
+             i.y AS y, j.x AS x,
+             substr(payload_hex, 2*((y*h//8)*w + (x*w//8)) + 1, 2) AS hx
+      FROM g, LATERAL unnest(range(0, 8)) AS i(y),
+              LATERAL unnest(range(0, 8)) AS j(x)
+      WHERE h > 0
+    ), agg AS (
+      SELECT doc_id, string_agg(hx, '' ORDER BY y, x) AS resized_hex
+      FROM px GROUP BY doc_id
+    )
+    SELECT g.doc_id, g.w AS src_width, g.h AS src_height,
+           coalesce(a.resized_hex, repeat('00', 64)) AS resized_hex
+    FROM g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize to a fixed 8x8 raster, hex-exposed so the
+    oracle compares the resized bytes bit-for-bit."""
+    media = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    out = M.resize_images(media, dst_width=8, dst_height=8)
+    return out.select(
+        "doc_id",
+        "src_width",
+        "src_height",
+        F.hex("resized").alias("resized_hex"),
+    )
+
+
+@query(
     "mm_frame_sample_counts",
     oracle="""
     SELECT doc_id,

@@ -105,6 +105,35 @@ def test_byte_features_exact_values(spark):
     assert rows[2]["mean_byte"] == pytest.approx((97 + 32 + 98) / 3)
 
 
+def test_resize_images_exact_gather(spark):
+    # 128-byte payload: w = 128%64+1 = 1, h = 128 → a 1-wide column image;
+    # resizing to 2x2 samples rows 0*128//2=0 and 1*128//2=64, col 0 twice
+    payload = bytes(range(128))
+    media = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    rows = M.resize_images(media, dst_width=2, dst_height=2).collect()
+    r = rows[0]
+    assert (r["src_width"], r["src_height"]) == (1, 128)
+    assert (r["dst_width"], r["dst_height"]) == (2, 2)
+    assert bytes(r["resized"]) == bytes([0, 0, 64, 64])
+
+
+def test_resize_images_empty_and_square(spark):
+    import numpy as np
+
+    # empty payload → all-zero raster; 64+1-byte payload: w=2, h=32
+    media = spark.createDataFrame(
+        [(1, bytearray(b"")), (2, bytearray(bytes(range(65))))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in M.resize_images(media, 4, 4).collect()}
+    assert bytes(rows[1]["resized"]) == bytes(16)
+    # numpy model of the same gather
+    raster = np.arange(64, dtype=np.uint8).reshape(32, 2)
+    want = raster[np.ix_(np.arange(4) * 32 // 4, np.arange(4) * 2 // 4)].ravel()
+    assert bytes(rows[2]["resized"]) == want.tobytes()
+    assert (rows[2]["src_width"], rows[2]["src_height"]) == (2, 32)
+
+
 def test_decode_image_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG")
