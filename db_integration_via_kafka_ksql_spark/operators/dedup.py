@@ -218,7 +218,11 @@ def ngram_jaccard_pairs(
     # O(total shingles) local disk, far cheaper than re-shingling the corpus
     # per consumer. (Measured at sf0.1: 10.3s -> ~4s for the capped variant.)
     sh = sh.localCheckpoint(eager=True)
-    inv = sh.select("doc_id", F.explode("sh").alias("g"))
+    # shingle-set size rides along from explode time (+8 bytes/row in the
+    # g-shuffle, no extra join): it powers the size-ratio prune below
+    inv = sh.select(
+        "doc_id", F.size("sh").cast("bigint").alias("sz"), F.explode("sh").alias("g")
+    )
     if df_cap is not None:
         hot = inv.groupBy("g").count().filter(F.col("count") > df_cap).select("g")
         inv = inv.join(hot, "g", "left_anti")
@@ -230,7 +234,15 @@ def ngram_jaccard_pairs(
     inter = (
         ia.join(
             ib,
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio prune: jaccard <= min(sz)/max(sz), so pairs whose
+            # sizes differ by more than the threshold ratio can never pass
+            # the final filter — drop their rows BEFORE the groupBy (the
+            # expensive part; measured ~13% at sf0.1, and at scale it cuts
+            # the aggregate's input, the term that grows with corpus size)
+            & (F.col("a.sz") >= threshold * F.col("b.sz"))
+            & (F.col("b.sz") >= threshold * F.col("a.sz")),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

@@ -110,6 +110,25 @@ def test_table_schema_matches_expected(spark, sf_dir, table):
         )
 
 
+def test_epoch_us_col_handles_both_encodings(spark):
+    """Both historical encodings must produce identical epoch-micros:
+    a nanos BIGINT (the pre-round-4 read) and a timestamp column."""
+    nanos = 1_704_067_798_778_549_123  # 2024-01-01 00:09:58.778549123 UTC
+    df_long = spark.createDataFrame([(nanos,)], "ts long")
+    got_long = df_long.select(epoch_us_col(df_long, "ts").alias("us")).first()["us"]
+    assert got_long == nanos // 1000
+
+    df_ts = spark.sql(
+        "SELECT timestamp_ntz'2024-01-01 00:09:58.778549' AS ts"
+    )
+    got_ts = df_ts.select(epoch_us_col(df_ts, "ts").alias("us")).first()["us"]
+    assert got_ts == nanos // 1000 == 1_704_067_798_778_549
+
+    df_bad = spark.createDataFrame([("x",)], "ts string")
+    with pytest.raises(TypeError, match="unsupported timestamp encoding"):
+        epoch_us_col(df_bad, "ts")
+
+
 def test_events_ts_epoch_us_matches_duckdb(spark, sf_dir):
     """epoch_us_col must agree with DuckDB's epoch_us(ts) — the oracle's
     view of the same column — on the live data, whatever the encoding."""
