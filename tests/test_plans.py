@@ -181,6 +181,24 @@ def test_decontam_bench_grams_broadcast(reports):
     assert r.n_shuffle_exchanges <= 2  # bench-gram distinct + per-doc count
 
 
+def test_ngram_jaccard_size_prune_inside_join(reports):
+    """The size-ratio prune (jaccard <= min(sz)/max(sz)) must stay a join
+    predicate so incompatible pairs die BEFORE the intersection groupBy;
+    losing it to a post-aggregation filter silently restores the full
+    sum(df(g)^2) aggregate input at scale."""
+    r = reports("dedup_ngram_jaccard_capped")
+    # join condition carries both ratio bounds on the shingle-set sizes
+    join_nodes = [
+        seg
+        for seg in r.plan_text.split("\n\n")
+        if "Join" in seg.split("\n")[0] and "doc_id" in seg
+    ]
+    assert any(seg.count("sz") >= 2 and "0.2" in seg for seg in join_nodes), (
+        "size-ratio predicates missing from the inverted-index self-join"
+    )
+    assert r.nested_loop_joins == 0
+
+
 def test_seq_packing_single_shard_shuffle(reports):
     """Sequence packing: exactly one shuffle (the shard-keyed window);
     nothing else moves data."""
