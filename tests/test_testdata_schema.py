@@ -14,6 +14,8 @@ pinned exactly.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from db_integration_via_kafka_ksql_spark.io import TABLES, epoch_us_col, load_table
@@ -94,20 +96,31 @@ EXPECTED = {
 }
 
 
+_SF_DIRS = [
+    d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    if os.path.isdir(d)
+]
+
+
 @pytest.mark.parametrize("table", TABLES)
-def test_table_schema_matches_expected(spark, sf_dir, table):
-    actual = dict(load_table(spark, sf_dir, table).dtypes)
-    expected = EXPECTED[table]
-    assert set(actual) == set(expected), (
-        f"testdata drift: {table} columns changed — "
-        f"got {sorted(actual)}, expected {sorted(expected)}"
-    )
-    for col, allowed in expected.items():
-        assert actual[col] in allowed, (
-            f"testdata drift: {table}.{col} is {actual[col]!r}, engine "
-            f"supports {sorted(allowed)}; audit every consumer "
-            f"(io.epoch_us_col for ts-family columns) before widening"
+def test_table_schema_matches_expected(spark, table):
+    # all SF dirs: the driver regenerates them independently, so drift can
+    # hit one scale factor and not another (correctness runs at sf0.01,
+    # bench at sf0.1, most tests at sf0.001 — all three must agree)
+    for sf_dir in _SF_DIRS:
+        actual = dict(load_table(spark, sf_dir, table).dtypes)
+        expected = EXPECTED[table]
+        assert set(actual) == set(expected), (
+            f"testdata drift in {sf_dir}: {table} columns changed — "
+            f"got {sorted(actual)}, expected {sorted(expected)}"
         )
+        for col, allowed in expected.items():
+            assert actual[col] in allowed, (
+                f"testdata drift in {sf_dir}: {table}.{col} is "
+                f"{actual[col]!r}, engine supports {sorted(allowed)}; audit "
+                f"every consumer (io.epoch_us_col for ts-family columns) "
+                f"before widening"
+            )
 
 
 def test_epoch_us_col_handles_both_encodings(spark):
