@@ -237,11 +237,14 @@ def propagation_latency(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def replay_throughput(spark, n_events: int, n_keys: int) -> float:
+def replay_throughput(spark, n_events: int, n_keys: int) -> tuple[float, dict]:
     """Changelog replay-rebuild events/s (the reference's headline metric:
-    ~100K msgs/s ksqlDB TABLE rebuild, TOMBSTONE_HANDLING_GUIDE.md:336-339).
-    Synthesizes a high-churn changelog, times state rebuild end-to-end
-    (scan + compact + tombstone filter + bucketed state write)."""
+    ~100K msgs/s ksqlDB TABLE rebuild, TOMBSTONE_HANDLING_GUIDE.md:336-339)
+    plus the rebuilt state's on-disk footprint (reference: ~1-2 KB/key in
+    RocksDB, TOMBSTONE_HANDLING_GUIDE.md:96-101 — columnar parquet state
+    should come in far under that). Synthesizes a high-churn changelog,
+    times state rebuild end-to-end (scan + compact + tombstone filter +
+    bucketed state write)."""
     from pyspark.sql import functions as F
 
     from db_integration_via_kafka_ksql_spark.streaming.state import (
@@ -270,7 +273,18 @@ def replay_throughput(spark, n_events: int, n_keys: int) -> float:
             t0 = time.perf_counter()
             store.rebuild(full_log)
             dt = min(dt, time.perf_counter() - t0)
-        return n_events / dt
+        state_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, files in os.walk(f"{tmp}/state")
+            for f in files
+        )
+        live_keys = store.read().count()
+        footprint = {
+            "state_bytes": state_bytes,
+            "live_keys": live_keys,
+            "bytes_per_key": round(state_bytes / max(live_keys, 1), 1),
+        }
+        return n_events / dt, footprint
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -346,11 +360,13 @@ def main() -> None:
 
     n_events = int(os.environ.get("SPARK_GRAFT_REPLAY_EVENTS", "5000000"))
     try:
-        replay_rate = round(
-            replay_throughput(spark, n_events, max(n_events // 10, 1))
+        rate, state_footprint = replay_throughput(
+            spark, n_events, max(n_events // 10, 1)
         )
+        replay_rate = round(rate)
     except Exception as e:
         replay_rate = None
+        state_footprint = None
         errors["__replay__"] = repr(e)[:500]
 
     try:
@@ -371,6 +387,7 @@ def main() -> None:
         "cc": cc,
         "replay_events_per_sec": replay_rate,
         "replay_n_events": n_events,
+        "state_footprint": state_footprint,
         "propagation_latency": latency,
     }
     if errors:
