@@ -9,7 +9,7 @@ speed with full column pruning (only `doc_id`/`text`/`lang` are read).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from db_integration_via_kafka_ksql_spark.functions import text as T
@@ -195,6 +195,58 @@ def stratified_sample(
         % 100
     )
     return docs.filter(bucket < rate)
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    seed: str = "s0",
+    epoch: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic training-order shuffle: every (seed, epoch) draws an
+    independent pseudo-random permutation of the corpus via a hash sort
+    key — no RNG state, so any engine/run reproduces the same order.
+
+    Scale design: the permutation is the SORT, not a rank column. Spark
+    executes orderBy as a range-partitioned sort (sampled boundaries →
+    parallel sort, output files in global order) — a global
+    row_number() window here would funnel 100 TB through ONE partition,
+    the classic shuffle-order scale-killer. Training readers consume the
+    written file order; the emitted shuffle_key doubles as the
+    verifiable permutation (equal keys impossible: md5 of distinct ids).
+    """
+    key = F.md5(
+        F.concat_ws("|", F.lit(seed), F.lit(str(epoch)), F.col(id_col).cast("string"))
+    ).alias("shuffle_key")
+    return docs.select(F.col(id_col), key).orderBy("shuffle_key")
+
+
+def sample_k_per_stratum(
+    docs: DataFrame,
+    k: int,
+    seed: str = "s0",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Exact-k-per-group sampling (the 'K examples from every source'
+    eval-set / ablation builder): rank rows inside each stratum by a
+    seeded hash and keep the first k — a deterministic reservoir sample
+    without RNG state.
+
+    The window partitions by stratum, so the sort is per-group and
+    parallel across groups (nothing global); skew follows the biggest
+    stratum, the same bound as any per-source operation here.
+    """
+    key = F.md5(
+        F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(key.asc())
+    return (
+        docs.select(F.col(id_col), F.col(strata_col), key.alias("sample_key"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, strata_col, "sample_key", F.col("rnk").cast("bigint").alias("rnk"))
+    )
 
 
 def repetition_stats(docs: DataFrame) -> DataFrame:

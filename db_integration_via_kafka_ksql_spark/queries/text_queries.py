@@ -550,3 +550,47 @@ def training_mix_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.curate_corpus(
         sampled, min_quality=CURATION_MIN_QUALITY, min_tokens=50
     )
+
+
+@query(
+    "shuffle_epoch_order",
+    driver=False,  # driver window full; locally parity-gated
+    oracle="""
+    SELECT doc_id, md5('s7|2|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents
+    """,
+)
+def shuffle_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/text_analysis.epoch_shuffle):
+    the permutation IS the range-partitioned sort by the seeded hash key;
+    the driver's order-insensitive hash verifies the key assignment (the
+    permutation), which fixes the order exactly."""
+    return TA.epoch_shuffle(
+        load_table(spark, sf_dir, "documents"), seed="s7", epoch=2
+    )
+
+
+@query(
+    "sample_k_per_source",
+    driver=False,  # driver window full; locally parity-gated
+    oracle="""
+    SELECT doc_id, source, sample_key, rnk
+    FROM (
+        SELECT doc_id, source,
+               md5('s3|' || CAST(doc_id AS VARCHAR)) AS sample_key,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('s3|' || CAST(doc_id AS VARCHAR))
+               ) AS BIGINT) AS rnk
+        FROM documents
+    )
+    WHERE rnk <= 7
+    """,
+)
+def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sample
+    (operators/text_analysis.sample_k_per_stratum): seeded-hash rank
+    inside each source, first 7 kept."""
+    return TA.sample_k_per_stratum(
+        load_table(spark, sf_dir, "documents"), k=7, seed="s3"
+    )

@@ -565,3 +565,34 @@ def test_scrub_pii_counts_and_redaction(spark):
     assert out[2]["redacted"] == "tpch phone [PHONE] twice [PHONE]"
     assert out[3]["redacted"] == "no pii here at all"
     assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
+
+
+def test_epoch_shuffle_is_deterministic_permutation(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = [r["doc_id"] for r in TA.epoch_shuffle(docs, seed="s1", epoch=0).collect()]
+    b = [r["doc_id"] for r in TA.epoch_shuffle(docs, seed="s1", epoch=0).collect()]
+    c = [r["doc_id"] for r in TA.epoch_shuffle(docs, seed="s1", epoch=1).collect()]
+    assert a == b                      # same (seed, epoch) -> same order
+    assert sorted(a) == sorted(c)      # every epoch is a permutation...
+    assert a != c                      # ...but a different one
+    # scale shape: the total order comes from a range-partitioned Sort,
+    # never a global row_number window (the single-partition killer)
+    plan = TA.epoch_shuffle(docs, seed="s1", epoch=0)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    assert "Window" not in plan
+
+
+def test_sample_k_per_stratum_exact_k(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = TA.sample_k_per_stratum(docs, k=5, seed="sA")
+    sizes = {r["source"]: r["n"] for r in
+             out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    group_sizes = {r["source"]: r["n"] for r in
+                   docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n in sizes.items():
+        assert n == min(5, group_sizes[src])
+    # different seed draws a different membership (overwhelmingly likely)
+    other = TA.sample_k_per_stratum(docs, k=5, seed="sB")
+    ids_a = {r["doc_id"] for r in out.collect()}
+    ids_b = {r["doc_id"] for r in other.collect()}
+    assert ids_a != ids_b
