@@ -197,6 +197,49 @@ def stratified_sample(
     return docs.filter(bucket < rate)
 
 
+def quality_percentile_cutoffs(
+    docs: DataFrame,
+    ps: tuple[float, ...] = (0.5, 0.9),
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-stratum discrete-percentile quality cutoffs — the adaptive
+    thresholding step ('drop each source's bottom decile') that replaces
+    one global magic number with data-derived per-source values.
+
+    percentile_disc semantics: cutoff(p) = the quality value at sorted
+    position ceil(p*n) within the stratum — an actual data value, exactly
+    reproducible in any engine (no interpolation float math). One window
+    pass per stratum (rank + count share the single partition shuffle);
+    the explode over ps is |strata| x |ps| rows, negligible. At scale the
+    cost profile is any per-source window: parallel across strata,
+    bounded by the largest one — and the cutoffs output is tiny, made to
+    be broadcast back against the corpus for the actual filter.
+    """
+    scored = quality_scores(docs, keep_cols=(strata_col,)).select(
+        "doc_id", strata_col, "quality"
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy(strata_col)
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    p_rows = F.explode(
+        F.array(*[F.lit(float(p)) for p in sorted(ps)])
+    ).alias("p")
+    return (
+        ranked.select(strata_col, "quality", "rnk", "n", p_rows)
+        .filter(F.col("rnk") == F.ceil(F.col("p") * F.col("n")))
+        .select(
+            strata_col,
+            "p",
+            F.col("quality").alias("cutoff"),
+            F.col("n").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
 def epoch_shuffle(
     docs: DataFrame,
     seed: str = "s0",

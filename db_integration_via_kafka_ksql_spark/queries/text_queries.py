@@ -594,3 +594,48 @@ def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.sample_k_per_stratum(
         load_table(spark, sf_dir, "documents"), k=7, seed="s3"
     )
+
+
+_QUALITY_BY_SOURCE = f"""
+    SELECT doc_id, source,
+           0.4 * least(CAST(n_tok AS DOUBLE) / 50.0, 1.0)
+             + 0.3 * (CAST(n_dis AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             + 0.2 * (1.0 - CAST(stop_hits AS DOUBLE) / CAST(n_tok AS DOUBLE))
+             + 0.1 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+             AS quality
+    FROM (
+        SELECT doc_id, source,
+               len({_W}) AS n_tok,
+               len({_DW}) AS n_dis,
+               {_STOP_SUM} AS stop_hits,
+               length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+               length(text) AS n_chars
+        FROM documents
+    )
+"""
+
+
+@query(
+    "quality_cutoffs_per_source",
+    driver=False,  # driver window full; locally parity-gated
+    oracle=f"""
+    WITH q AS ({_QUALITY_BY_SOURCE}),
+    ranked AS (
+        SELECT source, quality,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality, doc_id) AS rnk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM q
+    )
+    SELECT source, p, quality AS cutoff, CAST(n AS BIGINT) AS n_docs
+    FROM ranked, LATERAL unnest([0.5, 0.9]) AS t(p)
+    WHERE rnk = ceil(p * n)
+    """,
+)
+def quality_cutoffs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-source quality thresholds at the median and 90th
+    percentile (operators/text_analysis.quality_percentile_cutoffs) —
+    discrete-percentile semantics, exactly reproducible cross-engine."""
+    return TA.quality_percentile_cutoffs(
+        load_table(spark, sf_dir, "documents"), ps=(0.5, 0.9)
+    )

@@ -596,3 +596,18 @@ def test_sample_k_per_stratum_exact_k(spark, sf_dir):
     ids_a = {r["doc_id"] for r in out.collect()}
     ids_b = {r["doc_id"] for r in other.collect()}
     assert ids_a != ids_b
+
+
+def test_quality_percentile_cutoffs_semantics(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = TA.quality_percentile_cutoffs(docs, ps=(0.5, 1.0))
+    rows = {(r["source"], r["p"]): r for r in cuts.collect()}
+    scored = TA.quality_scores(docs, keep_cols=("source",))
+    agg = {r["source"]: r for r in scored.groupBy("source").agg(
+        F.max("quality").alias("mx"), F.count(F.lit(1)).alias("n")).collect()}
+    for src, a in agg.items():
+        # p=1.0 picks the stratum max; every cutoff row carries the group size
+        assert rows[(src, 1.0)]["cutoff"] == a["mx"]
+        assert rows[(src, 1.0)]["n_docs"] == a["n"]
+        # median cutoff sits strictly inside the stratum's range
+        assert rows[(src, 0.5)]["cutoff"] <= a["mx"]
