@@ -109,6 +109,25 @@ class Engine:
     def show_queries(self) -> list[dict[str, Any]]:
         return CdcPipeline.active_queries(self.spark)
 
+    def describe_table(self, name: str) -> list[dict[str, str]]:
+        """ksqlDB `DESCRIBE <table>`: column name/type listing for a
+        registered table or view."""
+        return [
+            {"column": c.name, "type": c.dataType}
+            for c in self.spark.catalog.listColumns(name)
+        ]
+
+    # -- M3 (cont.): query termination ---------------------------------
+    def terminate(self, query_name: str) -> bool:
+        """ksqlDB `TERMINATE <query-id>`: stop the named continuous query.
+        Returns True if a query was stopped, False if none matched —
+        idempotent like the reference's delete-then-recreate scripts."""
+        for q in self.spark.streams.active:
+            if q.name == query_name:
+                q.stop()
+                return True
+        return False
+
     # -- M3: pipeline lifecycle ----------------------------------------
     def deploy(self, pipeline: CdcPipeline) -> QueryHandle:
         """Idempotent deploy: an active query with the same name is

@@ -72,3 +72,33 @@ def test_deploy_is_idempotent_and_reports_status(spark, tmp_path):
         assert h2.status()["state"] == "STOPPED"
     finally:
         h1.stop()
+
+
+def test_describe_table_lists_columns(spark, sf_dir):
+    eng = Engine(spark)
+    eng.register_tables(sf_dir)
+    cols = {c["column"]: c["type"] for c in eng.describe_table("region")}
+    assert cols["r_name"] == "string"
+    assert cols["r_regionkey"] in ("int", "bigint")
+
+
+def test_terminate_stops_named_query(spark, tmp_path):
+    eng = Engine(spark)
+    _write_file(spark, str(tmp_path / "src"), [(1, "a", "false", 1)],
+                "f1.parquet")
+    pipe = CdcPipeline(
+        source=file_changelog_stream(spark, str(tmp_path / "src"), SCHEMA),
+        key_cols=["id"],
+        order_cols=["offset"],
+        sink=None,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=0,
+        query_name="terminate_me",
+    )
+    h = eng.deploy(pipe)
+    try:
+        assert eng.terminate("terminate_me") is True
+        assert not h.active
+        assert eng.terminate("terminate_me") is False  # idempotent
+    finally:
+        h.stop()
