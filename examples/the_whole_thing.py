@@ -70,7 +70,47 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     eng = Engine(spark)
 
-    print("[2/8] schema: engine-carried (no registry dance needed)")
+    # mirror the reference's "schema must exist before DDL" ordering
+    # (the-whole-thing.sh:23-40) against the in-memory registry contract:
+    # register the value schema, prove an incompatible change is refused
+    print("[2/8] schema: registered (BACKWARD-gated) + engine-carried")
+    import json
+
+    from db_integration_via_kafka_ksql_spark.sources.schema_registry import (
+        InMemorySchemaRegistry,
+    )
+
+    registry = InMemorySchemaRegistry()
+    movie_v1 = json.dumps(
+        {
+            "type": "record",
+            "name": "movie",
+            "fields": [
+                {"name": "key_id", "type": "long"},
+                {"name": "title", "type": ["null", "string"]},
+            ],
+        }
+    )
+    sid = registry.register("movies-value", movie_v1)
+    try:
+        registry.register(
+            "movies-value",
+            json.dumps(
+                {
+                    "type": "record",
+                    "name": "movie",
+                    "fields": [
+                        {"name": "key_id", "type": "long"},
+                        {"name": "title", "type": ["null", "string"]},
+                        {"name": "rating", "type": "double"},  # no default!
+                    ],
+                }
+            ),
+        )
+        raise AssertionError("BACKWARD gate should have refused this")
+    except ValueError:
+        pass
+    print(f"      schema id {sid} registered; incompatible ALTER refused")
     rows = movies_changelog_rows()
 
     print("[3/8+7/8] deploy transform + sink as one pipeline")
