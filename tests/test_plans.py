@@ -181,6 +181,18 @@ def test_decontam_bench_grams_broadcast(reports):
     assert r.n_shuffle_exchanges <= 2  # bench-gram distinct + per-doc count
 
 
+def test_events_hourly_scan_pruned_single_shuffle(reports):
+    """Hour-bucket agg: the scan must read only (ts, event_type, value) —
+    the epoch-micros derivation stays a projection, never widens the
+    scan — with map-side partial aggregation and exactly one exchange."""
+    r = reports("events_hourly_counts")
+    scan = r.scans["events"]
+    assert len(scan.read_columns) == 3
+    assert r.has_partial_aggregate
+    assert r.n_shuffle_exchanges == 1
+    assert r.windows == 0
+
+
 def test_ngram_jaccard_size_prune_inside_join(reports):
     """The size-ratio prune (jaccard <= min(sz)/max(sz)) must stay a join
     predicate so incompatible pairs die BEFORE the intersection groupBy;
