@@ -331,17 +331,18 @@ def main() -> None:
     except Exception as e:  # Arrow path broken ≠ whole bench broken
         errors["__arrow_warmup__"] = repr(e)
 
-    # best-of-2: the container's host shows multi-x performance variance
-    # over time; the minimum is the reproducible cost of the plan (and the
-    # second run amortizes whole-stage-codegen compilation).
+    # best-of-N (default 3): the container's host shows multi-x performance
+    # variance over time; the minimum is the reproducible cost of the plan
+    # (and later runs amortize whole-stage-codegen compilation).
     # Fault-isolated: a failing query records null + an error string and
     # the rest of the report still lands — one hole is diagnosable, an
     # empty report isn't (round-4 lesson).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float | None] = {}
     for name in names:
         best = float("inf")
         try:
-            for _ in range(2):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 run_query(QUERIES[name](spark, sf_dir))
                 best = min(best, time.perf_counter() - t0)
