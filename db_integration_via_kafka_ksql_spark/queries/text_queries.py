@@ -639,3 +639,52 @@ def quality_cutoffs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.quality_percentile_cutoffs(
         load_table(spark, sf_dir, "documents"), ps=(0.5, 0.9)
     )
+
+
+@query(
+    "curation_adaptive_threshold",
+    driver=False,  # driver window full; locally parity-gated
+    # the designed composition: per-source median cutoff, broadcast back
+    # against the corpus, keep docs at-or-above their OWN source's bar
+    oracle=f"""
+    WITH q AS ({_QUALITY_BY_SOURCE}),
+    ranked AS (
+        SELECT source, quality,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality, doc_id) AS rnk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM q
+    ),
+    cut AS (
+        SELECT source, quality AS cutoff
+        FROM ranked WHERE rnk = ceil(0.5 * n)
+    )
+    SELECT q.source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(min(q.doc_id) AS BIGINT) AS first_doc,
+           CAST(max(q.doc_id) AS BIGINT) AS last_doc
+    FROM q JOIN cut ON q.source = cut.source
+    WHERE q.quality >= cut.cutoff
+    GROUP BY q.source
+    """,
+)
+def curation_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive curation: drop every doc below its source's median quality.
+    The cutoffs frame is tiny (|sources| x |ps|) and broadcast back against
+    the corpus — the scan-side filter pattern quality_percentile_cutoffs
+    was designed for; min/max doc ids pin exact membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = TA.quality_percentile_cutoffs(docs, ps=(0.5,)).select(
+        "source", "cutoff"
+    )
+    scored = TA.quality_scores(docs, keep_cols=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    kept = scored.join(F.broadcast(cuts), "source").filter(
+        F.col("quality") >= F.col("cutoff")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -143,3 +143,45 @@ def test_scrub_pii_removes_everything_and_is_idempotent(spark, bits):
     for cat, pat in TA.PII_PATTERNS.items():
         expected = len(re.findall(pat, text))
         assert once[f"n_{cat}"] == expected, cat
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n_docs=st.integers(2, 20), seed=st.sampled_from(["a", "b"]),
+       epoch=st.integers(0, 3))
+def test_epoch_shuffle_matches_python_md5_model(spark, n_docs, seed, epoch):
+    """The permutation equals sorting doc ids by
+    md5('{seed}|{epoch}|{doc_id}') computed in plain Python."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, "w") for i in range(n_docs)], ["doc_id", "text"]
+    )
+    got = [r["doc_id"] for r in TA.epoch_shuffle(df, seed=seed, epoch=epoch).collect()]
+    want = sorted(
+        range(n_docs),
+        key=lambda i: hashlib.md5(f"{seed}|{epoch}|{i}".encode()).hexdigest(),
+    )
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(n_docs=st.integers(1, 20), k=st.integers(1, 6))
+def test_sample_k_per_stratum_matches_python_model(spark, n_docs, k):
+    """Selected ids per stratum == the k smallest md5('{seed}|{id}') in
+    that stratum, computed in plain Python."""
+    import hashlib
+    from collections import defaultdict
+
+    rows = [(i, "s" if i % 2 else "t") for i in range(n_docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = defaultdict(set)
+    for r in TA.sample_k_per_stratum(df, k=k, seed="sP").collect():
+        got[r["source"]].add(r["doc_id"])
+    want = defaultdict(list)
+    for i, src in rows:
+        want[src].append(i)
+    for src, ids in want.items():
+        top = sorted(
+            ids, key=lambda i: hashlib.md5(f"sP|{i}".encode()).hexdigest()
+        )[:k]
+        assert got[src] == set(top)
