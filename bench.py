@@ -265,11 +265,11 @@ def replay_throughput(spark, n_events: int, n_keys: int) -> tuple[float, dict]:
         store = ParquetStateStore(
             spark, f"{tmp}/state", key_cols=["key_id"], order_cols=["offset"]
         )
-        # best-of-2, same as the headline rows: the first rebuild pays the
+        # best-of-3, same as the headline rows: the first rebuild pays the
         # cold page-cache read of the just-written changelog; the min is
         # the reproducible cost of the rebuild plan
         dt = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             store.rebuild(full_log)
             dt = min(dt, time.perf_counter() - t0)
