@@ -211,7 +211,7 @@ def ngram_jaccard_pairs(
         F.array_distinct(T.shingles_of_words("_ws", text_col, n)).alias("sh"),
     )
     # the shingle arrays feed the inverted index (consumed by the hot-list
-    # aggregation AND both self-join sides) and the size table — without a
+    # aggregation AND both self-join sides) — without a
     # materialization Spark recomputes the per-doc shingling expression (the
     # heavy part) up to 4x. localCheckpoint stores the compact per-doc array
     # form once on executor storage and truncates lineage; at scale this is
@@ -225,8 +225,13 @@ def ngram_jaccard_pairs(
     )
     if df_cap is not None:
         hot = inv.groupBy("g").count().filter(F.col("count") > df_cap).select("g")
-        inv = inv.join(hot, "g", "left_anti")
-    sizes = sh.select("doc_id", F.size("sh").cast("bigint").alias("sz"))
+        # materialize the capped index once: without this, the hot-list
+        # aggregate (a full shuffle over every shingle occurrence) and the
+        # anti-join are physically duplicated under BOTH self-join sides —
+        # Spark's ReuseExchange does not fire across them. One eager
+        # checkpoint = one hot shuffle, and both join sides scan the stored
+        # capped index.
+        inv = inv.join(hot, "g", "left_anti").localCheckpoint(eager=True)
     par = docs.sparkSession.sparkContext.defaultParallelism
     # inverted-index join output ~ sum(df(g)^2): decouple parallelism from
     # the (tiny) input size; partitioning by shingle co-locates the join
@@ -247,14 +252,17 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        # sz is constant per doc_id, so first() inside the aggregate recovers
+        # both set sizes for free — no post-agg join back to a corpus-sized
+        # sizes frame (which would cost two extra shuffles at scale)
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.sz")).alias("sza"),
+            F.first(F.col("b.sz")).alias("szb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter").cast("double")
             / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),

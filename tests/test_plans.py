@@ -209,6 +209,18 @@ def test_ngram_jaccard_size_prune_inside_join(reports):
         "size-ratio predicates missing from the inverted-index self-join"
     )
     assert r.nested_loop_joins == 0
+    # the set sizes ride through the intersection groupBy as first(sz), and
+    # the df-cap anti-join runs once inside the eager checkpoint of the
+    # capped index — the visible plan holds exactly ONE join (the
+    # inverted-index self-join). More means either the post-aggregate
+    # size-joins (two corpus-sized shuffles) or the duplicated
+    # hot-list-aggregate-per-side shape crept back in.
+    total_joins = (
+        r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins
+    )
+    assert total_joins == 1, (
+        f"expected 1 join (the inverted-index self-join), saw {total_joins}"
+    )
 
 
 def test_seq_packing_single_shard_shuffle(reports):
