@@ -194,46 +194,63 @@ def resize_images(
     Scale notes: output size is fixed (dst_w × dst_h bytes/row), so this
     is the op that turns an unbounded-size image column into a
     fixed-width training input — downstream batching gets uniform rows.
-    Per-batch work is one fancy-index gather per image; no shuffle, no
-    driver involvement, parallelism = scan partitioning.
+    The O(pixels) resize work is shape-batched: rows sharing a source
+    (w, h) are stacked and gathered in ONE 3-D fancy-index op per shape
+    group, so per-row Python overhead is only the cheap bookkeeping
+    (decode dispatch + tobytes), not the pixel math. No shuffle, no
+    driver involvement, parallelism = scan partitioning. NULL payloads
+    yield the all-zero raster with src_width = src_height = 0 instead of
+    failing the task.
     """
     import numpy as np
     import pandas as pd
 
     def resize_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         # target pixel grid is the same for every image: precompute the
-        # per-axis nearest-source index ratios once per batch shape
+        # per-axis nearest-source index positions once
         ty = np.arange(dst_height, dtype=np.int64)
         tx = np.arange(dst_width, dtype=np.int64)
+        zero = np.zeros(dst_height * dst_width, dtype=np.uint8).tobytes()
         for pdf in batches:
-            out_ids, sw, sh, blobs = [], [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(pdf)
+            sw = np.zeros(n, dtype=np.int64)
+            sh = np.zeros(n, dtype=np.int64)
+            blobs: list[bytes | None] = [None] * n
+            raws: list[bytes] = [b""] * n
+            # decode per row (with a real codec this is the unavoidable
+            # per-image step), then group row indices by decoded shape so
+            # the resize gather runs once per distinct (w, h)
+            groups: dict[tuple[int, int], list[int]] = {}
+            for i, payload in enumerate(pdf["payload"]):
+                if payload is None:  # NULL payload: zero raster, dims 0
+                    blobs[i] = zero
+                    continue
                 w, h, raw = _fake_decode(bytes(payload))
+                sw[i], sh[i] = w, h
                 if w <= 0 or h <= 0:  # empty payload: all-zero raster
-                    resized = np.zeros(dst_height * dst_width, dtype=np.uint8)
+                    blobs[i] = zero
                 else:
-                    raster = np.frombuffer(raw, dtype=np.uint8)[: w * h].reshape(
-                        h, w
-                    )
-                    # nearest-neighbor: floor-scaled source indices
-                    rows = ty * h // dst_height
-                    cols = tx * w // dst_width
-                    resized = raster[np.ix_(rows, cols)].ravel()
-                out_ids.append(doc_id)
-                sw.append(w)
-                sh.append(h)
-                blobs.append(resized.tobytes())
+                    raws[i] = raw
+                    groups.setdefault((w, h), []).append(i)
+            for (w, h), idx in groups.items():
+                k = len(idx)
+                stack = np.frombuffer(
+                    b"".join(raws[i][: w * h] for i in idx), dtype=np.uint8
+                ).reshape(k, h, w)
+                # nearest-neighbor: floor-scaled source indices, one
+                # 3-D gather for the whole shape group
+                rows = ty * h // dst_height
+                cols = tx * w // dst_width
+                out = stack[:, rows[:, None], cols[None, :]].reshape(k, -1)
+                for j, i in enumerate(idx):
+                    blobs[i] = out[j].tobytes()
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(out_ids, dtype="int64"),
-                    "src_width": pd.Series(sw, dtype="int64"),
-                    "src_height": pd.Series(sh, dtype="int64"),
-                    "dst_width": pd.Series(
-                        [dst_width] * len(out_ids), dtype="int64"
-                    ),
-                    "dst_height": pd.Series(
-                        [dst_height] * len(out_ids), dtype="int64"
-                    ),
+                    "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
+                    "src_width": sw,
+                    "src_height": sh,
+                    "dst_width": np.full(n, dst_width, dtype=np.int64),
+                    "dst_height": np.full(n, dst_height, dtype=np.int64),
                     "resized": blobs,
                 }
             )

@@ -134,6 +134,39 @@ def test_resize_images_empty_and_square(spark):
     assert (rows[2]["src_width"], rows[2]["src_height"]) == (2, 32)
 
 
+def test_resize_images_mixed_shapes_and_null(spark):
+    """One Arrow batch holding several distinct shapes (exercising the
+    shape-group 3-D gather), a duplicate shape (stacked group of 2), an
+    empty payload, and a NULL payload (must not fail the task: zero
+    raster, src dims 0)."""
+    import numpy as np
+
+    payloads = {
+        1: bytes(range(128)),          # w=1,  h=128
+        2: bytes(range(65)),           # w=2,  h=32
+        3: bytes(range(65, 130)),      # w=2,  h=32 (same shape as 2)
+        4: bytes(range(100, 200)),     # w=37, h=2
+        5: b"",                        # empty → zero raster
+    }
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads.items()] + [(6, None)],
+        "doc_id long, payload binary",
+    ).coalesce(1)  # single partition → the shapes share an Arrow batch
+    rows = {r["doc_id"]: r for r in M.resize_images(media, 4, 4).collect()}
+
+    def model(payload):
+        w, h, raw = M._fake_decode(payload)
+        raster = np.frombuffer(raw, dtype=np.uint8)[: w * h].reshape(h, w)
+        ix = np.ix_(np.arange(4) * h // 4, np.arange(4) * w // 4)
+        return raster[ix].ravel().tobytes()
+
+    for i in (1, 2, 3, 4):
+        assert bytes(rows[i]["resized"]) == model(payloads[i]), f"doc {i}"
+    assert bytes(rows[5]["resized"]) == bytes(16)
+    assert bytes(rows[6]["resized"]) == bytes(16)
+    assert (rows[6]["src_width"], rows[6]["src_height"]) == (0, 0)
+
+
 def test_decode_image_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG")
