@@ -109,6 +109,8 @@ class DbApiSink:
         con = self.connect()
         try:
             cur = con.cursor()
-            return list(cur.execute(f"SELECT * FROM {self.table}"))
+            # fetchall, not cursor iteration: duckdb's DBAPI cursor is not
+            # iterable; sqlite3's execute() returns the cursor either way
+            return list(cur.execute(f"SELECT * FROM {self.table}").fetchall())
         finally:
             con.close()

@@ -45,6 +45,18 @@ _TYPE_MAP: dict[str, dict[str, str]] = {
         "DateType": "DATE",
         "BinaryType": "BYTEA",
     },
+    "duckdb": {
+        "IntegerType": "INTEGER",
+        "LongType": "BIGINT",
+        "DoubleType": "DOUBLE",
+        "FloatType": "REAL",
+        "StringType": "VARCHAR",
+        "BooleanType": "BOOLEAN",
+        "TimestampType": "TIMESTAMP",
+        "TimestampNTZType": "TIMESTAMP",
+        "DateType": "DATE",
+        "BinaryType": "BLOB",
+    },
     "sqlite": {
         "IntegerType": "INTEGER",
         "LongType": "INTEGER",
@@ -127,7 +139,7 @@ def merge_sql(
             f"WHEN MATCHED THEN UPDATE SET {sets} "
             f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals});"
         )
-    # postgres + sqlite share the ON CONFLICT syntax
+    # postgres + sqlite + duckdb share the ON CONFLICT syntax
     conflict = ", ".join(keys)
     sets = ", ".join(f"{c} = excluded.{c}" for c in non_keys)
     return (

@@ -1,10 +1,14 @@
 """Sink contract tests: DDL/MERGE generation per dialect, DBAPI sink
-upsert/delete/evolve/retry/dead-letter behavior against sqlite."""
+upsert/delete/evolve/retry/dead-letter behavior executed against TWO real
+engines with differing SQL dialects — sqlite and duckdb (both
+in-container). Two executable dialects is the closest this container gets
+to the reference's live-MSSQL sink (start-sink-connector.sh:61-73)."""
 
 from __future__ import annotations
 
 import sqlite3
 
+import duckdb
 import pytest
 from pyspark.sql import types as T
 
@@ -27,6 +31,8 @@ def test_create_table_sql_dialects():
     assert "PRIMARY KEY (id)" in mssql
     pg = ddl.create_table_sql("movies_sink", SCHEMA, ["id"], "postgres")
     assert "TEXT" in pg and "IF NOT EXISTS" in pg
+    dk = ddl.create_table_sql("movies_sink", SCHEMA, ["id"], "duckdb")
+    assert "VARCHAR" in dk and "DECIMAL(3,1)" in dk
 
 
 def test_merge_sql_mssql_and_onconflict():
@@ -54,14 +60,20 @@ def test_evolve_sql_mssql_dialect():
     assert "ADD COLUMN" not in stmts[0]
 
 
-@pytest.fixture
-def sink(tmp_path):
-    db = str(tmp_path / "sink.db")
+def _connect_factory(dialect: str, db: str):
+    if dialect == "duckdb":
+        return lambda: duckdb.connect(db)
+    return lambda: sqlite3.connect(db)
+
+
+@pytest.fixture(params=["sqlite", "duckdb"])
+def sink(request, tmp_path):
+    db = str(tmp_path / f"sink.{request.param}.db")
     return DbApiSink(
-        connect=lambda: sqlite3.connect(db),
+        connect=_connect_factory(request.param, db),
         table="movies_sink",
         key_cols=["id"],
-        dialect="sqlite",
+        dialect=request.param,
     )
 
 
@@ -93,24 +105,25 @@ def test_dbapi_auto_evolve_new_column(spark, sink):
     assert rows[1][3] is None and rows[2][3] == 9.5
 
 
-def test_dbapi_dead_letter_on_persistent_failure(spark, tmp_path):
-    db = str(tmp_path / "dl.db")
+@pytest.mark.parametrize("dialect", ["sqlite", "duckdb"])
+def test_dbapi_dead_letter_on_persistent_failure(spark, tmp_path, dialect):
+    db = str(tmp_path / f"dl.{dialect}.db")
     empty_keys = spark.createDataFrame([], "id int")
     good = DbApiSink(
-        connect=lambda: sqlite3.connect(db),
+        connect=_connect_factory(dialect, db),
         table="movies_sink",
         key_cols=["id"],
-        dialect="sqlite",
+        dialect=dialect,
     )
     good.write_batch(_df(spark, [(1, "a", "false")]), empty_keys)
     # same table, but the upsert conflicts on a key with no unique index →
-    # sqlite rejects every attempt; errors.tolerance=all must capture the
-    # poison batch in dead_letter and keep going (K5)
+    # both engines reject every attempt; errors.tolerance=all must capture
+    # the poison batch in dead_letter and keep going (K5)
     bad = DbApiSink(
-        connect=lambda: sqlite3.connect(db),
+        connect=_connect_factory(dialect, db),
         table="movies_sink",
         key_cols=["title"],
-        dialect="sqlite",
+        dialect=dialect,
         max_retries=1,
         tolerate_errors=True,
     )
