@@ -113,7 +113,7 @@ def cc_stress(spark, sf_dir: str) -> dict:
     # generation + clustering runs inside the timing — and it yields
     # n_clustered from the timed run itself instead of a third full pass.
     stats: dict = {}
-    auto_sec = float("inf")
+    auto_reps: list[float] = []
     n_clustered = None
     for _ in range(2):  # best-of-2, same methodology as the headline rows
         t0 = time.perf_counter()
@@ -121,7 +121,8 @@ def cc_stress(spark, sf_dir: str) -> dict:
             emb, pair_frame(), "vec_id", "vec_a", "vec_b", stats=stats
         )
         n_clustered = out.filter("vec_id <> cluster_rep").count()
-        auto_sec = min(auto_sec, time.perf_counter() - t0)
+        auto_reps.append(round(time.perf_counter() - t0, 4))
+    auto_sec = min(auto_reps)
 
     dstats: dict = {}
     t0 = time.perf_counter()
@@ -134,6 +135,7 @@ def cc_stress(spark, sf_dir: str) -> dict:
     dist_sec = time.perf_counter() - t0
     return {
         "auto_sec": round(auto_sec, 4),
+        "auto_reps": auto_reps,
         "auto_strategy": stats.get("strategy"),
         "n_edges": stats.get("n_edges"),
         "docs_clustered": n_clustered,
@@ -329,7 +331,7 @@ def main() -> None:
     try:
         spark.range(2).toDF("x").mapInPandas(lambda it: it, "x long").count()
     except Exception as e:  # Arrow path broken ≠ whole bench broken
-        errors["__arrow_warmup__"] = repr(e)
+        errors["__arrow_warmup__"] = repr(e)[:500]
 
     # best-of-N (default 3): the container's host shows multi-x performance
     # variance over time; the minimum is the reproducible cost of the plan
@@ -339,17 +341,24 @@ def main() -> None:
     # empty report isn't (round-4 lesson).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float | None] = {}
+    # every raw repetition is published alongside the best-of-N headline
+    # number, so a cross-round comparison can hold sampling depth constant
+    # (compare min over the first k reps of each round) instead of
+    # conflating plan changes with a deeper minimum
+    rep_timings: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
+        raw: list[float] = []
         try:
             for _ in range(reps):
                 t0 = time.perf_counter()
                 run_query(QUERIES[name](spark, sf_dir))
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 4)
+                raw.append(round(time.perf_counter() - t0, 4))
+            timings[name] = min(raw)
         except Exception as e:
             timings[name] = None
             errors[name] = repr(e)[:500]
+        if raw:
+            rep_timings[name] = raw
 
     try:
         cc = cc_stress(spark, sf_dir)
@@ -379,11 +388,15 @@ def main() -> None:
         errors["__latency__"] = repr(e)[:500]
 
     total = round(sum(v for v in timings.values() if v is not None), 4)
+    n_timed = sum(1 for v in timings.values() if v is not None)
     report = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "reps": rep_timings,
+        "n_reps": reps,
+        "n_timed": n_timed,
         "sf": sf,
         "cc": cc,
         "replay_events_per_sec": replay_rate,
@@ -391,6 +404,11 @@ def main() -> None:
         "state_footprint": state_footprint,
         "propagation_latency": latency,
     }
+    if n_timed < len(timings):
+        # the headline total covers fewer queries than registered — flag it
+        # in the report itself so cross-round `value` comparisons can't
+        # silently compare totals over different query sets
+        report["partial"] = True
     if errors:
         report["errors"] = errors
     print(json.dumps(report))
