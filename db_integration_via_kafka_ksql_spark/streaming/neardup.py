@@ -61,6 +61,12 @@ class StreamingNearDup:
     state_path: str
     k: int = 8
     bands: int = 4
+    # >1 salts the within-batch band self-join: a pathological micro-batch
+    # where most docs share one (band_id, band_key) bucket then spreads its
+    # quadratic pair output over salt_bands partitions even under a
+    # shuffled (non-broadcast) join. 1 = plain join (broadcast-size
+    # batches, the normal regime).
+    salt_bands: int = 1
     batch_col: str = "ingest_batch"
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
@@ -72,6 +78,52 @@ class StreamingNearDup:
             self.state_path,
             key_cols=["band_id", "band_key", "doc_id"],
             order_cols=["offset"],
+        )
+
+    def _batch_pairs(self, bk: DataFrame, par: int) -> DataFrame:
+        """Within-batch band-collision pairs (doc_a < doc_b), deduped.
+
+        salt_bands == 1: plain self-join on (band_id, band_key).
+        salt_bands == s > 1: the salted-replicated self-join — side a
+        carries salt = pmod(hash(doc_id), s) and is hash-partitioned on
+        (band_id, band_key, salt); side b is replicated to every salt.
+        Each pair (x, y) with x < y appears exactly once (at y replicated
+        into x's salt), and a bucket holding m docs does m·m/s work per
+        partition instead of m² in one — deterministic (hash salt, not
+        random), so replays see identical pair sets.
+        """
+        if self.salt_bands <= 1:
+            a = bk.repartition(par).alias("a")
+            b = bk.alias("b")
+            cond = (
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+            )
+        else:
+            s = self.salt_bands
+            a = (
+                bk.withColumn(
+                    "__salt", F.pmod(F.xxhash64("doc_id"), F.lit(s)).cast("int")
+                )
+                .repartition(par, "band_id", "band_key", "__salt")
+                .alias("a")
+            )
+            b = bk.withColumn(
+                "__salt", F.explode(F.array(*[F.lit(i) for i in range(s)]))
+            ).alias("b")
+            cond = (
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.__salt") == F.col("b.__salt"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+            )
+        return (
+            a.join(b, cond)
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
         )
 
     def accepted_of_batch(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -86,22 +138,9 @@ class StreamingNearDup:
         # relies on the planner broadcasting side b (micro-batches are
         # small), which preserves the probe side's partitioning; under a
         # shuffled join both sides re-shuffle by band key and a single hot
-        # bucket would still land in one partition — salt band_key on one
-        # side if that regime ever matters.
-        pairs = (
-            bk.repartition(par)
-            .alias("a")
-            .join(
-                bk.alias("b"),
-                (F.col("a.band_id") == F.col("b.band_id"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .distinct()
-        )
+        # bucket would still land in one partition — salt_bands > 1 covers
+        # that regime (see _batch_pairs).
+        pairs = self._batch_pairs(bk, par)
         reps = dedup_clusters(
             docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b"
         ).filter("is_rep")

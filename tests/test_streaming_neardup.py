@@ -223,3 +223,34 @@ def test_live_stream_end_to_end(spark, tmp_path):
     finally:
         q.stop()
     assert {r["doc_id"] for r in d.read_corpus().collect()} == {1, 3}
+
+
+def test_salted_band_join_equivalence_on_hot_bucket(spark, tmp_path):
+    """salt_bands must not change semantics: on a batch where 90% of docs
+    share every band bucket (identical text → identical minhash), the
+    salted pair generation and the plain one accept the same docs, and
+    the hot bucket's quadratic pair output is spread across salt
+    partitions instead of piling into one."""
+    hot = [(i, "alpha beta gamma delta") for i in range(18)]  # one bucket
+    cold = [(100, "one two three four"), (101, "five six seven eight")]
+    docs = _df(spark, hot + cold)
+
+    plain = _dedup(spark, tmp_path, tag="_plain")
+    salted = _dedup(spark, tmp_path, tag="_salted")
+    salted.salt_bands = 4
+
+    acc_plain, bk = plain.accepted_of_batch(docs)
+    acc_salted, _ = salted.accepted_of_batch(docs)
+    assert {r["doc_id"] for r in acc_plain.collect()} == {
+        r["doc_id"] for r in acc_salted.collect()
+    }
+
+    # identical pair sets from both join shapes
+    par = spark.sparkContext.defaultParallelism
+    bk = bk.localCheckpoint()
+    p_plain = {(r["doc_a"], r["doc_b"]) for r in plain._batch_pairs(bk, par).collect()}
+    p_salted = {
+        (r["doc_a"], r["doc_b"]) for r in salted._batch_pairs(bk, par).collect()
+    }
+    assert p_plain == p_salted
+    assert len(p_plain) == 18 * 17 // 2  # full clique over the hot bucket
