@@ -218,7 +218,12 @@ def _avro_to_spark_ddl(schema_json: str) -> str:
     return ", ".join(fields)
 
 
-def decode_changelog_py(raw: DataFrame, cfg: AvroChangelogConfig) -> DataFrame:
+def decode_changelog_py(
+    raw: DataFrame,
+    cfg: AvroChangelogConfig,
+    key_serde=None,
+    value_serde=None,
+) -> DataFrame:
     """decode_changelog without the spark-avro jar: Arrow-batched Python
     Avro decode to JSON, struct-ified JVM-side via from_json, then the
     shared tombstone/delete/dead-letter classification.
@@ -226,6 +231,14 @@ def decode_changelog_py(raw: DataFrame, cfg: AvroChangelogConfig) -> DataFrame:
     Decode errors yield a NULL row with the raw bytes intact, so
     classify_decoded marks them __dead (K5) — identical contract to the
     PERMISSIVE spark-avro path.
+
+    `key_serde` / `value_serde` (sources/schema_registry.RegistrySerde)
+    switch that column to registry-framed wire format: unframe, look up
+    the WRITER schema by the framed id, decode, resolve into the serde's
+    reader schema — so one topic can interleave messages from producers
+    on different schema versions and the consumer reads them all. The
+    serde ships to executors inside the UDF closure with its id→codec
+    cache (schemas number in the dozens; no per-row registry work).
     """
     import json as _json
 
@@ -233,10 +246,11 @@ def decode_changelog_py(raw: DataFrame, cfg: AvroChangelogConfig) -> DataFrame:
         FlatRecordCodec,
     )
 
-    key_schema, value_schema = cfg.key_schema_json, cfg.value_schema_json
+    key_schema = key_serde.schema_json if key_serde else cfg.key_schema_json
+    value_schema = value_serde.schema_json if value_serde else cfg.value_schema_json
 
-    def _decoder(schema_json: str):
-        codec = FlatRecordCodec(schema_json)
+    def _decoder(schema_json: str, serde=None):
+        codec = None if serde is not None else FlatRecordCodec(schema_json)
 
         def decode_series(s: pd.Series) -> pd.Series:
             out = []
@@ -245,15 +259,20 @@ def decode_changelog_py(raw: DataFrame, cfg: AvroChangelogConfig) -> DataFrame:
                     out.append(None)
                     continue
                 try:
-                    out.append(_json.dumps(codec.decode(bytes(v))))
+                    row = (
+                        serde.deserialize(bytes(v))
+                        if serde is not None
+                        else codec.decode(bytes(v))
+                    )
+                    out.append(_json.dumps(row))
                 except Exception:
                     out.append(None)  # undecodable → NULL row → __dead
             return pd.Series(out, dtype=object)
 
         return F.pandas_udf(decode_series, "string")
 
-    key_json = _decoder(key_schema)(F.col("key"))
-    row_json = _decoder(value_schema)(F.col("value"))
+    key_json = _decoder(key_schema, key_serde)(F.col("key"))
+    row_json = _decoder(value_schema, value_serde)(F.col("value"))
     decoded = raw.select(
         F.from_json(key_json, _avro_to_spark_ddl(key_schema)).alias("key"),
         F.from_json(row_json, _avro_to_spark_ddl(value_schema)).alias("row"),
@@ -269,12 +288,20 @@ def write_changelog_py(
     cfg: AvroChangelogConfig,
     key_cols: Sequence[str],
     deleted_col: str = "__deleted",
+    key_serde=None,
+    value_serde=None,
 ) -> DataFrame:
     """write_changelog without the spark-avro jar: the same (key, value)
     output contract — tombstones as LITERAL NULL values, never an
     Avro-encoded all-null record (the byte-level distinction the
     reference's tombstone guide is about: an encoded null is one union
-    byte per field, a tombstone is no bytes at all)."""
+    byte per field, a tombstone is no bytes at all).
+
+    `key_serde` / `value_serde` (RegistrySerde) switch that column to
+    registry-framed wire format: the producer's schema id is prepended to
+    every non-tombstone message, and the tombstone stays an unframed
+    literal NULL (a framed null would defeat log compaction — the byte
+    discipline schema_registry.frame enforces)."""
     import json as _json
 
     from db_integration_via_kafka_ksql_spark.functions.avro_codec import (
@@ -290,10 +317,18 @@ def write_changelog_py(
         )
     key_schema, value_schema = cfg.key_schema_json, cfg.value_schema_json
 
-    def _encoder(schema_json: str):
-        codec = FlatRecordCodec(schema_json)
+    def _encoder(schema_json: str, serde=None):
+        codec = None if serde is not None else FlatRecordCodec(schema_json)
 
         def encode_series(s: pd.Series) -> pd.Series:
+            if serde is not None:
+                return pd.Series(
+                    [
+                        None if j is None else serde.serialize(_json.loads(j))
+                        for j in s
+                    ],
+                    dtype=object,
+                )
             return pd.Series(
                 [None if j is None else codec.encode(_json.loads(j)) for j in s],
                 dtype=object,
@@ -304,11 +339,11 @@ def write_changelog_py(
     payload_cols = [c for c in compacted.columns if c != deleted_col]
     is_del: Column = F.col(deleted_col).cast("string") == F.lit("true")
     return compacted.select(
-        _encoder(key_schema)(
+        _encoder(key_schema, key_serde)(
             F.to_json(F.struct(*[F.col(c) for c in key_cols]))
         ).alias("key"),
         # tombstone: NULL json in → NULL bytes out (literal NULL value)
-        _encoder(value_schema)(
+        _encoder(value_schema, value_serde)(
             F.when(is_del, F.lit(None).cast("string")).otherwise(
                 F.to_json(F.struct(*[F.col(c) for c in payload_cols]))
             )

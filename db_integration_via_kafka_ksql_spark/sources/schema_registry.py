@@ -103,13 +103,19 @@ def check_backward_compatible(new_json: str, old_json: str) -> list[str]:
     empty when compatible.
 
     For the flat records this engine carries, that means every field the
-    new reader requires must either exist in the old writer schema with
-    the same type, or be fillable (nullable / has a default)."""
+    new reader requires must either exist in the old writer schema with a
+    readable type — identical, or reachable via the Avro spec's numeric
+    promotion matrix (int→long/float/double, long→float/double,
+    float→double; "Schema Resolution" in the Avro spec) — or be fillable
+    (nullable / has a default). Stricter than Confluent in two documented
+    ways: string↔bytes promotion is refused (this engine's JSON-hop
+    decode path has no binary representation, sources/kafka.py
+    `_avro_to_spark_ddl`) and aliases are not consulted."""
     old = _field_map(old_json)
     problems = []
     for name, f in _field_map(new_json).items():
         if name in old:
-            if _canonical_type(old[name]["type"]) != _canonical_type(f["type"]):
+            if not _readable_as(old[name]["type"], f["type"]):
                 problems.append(
                     f"field {name!r}: type changed "
                     f"{old[name]['type']!r} -> {f['type']!r}"
@@ -123,6 +129,46 @@ def check_backward_compatible(new_json: str, old_json: str) -> list[str]:
 
 def _canonical_type(t: Any) -> str:
     return json.dumps(t, sort_keys=True)
+
+
+# Avro spec "Schema Resolution": writer type w is promotable to reader
+# type r. string↔bytes is deliberately omitted (see
+# check_backward_compatible docstring).
+_PROMOTIONS: dict[str, frozenset[str]] = {
+    "int": frozenset({"long", "float", "double"}),
+    "long": frozenset({"float", "double"}),
+    "float": frozenset({"double"}),
+}
+
+
+def _readable_as(writer_t: Any, reader_t: Any) -> bool:
+    """Can a reader on `reader_t` read data written as `writer_t`?
+
+    Handles the nullable-union shape this engine's flat records use:
+    the non-null branches must be readable, and a writer that may emit
+    null requires a null-accepting reader."""
+    if _canonical_type(writer_t) == _canonical_type(reader_t):
+        return True
+    w_null, w_base = _split_nullable(writer_t)
+    r_null, r_base = _split_nullable(reader_t)
+    if w_null and not r_null:
+        return False  # writer may emit null; reader can't hold it
+    if w_base == r_base:
+        return True  # e.g. "long" vs ["null","long"]
+    return (
+        isinstance(w_base, str)
+        and isinstance(r_base, str)
+        and r_base in _PROMOTIONS.get(w_base, frozenset())
+    )
+
+
+def _split_nullable(t: Any) -> tuple[bool, Any]:
+    """(accepts null, the single non-null branch or canonical form)."""
+    if isinstance(t, list):
+        branches = [b for b in t if b != "null"]
+        base = branches[0] if len(branches) == 1 else _canonical_type(branches)
+        return "null" in t, base
+    return t == "null", t
 
 
 # ---------------------------------------------------------------------------

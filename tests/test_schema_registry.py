@@ -200,3 +200,144 @@ def test_serde_through_spark_rows(spark):
     assert sum(r["is_tombstone"] for r in got) == 1
     by_id = {r["movie_id"]: r for r in got if not r["is_tombstone"]}
     assert by_id[7]["title"] == "t7" and by_id[7]["release_year"] == 1977
+
+
+def test_registry_serde_through_cdc_pipeline_mixed_versions(spark):
+    """The round-6 integration: RegistrySerde as the codec for the CDC
+    write/decode paths. A v1 producer and a v2 producer (the mid-stream
+    schema upgrade, mirroring the reference's ALTER flow —
+    the-whole-thing.sh:23-40 registers schema before DDL) interleave on
+    ONE topic; a v2 consumer resolves both via the framed writer-schema
+    ids, v1 rows default-fill the new column, and the tombstone stays an
+    unframed literal NULL through the whole loop."""
+    from db_integration_via_kafka_ksql_spark.sources import kafka as K
+
+    cdc_key = json.dumps(
+        {"type": "record", "name": "k", "fields": [{"name": "id", "type": "long"}]}
+    )
+    cdc_v1 = json.dumps(
+        {
+            "type": "record",
+            "name": "movie",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "title", "type": ["null", "string"]},
+                {"name": "__deleted", "type": ["null", "string"]},
+            ],
+        }
+    )
+    cdc_v2 = json.dumps(
+        {
+            "type": "record",
+            "name": "movie",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "title", "type": ["null", "string"]},
+                {"name": "rating", "type": ["null", "double"]},
+                {"name": "__deleted", "type": ["null", "string"]},
+            ],
+        }
+    )
+    registry = InMemorySchemaRegistry()
+    key_serde = RegistrySerde(registry, "movies-key", cdc_key)
+    s1 = RegistrySerde(registry, "movies-value", cdc_v1)
+    s2 = RegistrySerde(registry, "movies-value", cdc_v2)  # BACKWARD-gated
+    assert s1.schema_id != s2.schema_id
+    assert registry.versions("movies-value") == [s1.schema_id, s2.schema_id]
+
+    cfg1 = K.AvroChangelogConfig("movies", cdc_key, cdc_v1)
+    cfg2 = K.AvroChangelogConfig("movies", cdc_key, cdc_v2)
+    b1 = spark.createDataFrame(
+        [(1, "old-a", "false"), (2, "old-b", "false")], ["id", "title", "__deleted"]
+    )
+    w1 = K.write_changelog_py(
+        b1, cfg1, ["id"], key_serde=key_serde, value_serde=s1
+    ).collect()
+    b2 = spark.createDataFrame(
+        [(3, "new-c", 9.5, "false"), (2, "old-b", 1.0, "true")],
+        ["id", "title", "rating", "__deleted"],
+    )
+    w2 = K.write_changelog_py(
+        b2, cfg2, ["id"], key_serde=key_serde, value_serde=s2
+    ).collect()
+
+    # each producer framed with ITS schema id; tombstone unframed NULL
+    assert all(unframe(bytes(r["value"]))[0] == s1.schema_id for r in w1)
+    live2 = [r for r in w2 if r["value"] is not None]
+    assert len(live2) == 1 and unframe(bytes(live2[0]["value"]))[0] == s2.schema_id
+    assert sum(r["value"] is None for r in w2) == 1
+
+    raw = spark.createDataFrame(
+        [
+            (
+                bytearray(r["key"]),
+                None if r["value"] is None else bytearray(r["value"]),
+                i,
+                0,
+            )
+            for i, r in enumerate(w1 + w2)
+        ],
+        "key binary, value binary, offset long, partition int",
+    )
+    out = {
+        r["offset"]: r
+        for r in K.decode_changelog_py(
+            raw, cfg2, key_serde=key_serde, value_serde=s2
+        ).collect()
+    }
+    assert not any(r["__dead"] for r in out.values())
+    # v1-written rows resolved into the v2 reader schema: rating defaulted
+    v1_rows = {out[0]["row"]["id"]: out[0], out[1]["row"]["id"]: out[1]}
+    assert v1_rows[1]["row"]["title"] == "old-a" and v1_rows[1]["row"]["rating"] is None
+    assert v1_rows[2]["row"]["rating"] is None
+    # v2 row carries its rating; tombstone classified with key intact
+    live_new = next(
+        r for r in out.values() if not r["__tombstone"] and r["row"]["id"] == 3
+    )
+    assert live_new["row"]["rating"] == 9.5
+    tomb = [r for r in out.values() if r["__tombstone"]]
+    assert len(tomb) == 1 and tomb[0]["key"]["id"] == 2
+    assert tomb[0]["__deleted"] == "true"
+
+
+def test_backward_gate_numeric_promotion_matrix():
+    """Avro spec reader-side promotions are legal evolutions: a reader on
+    the WIDER numeric type still reads old data. Narrowings, string↔bytes
+    (documented JSON-hop exclusion), and dropping null-acceptance are
+    refused."""
+
+    def schema(t):
+        return json.dumps(
+            {
+                "type": "record",
+                "name": "r",
+                "fields": [{"name": "x", "type": t}],
+            }
+        )
+
+    ok = check_backward_compatible
+    # promotions accepted, plain and inside nullable unions
+    assert ok(schema("long"), schema("int")) == []
+    assert ok(schema("double"), schema("int")) == []
+    assert ok(schema("double"), schema("float")) == []
+    assert ok(schema("float"), schema("long")) == []
+    assert ok(schema(["null", "long"]), schema(["null", "int"])) == []
+    # a non-null writer may move under a nullable reader
+    assert ok(schema(["null", "long"]), schema("int")) == []
+    # narrowing refused
+    assert ok(schema("int"), schema("long")) != []
+    assert ok(schema("float"), schema("double")) != []
+    # writer may emit null; non-null reader refused
+    assert ok(schema("long"), schema(["null", "int"])) != []
+    # string<->bytes deliberately not admitted here
+    assert ok(schema("bytes"), schema("string")) != []
+    # registry end-to-end: the promoted ALTER registers as a new version
+    reg = InMemorySchemaRegistry()
+    v1 = reg.register("s", schema("int"))
+    v2 = reg.register("s", schema("long"))
+    assert reg.versions("s") == [v1, v2]
+    # re-registering an existing version is an id lookup, not an evolution
+    assert reg.register("s", schema("int")) == v1
+    # but a NEW narrowing schema is refused against the latest version
+    with pytest.raises(ValueError):
+        reg.register("s", schema(["null", "int"]))
