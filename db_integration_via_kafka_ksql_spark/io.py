@@ -38,8 +38,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # TIMESTAMP_NTZ. Consumers must go through epoch_us_col(), never do
     # integer math on `ts` directly.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Pin the session timezone so the NTZ -> timestamp cast inside
-    # epoch_us_col is host-independent and matches DuckDB's epoch_us(ts).
+    # Pin the session timezone for any string<->timestamp parsing in
+    # queries. epoch_us_col itself no longer depends on this (its NTZ
+    # branch is tz-independent wall-time arithmetic), but a pinned UTC
+    # session keeps every other timestamp-touching expression
+    # host-independent too.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -52,10 +55,13 @@ def epoch_us_col(df: DataFrame, ts_col: str = "ts") -> Column:
     - ``LongType``: legacy parquet TIMESTAMP(NANOS) read via
       ``nanosAsLong`` — truncate to micros (``DIV 1000``), matching
       DuckDB's micros read of the same nanosecond column.
-    - ``TIMESTAMP``/``TIMESTAMP_NTZ`` (parquet timestamp[us]/[ms]):
-      ``unix_micros`` after a cast to timestamp; with the session
-      timezone pinned to UTC (load_table) this equals DuckDB
-      ``epoch_us(ts)`` exactly.
+    - ``TIMESTAMP_NTZ`` (parquet timestamp[us]/[ms]): wall-time micros
+      since the NTZ epoch via ``timestampdiff`` — NTZ-only arithmetic,
+      so the result is independent of ``spark.sql.session.timeZone``
+      (an NTZ→timestamp cast would silently shift by the ambient zone)
+      and equals DuckDB ``epoch_us(ts)`` on the same naive column.
+    - ``TIMESTAMP`` (instant semantics): ``unix_micros`` directly —
+      already zone-independent.
 
     Pure Column arithmetic either way — stays inside whole-stage codegen,
     no UDF, pushdown-friendly.
@@ -63,8 +69,13 @@ def epoch_us_col(df: DataFrame, ts_col: str = "ts") -> Column:
     dt = df.schema[ts_col].dataType
     if isinstance(dt, LongType):
         return F.expr(f"`{ts_col}` DIV 1000")
-    if isinstance(dt, (TimestampType, TimestampNTZType)):
-        return F.unix_micros(F.col(ts_col).cast("timestamp"))
+    if isinstance(dt, TimestampNTZType):
+        return F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(F.col(ts_col))
     raise TypeError(
         f"column {ts_col!r} has unsupported timestamp encoding {dt}; "
         "expected epoch-nanos LongType or a parquet timestamp type"

@@ -142,6 +142,23 @@ def test_epoch_us_col_handles_both_encodings(spark):
         epoch_us_col(df_bad, "ts")
 
 
+def test_epoch_us_col_ntz_is_session_timezone_independent(spark):
+    """epoch_us_col must be self-contained: the NTZ branch's wall-time
+    arithmetic cannot shift with spark.sql.session.timeZone, so a
+    DataFrame obtained OUTSIDE load_table (createDataFrame, external
+    parquet) in a non-UTC session still yields UTC-naive epoch micros."""
+    df_ts = spark.sql("SELECT timestamp_ntz'2024-01-01 00:09:58.778549' AS ts")
+    want = 1_704_067_798_778_549
+    original = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("America/New_York", "Asia/Tokyo", "UTC"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got = df_ts.select(epoch_us_col(df_ts, "ts").alias("us")).first()["us"]
+            assert got == want, f"shifted under session tz {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+
+
 def test_events_ts_epoch_us_matches_duckdb(spark, sf_dir):
     """epoch_us_col must agree with DuckDB's epoch_us(ts) — the oracle's
     view of the same column — on the live data, whatever the encoding."""
