@@ -66,6 +66,46 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def keep_best_per_cluster(
+    members: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Retention policy over duplicate clusters: instead of keep-min-id,
+    keep the highest-`score_col` member of every cluster (ties broken by
+    min id — deterministic across engines and retries).
+
+    The standard curation refinement: when several near-identical copies
+    of a document exist, retain the best-quality one, not the one that
+    happened to get the smallest id.
+
+    Output: (cluster_col, keep_id, best_score, n_members).
+
+    Scale shape: one partial-aggregated groupBy — the argmax rides a
+    struct max (score, -id, id), so map-side combine reduces each cluster
+    to one row per partition before the single key shuffle. No window
+    function (a row_number formulation would shuffle every member of
+    every cluster)."""
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"),
+            (-F.col(id_col)).alias("neg_id"),
+            F.col(id_col).alias("id"),
+        )
+    )
+    return (
+        members.groupBy(cluster_col)
+        .agg(F.count(F.lit(1)).alias("n_members"), best.alias("_best"))
+        .select(
+            cluster_col,
+            F.col("_best.id").alias("keep_id"),
+            F.col("_best.s").alias("best_score"),
+            "n_members",
+        )
+    )
+
+
 def _spread(docs: DataFrame) -> DataFrame:
     """Spread the corpus across cores BEFORE the per-doc heavy expressions
     (shingling, simhash folds). A small parquet input scans as one task,

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from db_integration_via_kafka_ksql_spark.functions import text as T
 from db_integration_via_kafka_ksql_spark.io import load_table
+from db_integration_via_kafka_ksql_spark.operators import dedup as D
 from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
 from db_integration_via_kafka_ksql_spark.registry import query
 
@@ -229,6 +230,55 @@ def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=CURATION_MIN_QUALITY,
         min_tokens=50,
     )
+
+
+@query(
+    "dedup_keep_best_quality",
+    driver=False,  # aux: retention-policy refinement of corpus curation
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, md5(text) AS text_hash,
+               {_QUALITY_EXPR} AS quality
+        FROM (
+            SELECT doc_id, text,
+                   len({_W}) AS n_tok,
+                   len({_DW}) AS n_dis,
+                   {_STOP_SUM} AS stop_hits,
+                   length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+                   length(text) AS n_chars
+            FROM documents
+        )
+    ),
+    ranked AS (
+        SELECT text_hash, doc_id, quality,
+               row_number() OVER (
+                   PARTITION BY text_hash ORDER BY quality DESC, doc_id ASC
+               ) AS rn,
+               count(*) OVER (PARTITION BY text_hash) AS n_members
+        FROM scored
+    )
+    SELECT text_hash,
+           doc_id AS keep_id,
+           quality AS best_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware retention: exact-dup clusters (md5 groups) keep their
+    highest-quality member instead of the min-id one — the curation
+    refinement for corpora where duplicate copies differ in id order but
+    not merit order. One scan + one partial-aggregated shuffle
+    (operators/dedup.keep_best_per_cluster); the quality math is the
+    bit-identical expression text_quality_scores pins against DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = TA.quality_scores(docs, min_tokens=50, keep_cols=("text",))
+    members = scored.select(
+        "doc_id", F.md5("text").alias("text_hash"), "quality"
+    )
+    return D.keep_best_per_cluster(
+        members, "text_hash", "doc_id", "quality"
+    ).withColumnRenamed("best_score", "best_quality")
 
 
 def _sh(n: int, words: str = "w", text: str = "text") -> str:

@@ -233,6 +233,17 @@ def test_seq_packing_single_shard_shuffle(reports):
     assert len(r.scans["documents"].read_columns) == 3
 
 
+def test_keep_best_quality_partial_agg_no_window(reports):
+    """Retention-policy argmax must be a struct-max aggregate (map-side
+    combine, one key shuffle) — never the row_number-window formulation,
+    which shuffles every member of every cluster."""
+    r = reports("dedup_keep_best_quality")
+    assert r.has_partial_aggregate
+    assert r.windows == 0
+    assert r.n_shuffle_exchanges == 1
+    assert len(r.scans["documents"].read_columns) == 2  # doc_id + text
+
+
 def test_pii_scrub_is_scan_only(reports):
     """PII scrub: pure scan-side column math — zero exchanges of any
     kind, three columns read."""
