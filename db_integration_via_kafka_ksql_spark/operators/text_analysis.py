@@ -543,3 +543,80 @@ def epoch_split(
         % n_epochs
     )
     return docs.withColumn(epoch_col, assigned.cast("int"))
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    budget_tokens: int,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Water-filling token allocation: split a total token budget across
+    strata as evenly as possible without exceeding any stratum's supply —
+    the "data mixing under a budget" planner that turns a target corpus
+    size into per-source sampling fractions for `stratified_sample`.
+
+    Equal-share water-filling: find the level L with
+    sum(min(available_s, L)) = budget; strata below L keep everything,
+    strata above are capped at L. Closed form over the per-stratum totals
+    sorted ascending — the first stratum whose supply exceeds its
+    equal share of the remaining budget sets the level (every following
+    stratum is larger, so it qualifies too and its candidate is smaller:
+    the boundary's candidate is the MAX among qualifying rows).
+
+    Output: (strata_col, available_tokens, allocated_tokens, keep_frac).
+    When the budget covers the whole corpus, every keep_frac is 1.0.
+
+    All arithmetic is a fixed sequence of exact-int-operand IEEE double
+    ops — bit-identical in DuckDB (the oracle recomputes it).
+
+    Scale shape: one partial-aggregated shuffle over the corpus reduces
+    it to #strata rows; the single-partition windows after that operate
+    on that tiny frame only (sources number in the dozens), which is the
+    deliberate and documented exception to the no-global-window rule.
+    """
+    avail = docs.groupBy(strata_col).agg(
+        F.sum(T.token_count(text_col)).cast("bigint").alias("available_tokens")
+    )
+    order = [F.col("available_tokens"), F.col(strata_col)]
+    w_cum = (
+        Window.orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    lv = avail.select(
+        strata_col,
+        "available_tokens",
+        (
+            F.sum("available_tokens").over(w_cum) - F.col("available_tokens")
+        ).alias("_prefix"),
+        F.row_number().over(Window.orderBy(*order)).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    ).withColumn(
+        "_cand",
+        (F.lit(float(budget_tokens)) - F.col("_prefix"))
+        / (F.col("_n") - F.col("_rn") + 1),
+    )
+    level = F.max(
+        F.when(F.col("available_tokens") > F.col("_cand"), F.col("_cand"))
+    ).over(w_all)
+    return (
+        lv.withColumn("_level", level)
+        .withColumn(
+            "allocated_tokens",
+            F.when(
+                F.col("_level").isNull(), F.col("available_tokens").cast("double")
+            ).otherwise(
+                F.least(F.col("available_tokens").cast("double"), F.col("_level"))
+            ),
+        )
+        .withColumn(
+            "keep_frac",
+            F.least(
+                F.lit(1.0),
+                F.col("allocated_tokens")
+                / F.col("available_tokens").cast("double"),
+            ),
+        )
+        .select(strata_col, "available_tokens", "allocated_tokens", "keep_frac")
+    )

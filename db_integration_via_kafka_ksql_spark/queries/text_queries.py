@@ -738,3 +738,57 @@ def curation_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+MIX_BUDGET_TOKENS = 15_000
+
+
+@query(
+    "mixture_token_budget",
+    driver=False,  # aux: the budget→per-source-fraction planning step
+    oracle=f"""
+    WITH avail AS (
+        SELECT source,
+               CAST(sum(len({_W})) AS BIGINT) AS available_tokens
+        FROM documents GROUP BY source
+    ),
+    lv AS (
+        SELECT source, available_tokens,
+               sum(available_tokens) OVER (
+                   ORDER BY available_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - available_tokens AS pfx,
+               row_number() OVER (ORDER BY available_tokens, source) AS rn,
+               count(*) OVER () AS n
+        FROM avail
+    ),
+    c AS (
+        SELECT *,
+               ({float(MIX_BUDGET_TOKENS)} - pfx) / (n - rn + 1) AS cand
+        FROM lv
+    ),
+    lvl AS (
+        SELECT max(CASE WHEN available_tokens > cand THEN cand END) AS level
+        FROM c
+    ),
+    alloc AS (
+        SELECT source, available_tokens,
+               CASE WHEN level IS NULL THEN CAST(available_tokens AS DOUBLE)
+                    ELSE least(CAST(available_tokens AS DOUBLE), level)
+               END AS allocated_tokens
+        FROM c, lvl
+    )
+    SELECT source, available_tokens, allocated_tokens,
+           least(1.0, allocated_tokens / CAST(available_tokens AS DOUBLE))
+               AS keep_frac
+    FROM alloc
+    """,
+)
+def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling mixture planner: split MIX_BUDGET_TOKENS across
+    sources as evenly as supply allows (operators/text_analysis.
+    token_budget_mixture) — the planning step whose keep_frac column
+    feeds stratified_sample to realize the mix."""
+    return TA.token_budget_mixture(
+        load_table(spark, sf_dir, "documents"), budget_tokens=MIX_BUDGET_TOKENS
+    )

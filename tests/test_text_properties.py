@@ -185,3 +185,42 @@ def test_sample_k_per_stratum_matches_python_model(spark, n_docs, k):
             ids, key=lambda i: hashlib.md5(f"sP|{i}".encode()).hexdigest()
         )[:k]
         assert got[src] == set(top)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    avails=st.lists(st.integers(1, 10_000), min_size=1, max_size=8),
+    budget=st.integers(1, 60_000),
+)
+def test_token_budget_mixture_waterfill_properties(spark, avails, budget):
+    """Water-filling invariants for every supply profile and budget:
+    no stratum exceeds its supply; when the budget covers the corpus
+    everything is kept; otherwise allocations sum to the budget and
+    capped strata all sit at one common level >= every uncapped supply."""
+    # build supply directly: one doc per stratum whose token count == avail
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * a), f"src{i:02d}") for i, a in enumerate(avails)],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r["source"]: r
+        for r in TA.token_budget_mixture(docs, budget_tokens=budget).collect()
+    }
+    assert len(out) == len(avails)
+    total = sum(avails)
+    got_alloc = {s: r["allocated_tokens"] for s, r in out.items()}
+    for s, r in out.items():
+        assert r["allocated_tokens"] <= r["available_tokens"] + 1e-9
+        assert 0.0 < r["keep_frac"] <= 1.0
+    if budget >= total:
+        assert all(r["keep_frac"] == 1.0 for r in out.values())
+    else:
+        assert abs(sum(got_alloc.values()) - budget) < 1e-6
+        capped = [r for r in out.values() if r["keep_frac"] < 1.0]
+        assert capped, "over-budget corpus must cap at least one stratum"
+        levels = {round(r["allocated_tokens"], 6) for r in capped}
+        assert len(levels) == 1  # one common water level
+        level = levels.pop()
+        for r in out.values():
+            if r["keep_frac"] == 1.0:
+                assert r["available_tokens"] <= level + 1e-6
