@@ -47,7 +47,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_oracle(k: int, bands: int, threshold: float) -> str:
+def _minhash_pair_ctes(k: int, bands: int) -> str:
+    """CTE chain ending in `scored(doc_a, doc_b, inter, sz_sum)` — shared
+    by the pair oracle and the cluster-retention composite (which embeds
+    it inside a larger WITH RECURSIVE)."""
     rows = k // bands
     sig_cols = ",\n               ".join(
         f"min(md5('s{i}|' || w)) AS h{i}" for i in range(k)
@@ -59,8 +62,7 @@ def _minhash_oracle(k: int, bands: int, threshold: float) -> str:
             f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
         )
     bands_sql = "\n        UNION ALL ".join(band_selects)
-    return f"""
-    WITH sets AS (SELECT doc_id, list_distinct({_W}) AS ws FROM documents),
+    return f"""sets AS (SELECT doc_id, list_distinct({_W}) AS ws FROM documents),
     w AS (SELECT doc_id, unnest(ws) AS w FROM sets),
     sig AS (
         SELECT doc_id,
@@ -83,7 +85,12 @@ def _minhash_oracle(k: int, bands: int, threshold: float) -> str:
         FROM cand
         JOIN sets sa ON sa.doc_id = doc_a
         JOIN sets sb ON sb.doc_id = doc_b
-    )
+    )"""
+
+
+def _minhash_oracle(k: int, bands: int, threshold: float) -> str:
+    return f"""
+    WITH {_minhash_pair_ctes(k, bands)}
     SELECT doc_a, doc_b,
            CAST(inter AS DOUBLE) / CAST(sz_sum - inter AS DOUBLE) AS jaccard
     FROM scored
@@ -388,3 +395,86 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=NGRAM_THRESHOLD,
         df_cap=NGRAM_DF_CAP,
     )
+
+
+# cluster-retention composite: quality pieces shared with the curation
+# oracles (acyclic import — text_queries does not import this module)
+from db_integration_via_kafka_ksql_spark.operators import (  # noqa: E402
+    text_analysis as TA,
+)
+from db_integration_via_kafka_ksql_spark.queries.text_queries import (  # noqa: E402
+    _DW,
+    _QUALITY_EXPR,
+    _STOP_SUM,
+)
+
+
+@query(
+    "dedup_minhash_keep_best",
+    driver=False,  # aux: retention composite over the minhash pair family
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes(MINHASH_K, MINHASH_BANDS)},
+    pairs AS (
+        SELECT doc_a, doc_b FROM scored
+        WHERE CAST(inter AS DOUBLE) / CAST(sz_sum - inter AS DOUBLE)
+              >= {MINHASH_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS t FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    cl AS (
+        SELECT src AS doc_id, min(node) AS cluster_rep
+        FROM reach GROUP BY src
+    ),
+    qscored AS (
+        SELECT doc_id, {_QUALITY_EXPR} AS quality
+        FROM (
+            SELECT doc_id,
+                   len({_W}) AS n_tok,
+                   len({_DW}) AS n_dis,
+                   {_STOP_SUM} AS stop_hits,
+                   length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+                   length(text) AS n_chars
+            FROM documents
+        )
+    ),
+    ranked AS (
+        SELECT cl.cluster_rep, cl.doc_id, q.quality,
+               row_number() OVER (
+                   PARTITION BY cl.cluster_rep
+                   ORDER BY q.quality DESC, cl.doc_id ASC
+               ) AS rn,
+               count(*) OVER (PARTITION BY cl.cluster_rep) AS n_members
+        FROM cl JOIN qscored q ON q.doc_id = cl.doc_id
+    )
+    SELECT CAST(cluster_rep AS BIGINT) AS cluster_rep,
+           doc_id AS keep_id,
+           quality AS best_quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup curation composite: MinHash/LSH pairs →
+    connected-component clusters → quality-aware retention (keep each
+    cluster's best-quality member, operators/dedup.keep_best_per_cluster)
+    — what a production pipeline runs instead of keep-min-id when
+    duplicate copies differ in quality. Singleton docs keep themselves
+    (n_members = 1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, k=MINHASH_K, bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD
+    )
+    clusters = G.dedup_clusters(docs, pairs, "doc_id", "doc_a", "doc_b")
+    quality = TA.quality_scores(docs, min_tokens=50).select("doc_id", "quality")
+    members = clusters.select("doc_id", "cluster_rep").join(quality, "doc_id")
+    return D.keep_best_per_cluster(
+        members, "cluster_rep", "doc_id", "quality"
+    ).withColumnRenamed("best_score", "best_quality")
