@@ -620,3 +620,42 @@ def token_budget_mixture(
         )
         .select(strata_col, "available_tokens", "allocated_tokens", "keep_frac")
     )
+
+
+def stratified_sample_by_plan(
+    docs: DataFrame,
+    plan: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix1",
+    precision: int = 10_000,
+) -> DataFrame:
+    """Realize a mixture plan: keep each doc iff
+    md5(salt|id) mod precision < floor(keep_frac(stratum) · precision).
+
+    The fractional-rate generalization of `stratified_sample` (int
+    percents) — its `keep_frac` column comes straight from
+    `token_budget_mixture`. Deterministic hash-Bernoulli (same corpus on
+    every run/engine), and the plan side is explicitly broadcast: strata
+    number in the dozens, so the join adds no shuffle and the filter
+    stays scan-side."""
+    rate = F.floor(F.col("keep_frac") * precision).cast("bigint")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % precision
+    )
+    return (
+        docs.join(
+            F.broadcast(plan.select(strata_col, "keep_frac")), strata_col
+        )
+        .filter(bucket < rate)
+        .drop("keep_frac")
+    )

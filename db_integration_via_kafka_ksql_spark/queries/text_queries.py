@@ -792,3 +792,91 @@ def mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.token_budget_mixture(
         load_table(spark, sf_dir, "documents"), budget_tokens=MIX_BUDGET_TOKENS
     )
+
+
+MIX_SALT = "mix1"
+MIX_PRECISION = 10_000
+_MIX_BUCKET = (
+    f"('0x' || substr(md5('{MIX_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {MIX_PRECISION}"
+)
+
+
+@query(
+    "mixture_realized_tokens",
+    driver=False,  # aux: plan -> realized sample accounting
+    oracle=f"""
+    WITH avail AS (
+        SELECT source,
+               CAST(sum(len({_W})) AS BIGINT) AS available_tokens
+        FROM documents GROUP BY source
+    ),
+    lv AS (
+        SELECT source, available_tokens,
+               sum(available_tokens) OVER (
+                   ORDER BY available_tokens, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - available_tokens AS pfx,
+               row_number() OVER (ORDER BY available_tokens, source) AS rn,
+               count(*) OVER () AS n
+        FROM avail
+    ),
+    c AS (
+        SELECT *,
+               ({float(MIX_BUDGET_TOKENS)} - pfx) / (n - rn + 1) AS cand
+        FROM lv
+    ),
+    lvl AS (
+        SELECT max(CASE WHEN available_tokens > cand THEN cand END) AS level
+        FROM c
+    ),
+    alloc AS (
+        SELECT source, available_tokens,
+               CASE WHEN level IS NULL THEN CAST(available_tokens AS DOUBLE)
+                    ELSE least(CAST(available_tokens AS DOUBLE), level)
+               END AS allocated_tokens
+        FROM c, lvl
+    ),
+    plan AS (
+        SELECT source, available_tokens, allocated_tokens,
+               least(1.0, allocated_tokens / CAST(available_tokens AS DOUBLE))
+                   AS keep_frac
+        FROM alloc
+    ),
+    kept AS (
+        SELECT d.source,
+               CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS kept_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs_kept
+        FROM documents d JOIN plan p ON d.source = p.source
+        WHERE {_MIX_BUCKET}
+              < CAST(floor(p.keep_frac * {MIX_PRECISION}) AS BIGINT)
+        GROUP BY d.source
+    )
+    SELECT p.source, p.available_tokens, p.allocated_tokens,
+           coalesce(k.kept_tokens, 0) AS kept_tokens,
+           coalesce(k.n_docs_kept, 0) AS n_docs_kept
+    FROM plan p LEFT JOIN kept k ON k.source = p.source
+    """,
+)
+def mixture_realized_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan → realization, end to end: water-fill the token budget
+    (token_budget_mixture), apply the resulting per-source fractions as a
+    deterministic hash-Bernoulli sampler (stratified_sample_by_plan), and
+    account the kept tokens per source next to the allocation — the
+    realized mix tracks the plan up to Bernoulli variance."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = TA.token_budget_mixture(docs, budget_tokens=MIX_BUDGET_TOKENS)
+    sampled = TA.stratified_sample_by_plan(
+        docs, plan, salt=MIX_SALT, precision=MIX_PRECISION
+    )
+    kept = sampled.groupBy("source").agg(
+        F.sum(T.token_count("text")).cast("bigint").alias("kept_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
+    )
+    return plan.join(kept, "source", "left").select(
+        "source",
+        "available_tokens",
+        "allocated_tokens",
+        F.coalesce("kept_tokens", F.lit(0).cast("bigint")).alias("kept_tokens"),
+        F.coalesce("n_docs_kept", F.lit(0).cast("bigint")).alias("n_docs_kept"),
+    )
