@@ -34,9 +34,11 @@ the state is bucket-partitioned parquet keyed by (band_id, band_key,
 doc_id) with size ∝ seen docs × bands; the per-batch probe is one
 shuffle join of batch keys against the state — batch-sized left side, so
 at 100 TB of history the join broadcasts the BATCH, never the state.
-Edges are band collisions (no Jaccard rerank — that would require
-persisting word sets; the standard stream-dedup trade, tunable via
-k/bands).
+Edges default to raw band collisions; `rerank_threshold` upgrades them
+to estimated-Jaccard-reranked collisions using the k-component minhash
+signature (stored in state — fixed width, unlike word sets, so the
+rerank the batch path does exactly is done here in expectation; the
+estimate is quantized to multiples of 1/k).
 """
 
 from __future__ import annotations
@@ -47,7 +49,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from db_integration_via_kafka_ksql_spark.operators.dedup import minhash_band_keys
+from db_integration_via_kafka_ksql_spark.functions import text as T
+from db_integration_via_kafka_ksql_spark.operators.dedup import (
+    _word_sets,
+    minhash_band_keys,
+)
 from db_integration_via_kafka_ksql_spark.operators.graph import dedup_clusters
 from db_integration_via_kafka_ksql_spark.streaming.state import ParquetStateStore
 
@@ -67,6 +73,17 @@ class StreamingNearDup:
     # shuffled (non-broadcast) join. 1 = plain join (broadcast-size
     # batches, the normal regime).
     salt_bands: int = 1
+    # When set, band-collision candidates are reranked by ESTIMATED
+    # Jaccard — the fraction of agreeing minhash components — and only
+    # candidates with estimate >= rerank_threshold count as collisions
+    # (within batch AND against history). This is the streaming
+    # counterpart of the batch path's exact-Jaccard rerank without
+    # persisting word sets: the state stores each doc's k-component
+    # signature (k hex strings — fixed width) instead. E[estimate] is the
+    # true Jaccard; with k components the estimate is quantized to
+    # multiples of 1/k, so thresholds should be chosen on that grid.
+    # None = pure bucket-collision semantics (the prior behavior).
+    rerank_threshold: float | None = None
     batch_col: str = "ingest_batch"
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
@@ -79,6 +96,58 @@ class StreamingNearDup:
             key_cols=["band_id", "band_key", "doc_id"],
             order_cols=["offset"],
         )
+
+    def _band_frame(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, band_id, band_key[, sig]) for one batch.
+
+        With rerank enabled the k-component signature is computed ONCE
+        (checkpointed — doc_id + k hex strings, tiny) and both the band
+        keys and the pipe-joined `sig` column derive from it."""
+        if self.rerank_threshold is None:
+            return minhash_band_keys(docs, k=self.k, bands=self.bands)
+        sets = _word_sets(docs)
+        sig = (
+            sets.select("doc_id", F.explode("ws").alias("w"))
+            .groupBy("doc_id")
+            .agg(*T.minhash_signature(F.col("w"), self.k))
+            .localCheckpoint(eager=True)
+        )
+        rows = self.k // self.bands
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.concat(
+                        *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    ).alias("band_key"),
+                )
+                for b in range(self.bands)
+            ]
+        )
+        return sig.select(
+            "doc_id",
+            F.concat_ws("|", *[F.col(f"h{i}") for i in range(self.k)]).alias(
+                "sig"
+            ),
+            F.explode(band_structs).alias("bb"),
+        ).select(
+            "doc_id",
+            "sig",
+            F.col("bb.band_id").alias("band_id"),
+            F.col("bb.band_key").alias("band_key"),
+        )
+
+    def _sig_estimate(self, a, b):
+        """Estimated Jaccard: fraction of agreeing signature components."""
+        matches = F.size(
+            F.filter(
+                F.zip_with(
+                    F.split(a, "\\|"), F.split(b, "\\|"), lambda x, y: x == y
+                ),
+                lambda v: v,
+            )
+        )
+        return matches / F.lit(float(self.k))
 
     def _batch_pairs(self, bk: DataFrame, par: int) -> DataFrame:
         """Within-batch band-collision pairs (doc_a < doc_b), deduped.
@@ -118,6 +187,11 @@ class StreamingNearDup:
                 & (F.col("a.__salt") == F.col("b.__salt"))
                 & (F.col("a.doc_id") < F.col("b.doc_id"))
             )
+        if self.rerank_threshold is not None:
+            cond = cond & (
+                self._sig_estimate(F.col("a.sig"), F.col("b.sig"))
+                >= F.lit(self.rerank_threshold)
+            )
         return (
             a.join(b, cond)
             .select(
@@ -128,7 +202,7 @@ class StreamingNearDup:
 
     def accepted_of_batch(self, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         """(accepted docs, full band-key frame) for one batch."""
-        bk = minhash_band_keys(docs, k=self.k, bands=self.bands).localCheckpoint()
+        bk = self._band_frame(docs).localCheckpoint()
         par = docs.sparkSession.sparkContext.defaultParallelism
         # within-batch transitive closure → min-doc_id representative.
         # The band self-join's OUTPUT is quadratic in bucket occupancy, so
@@ -160,15 +234,37 @@ class StreamingNearDup:
             # come through the batch dedup path instead; if huge batches
             # ever must stream, drop this hint and let
             # autoBroadcastJoinThreshold pick the join side.
-            hist = self.state.read().select("band_id", "band_key")
-            hits = (
-                hist.join(
-                    F.broadcast(bk.select("band_id", "band_key", "doc_id")),
-                    ["band_id", "band_key"],
+            if self.rerank_threshold is None:
+                hist = self.state.read().select("band_id", "band_key")
+                hits = (
+                    hist.join(
+                        F.broadcast(bk.select("band_id", "band_key", "doc_id")),
+                        ["band_id", "band_key"],
+                    )
+                    .select("doc_id")
+                    .distinct()
                 )
-                .select("doc_id")
-                .distinct()
-            )
+            else:
+                # rerank the history collisions too: the state carries each
+                # historical doc's signature, so a bucket coincidence with
+                # low signature agreement no longer counts as a duplicate
+                hist = self.state.read().select(
+                    "band_id", "band_key", F.col("sig").alias("hist_sig")
+                )
+                hits = (
+                    hist.join(
+                        F.broadcast(
+                            bk.select("band_id", "band_key", "doc_id", "sig")
+                        ),
+                        ["band_id", "band_key"],
+                    )
+                    .filter(
+                        self._sig_estimate(F.col("hist_sig"), F.col("sig"))
+                        >= F.lit(self.rerank_threshold)
+                    )
+                    .select("doc_id")
+                    .distinct()
+                )
             survivors = survivors.join(hits, "doc_id", "left_anti")
         return survivors, bk
 
@@ -186,12 +282,15 @@ class StreamingNearDup:
             .parquet(self.dataset_path)
         )
         # state grows by every incoming doc's buckets (witnesses persist);
-        # replays upsert the same composite keys — idempotent.
+        # replays upsert the same composite keys — idempotent. With rerank
+        # enabled the signature rides along (fixed-width payload, k hex
+        # strings per doc duplicated across its bands).
+        state_cols = ["band_id", "band_key", "doc_id"] + (
+            ["sig"] if self.rerank_threshold is not None else []
+        )
         self.state.apply_batch(
             bk.select(
-                "band_id",
-                "band_key",
-                "doc_id",
+                *state_cols,
                 F.lit(epoch_id).cast("bigint").alias("offset"),
                 F.lit("false").alias("__deleted"),
             )

@@ -254,3 +254,99 @@ def test_salted_band_join_equivalence_on_hot_bucket(spark, tmp_path):
     }
     assert p_plain == p_salted
     assert len(p_plain) == 18 * 17 // 2  # full clique over the hot bucket
+
+
+def _py_sig(text: str, k: int = 8) -> list[str]:
+    """Python mirror of functions/text.minhash_signature over distinct
+    words: min of md5 hex of f's{i}|{w}'."""
+    import hashlib
+
+    words = set(text.split(" "))
+    return [
+        min(hashlib.md5(f"s{i}|{w}".encode()).hexdigest() for w in words)
+        for i in range(k)
+    ]
+
+
+def _py_est(a: list[str], b: list[str]) -> float:
+    return sum(x == y for x, y in zip(a, b)) / len(a)
+
+
+def _py_bands(sig: list[str], bands: int = 4) -> set:
+    rows = len(sig) // bands
+    return {
+        (b, "".join(sig[b * rows : (b + 1) * rows])) for b in range(bands)
+    }
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=_corpus)
+def test_rerank_single_batch_matches_python_model(spark, tmp_path_factory, texts):
+    """With rerank_threshold set, a single-batch run keeps exactly the
+    min-id representative of each connected component over edges =
+    {band collision AND signature-estimate >= threshold} — verified
+    against a from-scratch python model (hashlib signatures, union-find)."""
+    tmp = tmp_path_factory.mktemp("rr")
+    thr = 0.5
+    rows = list(enumerate(texts))
+    d = _dedup(spark, tmp)
+    d.rerank_threshold = thr
+    accepted, _ = d.accepted_of_batch(_df(spark, rows))
+    got = {r["doc_id"] for r in accepted.collect()}
+
+    sigs = {i: _py_sig(t) for i, t in rows}
+    buckets = {i: _py_bands(s) for i, s in sigs.items()}
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ids = sorted(parent)
+    for ix, a in enumerate(ids):
+        for b in ids[ix + 1 :]:
+            if buckets[a] & buckets[b] and _py_est(sigs[a], sigs[b]) >= thr:
+                parent[find(a)] = find(b)
+    comps: dict[int, list[int]] = {}
+    for i in ids:
+        comps.setdefault(find(i), []).append(i)
+    want = {min(m) for m in comps.values()}
+    assert got == want
+
+
+def test_rerank_spares_weak_band_coincidences_across_batches(spark, tmp_path):
+    """Cross-batch: a later doc that shares a band bucket with history but
+    with LOW signature agreement survives under rerank (it would be
+    dropped by pure bucket-collision semantics), while a true near-dup
+    (estimate 1.0) is still dropped."""
+    b1 = [(1, "alpha beta gamma delta epsilon zeta")]
+    # find a batch-2 doc sharing >=1 band with doc 1 but est < 1.0 —
+    # search candidate word swaps with the python model
+    base = b1[0][1].split(" ")
+    weak = None
+    pool = ["one", "two", "three", "four", "five", "six", "seven", "nine"]
+    s1 = _py_sig(b1[0][1])
+    for w in pool:
+        for j in range(len(base)):
+            cand = " ".join(base[:j] + [w] + base[j + 1 :])
+            sc = _py_sig(cand)
+            if (
+                _py_bands(s1) & _py_bands(sc)
+                and 0.0 < _py_est(s1, sc) < 0.75
+            ):
+                weak = cand
+                break
+        if weak:
+            break
+    assert weak is not None, "no weak band coincidence found in the pool"
+
+    d = _dedup(spark, tmp_path)
+    d.rerank_threshold = 0.75
+    d.checkpoint_dir = None
+    d.process_batch(_df(spark, b1), 0)
+    b2 = [(2, weak), (3, b1[0][1])]  # weak coincidence + exact dup
+    d.process_batch(_df(spark, b2), 1)
+    kept = {r["doc_id"] for r in d.read_corpus().collect()}
+    assert kept == {1, 2}
