@@ -6,8 +6,11 @@ the driver's own testdata.
   2. cut       quality score + Gopher-style repetition filters
   3. scrub     PII redaction (text is replaced by its redacted form)
   4. decontam  drop docs overlapping the held-out benchmark subset
-  5. dedup     exact keep-one, then embedding near-dup clusters keep-one
-  6. mix       deterministic stratified sample → replacement-free epochs
+  5. dedup     exact keep-one, then embedding near-dup clusters keeping
+               each cluster's BEST-QUALITY member (retention policy)
+  6. mix       water-fill a token budget across sources → realize the
+               plan with fractional stratified sampling →
+               replacement-free epochs
   7. pack      concat-then-chunk sequence offsets per (epoch, source)
   8. ship      hive-partitioned parquet (epoch/source) trainers prune
 
@@ -40,8 +43,7 @@ from db_integration_via_kafka_ksql_spark.sinks.dataset import (
 MIN_QUALITY = 0.70
 MAX_DUP_BIGRAM_FRAC = 0.60
 BENCH_MOD = 11
-SAMPLE_RATES = {"src0": 50}
-SAMPLE_DEFAULT = 90
+MIX_BUDGET_TOKENS = 8_000  # target corpus size the water-fill planner hits
 N_EPOCHS = 4
 PACK_CAPACITY = 256
 
@@ -88,7 +90,9 @@ def main() -> None:
     kept = kept.join(winners, "doc_id", "left_semi")
     stages.append(("after exact dedup", kept.count()))
 
-    # 5b. embedding near-dup clusters keep-one (vec_id aligns with doc_id)
+    # 5b. embedding near-dup clusters (vec_id aligns with doc_id) with the
+    # quality-aware retention policy: every cluster keeps its best-quality
+    # member, not the one with the smallest id
     emb = load_table(spark, sf_dir, "embeddings")
     clusters = G.dedup_clusters(
         emb,
@@ -97,16 +101,22 @@ def main() -> None:
         "vec_a",
         "vec_b",
     )
-    reps = clusters.filter("is_rep").select(F.col("vec_id").alias("doc_id"))
+    quality = TA.quality_scores(docs).select("doc_id", "quality")
+    members = clusters.select(
+        F.col("vec_id").alias("doc_id"), "cluster_rep"
+    ).join(quality, "doc_id")
+    reps = D.keep_best_per_cluster(
+        members, "cluster_rep", "doc_id", "quality"
+    ).select(F.col("keep_id").alias("doc_id"))
     kept = kept.join(reps, "doc_id", "left_semi")
-    stages.append(("after near-dup clustering", kept.count()))
+    stages.append(("after near-dup keep-best-quality", kept.count()))
 
-    # 6. training mix: stratified sample, then replacement-free epochs
-    mixed = TA.stratified_sample(
-        kept, rates_pct=SAMPLE_RATES, default_pct=SAMPLE_DEFAULT
-    )
+    # 6. training mix: water-fill the token budget across sources, realize
+    # the plan's fractional rates deterministically, then split epochs
+    plan = TA.token_budget_mixture(kept, budget_tokens=MIX_BUDGET_TOKENS)
+    mixed = TA.stratified_sample_by_plan(kept, plan)
     mixed = TA.epoch_split(mixed, n_epochs=N_EPOCHS)
-    stages.append(("after stratified sampling", mixed.count()))
+    stages.append(("after budgeted mix sampling", mixed.count()))
 
     # 7. sequence packing per (epoch, source) shard
     packed = TA.pack_sequences(
