@@ -865,7 +865,12 @@ def mixture_realized_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     account the kept tokens per source next to the allocation — the
     realized mix tracks the plan up to Bernoulli variance."""
     docs = load_table(spark, sf_dir, "documents")
-    plan = TA.token_budget_mixture(docs, budget_tokens=MIX_BUDGET_TOKENS)
+    # the plan frame is #sources rows but its lineage holds a corpus
+    # aggregate; it feeds BOTH the sampler join and the output join, so
+    # one eager checkpoint halves the corpus planning passes
+    plan = TA.token_budget_mixture(
+        docs, budget_tokens=MIX_BUDGET_TOKENS
+    ).localCheckpoint(eager=True)
     sampled = TA.stratified_sample_by_plan(
         docs, plan, salt=MIX_SALT, precision=MIX_PRECISION
     )
@@ -873,7 +878,9 @@ def mixture_realized_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(T.token_count("text")).cast("bigint").alias("kept_tokens"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs_kept"),
     )
-    return plan.join(kept, "source", "left").select(
+    # both sides are #sources rows; broadcast the aggregated side so the
+    # accounting join never plans a sort-merge
+    return plan.join(F.broadcast(kept), "source", "left").select(
         "source",
         "available_tokens",
         "allocated_tokens",

@@ -244,6 +244,29 @@ def test_keep_best_quality_partial_agg_no_window(reports):
     assert len(r.scans["documents"].read_columns) == 2  # doc_id + text
 
 
+def test_mixture_planner_single_corpus_agg(reports):
+    """Water-fill planning: ONE partial-aggregated corpus shuffle reduces
+    the scan to #strata rows; the windows that compute the level run on
+    that tiny frame only (single-partition exchange), and the scan reads
+    just (source, text)."""
+    r = reports("mixture_token_budget")
+    assert r.has_partial_aggregate
+    assert r.n_shuffle_exchanges <= 2  # corpus agg + tiny-frame window
+    assert len(r.scans["documents"].read_columns) == 2
+
+
+def test_mixture_realized_broadcasts_plan(reports):
+    """Plan realization: the plan side of the sampler join and the final
+    accounting join are both broadcast (tiny frames — never shuffle the
+    corpus by plan keys), and the checkpointed plan keeps the corpus
+    planning aggregate to a single pass."""
+    r = reports("mixture_realized_tokens")
+    assert r.n_broadcast_exchanges >= 1
+    assert r.sort_merge_joins == 0
+    # doc_id (hash bucket) + text + source — nothing else reaches the scan
+    assert len(r.scans["documents"].read_columns) == 3
+
+
 def test_pii_scrub_is_scan_only(reports):
     """PII scrub: pure scan-side column math — zero exchanges of any
     kind, three columns read."""
