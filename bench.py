@@ -357,7 +357,10 @@ def main() -> None:
         except Exception as e:
             timings[name] = None
             errors[name] = repr(e)[:500]
-        if raw:
+        # only complete rep sets are published: a query that errored
+        # mid-loop would otherwise contribute a shallower minimum to the
+        # documented "min over first k reps" cross-round comparison
+        if raw and timings[name] is not None:
             rep_timings[name] = raw
 
     try:

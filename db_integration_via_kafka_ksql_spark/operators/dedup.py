@@ -86,7 +86,31 @@ def keep_best_per_cluster(
     struct max (score, -id, id), so map-side combine reduces each cluster
     to one row per partition before the single key shuffle. No window
     function (a row_number formulation would shuffle every member of
-    every cluster)."""
+    every cluster).
+
+    `id_col` must be numeric: the min-id tie-break negates it inside the
+    struct max. A string id would cast to NULL there and silently invert
+    the tie-break to max-id, so non-numeric ids are rejected loudly."""
+    from pyspark.sql import types as ST
+
+    id_type = members.schema[id_col].dataType
+    if not isinstance(
+        id_type,
+        (
+            ST.ByteType,
+            ST.ShortType,
+            ST.IntegerType,
+            ST.LongType,
+            ST.FloatType,
+            ST.DoubleType,
+            ST.DecimalType,
+        ),
+    ):
+        raise TypeError(
+            f"keep_best_per_cluster needs a numeric id column for its "
+            f"min-id tie-break; {id_col!r} is {id_type} — map string ids "
+            "to a numeric surrogate first"
+        )
     best = F.max(
         F.struct(
             F.col(score_col).alias("s"),
@@ -121,17 +145,16 @@ def _word_sets(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _band_keys_of_sets(sets: DataFrame, k: int, bands: int) -> DataFrame:
-    """(doc_id, band_id, band_key) rows from per-doc word-set arrays:
-    k salted min-hashes, `bands` bands of k/bands concatenated rows,
-    flattened with a single explode."""
+def sig_band_structs(k: int, bands: int):
+    """Array of (band_id, band_key) structs over signature columns
+    h0..h{k-1}: `bands` bands of k/bands concatenated components.
+
+    THE single definition of how signatures become band keys — the batch
+    pair generator and the streaming near-dup state both derive their
+    keys here, and persisted streaming state joins against future batches
+    on these strings, so the two paths must stay bit-identical forever."""
     rows = k // bands
-    sig = (
-        sets.select("doc_id", F.explode("ws").alias("w"))
-        .groupBy("doc_id")
-        .agg(*T.minhash_signature(F.col("w"), k))
-    )
-    band_structs = F.array(
+    return F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
@@ -142,7 +165,20 @@ def _band_keys_of_sets(sets: DataFrame, k: int, bands: int) -> DataFrame:
             for b in range(bands)
         ]
     )
-    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+
+
+def _band_keys_of_sets(sets: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band_id, band_key) rows from per-doc word-set arrays:
+    k salted min-hashes, `bands` bands of k/bands concatenated rows,
+    flattened with a single explode."""
+    sig = (
+        sets.select("doc_id", F.explode("ws").alias("w"))
+        .groupBy("doc_id")
+        .agg(*T.minhash_signature(F.col("w"), k))
+    )
+    return sig.select(
+        "doc_id", F.explode(sig_band_structs(k, bands)).alias("bb")
+    ).select(
         "doc_id",
         F.col("bb.band_id").alias("band_id"),
         F.col("bb.band_key").alias("band_key"),

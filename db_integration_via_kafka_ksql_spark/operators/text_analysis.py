@@ -187,11 +187,7 @@ def stratified_sample(
     for stratum, pct in sorted(rates_pct.items()):
         rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
     bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
+        T.hex_hash_int(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
         % 100
     )
     return docs.filter(bucket < rate)
@@ -535,11 +531,7 @@ def epoch_split(
     if n_epochs < 1:
         raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
     assigned = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
+        T.hex_hash_int(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
         % n_epochs
     )
     return docs.withColumn(epoch_col, assigned.cast("int"))
@@ -641,15 +633,7 @@ def stratified_sample_by_plan(
     stays scan-side."""
     rate = F.floor(F.col("keep_frac") * precision).cast("bigint")
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        T.hex_hash_int(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
         % precision
     )
     return (

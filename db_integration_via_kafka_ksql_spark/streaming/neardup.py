@@ -53,6 +53,7 @@ from db_integration_via_kafka_ksql_spark.functions import text as T
 from db_integration_via_kafka_ksql_spark.operators.dedup import (
     _word_sets,
     minhash_band_keys,
+    sig_band_structs,
 )
 from db_integration_via_kafka_ksql_spark.operators.graph import dedup_clusters
 from db_integration_via_kafka_ksql_spark.streaming.state import ParquetStateStore
@@ -96,6 +97,27 @@ class StreamingNearDup:
             key_cols=["band_id", "band_key", "doc_id"],
             order_cols=["offset"],
         )
+        self._check_state_mode()
+
+    def _check_state_mode(self) -> None:
+        """The rerank flag is fixed for a state directory's lifetime: the
+        state schema carries `sig` iff rerank is on, and a silent toggle
+        would crash mid-stream (missing column / changelog-state schema
+        mismatch) on the first non-empty batch. Fail at construction with
+        a clear message instead."""
+        if not self.state.exists():
+            return
+        has_sig = "sig" in self.state.read().columns
+        wants_sig = self.rerank_threshold is not None
+        if has_sig != wants_sig:
+            raise ValueError(
+                f"state at {self.state_path!r} was built with "
+                f"rerank {'ON' if has_sig else 'OFF'} but this instance sets "
+                f"rerank_threshold={self.rerank_threshold!r}; the signature "
+                "column is part of the persisted state schema — keep the "
+                "flag stable for a state directory, or rebuild the state "
+                "(destroy + replay the corpus) to switch modes"
+            )
 
     def _band_frame(self, docs: DataFrame) -> DataFrame:
         """(doc_id, band_id, band_key[, sig]) for one batch.
@@ -112,24 +134,12 @@ class StreamingNearDup:
             .agg(*T.minhash_signature(F.col("w"), self.k))
             .localCheckpoint(eager=True)
         )
-        rows = self.k // self.bands
-        band_structs = F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_id"),
-                    F.concat(
-                        *[F.col(f"h{b * rows + r}") for r in range(rows)]
-                    ).alias("band_key"),
-                )
-                for b in range(self.bands)
-            ]
-        )
         return sig.select(
             "doc_id",
             F.concat_ws("|", *[F.col(f"h{i}") for i in range(self.k)]).alias(
                 "sig"
             ),
-            F.explode(band_structs).alias("bb"),
+            F.explode(sig_band_structs(self.k, self.bands)).alias("bb"),
         ).select(
             "doc_id",
             "sig",

@@ -102,9 +102,15 @@ def main() -> None:
         "vec_b",
     )
     quality = TA.quality_scores(docs).select("doc_id", "quality")
-    members = clusters.select(
-        F.col("vec_id").alias("doc_id"), "cluster_rep"
-    ).join(quality, "doc_id")
+    # restrict membership to docs that SURVIVED the upstream cuts before
+    # the argmax: otherwise a cluster whose best member was already
+    # filtered out would nominate a ghost keep_id and drop its surviving
+    # members too
+    members = (
+        clusters.select(F.col("vec_id").alias("doc_id"), "cluster_rep")
+        .join(kept.select("doc_id"), "doc_id", "left_semi")
+        .join(quality, "doc_id")
+    )
     reps = D.keep_best_per_cluster(
         members, "cluster_rep", "doc_id", "quality"
     ).select(F.col("keep_id").alias("doc_id"))

@@ -350,3 +350,32 @@ def test_rerank_spares_weak_band_coincidences_across_batches(spark, tmp_path):
     d.process_batch(_df(spark, b2), 1)
     kept = {r["doc_id"] for r in d.read_corpus().collect()}
     assert kept == {1, 2}
+
+
+def test_rerank_toggle_on_existing_state_fails_loudly(spark, tmp_path):
+    """The rerank flag is part of the persisted state schema: re-opening
+    an existing state directory with the flag flipped must fail at
+    construction with a clear message, not crash mid-stream."""
+    d = _dedup(spark, tmp_path)
+    d.process_batch(_df(spark, [(1, "alpha beta gamma")]), 0)
+    with pytest.raises(ValueError, match="rerank OFF"):
+        rr = _dedup(spark, tmp_path)
+        rr.rerank_threshold = 0.5
+        rr._check_state_mode()
+
+    tmp2 = tmp_path / "rr"
+    d2 = StreamingNearDup(
+        spark,
+        dataset_path=str(tmp2 / "corpus"),
+        state_path=str(tmp2 / "state"),
+        trigger_seconds=0,
+        rerank_threshold=0.5,
+    )
+    d2.process_batch(_df(spark, [(1, "alpha beta gamma")]), 0)
+    with pytest.raises(ValueError, match="rerank ON"):
+        StreamingNearDup(
+            spark,
+            dataset_path=str(tmp2 / "corpus"),
+            state_path=str(tmp2 / "state"),
+            trigger_seconds=0,
+        )
