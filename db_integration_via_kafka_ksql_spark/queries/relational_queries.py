@@ -549,3 +549,79 @@ def monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             R.dsum(R.money("o_totalprice"), "revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe operators (operators/skew.py) under the oracle gate: the salted
+# two-phase formulations must produce EXACTLY the direct-window / direct
+# COUNT(DISTINCT) answers — the oracle runs the direct form.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "skew_salted_topk_orders",
+    driver=False,  # aux: oracle-gates the salted top-k against the window form
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, total_price, rnk FROM (
+        SELECT c.c_mktsegment, o.o_orderkey,
+               o.o_totalprice AS total_price,
+               row_number() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+               ) AS rnk
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rnk <= 3
+    """,
+)
+def skew_salted_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 orders per market segment via the SALTED two-phase
+    top-k (operators/skew.salted_topk_per_key) — 5 segments over every
+    order is exactly the hot-key regime the salt exists for; the oracle
+    is the direct window formulation, so the decomposition is proven
+    value-exact, not just equivalence-tested."""
+    from db_integration_via_kafka_ksql_spark.operators.skew import (
+        salted_topk_per_key,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    df = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == cust.c_custkey,
+    ).select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.col("o_totalprice").alias("total_price"),
+    )
+    return salted_topk_per_key(
+        df,
+        key_cols=["c_mktsegment"],
+        order_col="total_price",
+        k=3,
+        tiebreak_col="o_orderkey",
+    ).select("c_mktsegment", "o_orderkey", "total_price", "rnk")
+
+
+@query(
+    "skew_salted_distinct_parts",
+    driver=False,  # aux: oracle-gates the salted distinct-count decomposition
+    oracle="""
+    SELECT l_suppkey,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_l_partkey
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def skew_salted_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT part) per supplier via the salted two-phase
+    decomposition (operators/skew.salted_distinct_count): per-(key, salt)
+    distinct counts partition the value space and add exactly — the
+    oracle runs the direct COUNT(DISTINCT)."""
+    from db_integration_via_kafka_ksql_spark.operators.skew import (
+        salted_distinct_count,
+    )
+
+    return salted_distinct_count(
+        load_table(spark, sf_dir, "lineitem"),
+        key_cols=["l_suppkey"],
+        value_col="l_partkey",
+    )
