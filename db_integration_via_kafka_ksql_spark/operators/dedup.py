@@ -94,18 +94,7 @@ def keep_best_per_cluster(
     from pyspark.sql import types as ST
 
     id_type = members.schema[id_col].dataType
-    if not isinstance(
-        id_type,
-        (
-            ST.ByteType,
-            ST.ShortType,
-            ST.IntegerType,
-            ST.LongType,
-            ST.FloatType,
-            ST.DoubleType,
-            ST.DecimalType,
-        ),
-    ):
+    if not isinstance(id_type, ST.NumericType):
         raise TypeError(
             f"keep_best_per_cluster needs a numeric id column for its "
             f"min-id tie-break; {id_col!r} is {id_type} — map string ids "

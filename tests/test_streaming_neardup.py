@@ -359,9 +359,13 @@ def test_rerank_toggle_on_existing_state_fails_loudly(spark, tmp_path):
     d = _dedup(spark, tmp_path)
     d.process_batch(_df(spark, [(1, "alpha beta gamma")]), 0)
     with pytest.raises(ValueError, match="rerank OFF"):
-        rr = _dedup(spark, tmp_path)
-        rr.rerank_threshold = 0.5
-        rr._check_state_mode()
+        StreamingNearDup(  # the real construction path hits the gate
+            spark,
+            dataset_path=d.dataset_path,
+            state_path=d.state_path,
+            trigger_seconds=0,
+            rerank_threshold=0.5,
+        )
 
     tmp2 = tmp_path / "rr"
     d2 = StreamingNearDup(
