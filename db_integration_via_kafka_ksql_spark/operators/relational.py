@@ -485,3 +485,50 @@ def json_props_stats(events: DataFrame) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def events_hourly_anomalies(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """Per-type z-score of each hour's event count against that type's own
+    hourly distribution — the standard traffic-anomaly screen over a
+    metrics stream.
+
+    The variance is computed from EXACT integer sums (n, Σc, Σc²) with a
+    fixed sequence of double ops, never `stddev_samp`: builtin stddev
+    accumulates floats in engine/partition-dependent order and would
+    break bit-exact DuckDB parity. One extra aggregation over the (tiny)
+    hourly frame + a broadcast join back — no window over raw events.
+
+    Output: (event_type, hour_bucket, n_events, zscore, is_anomaly).
+    Types with <2 hours or zero variance score 0.0 (no distribution to
+    deviate from).
+    """
+    from db_integration_via_kafka_ksql_spark.io import epoch_us_col
+
+    hourly = (
+        events.withColumn("__ts_us", epoch_us_col(events, "ts"))
+        .withColumn("hour_bucket", F.expr("__ts_us DIV 3600000000"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    n_d = F.col("n_hours").cast("double")
+    s_d = F.col("s").cast("double")
+    ss_d = F.col("ss").cast("double")
+    c_d = F.col("n_events").cast("double")
+    mean = s_d / n_d
+    var = (ss_d - s_d * s_d / n_d) / (F.col("n_hours") - F.lit(1)).cast("double")
+    z = F.when(
+        (F.col("n_hours") > 1) & (var > 0), (c_d - mean) / F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "event_type",
+        "hour_bucket",
+        "n_events",
+        z.alias("zscore"),
+        (F.abs(z) >= F.lit(float(z_threshold))).alias("is_anomaly"),
+    )

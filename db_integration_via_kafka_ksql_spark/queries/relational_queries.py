@@ -625,3 +625,45 @@ def skew_salted_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["l_suppkey"],
         value_col="l_partkey",
     )
+
+
+_ANOM_VAR = (
+    "(CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) "
+    "/ CAST(n_hours AS DOUBLE)) / CAST(n_hours - 1 AS DOUBLE)"
+)
+_ANOM_Z = (
+    f"CASE WHEN n_hours > 1 AND {_ANOM_VAR} > 0 THEN "
+    f"(CAST(n_events AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE))"
+    f" / sqrt({_ANOM_VAR}) ELSE 0.0 END"
+)
+
+
+@query(
+    "events_hourly_anomalies",
+    driver=False,  # aux: anomaly screen over the hourly-counts family
+    oracle=f"""
+    WITH hourly AS (
+        SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_hours,
+               CAST(sum(n_events) AS BIGINT) AS s,
+               CAST(sum(n_events * n_events) AS BIGINT) AS ss
+        FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour_bucket, h.n_events,
+           {_ANOM_Z} AS zscore,
+           abs({_ANOM_Z}) >= 2.0 AS is_anomaly
+    FROM hourly h JOIN stats USING (event_type)
+    """,
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-anomaly screen: per-type z-score of hourly event counts
+    from exact integer sums (operators/relational.events_hourly_anomalies)
+    — variance math is a fixed double-op sequence over BIGINT sums, so
+    the score is bit-identical in DuckDB (builtin stddev would not be)."""
+    return R.events_hourly_anomalies(load_table(spark, sf_dir, "events"))

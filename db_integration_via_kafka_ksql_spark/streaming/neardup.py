@@ -306,6 +306,19 @@ class StreamingNearDup:
             )
         )
 
+    def expire_witnesses(self, min_epoch: int) -> int:
+        """Retention horizon for the bucket state: drop witness rows from
+        epochs before `min_epoch`; returns rows dropped.
+
+        The state otherwise grows ∝ seen docs × bands forever. Expiring
+        old witnesses bounds it at the documented cost: a new doc that
+        near-duplicates ONLY docs older than the horizon is re-admitted
+        (their collision evidence is gone) — the same trade Kafka log
+        retention makes for the reference's topics. Witness offsets are
+        the epoch of each doc's LAST sighting (apply_batch upserts), so
+        a bucket seen recently survives even if first seen long ago."""
+        return self.state.prune_below(min_epoch)
+
     def read_corpus(self) -> DataFrame:
         return self.spark.read.parquet(self.dataset_path)
 

@@ -96,6 +96,28 @@ class ParquetStateStore:
         )
         self._write_atomic(state)
 
+    def prune_below(self, min_order: int, order_col: str | None = None) -> int:
+        """Drop state rows whose order column is below `min_order`; returns
+        the number of rows dropped. The retention/TTL primitive (the
+        log-retention analogue for stores whose rows are EVIDENCE rather
+        than authoritative state — e.g. the streaming near-dup witness
+        buckets, where pruning trades bounded state size for re-admitting
+        duplicates older than the horizon).
+
+        Do NOT call this on a CDC latest-state store: there every live key
+        is authoritative regardless of age, and pruning would delete
+        current values. Callers own that distinction (see
+        StreamingNearDup.expire_witnesses)."""
+        if not self.exists():
+            return 0
+        col = order_col or self.order_cols[0]
+        current = self.read()
+        kept = current.filter(f"`{col}` >= {int(min_order)}")
+        dropped = current.count() - kept.count()
+        if dropped:
+            self._write_atomic(kept.localCheckpoint())
+        return dropped
+
     def destroy(self) -> None:
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)

@@ -383,3 +383,25 @@ def test_rerank_toggle_on_existing_state_fails_loudly(spark, tmp_path):
             state_path=str(tmp2 / "state"),
             trigger_seconds=0,
         )
+
+
+def test_expire_witnesses_bounds_state_and_readmits_old_dups(spark, tmp_path):
+    """Retention horizon semantics: pruning witnesses below an epoch
+    shrinks the state, a doc duplicating only pre-horizon history is
+    re-admitted (the documented trade), and recent witnesses still drop
+    their duplicates. Witness offsets track the LAST sighting, so a
+    bucket refreshed after the horizon survives."""
+    d = _dedup(spark, tmp_path)
+    old = "alpha beta gamma delta epsilon zeta"
+    recent = "one two three four five six"
+    d.process_batch(_df(spark, [(1, old)]), 0)
+    d.process_batch(_df(spark, [(2, recent)]), 5)
+    n_before = d.state.read().count()
+    dropped = d.expire_witnesses(min_epoch=3)
+    assert dropped > 0
+    assert d.state.read().count() == n_before - dropped
+    # doc 3 duplicates ONLY the expired doc 1 → re-admitted;
+    # doc 4 duplicates the recent doc 2 → still dropped
+    d.process_batch(_df(spark, [(3, old), (4, recent)]), 6)
+    kept = {r["doc_id"] for r in d.read_corpus().collect()}
+    assert kept == {1, 2, 3}
