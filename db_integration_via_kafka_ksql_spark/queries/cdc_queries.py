@@ -276,3 +276,43 @@ def range_join_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_col="start_us",
         end_col="end_us",
     ).select("user_id", "event_id", "ts_us", "session_id", "start_us", "end_us")
+
+
+from db_integration_via_kafka_ksql_spark.operators.relational import (  # noqa: E402
+    dsum,
+)
+from db_integration_via_kafka_ksql_spark.queries.relational_queries import (  # noqa: E402
+    _msum,
+)
+
+
+@query(
+    "cdc_state_group_agg",
+    driver=False,  # aux: batch twin of streaming/aggview.IncrementalAggView
+    oracle=f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {_msum('CAST(coalesce("value", 0) AS DECIMAL(18,4))', "sum_value")}
+    FROM ({_COMPACT_SQL})
+    WHERE __deleted <> 'true'
+    GROUP BY event_type
+    """,
+)
+def cdc_state_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ksqlDB aggregate-TABLE read path in batch form: per-group
+    count + decimal sum over the materialized live state — exactly what
+    streaming/aggview.IncrementalAggView maintains incrementally (its
+    `recompute()`); this oracle-gates the aggregate the incremental path
+    is equivalence-tested against. Sum exposed via the engine's standard
+    exact-decimal→double bridge (dsum/_msum) for bit-stable comparison."""
+    log = _changelog(spark, sf_dir)
+    state = cdc.soft_delete_filter(
+        cdc.compact_latest(log, key_cols=["key_id"], order_cols=["offset"])
+    )
+    return state.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        dsum(
+            F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,4)"),
+            "sum_value",
+        ),
+    )

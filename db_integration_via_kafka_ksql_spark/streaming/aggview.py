@@ -1,0 +1,191 @@
+"""Incremental aggregate view: per-group COUNT/SUM maintained under a
+keyed CDC changelog — the ksqlDB aggregate-TABLE analogue
+(`CREATE TABLE agg AS SELECT g, count(*), sum(v) FROM t GROUP BY g`;
+the reference's §2.3 surface stops at COUNT(*) over state, this extends
+it to the continuous GROUP BY form ksqlDB users run on such topics).
+
+Semantics per micro-batch, with old/new images resolved against the
+latest-state row store:
+
+  delta(group) = Σ_new (+1, +v)  −  Σ_old (−1, −v)
+
+where *old* is each touched key's previous live row (looked up in the
+row state before the batch is applied) and *new* is the batch's live
+compacted row. An UPDATE that moves a key between groups therefore
+subtracts from the old group and adds to the new one; a DELETE only
+subtracts; groups whose count reaches 0 leave the view.
+
+Cost shape at scale: the per-batch work is bounded by the batch's
+touched keys (one semi-join into the bucketed row state + two
+group-sized aggregates) plus an outer merge with the aggregate state —
+NEVER a recompute over all rows. The aggregate state is one row per
+group; the merge is a broadcast-sized join for realistic cardinalities.
+
+Exactly-once across replays: the aggregate swap embeds the epoch id in
+the state directory (`_epoch.json`, underscore-prefixed so parquet
+readers ignore it) atomically with the data. A replayed epoch is
+detected and skipped — the delta is NOT applied twice — while the row
+store's own apply remains idempotent (keyed upsert).
+
+SUMs accumulate in DECIMAL(18,4) (one exact add per batch; within-batch
+partial sums are decimal too), so results are independent of partition
+order and bit-comparable with a recompute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.operators import cdc
+from db_integration_via_kafka_ksql_spark.streaming.state import ParquetStateStore
+
+_EPOCH_FILE = "_epoch.json"
+
+
+@dataclass
+class IncrementalAggView:
+    """count(*) + sum(value_col) per group_col, maintained incrementally."""
+
+    spark: SparkSession
+    path: str                       # aggregate state dir (atomic-swap parquet)
+    row_state: ParquetStateStore    # latest-row-per-key store (shared/owned)
+    key_cols: Sequence[str]
+    group_col: str
+    value_col: str
+    deleted_col: str = "__deleted"
+    order_cols: Sequence[str] = field(default_factory=lambda: ["offset"])
+
+    # ---------------------------------------------------------------- state
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and bool(os.listdir(self.path))
+
+    def read(self) -> DataFrame:
+        """The current view: (group_col, n_rows, sum_value)."""
+        return self.spark.read.parquet(self.path)
+
+    def last_epoch(self) -> int | None:
+        meta = os.path.join(self.path, _EPOCH_FILE)
+        if not os.path.isfile(meta):
+            return None
+        with open(meta) as f:
+            return json.load(f)["epoch"]
+
+    def _write_atomic(self, df: DataFrame, epoch_id: int) -> None:
+        tmp = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        # epoch marker lands INSIDE the staged dir, so data + marker swap
+        # in as one rename (underscore prefix: ignored by parquet readers)
+        with open(os.path.join(tmp, _EPOCH_FILE), "w") as f:
+            json.dump({"epoch": epoch_id}, f)
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    # ---------------------------------------------------------------- apply
+    def _contrib(self, rows: DataFrame, sign: int) -> DataFrame:
+        """(group, ±1 per row, ±value) contributions, decimal-summed."""
+        return rows.groupBy(F.col(self.group_col).alias("g")).agg(
+            F.sum(F.lit(sign)).cast("bigint").alias("dn"),
+            F.sum(
+                F.lit(sign) * F.coalesce(F.col(self.value_col), F.lit(0)).cast(
+                    "decimal(18,4)"
+                )
+            ).cast("decimal(18,4)").alias("dv"),
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """foreachBatch hook: update the view, then the row state."""
+        if batch_df.isEmpty():
+            return
+        replay = self.last_epoch() is not None and epoch_id <= self.last_epoch()
+        if not replay:
+            self._apply_delta(batch_df, epoch_id)
+        # row-state apply is a keyed upsert — idempotent either way
+        self.row_state.apply_batch(batch_df)
+
+    def _apply_delta(self, batch_df: DataFrame, epoch_id: int) -> None:
+        key_cols = list(self.key_cols)
+        compacted = cdc.compact_latest(
+            batch_df, key_cols=key_cols, order_cols=list(self.order_cols)
+        ).localCheckpoint()
+        # old images: previous live rows of the touched keys only —
+        # a semi-join into the bucketed row store, batch-bounded
+        if self.row_state.exists():
+            old = self.row_state.read().join(
+                compacted.select(*key_cols), key_cols, "left_semi"
+            )
+        else:
+            old = None
+        new = cdc.soft_delete_filter(compacted, deleted_col=self.deleted_col)
+        delta = self._contrib(new, +1)
+        if old is not None:
+            delta = delta.unionByName(self._contrib(old, -1))
+        delta = delta.groupBy("g").agg(
+            F.sum("dn").cast("bigint").alias("dn"),
+            F.sum("dv").cast("decimal(18,4)").alias("dv"),
+        )
+        if self.exists():
+            cur = self.read().select(
+                F.col(self.group_col).alias("g"), "n_rows", "sum_value"
+            )
+            merged = (
+                cur.join(delta, "g", "full_outer")
+                .select(
+                    F.col("g"),
+                    (
+                        F.coalesce("n_rows", F.lit(0))
+                        + F.coalesce("dn", F.lit(0))
+                    ).cast("bigint").alias("n_rows"),
+                    (
+                        F.coalesce(
+                            F.col("sum_value").cast("decimal(18,4)"),
+                            F.lit(0).cast("decimal(18,4)"),
+                        )
+                        + F.coalesce("dv", F.lit(0).cast("decimal(18,4)"))
+                    ).cast("decimal(18,4)").alias("sum_value"),
+                )
+            )
+        else:
+            merged = delta.select(
+                "g",
+                F.col("dn").cast("bigint").alias("n_rows"),
+                F.col("dv").cast("decimal(18,4)").alias("sum_value"),
+            )
+        merged = (
+            merged.filter(F.col("n_rows") > 0)
+            .select(
+                F.col("g").alias(self.group_col),
+                "n_rows",
+                F.col("sum_value").cast("decimal(18,4)"),
+            )
+            .localCheckpoint()
+        )
+        self._write_atomic(merged, epoch_id)
+
+    # ------------------------------------------------------------- verify
+    def recompute(self) -> DataFrame:
+        """Full recompute from the row state — the equivalence oracle the
+        incremental path must match exactly (tests use this)."""
+        live = self.row_state.read()
+        return live.groupBy(self.group_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            # coalesce mirrors the incremental contributions (NULL value
+            # contributes 0, not SQL-NULL-skipping) so all-NULL groups
+            # compare equal too
+            F.sum(
+                F.coalesce(F.col(self.value_col), F.lit(0)).cast("decimal(18,4)")
+            )
+            .cast("decimal(18,4)")
+            .alias("sum_value"),
+        )

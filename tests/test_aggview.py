@@ -1,0 +1,172 @@
+"""Incremental aggregate view (streaming/aggview.py): after EVERY batch
+the incrementally-maintained (group, count, sum) must equal a full
+recompute from the row state — inserts, updates, cross-group moves,
+deletes, group extinction, and replays all covered."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.streaming.aggview import (
+    IncrementalAggView,
+)
+from db_integration_via_kafka_ksql_spark.streaming.state import (
+    ParquetStateStore,
+)
+
+
+def _view(spark, tmp_path) -> IncrementalAggView:
+    return IncrementalAggView(
+        spark,
+        path=str(tmp_path / "agg"),
+        row_state=ParquetStateStore(
+            spark,
+            str(tmp_path / "rows"),
+            key_cols=["id"],
+            order_cols=["offset"],
+        ),
+        key_cols=["id"],
+        group_col="grp",
+        value_col="v",
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "id long, grp string, v double, __deleted string, offset long"
+    )
+
+
+def _snap(df):
+    return {
+        r["grp"]: (r["n_rows"], float(r["sum_value"])) for r in df.collect()
+    }
+
+
+def _check(view):
+    assert _snap(view.read()) == _snap(view.recompute())
+
+
+def test_incremental_equals_recompute_through_cdc_lifecycle(spark, tmp_path):
+    v = _view(spark, tmp_path)
+    # batch 0: inserts across two groups
+    v.process_batch(
+        _batch(
+            spark,
+            [
+                (1, "a", 10.0, "false", 1),
+                (2, "a", 5.0, "false", 2),
+                (3, "b", 7.5, "false", 3),
+            ],
+        ),
+        0,
+    )
+    _check(v)
+    assert _snap(v.read()) == {"a": (2, 15.0), "b": (1, 7.5)}
+
+    # batch 1: value update + CROSS-GROUP move (key 3 b->a) + new key
+    v.process_batch(
+        _batch(
+            spark,
+            [
+                (1, "a", 12.0, "false", 4),   # update in place
+                (3, "a", 7.5, "false", 5),    # moves b -> a
+                (4, "c", 1.25, "false", 6),   # new group appears
+            ],
+        ),
+        1,
+    )
+    _check(v)
+    snap = _snap(v.read())
+    assert snap["a"] == (3, 24.5) and "b" not in snap  # b went extinct
+    assert snap["c"] == (1, 1.25)
+
+    # batch 2: delete one key of a multi-key group + delete the only key
+    # of group c (extinction) + multi-version churn within one batch
+    v.process_batch(
+        _batch(
+            spark,
+            [
+                (2, "a", 5.0, "true", 7),     # delete
+                (4, "c", 1.25, "true", 8),    # group c extinct
+                (5, "b", 100.0, "false", 9),  # insert...
+                (5, "b", 50.0, "false", 10),  # ...then update, same batch
+            ],
+        ),
+        2,
+    )
+    _check(v)
+    snap = _snap(v.read())
+    assert snap == {"a": (2, 19.5), "b": (1, 50.0)}
+
+
+def test_replayed_epoch_applies_delta_exactly_once(spark, tmp_path):
+    v = _view(spark, tmp_path)
+    b0 = _batch(spark, [(1, "a", 10.0, "false", 1)])
+    b1 = _batch(spark, [(2, "a", 4.0, "false", 2)])
+    v.process_batch(b0, 0)
+    v.process_batch(b1, 1)
+    want = _snap(v.read())
+    v.process_batch(b1, 1)  # replay after crash: delta must NOT double
+    assert _snap(v.read()) == want
+    _check(v)
+    assert v.last_epoch() == 1
+
+
+def test_aggview_through_live_stream(spark, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("grp", StringType()),
+            StructField("v", DoubleType()),
+            StructField("__deleted", StringType()),
+            StructField("offset", LongType()),
+        ]
+    )
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def drop(name, rows):
+        ids, grps, vs, dels, offs = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": pa.array(ids, pa.int64()),
+                    "grp": pa.array(grps),
+                    "v": pa.array(vs, pa.float64()),
+                    "__deleted": pa.array(dels),
+                    "offset": pa.array(offs, pa.int64()),
+                }
+            ),
+            f"{src}/{name}",
+        )
+
+    v = _view(spark, tmp_path)
+    drop("f1.parquet", [(1, "a", 2.0, "false", 1), (2, "b", 3.0, "false", 2)])
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        stream.writeStream.queryName("aggview_test")
+        .foreachBatch(v.process_batch)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    _check(v)
+    assert _snap(v.read()) == {"a": (1, 2.0), "b": (1, 3.0)}
