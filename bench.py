@@ -239,6 +239,76 @@ def propagation_latency(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def aggview_throughput(
+    spark, n_events: int = 500_000, n_keys: int = 50_000, n_batches: int = 10
+) -> dict:
+    """Incremental aggregate-view maintenance rate: a synthetic high-churn
+    changelog (updates + deletes across groups) applied batch-by-batch
+    through IncrementalAggView; reports events/s over the full run and
+    cross-checks the final view against a recompute (a mismatch fails the
+    metric rather than reporting a wrong-but-fast number)."""
+    from pyspark.sql import functions as F
+
+    from db_integration_via_kafka_ksql_spark.streaming.aggview import (
+        IncrementalAggView,
+    )
+    from db_integration_via_kafka_ksql_spark.streaming.state import (
+        ParquetStateStore,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_aggview_")
+    try:
+        per = n_events // n_batches
+        view = IncrementalAggView(
+            spark,
+            path=os.path.join(tmp, "agg"),
+            row_state=ParquetStateStore(
+                spark, os.path.join(tmp, "rows"), key_cols=["id"], order_cols=["offset"]
+            ),
+            key_cols=["id"],
+            group_col="grp",
+            value_col="v",
+        )
+        batches = []
+        for b in range(n_batches):
+            lo = b * per
+            df = spark.range(lo, lo + per, numPartitions=16).select(
+                (F.col("id") % n_keys).alias("id"),
+                F.concat(F.lit("g"), (F.col("id") % 97)).alias("grp"),
+                (F.col("id") % 1000).cast("double").alias("v"),
+                F.when(F.col("id") % 10 == 0, "true").otherwise("false").alias(
+                    "__deleted"
+                ),
+                F.col("id").alias("offset"),
+            )
+            path = os.path.join(tmp, f"batch_{b}")
+            df.write.mode("overwrite").parquet(path)
+            batches.append(spark.read.parquet(path))
+        t0 = time.perf_counter()
+        for b, df in enumerate(batches):
+            view.process_batch(df, b)
+        dt = time.perf_counter() - t0
+        inc = {
+            r["grp"]: (r["n_rows"], str(r["sum_value"]))
+            for r in view.read().collect()
+        }
+        full = {
+            r["grp"]: (r["n_rows"], str(r["sum_value"]))
+            for r in view.recompute().collect()
+        }
+        if inc != full:
+            raise AssertionError("incremental view diverged from recompute")
+        return {
+            "events_per_sec": round(n_events / dt),
+            "n_events": n_events,
+            "n_batches": n_batches,
+            "n_groups": len(inc),
+            "verified_vs_recompute": True,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def replay_throughput(spark, n_events: int, n_keys: int) -> tuple[float, dict]:
     """Changelog replay-rebuild events/s (the reference's headline metric:
     ~100K msgs/s ksqlDB TABLE rebuild, TOMBSTONE_HANDLING_GUIDE.md:336-339)
@@ -390,6 +460,14 @@ def main() -> None:
         latency = None
         errors["__latency__"] = repr(e)[:500]
 
+    try:
+        aggview = aggview_throughput(
+            spark, n_events=int(os.environ.get("SPARK_GRAFT_AGGVIEW_EVENTS", "500000"))
+        )
+    except Exception as e:
+        aggview = None
+        errors["__aggview__"] = repr(e)[:500]
+
     total = round(sum(v for v in timings.values() if v is not None), 4)
     n_timed = sum(1 for v in timings.values() if v is not None)
     report = {
@@ -406,6 +484,7 @@ def main() -> None:
         "replay_n_events": n_events,
         "state_footprint": state_footprint,
         "propagation_latency": latency,
+        "aggview": aggview,
     }
     if n_timed < len(timings):
         # the headline total covers fewer queries than registered — flag it

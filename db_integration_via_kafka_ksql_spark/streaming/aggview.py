@@ -62,6 +62,9 @@ class IncrementalAggView:
     value_col: str
     deleted_col: str = "__deleted"
     order_cols: Sequence[str] = field(default_factory=lambda: ["offset"])
+    checkpoint_dir: str | None = None
+    trigger_seconds: float = 2.0
+    query_name: str = "aggview"
 
     # ---------------------------------------------------------------- state
     def exists(self) -> bool:
@@ -172,6 +175,23 @@ class IncrementalAggView:
             .localCheckpoint()
         )
         self._write_atomic(merged, epoch_id)
+
+    def start(self, changelog_stream: DataFrame):
+        """Run continuously over a streaming changelog (foreachBatch),
+        same lifecycle surface as the other streaming components — usable
+        with Engine.deploy."""
+        writer = (
+            changelog_stream.writeStream.queryName(self.query_name)
+            .foreachBatch(self.process_batch)
+            .outputMode("update")
+        )
+        if self.checkpoint_dir:
+            writer = writer.option("checkpointLocation", self.checkpoint_dir)
+        if self.trigger_seconds:
+            writer = writer.trigger(
+                processingTime=f"{self.trigger_seconds} seconds"
+            )
+        return writer.start()
 
     # ------------------------------------------------------------- verify
     def recompute(self) -> DataFrame:

@@ -155,18 +155,16 @@ def test_aggview_through_live_stream(spark, tmp_path):
         )
 
     v = _view(spark, tmp_path)
+    v.checkpoint_dir = str(tmp_path / "ckpt")
+    v.trigger_seconds = 0  # as-fast-as-possible in tests
     drop("f1.parquet", [(1, "a", 2.0, "false", 1), (2, "b", 3.0, "false", 2)])
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
-    q = (
-        stream.writeStream.queryName("aggview_test")
-        .foreachBatch(v.process_batch)
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    q = v.start(stream)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     _check(v)
     assert _snap(v.read()) == {"a": (1, 2.0), "b": (1, 3.0)}
