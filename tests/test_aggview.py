@@ -5,8 +5,8 @@ deletes, group extinction, and replays all covered."""
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from db_integration_via_kafka_ksql_spark.streaming.aggview import (
     IncrementalAggView,
@@ -168,3 +168,49 @@ def test_aggview_through_live_stream(spark, tmp_path):
         q.stop()
     _check(v)
     assert _snap(v.read()) == {"a": (1, 2.0), "b": (1, 3.0)}
+
+
+_op = st.tuples(
+    st.integers(1, 6),                        # key
+    st.sampled_from(["a", "b", "c"]),         # group
+    st.floats(0, 100, allow_nan=False).map(lambda x: round(x, 2)),
+    st.booleans(),                            # deleted
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=st.lists(_op, min_size=1, max_size=12), data=st.data())
+def test_aggview_equals_recompute_for_any_changelog(
+    spark, tmp_path_factory, ops, data
+):
+    """For ANY changelog sequence (repeated keys, cross-group moves,
+    deletes of live/unseen keys, multi-version churn) and ANY batch
+    split, the incremental view equals the recompute after every batch."""
+    rows = [
+        (key, grp, v, "true" if deleted else "false", off)
+        for off, (key, grp, v, deleted) in enumerate(ops, start=1)
+    ]
+    n_batches = data.draw(st.integers(1, min(4, len(rows))), label="n_batches")
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(1, len(rows) - 1),
+                min_size=n_batches - 1,
+                max_size=n_batches - 1,
+                unique=True,
+            ),
+            label="cuts",
+        )
+        if len(rows) > 1
+        else []
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(rows)]:
+        if rows[prev:c]:
+            batches.append(rows[prev:c])
+        prev = c
+
+    v = _view(spark, tmp_path_factory.mktemp("agg_prop"))
+    for i, b in enumerate(batches):
+        v.process_batch(_batch(spark, b), i)
+        _check(v)
