@@ -21,6 +21,18 @@ group-sized aggregates) plus an outer merge with the aggregate state —
 NEVER a recompute over all rows. The aggregate state is one row per
 group; the merge is a broadcast-sized join for realistic cardinalities.
 
+MIN/MAX (``minmax_cols``) are NOT invertible — a deleted maximum must
+fall back to the runner-up, which subtraction cannot produce. The view
+maintains them by the standard differential strategy for
+non-invertible aggregates: re-aggregate ONLY the groups the batch
+touches, from the touched groups' post-batch rows (state rows of those
+groups minus the batch's keys, union the batch's live rows — derived
+BEFORE the row store is updated, so replay ordering is unchanged).
+Untouched groups keep their stored extremes. Per-batch cost is bounded
+by the ROWS OF TOUCHED GROUPS, not the full table — the known lower
+bound for exact non-invertible maintenance; a batch touching one key
+of a billion-row group re-scans that group only.
+
 Exactly-once across replays: the aggregate swap embeds the epoch id in
 the state directory (`_epoch.json`, underscore-prefixed so parquet
 readers ignore it) atomically with the data. A replayed epoch is
@@ -60,6 +72,7 @@ class IncrementalAggView:
     key_cols: Sequence[str]
     group_col: str
     value_col: str
+    minmax_cols: Sequence[str] = field(default_factory=tuple)
     deleted_col: str = "__deleted"
     order_cols: Sequence[str] = field(default_factory=lambda: ["offset"])
     checkpoint_dir: str | None = None
@@ -138,9 +151,15 @@ class IncrementalAggView:
             F.sum("dn").cast("bigint").alias("dn"),
             F.sum("dv").cast("decimal(18,4)").alias("dv"),
         )
+        mm = self._minmax_of_touched(compacted, old, new)
+        mm_cols = [
+            alias
+            for c in self.minmax_cols
+            for alias in (f"min_{c}", f"max_{c}")
+        ]
         if self.exists():
             cur = self.read().select(
-                F.col(self.group_col).alias("g"), "n_rows", "sum_value"
+                F.col(self.group_col).alias("g"), "n_rows", "sum_value", *mm_cols
             )
             merged = (
                 cur.join(delta, "g", "full_outer")
@@ -157,24 +176,96 @@ class IncrementalAggView:
                         )
                         + F.coalesce("dv", F.lit(0).cast("decimal(18,4)"))
                     ).cast("decimal(18,4)").alias("sum_value"),
+                    *mm_cols,
                 )
             )
+            if mm is not None:
+                # touched groups take the freshly re-aggregated extremes
+                # (mm_touched marks presence — NULL-safe, so an all-NULL
+                # recomputed min is still taken over the stale stored one);
+                # untouched groups keep their stored values
+                merged = merged.join(mm, "g", "left_outer").select(
+                    "g",
+                    "n_rows",
+                    "sum_value",
+                    *[
+                        F.when(
+                            F.col("mm_touched"), F.col(f"mm_{alias}")
+                        ).otherwise(F.col(alias)).alias(alias)
+                        for alias in mm_cols
+                    ],
+                )
         else:
             merged = delta.select(
                 "g",
                 F.col("dn").cast("bigint").alias("n_rows"),
                 F.col("dv").cast("decimal(18,4)").alias("sum_value"),
             )
+            if mm is not None:
+                # first batch: every live group is a touched group
+                merged = merged.join(mm, "g", "left_outer").select(
+                    "g",
+                    "n_rows",
+                    "sum_value",
+                    *[F.col(f"mm_{alias}").alias(alias) for alias in mm_cols],
+                )
         merged = (
             merged.filter(F.col("n_rows") > 0)
             .select(
                 F.col("g").alias(self.group_col),
                 "n_rows",
                 F.col("sum_value").cast("decimal(18,4)"),
+                *mm_cols,
             )
             .localCheckpoint()
         )
         self._write_atomic(merged, epoch_id)
+
+    def _minmax_of_touched(
+        self, compacted: DataFrame, old: DataFrame | None, new: DataFrame
+    ) -> DataFrame | None:
+        """Re-aggregate min/max for the groups this batch touches, over
+        their post-batch rows: (state rows of touched groups − batch
+        keys) ∪ (batch's live rows). Runs against the PRE-apply row
+        store, so the agg write still precedes the row-state apply and
+        replay detection stays correct. Returns None when minmax_cols is
+        empty (schema and plan then match the sum/count-only view)."""
+        if not self.minmax_cols:
+            return None
+        key_cols = list(self.key_cols)
+        mcols = list(self.minmax_cols)
+        touched = new.select(F.col(self.group_col).alias("g"))
+        if old is not None:
+            touched = touched.unionByName(
+                old.select(F.col(self.group_col).alias("g"))
+            )
+        touched = touched.distinct()
+        post = new.select(self.group_col, *mcols)
+        if old is not None:  # row store exists
+            survivors = (
+                self.row_state.read()
+                .join(
+                    touched.select(F.col("g").alias(self.group_col)),
+                    [self.group_col],
+                    "left_semi",
+                )
+                .join(compacted.select(*key_cols), key_cols, "left_anti")
+            )
+            post = post.unionByName(survivors.select(self.group_col, *mcols))
+        return (
+            post.groupBy(F.col(self.group_col).alias("g"))
+            .agg(
+                *[
+                    agg
+                    for c in mcols
+                    for agg in (
+                        F.min(c).alias(f"mm_min_{c}"),
+                        F.max(c).alias(f"mm_max_{c}"),
+                    )
+                ]
+            )
+            .withColumn("mm_touched", F.lit(True))
+        )
 
     def start(self, changelog_stream: DataFrame):
         """Run continuously over a streaming changelog (foreachBatch),
@@ -208,4 +299,13 @@ class IncrementalAggView:
             )
             .cast("decimal(18,4)")
             .alias("sum_value"),
+            # min/max use plain SQL NULL-skip semantics on both paths
+            *[
+                agg
+                for c in self.minmax_cols
+                for agg in (
+                    F.min(c).alias(f"min_{c}"),
+                    F.max(c).alias(f"max_{c}"),
+                )
+            ],
         )

@@ -32,6 +32,13 @@ def _view(spark, tmp_path) -> IncrementalAggView:
     )
 
 
+def _viewmm(spark, tmp_path) -> IncrementalAggView:
+    """Same view plus non-invertible MIN/MAX maintenance on v."""
+    v = _view(spark, tmp_path)
+    v.minmax_cols = ["v"]
+    return v
+
+
 def _batch(spark, rows):
     return spark.createDataFrame(
         rows, "id long, grp string, v double, __deleted string, offset long"
@@ -44,8 +51,17 @@ def _snap(df):
     }
 
 
+def _snapall(df):
+    """Schema-generic snapshot: grp -> sorted (col, repr) pairs, so the
+    same helper compares count/sum-only and min/max-extended views."""
+    cols = sorted(c for c in df.columns if c != "grp")
+    return {
+        r["grp"]: tuple((c, repr(r[c])) for c in cols) for r in df.collect()
+    }
+
+
 def _check(view):
-    assert _snap(view.read()) == _snap(view.recompute())
+    assert _snapall(view.read()) == _snapall(view.recompute())
 
 
 def test_incremental_equals_recompute_through_cdc_lifecycle(spark, tmp_path):
@@ -99,6 +115,45 @@ def test_incremental_equals_recompute_through_cdc_lifecycle(spark, tmp_path):
     _check(v)
     snap = _snap(v.read())
     assert snap == {"a": (2, 19.5), "b": (1, 50.0)}
+
+
+def test_minmax_falls_back_when_extreme_leaves(spark, tmp_path):
+    """The non-invertible cases: deleting a group's max must surface the
+    runner-up; moving the extreme key to another group must update BOTH
+    groups' extremes; untouched groups keep theirs."""
+    v = _viewmm(spark, tmp_path)
+    v.process_batch(
+        _batch(
+            spark,
+            [
+                (1, "a", 10.0, "false", 1),
+                (2, "a", 5.0, "false", 2),
+                (3, "a", 7.0, "false", 3),
+                (9, "z", 99.0, "false", 4),   # bystander group
+            ],
+        ),
+        0,
+    )
+    _check(v)
+    got = {r["grp"]: (r["min_v"], r["max_v"]) for r in v.read().collect()}
+    assert got["a"] == (5.0, 10.0) and got["z"] == (99.0, 99.0)
+
+    # delete the max of a → falls back to 7.0 (subtraction can't do this)
+    v.process_batch(_batch(spark, [(1, "a", 10.0, "true", 5)]), 1)
+    _check(v)
+    got = {r["grp"]: (r["min_v"], r["max_v"]) for r in v.read().collect()}
+    assert got["a"] == (5.0, 7.0) and got["z"] == (99.0, 99.0)
+
+    # move a's min into b: a tightens to (7,7), b adopts (5,5)
+    v.process_batch(_batch(spark, [(2, "b", 5.0, "false", 6)]), 2)
+    _check(v)
+    got = {r["grp"]: (r["min_v"], r["max_v"]) for r in v.read().collect()}
+    assert got["a"] == (7.0, 7.0) and got["b"] == (5.0, 5.0)
+    assert got["z"] == (99.0, 99.0)
+
+    # replay must not disturb the extremes either
+    v.process_batch(_batch(spark, [(2, "b", 5.0, "false", 6)]), 2)
+    _check(v)
 
 
 def test_replayed_epoch_applies_delta_exactly_once(spark, tmp_path):
@@ -210,7 +265,9 @@ def test_aggview_equals_recompute_for_any_changelog(
             batches.append(rows[prev:c])
         prev = c
 
-    v = _view(spark, tmp_path_factory.mktemp("agg_prop"))
+    # the minmax view strictly extends the plain one (count/sum logic is
+    # shared), so the property runs on it and covers all four aggregates
+    v = _viewmm(spark, tmp_path_factory.mktemp("agg_prop"))
     for i, b in enumerate(batches):
         v.process_batch(_batch(spark, b), i)
         _check(v)
