@@ -377,6 +377,27 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def _decontam_grams(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, grams array, n_grams) — the shared front half of both
+    decontamination variants. Grams feed multiple consumers (bench set,
+    corpus explode, final projection): compute the compact per-doc array
+    form once and pin it (the localCheckpoint trade-off documented in
+    operators/dedup.py); repartition first for the same output-expansion
+    reason as repetition_stats."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select("doc_id", "text")
+        .repartition(par)
+        .select("doc_id", "text", T.words("text").alias("w"))
+        .select(
+            "doc_id",
+            F.array_distinct(T.shingles_of_words("w", "text", n)).alias("grams"),
+        )
+        .select("doc_id", "grams", F.size("grams").cast("bigint").alias("n_grams"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def decontaminate(
     docs: DataFrame, bench_mod: int = 11, n: int = 5
 ) -> DataFrame:
@@ -393,23 +414,7 @@ def decontaminate(
     doc_id-keyed count with map-side combine. Corpus rows are never
     shuffled by gram, so hot n-grams cannot skew the plan.
     """
-    # grams feeds three consumers (bench set, corpus explode, final
-    # projection): compute the compact per-doc array form once and pin it
-    # (the localCheckpoint trade-off documented in operators/dedup.py);
-    # repartition first for the same output-expansion reason as
-    # repetition_stats.
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    grams = (
-        docs.select("doc_id", "text")
-        .repartition(par)
-        .select("doc_id", "text", T.words("text").alias("w"))
-        .select(
-            "doc_id",
-            F.array_distinct(T.shingles_of_words("w", "text", n)).alias("grams"),
-        )
-        .select("doc_id", "grams", F.size("grams").cast("bigint").alias("n_grams"))
-        .localCheckpoint(eager=True)
-    )
+    grams = _decontam_grams(docs, n)
     is_bench = (F.col("doc_id") % bench_mod) == 0
     bench_grams = (
         grams.filter(is_bench)
@@ -420,6 +425,69 @@ def decontaminate(
     overlap = (
         corpus.select("doc_id", F.explode("grams").alias("gram"))
         .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return (
+        corpus.select("doc_id", "n_grams")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias(
+                "n_overlap"
+            ),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    bench_mod: int = 11,
+    n: int = 5,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-filter variant of :func:`decontaminate` for benchmark sets
+    too large to broadcast as strings.
+
+    The exact path broadcasts the distinct benchmark n-GRAM STRINGS —
+    fine for fixed-size eval suites, but a wall once the held-out set
+    reaches hundreds of millions of grams (several GB of strings). This
+    variant folds the benchmark grams into an m-bit Bloom filter
+    (functions/bloom.py: deterministic xxhash64 positions, bit array as
+    array<bigint> words) and broadcasts THAT — ~9.6 bits/gram at 1% fpp,
+    so 100M grams ride in ~120 MB. The corpus side stays identical:
+    scan-side gram construction, one explode, and the membership probe is
+    k getbit expressions per gram — no join against the gram set at all,
+    so the corpus is never shuffled and hot grams cannot skew anything.
+
+    Contract vs the exact op (tests/test_text_properties.py): zero false
+    negatives — every doc `decontaminate` flags is flagged here, and
+    per-doc ``n_overlap`` is >= the exact count — while false positives
+    admit a small overcount governed by (n_bits, n_hashes). Use the exact
+    op when the set broadcasts comfortably; this one when it doesn't.
+    """
+    from db_integration_via_kafka_ksql_spark.functions import bloom as B
+
+    p = B.BloomParams(n_bits=n_bits, n_hashes=n_hashes)
+    grams = _decontam_grams(docs, n)
+    is_bench = (F.col("doc_id") % bench_mod) == 0
+    bench_grams = (
+        grams.filter(is_bench)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    words = B.build_bloom(bench_grams, "gram", p)
+    bf = B.bloom_frame(docs.sparkSession, words, p)
+    corpus = grams.filter(~is_bench)
+    overlap = (
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .crossJoin(F.broadcast(bf))
+        .filter(B.might_contain(F.col("bf"), F.col("gram"), p))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
     )

@@ -382,6 +382,22 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("decontam_bloom_overlap", driver=False)
+def decontam_bloom_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination twin: same columns as
+    `decontam_ngram_overlap`, benchmark grams folded into a broadcast
+    bit array instead of a broadcast string set — the scale path once
+    the held-out gram set outgrows string broadcast. No DuckDB oracle
+    (membership runs on Spark's xxhash64); the gate is the zero-false-
+    negative superset property vs the exact op plus the measured-fp
+    bound (tests/test_text_properties.py)."""
+    return TA.decontaminate_bloom(
+        load_table(spark, sf_dir, "documents"),
+        bench_mod=DECONTAM_BENCH_MOD,
+        n=DECONTAM_N,
+    )
+
+
 PACK_CAPACITY = 256
 
 

@@ -644,3 +644,60 @@ def test_quality_percentile_cutoffs_semantics(spark, sf_dir):
         assert rows[(src, 1.0)]["n_docs"] == a["n"]
         # median cutoff sits strictly inside the stratum's range
         assert rows[(src, 0.5)]["cutoff"] <= a["mx"]
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_filter_no_false_negatives_and_bounded_fp(spark):
+    from db_integration_via_kafka_ksql_spark.functions import bloom as B
+
+    p = B.BloomParams(n_bits=1 << 14, n_hashes=5)
+    items = spark.range(500).selectExpr("concat('item-', id) AS s")
+    words = B.build_bloom(items, "s", p)
+    bf = B.bloom_frame(spark, words, p)
+    hit = B.might_contain(F.col("bf"), F.col("s"), p)
+    # every inserted item must probe positive — the defining guarantee
+    assert (
+        items.crossJoin(F.broadcast(bf)).filter(hit).count() == 500
+    )
+    # disjoint probes: fp odds (1-e^{-kn/m})^k ≈ 2.2e-4 at this load;
+    # 20 hits in 5000 would be >35x expectation — a real bug, not noise
+    probes = spark.range(5000).selectExpr("concat('other-', id) AS s")
+    fp = probes.crossJoin(F.broadcast(bf)).filter(hit).count()
+    assert fp <= 20, fp
+    # deterministic: a rebuild yields the identical word list
+    assert B.build_bloom(items, "s", p) == words
+
+
+def test_decontaminate_bloom_superset_of_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["doc_id"]: r for r in TA.decontaminate(docs).collect()
+    }
+    bloom = {
+        r["doc_id"]: r for r in TA.decontaminate_bloom(docs).collect()
+    }
+    assert exact.keys() == bloom.keys()
+    n_fp_docs = 0
+    for d, e in exact.items():
+        b = bloom[d]
+        assert b["n_grams"] == e["n_grams"]
+        # no false negatives, ever
+        assert b["n_overlap"] >= e["n_overlap"], d
+        if e["contaminated"]:
+            assert b["contaminated"] == 1
+        elif b["contaminated"]:
+            n_fp_docs += 1
+    # default sizing keeps false-positive docs rare on this corpus
+    assert n_fp_docs <= max(2, len(exact) // 20), n_fp_docs
+
+
+def test_decontaminate_bloom_params_are_live(spark, sf_dir):
+    """A deliberately-undersized filter must overflag — proving the probe
+    actually consults the bit array rather than echoing the exact op."""
+    docs = load_table(spark, sf_dir, "documents")
+    tiny = TA.decontaminate_bloom(docs, n_bits=256, n_hashes=2)
+    stats = tiny.agg(
+        F.sum("contaminated").alias("c"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert stats["c"] == stats["n"]  # saturated filter flags everything

@@ -224,3 +224,30 @@ def test_token_budget_mixture_waterfill_properties(spark, avails, budget):
         for r in out.values():
             if r["keep_frac"] == 1.0:
                 assert r["available_tokens"] <= level + 1e-6
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc, min_size=2, max_size=8), mod=st.integers(2, 4))
+def test_decontaminate_bloom_superset_property(spark, texts, mod):
+    """For ANY corpus: the bloom variant never misses an exact overlap
+    (per-doc n_overlap >= the set-model count), and n_grams agree."""
+    n = 3
+    out = {
+        r["doc_id"]: r
+        for r in TA.decontaminate_bloom(
+            _docs_df(spark, texts), bench_mod=mod, n=n
+        ).collect()
+    }
+    bench: set[str] = set()
+    for i, t in enumerate(texts):
+        if i % mod == 0:
+            bench |= set(_grams(t.split(" "), n, t))
+    for i, t in enumerate(texts):
+        if i % mod == 0:
+            assert i not in out
+            continue
+        grams = set(_grams(t.split(" "), n, t))
+        assert out[i]["n_grams"] == len(grams)
+        assert out[i]["n_overlap"] >= len(grams & bench)
+        if grams & bench:
+            assert out[i]["contaminated"] == 1
