@@ -507,6 +507,104 @@ def decontaminate_bloom(
     )
 
 
+def duplicate_spans(
+    docs: DataFrame, window_tokens: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Substring-level exact-duplicate detection: every ``window_tokens``-
+    word window of every doc is fingerprinted; windows whose fingerprint
+    occurs >= ``min_count`` times anywhere in the corpus (across OR
+    within docs) are duplicate spans. Per doc, overlapping duplicate
+    windows are merged into covered-token counts — the substring-dedup
+    signal ("this doc is 40% boilerplate shared with others") that
+    doc-level MinHash/SimHash cannot see, e.g. license headers and
+    navigation chrome embedded in otherwise-unique pages.
+
+    Columns: doc_id, n_tokens, n_windows, n_dup_windows, dup_tokens
+    (merged-interval token coverage), dup_frac.
+
+    Scale shape: windows shuffle ONCE keyed by a 64-bit xxhash64 of the
+    window text (8 bytes moved per window, not the string); the
+    occurrence count is a map-side-combined aggregate, so a
+    billion-duplicate boilerplate window costs one partial per task —
+    hot fingerprints cannot pile a partition. The duplicate-fingerprint
+    set is corpus-dependent (unbounded), so flagging is a shuffle
+    semi-join on the hash, NOT a broadcast; the interval merge is one
+    doc_id-keyed window over duplicate windows only. Grouping by hash
+    instead of text trades a ~2^-64 per-pair collision risk for the
+    smaller shuffle — at 1e12 windows the expected number of colliding
+    pairs is ~0.03 (birthday bound), each inflating one doc's coverage
+    slightly; acceptable for a filtering signal.
+    """
+    L = int(window_tokens)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    grams_sql = (
+        f"CASE WHEN size(w) < {L} THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size(w) - {L - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {L}))) END"
+    )
+    base = (
+        docs.select("doc_id", "text")
+        .repartition(par)
+        .select("doc_id", T.words("text").alias("w"))
+        .select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_tokens"),
+            F.expr(grams_sql).alias("grams"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("grams").cast("bigint").alias("n_windows"),
+            "grams",
+        )
+        .localCheckpoint(eager=True)  # feeds the window explode AND the
+        # final projection — never re-split/re-window the corpus
+    )
+    win = base.select(
+        "doc_id", F.posexplode("grams").alias("pos", "gram")
+    ).select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    dup_h = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    dwin = win.join(dup_h, "h", "left_semi")
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    covered = F.least(
+        F.lit(L),
+        F.col("pos") - F.coalesce(F.lag("pos").over(wspec), F.col("pos") - L),
+    )
+    cov = (
+        dwin.select("doc_id", "pos")
+        .withColumn("covered", covered)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dup_windows"),
+            F.sum("covered").cast("bigint").alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens", "n_windows")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias(
+                "dup_tokens"
+            ),
+            (
+                F.coalesce("dup_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 256,

@@ -398,6 +398,66 @@ def decontam_bloom_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUPSPAN_L = 6
+
+
+@query(
+    "text_duplicate_spans",
+    driver=False,
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    base AS (
+        SELECT doc_id, len(w) AS n_tokens,
+               greatest(len(w) - {DUPSPAN_L} + 1, 0) AS n_windows, w
+        FROM ws
+    ),
+    pos AS (
+        SELECT doc_id, unnest(range(0, n_windows)) AS pos, w
+        FROM base WHERE n_windows > 0
+    ),
+    win AS (
+        SELECT doc_id, pos,
+               array_to_string(w[pos + 1 : pos + {DUPSPAN_L}], ' ') AS gram
+        FROM pos
+    ),
+    dups AS (SELECT gram FROM win GROUP BY gram HAVING count(*) >= 2),
+    dwin AS (
+        SELECT doc_id, pos FROM win
+        WHERE gram IN (SELECT gram FROM dups)
+    ),
+    dcov AS (
+        SELECT doc_id, pos,
+               least({DUPSPAN_L},
+                     pos - coalesce(
+                         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                         pos - {DUPSPAN_L})) AS covered
+        FROM dwin
+    ),
+    cov AS (
+        SELECT doc_id, count(*) AS n_dup_windows, sum(covered) AS dup_tokens
+        FROM dcov GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(b.n_windows AS BIGINT) AS n_windows,
+           CAST(COALESCE(cov.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           CAST(COALESCE(cov.dup_tokens, 0) AS DOUBLE) / b.n_tokens AS dup_frac
+    FROM base b LEFT JOIN cov USING (doc_id)
+    """,
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate spans: merged token coverage of every
+    {DUPSPAN_L}-word window occurring >=2 times in the corpus
+    (operators/text_analysis.duplicate_spans — the Lee-et-al-style
+    substring dedup signal doc-level fingerprints miss). The oracle
+    groups windows by STRING while the operator groups by xxhash64; they
+    agree unless 64-bit xxhash64 collides (odds ~2^-64 per pair)."""
+    return TA.duplicate_spans(
+        load_table(spark, sf_dir, "documents"), window_tokens=DUPSPAN_L
+    )
+
+
 PACK_CAPACITY = 256
 
 

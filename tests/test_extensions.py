@@ -701,3 +701,30 @@ def test_decontaminate_bloom_params_are_live(spark, sf_dir):
         F.sum("contaminated").alias("c"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     assert stats["c"] == stats["n"]  # saturated filter flags everything
+
+
+def test_duplicate_spans_merges_overlapping_windows(spark):
+    """Planted spans, L=4: shared 5-token prefix across docs merges two
+    overlapping duplicate windows into 5 covered tokens; within-doc
+    repetition counts too; sub-window docs report zeros."""
+    rows = [
+        (1, "a b c d e x1 y1 z1"),
+        (2, "a b c d e x2 y2 z2"),
+        (3, "p q r s p q r s p q r s"),
+        (4, "u v w"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in TA.duplicate_spans(docs, window_tokens=4).collect()
+    }
+    assert out[1]["n_windows"] == 5
+    assert out[1]["n_dup_windows"] == 2          # [a b c d], [b c d e]
+    assert out[1]["dup_tokens"] == 5             # merged: a b c d e
+    assert out[1]["dup_frac"] == 5 / 8
+    assert out[2]["dup_tokens"] == 5             # symmetric
+    # periodic self-repetition: every window duplicated, full coverage
+    assert out[3]["n_dup_windows"] == 9
+    assert out[3]["dup_tokens"] == 12 and out[3]["dup_frac"] == 1.0
+    # shorter than one window: present with zeros
+    assert out[4]["n_windows"] == 0 and out[4]["dup_tokens"] == 0
