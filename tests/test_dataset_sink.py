@@ -99,3 +99,102 @@ def test_max_records_per_file_resplits_hot_partition(spark, sf_dir, tmp_path):
     for leaf, files in leaves.items():
         expected = -(-counts[leaf] // 25)  # ceil
         assert len(files) == expected, (leaf, len(files), counts[leaf])
+
+
+def _file_spans(root: str, cols: tuple[str, ...]) -> list[dict[str, tuple]]:
+    """Per parquet file: (min, max) of each column, from actual data."""
+    import pyarrow.parquet as pq
+
+    spans = []
+    for dirpath, _d, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(dirpath, f), columns=list(cols))
+            spans.append(
+                {
+                    c: (
+                        min(t.column(c).to_pylist()),
+                        max(t.column(c).to_pylist()),
+                    )
+                    for c in cols
+                }
+            )
+    return spans
+
+
+def _avg_span_frac(spans, col, lo, hi) -> float:
+    width = hi - lo
+    return sum((s[col][1] - s[col][0]) / width for s in spans) / len(spans)
+
+
+def test_zorder_narrows_file_stats_on_every_dimension(spark, tmp_path):
+    """Two independent uniform columns; 100k rows split into ~10 files.
+    Sorted by x alone, each file spans ~10% of x but ~100% of y — reads
+    filtering on y skip nothing. Z-ordered, BOTH dimensions narrow to a
+    rectangle (~sqrt(1/10) per side), so either predicate skips files."""
+    df = (
+        spark.range(100_000)
+        .select(
+            F.lit(0).alias("part"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(10_000)).alias("x"),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(10_000)).alias("y"),
+        )
+        .localCheckpoint()
+    )
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    write_dataset(
+        df, plain, ["part"], sort_cols=["x"], max_records_per_file=10_000
+    )
+    write_dataset(
+        df, zed, ["part"], zorder_cols=["x", "y"], max_records_per_file=10_000
+    )
+    # layout change must not change content
+    assert read_dataset(spark, zed).count() == 100_000
+    assert (
+        read_dataset(spark, zed).agg(F.sum("x"), F.sum("y")).collect()
+        == read_dataset(spark, plain).agg(F.sum("x"), F.sum("y")).collect()
+    )
+    ps = _file_spans(plain, ("x", "y"))
+    zs = _file_spans(zed, ("x", "y"))
+    assert len(ps) >= 8 and len(zs) >= 8  # maxRecordsPerFile actually split
+    # control: single-column sort leaves the OTHER column unclustered
+    assert _avg_span_frac(ps, "x", 0, 9999) < 0.2
+    assert _avg_span_frac(ps, "y", 0, 9999) > 0.9
+    # z-order: both dimensions clustered (rectangles, not stripes)
+    assert _avg_span_frac(zs, "x", 0, 9999) < 0.7
+    assert _avg_span_frac(zs, "y", 0, 9999) < 0.7
+
+
+def test_zorder_hashes_string_dims_for_equality_skipping(spark, tmp_path):
+    """String dimensions hash-bin: rows of one value concentrate in few
+    files instead of appearing in all of them."""
+    df = (
+        spark.range(40_000)
+        .select(
+            F.lit(0).alias("part"),
+            F.concat(F.lit("src-"), F.pmod(F.col("id"), F.lit(16))).alias("s"),
+            F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+        )
+        .localCheckpoint()
+    )
+    out = str(tmp_path / "zs")
+    write_dataset(
+        df, out, ["part"], zorder_cols=["s", "x"], max_records_per_file=5_000
+    )
+    import pyarrow.parquet as pq
+
+    hit, total = 0, 0
+    for dirpath, _d, files in os.walk(out):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += 1
+                vals = set(
+                    pq.read_table(
+                        os.path.join(dirpath, f), columns=["s"]
+                    ).column("s").to_pylist()
+                )
+                hit += "src-3" in vals
+    assert total >= 6
+    # value present in well under half the files => equality reads skip
+    assert hit <= total // 2, (hit, total)
