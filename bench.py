@@ -62,6 +62,8 @@ HEADLINE = [
     "text_fingerprints",
     "text_repetition_scores",
     "decontam_ngram_overlap",
+    "decontam_bloom_overlap",
+    "text_duplicate_spans",
     "seq_packing_offsets",
     "pii_scrub_contacts",
     "mm_byte_features",

@@ -273,3 +273,18 @@ def test_pii_scrub_is_scan_only(reports):
     r = reports("pii_scrub_contacts")
     assert r.n_exchanges == 0
     assert len(r.scans["customer"].read_columns) == 3
+
+
+def test_duplicate_spans_shuffles_hashes_not_strings(reports):
+    """The windowed-fingerprint dedup must move 8-byte hashes through
+    every exchange, never the window strings — and keep the occurrence
+    count partial (map-side combined) so hot boilerplate can't skew."""
+    import re
+
+    r = reports("text_duplicate_spans")
+    assert r.has_partial_aggregate
+    assert r.windows == 1  # one doc-keyed interval-merge window
+    hash_parts = re.findall(r"hashpartitioning\([^)]*\)", r.plan_text)
+    assert hash_parts, "expected shuffle exchanges"
+    for part in hash_parts:
+        assert "gram" not in part, part
