@@ -316,3 +316,55 @@ def cdc_state_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         ),
     )
+
+
+@query(
+    "interval_join_clicks_purchases",
+    driver=False,  # aux: batch twin of streaming/joins.interval_join
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS tu
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, epoch_us(ts) AS tu
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT p.purchase_id,
+           CAST(p.user_id AS BIGINT) AS user_id,
+           CAST(count(c.tu) AS BIGINT) AS n_clicks_10m
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.tu BETWEEN p.tu - 600000000 AND p.tu
+    GROUP BY p.purchase_id, p.user_id
+    """,
+)
+def interval_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ksqlDB `JOIN ... WITHIN`-style interval join, batch twin: for each
+    purchase, how many clicks the same user made in the preceding 10
+    minutes (streaming/joins.interval_join — the IDENTICAL builder the
+    watermarked stream-stream path runs; before=600s, after=0)."""
+    from db_integration_via_kafka_ksql_spark.streaming.joins import interval_join
+
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_micros(epoch_us_col(raw, "ts")).alias("t"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("t").alias("pt"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("t").alias("ct")
+    )
+    j = interval_join(
+        p, c, on=["user_id"], left_ts="pt", right_ts="ct",
+        before_seconds=600, after_seconds=0, how="left",
+    )
+    return j.groupBy("purchase_id", "user_id").agg(
+        F.count("ct").cast("bigint").alias("n_clicks_10m")
+    )

@@ -288,3 +288,13 @@ def test_duplicate_spans_shuffles_hashes_not_strings(reports):
     assert hash_parts, "expected shuffle exchanges"
     for part in hash_parts:
         assert "gram" not in part, part
+
+
+def test_interval_join_is_keyed_equi_join_not_cartesian(reports):
+    """The WITHIN-join batch twin must plan as a key-partitioned equi-join
+    with the time range as a post-filter — never a nested-loop/cartesian
+    over the event stream."""
+    r = reports("interval_join_clicks_purchases")
+    assert r.nested_loop_joins == 0
+    assert r.sort_merge_joins + r.broadcast_hash_joins >= 1
+    assert "user_id" in r.plan_text
