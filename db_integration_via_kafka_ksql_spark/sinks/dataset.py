@@ -129,6 +129,80 @@ def write_dataset(
     writer.parquet(path)
 
 
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    max_files_per_leaf: int = 4,
+    target_records_per_file: int = 1_000_000,
+    sort_cols: Sequence[str] = (),
+    zorder_cols: Sequence[str] = (),
+    zorder_bits: int = 8,
+) -> dict:
+    """Rewrite hive leaves that have accumulated too many small files.
+
+    Streaming curation appends one file per micro-batch per partition
+    (sinks must be idempotent, so they can't merge in place); a day of
+    2-second batches is 43k files per leaf — metadata pressure and tiny
+    scans. This pass rewrites ONLY the leaves over `max_files_per_leaf`,
+    each as its own distributed job sized to `target_records_per_file`,
+    then swaps the leaf directory atomically (stage + rename, the
+    ParquetStateStore pattern) so readers never see a half-compacted
+    leaf. Leaves already compact are untouched — the pass is incremental
+    and re-runnable.
+
+    `sort_cols` / `zorder_cols` re-cluster each leaf while it is being
+    rewritten (repartitionByRange on the cluster key, so the clustering
+    is ACROSS the leaf's files, not just within them). The driver loop
+    is over leaves needing work — bounded by the partition count, never
+    by rows. Returns {leaves_seen, leaves_compacted, files_before,
+    files_after}.
+    """
+    import math
+    import os
+    import shutil
+    import uuid
+
+    if sort_cols and zorder_cols:
+        raise ValueError("pass sort_cols or zorder_cols, not both")
+    stats = {"leaves_seen": 0, "leaves_compacted": 0,
+             "files_before": 0, "files_after": 0}
+    for dirpath, _dirnames, filenames in os.walk(path):
+        parts = [f for f in filenames if f.endswith(".parquet")]
+        if not parts:
+            continue
+        stats["leaves_seen"] += 1
+        stats["files_before"] += len(parts)
+        if len(parts) <= max_files_per_leaf:
+            stats["files_after"] += len(parts)
+            continue
+        df = spark.read.parquet(dirpath)
+        n = df.count()
+        n_files = max(1, math.ceil(n / target_records_per_file))
+        key = None
+        if zorder_cols:
+            df = df.withColumn(_Z_COL, zorder_key(df, zorder_cols, zorder_bits))
+            key = [_Z_COL]
+        elif sort_cols:
+            key = list(sort_cols)
+        if key:
+            df = df.repartitionByRange(n_files, *key).sortWithinPartitions(*key)
+            if zorder_cols:
+                df = df.drop(_Z_COL)
+        else:
+            df = df.repartition(n_files)
+        staged = f"{dirpath}__compact_{uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(staged)
+        old = f"{dirpath}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(dirpath, old)
+        os.rename(staged, dirpath)
+        shutil.rmtree(old)
+        stats["leaves_compacted"] += 1
+        stats["files_after"] += len(
+            [f for f in os.listdir(dirpath) if f.endswith(".parquet")]
+        )
+    return stats
+
+
 def read_dataset(spark: SparkSession, path: str) -> DataFrame:
     """Read a dataset written by `write_dataset`. Filters on the partition
     columns become directory-level pruning (PartitionFilters in the scan,

@@ -198,3 +198,63 @@ def test_zorder_hashes_string_dims_for_equality_skipping(spark, tmp_path):
     assert total >= 6
     # value present in well under half the files => equality reads skip
     assert hit <= total // 2, (hit, total)
+
+
+def test_compact_dataset_rewrites_only_fragmented_leaves(spark, tmp_path):
+    from db_integration_via_kafka_ksql_spark.sinks.dataset import (
+        compact_dataset,
+    )
+
+    root = str(tmp_path / "ds")
+    # 6 micro-batch appends -> 6 files in every leaf (2 sources)
+    for b in range(6):
+        df = spark.range(b * 100, (b + 1) * 100).select(
+            (F.col("id") % 2).cast("string").alias("source"),
+            F.col("id").alias("doc_id"),
+        )
+        write_dataset(df, root, ["source"], mode="append")
+    before = _leaf_files(root)
+    assert all(len(fs) == 6 for fs in before.values())
+    total_before = read_dataset(spark, root).count()
+
+    stats = compact_dataset(spark, root, max_files_per_leaf=3)
+    assert stats["leaves_seen"] == 2 and stats["leaves_compacted"] == 2
+    assert stats["files_before"] == 12 and stats["files_after"] == 2
+    after = _leaf_files(root)
+    assert all(len(fs) == 1 for fs in after.values())
+    out = read_dataset(spark, root)
+    assert out.count() == total_before == 600
+    # partition-column values survive the rewrite (they live in dirnames)
+    assert out.filter(F.col("source") == "1").count() == 300
+    # content identical, not just counts
+    assert out.agg(F.sum("doc_id")).collect()[0][0] == sum(range(600))
+
+    # idempotent: a second pass finds nothing to do
+    stats2 = compact_dataset(spark, root, max_files_per_leaf=3)
+    assert stats2["leaves_compacted"] == 0
+    assert stats2["files_after"] == stats2["files_before"] == 2
+
+
+def test_compact_dataset_honors_target_records_and_sort(spark, tmp_path):
+    from db_integration_via_kafka_ksql_spark.sinks.dataset import (
+        compact_dataset,
+    )
+
+    root = str(tmp_path / "ds2")
+    for b in range(5):
+        df = spark.range(b * 1000, (b + 1) * 1000).select(
+            F.lit("a").alias("source"),
+            F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("doc_id"),
+        )
+        write_dataset(df, root, ["source"], mode="append")
+    stats = compact_dataset(
+        spark, root, max_files_per_leaf=2,
+        target_records_per_file=2000, sort_cols=["doc_id"],
+    )
+    assert stats["leaves_compacted"] == 1
+    assert stats["files_after"] == 3  # ceil(5000 / 2000)
+    # repartitionByRange on the sort key -> files cover disjoint ranges
+    spans = _file_spans(root, ("doc_id",))
+    spans.sort(key=lambda s: s["doc_id"][0])
+    for a, b in zip(spans, spans[1:]):
+        assert a["doc_id"][1] <= b["doc_id"][0]
