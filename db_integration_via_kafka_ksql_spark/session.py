@@ -53,7 +53,11 @@ def get_spark(
         # min/max/count over plain parquet columns answer from footer stats
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "256m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs everything in the driver JVM: size it like the sum
+        # of the executors it stands in for, or checkpoint/cache blocks
+        # from concurrent queries evict each other (observed as 2x bench
+        # inflation at 8g with a 27-query run on a 128 GiB host)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
