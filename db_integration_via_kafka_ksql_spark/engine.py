@@ -129,11 +129,16 @@ class Engine:
         return False
 
     # -- M3: pipeline lifecycle ----------------------------------------
-    def deploy(self, pipeline: CdcPipeline) -> QueryHandle:
+    def deploy(self, pipeline: Any, *start_args: Any) -> QueryHandle:
         """Idempotent deploy: an active query with the same name is
         stopped first (the reference's delete-then-recreate connector
-        pattern, start-source-connector.sh:57-66)."""
+        pattern, start-source-connector.sh:57-66).
+
+        Duck-typed over the streaming components: anything with a
+        ``query_name`` and a ``start(*start_args)`` returning a
+        StreamingQuery deploys the same way — CdcPipeline (no args),
+        IncrementalAggView (pass the changelog stream), etc."""
         for q in self.spark.streams.active:
             if q.name == pipeline.query_name:
                 q.stop()
-        return QueryHandle(pipeline.query_name, pipeline.start())
+        return QueryHandle(pipeline.query_name, pipeline.start(*start_args))

@@ -102,3 +102,79 @@ def test_terminate_stops_named_query(spark, tmp_path):
         assert eng.terminate("terminate_me") is False  # idempotent
     finally:
         h.stop()
+
+
+def test_deploy_aggview_through_engine_lifecycle(spark, tmp_path):
+    """M3 generalized: the incremental aggregate view deploys with the
+    same idempotent handle surface as the CDC pipeline (duck-typed
+    start(*args)), shows in SHOW QUERIES, and terminates by name."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from db_integration_via_kafka_ksql_spark.streaming.aggview import (
+        IncrementalAggView,
+    )
+    from db_integration_via_kafka_ksql_spark.streaming.state import (
+        ParquetStateStore,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("grp", StringType()),
+            StructField("v", DoubleType()),
+            StructField("__deleted", StringType()),
+            StructField("offset", LongType()),
+        ]
+    )
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    pq.write_table(
+        pa.table(
+            {
+                "id": pa.array([1, 2], pa.int64()),
+                "grp": pa.array(["a", "b"]),
+                "v": pa.array([2.0, 3.0], pa.float64()),
+                "__deleted": pa.array(["false", "false"]),
+                "offset": pa.array([1, 2], pa.int64()),
+            }
+        ),
+        f"{src}/f1.parquet",
+    )
+    view = IncrementalAggView(
+        spark,
+        path=str(tmp_path / "agg"),
+        row_state=ParquetStateStore(
+            spark, str(tmp_path / "rows"), key_cols=["id"], order_cols=["offset"]
+        ),
+        key_cols=["id"],
+        group_col="grp",
+        value_col="v",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=0,
+        query_name="aggview_engine_test",
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    eng = Engine(spark)
+    handle = eng.deploy(view, stream)
+    try:
+        assert handle.status()["state"] == "RUNNING"
+        assert any(
+            q["name"] == "aggview_engine_test" for q in eng.show_queries()
+        )
+        handle.await_idle()
+    finally:
+        assert eng.terminate("aggview_engine_test")
+    assert not handle.active
+    got = {r["grp"]: r["n_rows"] for r in view.read().collect()}
+    assert got == {"a": 1, "b": 1}
