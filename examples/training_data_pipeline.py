@@ -3,7 +3,8 @@ composed into the pipeline a pre-training data team actually runs, over
 the driver's own testdata.
 
   1. scan      documents (+ embeddings for near-dup clustering)
-  2. cut       quality score + Gopher-style repetition filters
+  2. cut       quality score + Gopher-style repetition filters +
+               substring-level duplicate-span coverage
   3. scrub     PII redaction (text is replaced by its redacted form)
   4. decontam  drop docs overlapping the held-out benchmark subset
   5. dedup     exact keep-one, then embedding near-dup clusters keeping
@@ -42,6 +43,7 @@ from db_integration_via_kafka_ksql_spark.sinks.dataset import (
 
 MIN_QUALITY = 0.70
 MAX_DUP_BIGRAM_FRAC = 0.60
+MAX_DUP_SPAN_FRAC = 0.80  # drop docs mostly made of corpus-shared spans
 BENCH_MOD = 11
 MIX_BUDGET_TOKENS = 8_000  # target corpus size the water-fill planner hits
 N_EPOCHS = 4
@@ -68,8 +70,16 @@ def main() -> None:
         F.col("dup_bigram_frac").isNull()
         | (F.col("dup_bigram_frac") <= MAX_DUP_BIGRAM_FRAC)
     )
-    kept = ok_quality.join(ok_rep.select("doc_id"), "doc_id", "left_semi")
-    stages.append(("after quality+repetition cut", kept.count()))
+    # substring-level signal the doc-level fingerprints miss: docs whose
+    # token mass is mostly windows shared with OTHER docs (boilerplate)
+    ok_spans = TA.duplicate_spans(docs).filter(
+        F.col("dup_frac") <= MAX_DUP_SPAN_FRAC
+    )
+    kept = (
+        ok_quality.join(ok_rep.select("doc_id"), "doc_id", "left_semi")
+        .join(ok_spans.select("doc_id"), "doc_id", "left_semi")
+    )
+    stages.append(("after quality+repetition+span cut", kept.count()))
 
     # 3. PII scrub: text continues downstream in redacted form
     kept = (
