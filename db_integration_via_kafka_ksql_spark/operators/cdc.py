@@ -94,12 +94,50 @@ def soft_delete_filter(
     return state.filter(cond)
 
 
+def align_columns(
+    a: DataFrame, b: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Union-of-columns schema alignment: each frame gains the other's
+    missing columns as typed NULLs, in a consistent order (a's columns,
+    then b's additions in b's order). Same-named columns must agree on
+    type — silent coercion across a type change would corrupt state, so
+    that stays a hard error. This is the state-side half of the
+    reference's schema evolution story (`auto.evolve=true`,
+    start-sink-connector.sh:68: the sink table gains a column; here the
+    materialized state does): an upstream ALTER TABLE ADD COLUMN shows
+    up as new changelog columns mid-log, and pre-evolution rows read as
+    NULL — exactly what the evolved sink table reports for them."""
+    at = {f.name: f.dataType for f in a.schema.fields}
+    bt = {f.name: f.dataType for f in b.schema.fields}
+    clash = [n for n in at.keys() & bt.keys() if at[n] != bt[n]]
+    if clash:
+        raise ValueError(
+            f"column type changed across schema versions: "
+            f"{sorted((n, str(at[n]), str(bt[n])) for n in clash)}"
+        )
+    order = list(a.columns) + [c for c in b.columns if c not in at]
+    a2 = a.select(
+        *[
+            F.col(c) if c in at else F.lit(None).cast(bt[c]).alias(c)
+            for c in order
+        ]
+    )
+    b2 = b.select(
+        *[
+            F.col(c) if c in bt else F.lit(None).cast(at[c]).alias(c)
+            for c in order
+        ]
+    )
+    return a2, b2
+
+
 def apply_changelog(
     state: DataFrame,
     changelog: DataFrame,
     key_cols: Sequence[str],
     order_cols: Sequence[str],
     deleted_col: str = "__deleted",
+    evolve: bool = False,
 ) -> DataFrame:
     """Upsert-merge a new changelog batch onto existing materialized state.
 
@@ -117,13 +155,25 @@ def apply_changelog(
     Invariant (replay-rebuild, TOMBSTONE_HANDLING_GUIDE.md:103-113):
     ``apply_changelog(compact(log[:n]), log[n:]) == compact(log)`` for any
     split point n — tested in tests/test_cdc.py.
+
+    ``evolve=True`` admits ADDITIVE schema changes between state and
+    batch (upstream ALTER TABLE ADD COLUMN mid-log): both sides are
+    column-aligned first (:func:`align_columns`), so pre-evolution state
+    rows carry NULL for new columns. Type changes still raise.
     """
     epoch = "__epoch"
-    cols = state.columns
-    if set(cols) != set(changelog.columns):
+    if evolve:
+        # always align: besides adding missing columns, this type-checks
+        # the SHARED ones — same-named columns whose type changed would
+        # otherwise silently coerce through the union below
+        state, changelog = align_columns(state, changelog)
+    elif set(state.columns) != set(changelog.columns):
         raise ValueError(
-            f"state/changelog column mismatch: {sorted(cols)} vs {sorted(changelog.columns)}"
+            f"state/changelog column mismatch: {sorted(state.columns)} "
+            f"vs {sorted(changelog.columns)} (pass evolve=True to admit "
+            "additive schema changes)"
         )
+    cols = state.columns
     base = state.select(*cols).withColumn(epoch, F.lit(0))
     delta = changelog.select(*cols).withColumn(epoch, F.lit(1))
     merged = compact_latest(

@@ -36,6 +36,7 @@ class ParquetStateStore:
         order_cols: list[str],
         deleted_col: str = "__deleted",
         n_buckets: int = 16,
+        evolve: bool = False,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -43,6 +44,10 @@ class ParquetStateStore:
         self.order_cols = order_cols
         self.deleted_col = deleted_col
         self.n_buckets = n_buckets
+        # evolve=True lets a batch carrying NEW columns (upstream ALTER
+        # TABLE ADD COLUMN) merge into existing state: old rows read NULL
+        # for the added columns (operators/cdc.align_columns)
+        self.evolve = evolve
 
     def exists(self) -> bool:
         return os.path.isdir(self.path) and bool(os.listdir(self.path))
@@ -77,6 +82,7 @@ class ParquetStateStore:
                 key_cols=self.key_cols,
                 order_cols=self.order_cols,
                 deleted_col=self.deleted_col,
+                evolve=self.evolve,
             )
         else:
             merged = cdc.soft_delete_filter(compacted, deleted_col=self.deleted_col)

@@ -143,3 +143,87 @@ def test_compact_plan_is_partial_hash_aggregate(spark):
     plan = compacted._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_apply_changelog_evolve_admits_added_column(spark):
+    """Mid-log ALTER TABLE ADD COLUMN: the evolved batch merges, old keys
+    read NULL for the new column, updated keys carry its value, deletes
+    still delete — and without evolve=True the mismatch stays a hard
+    error (silent drift would corrupt state)."""
+    import pytest as _pytest
+
+    state = spark.createDataFrame(
+        [(1, "a", "false", 1), (2, "b", "false", 2), (3, "c", "false", 3)],
+        "key_id long, payload string, __deleted string, offset long",
+    )
+    batch = spark.createDataFrame(
+        [
+            (2, "b2", 20.0, "false", 10),   # update, carries new col w
+            (3, None, None, "true", 11),    # delete still works
+            (4, "d", 40.0, "false", 12),    # insert with new col
+        ],
+        "key_id long, payload string, w double, __deleted string, offset long",
+    )
+    with _pytest.raises(ValueError, match="mismatch"):
+        cdc.apply_changelog(
+            state, batch, key_cols=["key_id"], order_cols=["offset"]
+        )
+    out = {
+        r["key_id"]: (r["payload"], r["w"])
+        for r in cdc.apply_changelog(
+            state, batch, key_cols=["key_id"], order_cols=["offset"],
+            evolve=True,
+        ).collect()
+    }
+    assert out == {1: ("a", None), 2: ("b2", 20.0), 4: ("d", 40.0)}
+
+
+def test_apply_changelog_evolve_rejects_type_change(spark):
+    import pytest as _pytest
+
+    state = spark.createDataFrame(
+        [(1, 5, "false", 1)], "key_id long, v int, __deleted string, offset long"
+    )
+    batch = spark.createDataFrame(
+        [(1, "five", "false", 2)],
+        "key_id long, v string, __deleted string, offset long",
+    )
+    with _pytest.raises(ValueError, match="type changed"):
+        cdc.apply_changelog(
+            state, batch, key_cols=["key_id"], order_cols=["offset"],
+            evolve=True,
+        )
+
+
+def test_evolve_replay_rebuild_invariant(spark):
+    """The replay invariant survives a schema change at the split point:
+    incremental apply of the evolved tail == one-shot compaction over the
+    column-aligned full log."""
+    log1 = spark.createDataFrame(
+        [(1, "a", "false", 1), (2, "b", "false", 2)],
+        "key_id long, payload string, __deleted string, offset long",
+    )
+    log2 = spark.createDataFrame(
+        [(1, "a2", 7.0, "false", 3), (5, "e", 9.0, "false", 4)],
+        "key_id long, payload string, w double, __deleted string, offset long",
+    )
+    incremental = cdc.apply_changelog(
+        cdc.soft_delete_filter(
+            cdc.compact_latest(log1, key_cols=["key_id"], order_cols=["offset"])
+        ),
+        cdc.compact_latest(log2, key_cols=["key_id"], order_cols=["offset"]),
+        key_cols=["key_id"],
+        order_cols=["offset"],
+        evolve=True,
+    )
+    a, b = cdc.align_columns(log1, log2)
+    oneshot = cdc.soft_delete_filter(
+        cdc.compact_latest(
+            a.unionByName(b), key_cols=["key_id"], order_cols=["offset"]
+        )
+    )
+    key = lambda df: {  # noqa: E731
+        r["key_id"]: (r["payload"], r["w"]) for r in df.collect()
+    }
+    assert key(incremental) == key(oneshot)
+    assert key(incremental) == {1: ("a2", 7.0), 2: ("b", None), 5: ("e", 9.0)}

@@ -396,3 +396,34 @@ def test_propagation_latency_bench_plumbing(spark):
     out = bench.propagation_latency(spark, n_probes=1, trigger_seconds=0.5)
     assert out["n_probes"] == 1
     assert 0 < out["p50_sec"] <= out["max_sec"] < 55
+
+
+def test_state_store_evolves_on_added_column(spark, tmp_path):
+    """S5's missing half before round 6: the MATERIALIZED STATE also
+    survives an upstream ADD COLUMN. Old keys read NULL for the new
+    column, the evolved batch upserts/deletes normally, and a replay of
+    the evolved batch stays idempotent."""
+    store = ParquetStateStore(
+        spark,
+        str(tmp_path / "state"),
+        key_cols=["id"],
+        order_cols=["offset"],
+        evolve=True,
+    )
+    v1 = spark.createDataFrame(
+        [(1, "m1", "false", 1), (2, "m2", "false", 2)],
+        "id long, title string, __deleted string, offset long",
+    )
+    store.apply_batch(v1)
+    v2 = spark.createDataFrame(
+        [(2, "m2b", 8.5, "false", 3), (3, "m3", 9.0, "false", 4),
+         (1, None, None, "true", 5)],
+        "id long, title string, rating double, __deleted string, offset long",
+    )
+    store.apply_batch(v2)
+    snap = {r["id"]: (r["title"], r["rating"]) for r in store.read().collect()}
+    assert snap == {2: ("m2b", 8.5), 3: ("m3", 9.0)}
+    store.apply_batch(v2)  # replay: keyed upsert stays idempotent
+    assert {
+        r["id"]: (r["title"], r["rating"]) for r in store.read().collect()
+    } == snap
