@@ -20,7 +20,8 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from db_integration_via_kafka_ksql_spark.operators import cdc
 
@@ -49,18 +50,66 @@ class ParquetStateStore:
         # for the added columns (operators/cdc.align_columns)
         self.evolve = evolve
 
+    _BUCKET = "__bucket"
+
     def exists(self) -> bool:
         return os.path.isdir(self.path) and bool(os.listdir(self.path))
 
     def read(self) -> DataFrame:
-        """Pull-query surface: the current materialized state."""
-        return self.spark.read.parquet(self.path)
+        """Pull-query surface: the current materialized state (the
+        physical bucket column stays internal)."""
+        return self.spark.read.parquet(self.path).drop(self._BUCKET)
+
+    def _bucket_of(self, *key_exprs) -> Column:
+        return F.pmod(F.hash(*key_exprs), F.lit(self.n_buckets))
+
+    def lookup(self, **key_values) -> DataFrame:
+        """Keyed point lookup that opens 1/n_buckets of the state.
+
+        The state directory is hive-partitioned by key-hash bucket, and
+        the lookup filters on ``__bucket == pmod(hash(<literal key>), n)``
+        — Catalyst constant-folds the hash of literals, so the predicate
+        becomes a PartitionFilter and every other bucket directory is
+        skipped without opening a file (plan-asserted in
+        tests/test_streaming.py). This is the ksqlDB pull-query path
+        (`SELECT * FROM table WHERE key = ...`), which RocksDB serves
+        from its own key index; columnar state earns the same sublinear
+        read via directory pruning. n_buckets is part of the store's
+        on-disk identity — change it only with a rebuild."""
+        missing = [k for k in self.key_cols if k not in key_values]
+        if missing:
+            raise ValueError(f"lookup requires all key cols; missing {missing}")
+        df = self.spark.read.parquet(self.path)
+        # murmur3 is TYPE-sensitive: hash(42 as int) != hash(42 as long),
+        # so each literal must probe as exactly the stored column's type
+        types = {f.name: f.dataType for f in df.schema.fields}
+        lits = {
+            k: F.lit(key_values[k]).cast(types[k]) for k in self.key_cols
+        }
+        cond = F.col(self._BUCKET) == self._bucket_of(
+            *[lits[k] for k in self.key_cols]
+        )
+        for k in self.key_cols:
+            cond = cond & (F.col(k) == lits[k])
+        return df.filter(cond).drop(self._BUCKET)
 
     def _write_atomic(self, df: DataFrame) -> None:
         tmp = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
-        df.repartition(self.n_buckets, *self.key_cols).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        # one directory per key-hash bucket (a 100M-key state splits into
+        # n_buckets prunable pieces); repartition on the bucket puts each
+        # in one task -> one file per bucket dir
+        with_bucket = df.withColumn(
+            self._BUCKET, self._bucket_of(*[F.col(c) for c in self.key_cols])
+        )
+        if with_bucket.isEmpty():
+            # zero rows under partitionBy writes NO parquet files and the
+            # directory loses its schema; a flat empty write keeps the
+            # footer (bucket rides as an ordinary — empty — column)
+            with_bucket.coalesce(1).write.mode("overwrite").parquet(tmp)
+        else:
+            with_bucket.repartition(
+                self.n_buckets, F.col(self._BUCKET)
+            ).write.mode("overwrite").partitionBy(self._BUCKET).parquet(tmp)
         old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
         if os.path.isdir(self.path):
             os.rename(self.path, old)

@@ -427,3 +427,61 @@ def test_state_store_evolves_on_added_column(spark, tmp_path):
     assert {
         r["id"]: (r["title"], r["rating"]) for r in store.read().collect()
     } == snap
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, tmp_path):
+    """The pull-query point lookup must hit ONE bucket directory: the
+    constant-folded hash filter shows up as a PartitionFilter on the
+    scan, and results match a full-scan filter."""
+    from db_integration_via_kafka_ksql_spark.plans.audit import audit
+
+    store = ParquetStateStore(
+        spark,
+        str(tmp_path / "state"),
+        key_cols=["id"],
+        order_cols=["offset"],
+        n_buckets=8,
+    )
+    rows = [(i, f"p{i}", "false", i) for i in range(1, 201)]
+    store.apply_batch(
+        spark.createDataFrame(
+            rows, "id long, payload string, __deleted string, offset long"
+        )
+    )
+    hit = store.lookup(id=42)
+    got = hit.collect()
+    assert len(got) == 1 and got[0]["payload"] == "p42"
+    # and equals the naive full-scan answer
+    assert (
+        store.read().filter("id = 42").collect()[0]["payload"] == "p42"
+    )
+    # plan: the bucket predicate reached the scan's PartitionFilters
+    rep = audit(hit)
+    scan = next(iter(rep.scans.values()))
+    assert scan.partition_filters, rep.plan_text[:2000]
+    # miss: absent key in the pruned bucket returns empty, not error
+    assert store.lookup(id=99999).count() == 0
+
+
+def test_state_store_survives_going_empty(spark, tmp_path):
+    """Deleting every key must leave a READABLE empty state (zero rows
+    under partitionBy writes no files and loses the schema — regression
+    from the bucket-layout change), and both read() and lookup() keep
+    working; a later insert revives the partitioned layout."""
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), key_cols=["id"], order_cols=["offset"],
+        n_buckets=4,
+    )
+    schema = "id long, payload string, __deleted string, offset long"
+    store.apply_batch(
+        spark.createDataFrame([(1, "a", "false", 1)], schema)
+    )
+    store.apply_batch(
+        spark.createDataFrame([(1, None, "true", 2)], schema)
+    )
+    assert store.read().count() == 0
+    assert store.lookup(id=1).count() == 0
+    store.apply_batch(
+        spark.createDataFrame([(2, "b", "false", 3)], schema)
+    )
+    assert store.lookup(id=2).collect()[0]["payload"] == "b"
