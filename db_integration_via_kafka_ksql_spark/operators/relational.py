@@ -22,6 +22,8 @@ Scale design notes (100 TB fact tables, small-to-medium dims):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -532,3 +534,53 @@ def events_hourly_anomalies(events: DataFrame, z_threshold: float = 2.0) -> Data
         z.alias("zscore"),
         (F.abs(z) >= F.lit(float(z_threshold))).alias("is_anomaly"),
     )
+
+
+def profile_table(
+    df: DataFrame, cols: Sequence[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """ANALYZE-style column profile: one output row per column with
+    (n_rows, n_null, n_distinct, min/max as strings) — the data-quality
+    sweep run before pointing a training pipeline at a new table, and
+    the DESCRIBE-with-statistics surface the reference's stack exposes
+    through its SQL frontends.
+
+    One aggregation pass computes every column's stats together. With
+    ``approx=False`` the distinct counts are exact: Spark plans multiple
+    COUNT(DISTINCT) via Expand (input multiplied by #cols) — fine for
+    profiling runs, but at 100 TB x wide tables pass ``approx=True``:
+    HLL++ sketches (approx_count_distinct) need no Expand, keeping the
+    pass at one straight map-side-combined aggregate. min/max are cast
+    to string AFTER aggregation (2 values per column, not 2 casts per
+    row). Avoid float columns when hash-comparing profiles across
+    engines — float-to-string formatting is engine-specific.
+    """
+    names = list(cols) if cols is not None else list(df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).cast("bigint").alias("__n")]
+    for c in names:
+        nd = (
+            F.approx_count_distinct(c)
+            if approx
+            else F.count_distinct(F.col(c))
+        )
+        aggs += [
+            F.count(c).cast("bigint").alias(f"__nn_{c}"),
+            nd.cast("bigint").alias(f"__nd_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    one = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                (F.col("__n") - F.col(f"__nn_{c}")).alias("n_null"),
+                F.col(f"__nd_{c}").alias("n_distinct"),
+                F.col(f"__min_{c}").alias("min_value"),
+                F.col(f"__max_{c}").alias("max_value"),
+            )
+            for c in names
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")

@@ -667,3 +667,33 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     — variance math is a fixed double-op sequence over BIGINT sums, so
     the score is bit-identical in DuckDB (builtin stddev would not be)."""
     return R.events_hourly_anomalies(load_table(spark, sf_dir, "events"))
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def _profile_col_sql(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM orders"""
+
+
+@query(
+    "profile_orders_columns",
+    driver=False,  # aux: ANALYZE-style sweep; exact flavor is oracle-able
+    oracle=" UNION ALL ".join(_profile_col_sql(c) for c in _PROFILE_COLS),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of `orders` (operators/relational.profile_table,
+    exact flavor): nulls, distincts, min/max per column in ONE
+    aggregation pass. Timestamp/double columns are excluded from the
+    hash-compared set (value-to-string formatting is engine-specific);
+    the approx flavor is tolerance-tested in tests/test_extensions.py."""
+    return R.profile_table(
+        load_table(spark, sf_dir, "orders"), cols=list(_PROFILE_COLS)
+    )

@@ -728,3 +728,48 @@ def test_duplicate_spans_merges_overlapping_windows(spark):
     assert out[3]["dup_tokens"] == 12 and out[3]["dup_frac"] == 1.0
     # shorter than one window: present with zeros
     assert out[4]["n_windows"] == 0 and out[4]["dup_tokens"] == 0
+
+
+# -------------------------------------------------------------- profiling
+
+def test_profile_table_exact_and_approx_agree_within_rsd(spark, sf_dir):
+    from db_integration_via_kafka_ksql_spark.operators.relational import (
+        profile_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    exact = {r["col_name"]: r for r in profile_table(orders, cols).collect()}
+    approx = {
+        r["col_name"]: r
+        for r in profile_table(orders, cols, approx=True).collect()
+    }
+    for c in cols:
+        e, a = exact[c], approx[c]
+        # nulls and min/max are exact on both paths
+        assert (e["n_rows"], e["n_null"]) == (a["n_rows"], a["n_null"])
+        assert (e["min_value"], e["max_value"]) == (
+            a["min_value"],
+            a["max_value"],
+        )
+        # HLL++ default rsd is 5%; allow 3x headroom
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
+            2, 0.15 * e["n_distinct"]
+        ), c
+    # sanity on known shape: orderkey is unique, status is low-cardinality
+    assert exact["o_orderkey"]["n_distinct"] == exact["o_orderkey"]["n_rows"]
+    assert exact["o_orderstatus"]["n_distinct"] <= 5
+
+
+def test_profile_table_counts_nulls(spark):
+    from db_integration_via_kafka_ksql_spark.operators.relational import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (None, "b")], "x int, s string"
+    )
+    out = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert out["x"]["n_null"] == 1 and out["x"]["n_distinct"] == 3
+    assert out["s"]["n_null"] == 2 and out["s"]["n_distinct"] == 2
+    assert out["x"]["min_value"] == "1" and out["x"]["max_value"] == "3"
