@@ -51,6 +51,22 @@ class QueryHandle:
     def await_idle(self) -> None:
         self._query.processAllAvailable()
 
+    def progress(self) -> dict[str, Any]:
+        """Last micro-batch's runtime metrics (ksqlDB surfaces these per
+        query via DESCRIBE EXTENDED / the REST status endpoint): rows
+        consumed, processing rate, batch duration. {} before the first
+        completed batch."""
+        p = self._query.lastProgress
+        if not p:
+            return {}
+        return {
+            "batch_id": p.get("batchId"),
+            "num_input_rows": p.get("numInputRows"),
+            "input_rows_per_second": p.get("inputRowsPerSecond"),
+            "processed_rows_per_second": p.get("processedRowsPerSecond"),
+            "batch_duration_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+        }
+
     def stop(self) -> None:
         if self.active:
             self._query.stop()
@@ -118,6 +134,20 @@ class Engine:
         ]
 
     # -- M3 (cont.): query termination ---------------------------------
+    def analyze_table(
+        self, name: str, cols: list[str] | None = None, approx: bool = False
+    ) -> DataFrame:
+        """DESCRIBE-with-statistics (M2 companion): per-column nulls,
+        distincts and min/max of a registered table in one aggregation
+        pass (operators/relational.profile_table). approx=True swaps the
+        exact distinct counts for HLL++ sketches — the wide-table /
+        100 TB setting."""
+        from db_integration_via_kafka_ksql_spark.operators.relational import (
+            profile_table,
+        )
+
+        return profile_table(self.spark.table(name), cols, approx=approx)
+
     def terminate(self, query_name: str) -> bool:
         """ksqlDB `TERMINATE <query-id>`: stop the named continuous query.
         Returns True if a query was stopped, False if none matched —

@@ -173,8 +173,23 @@ def test_deploy_aggview_through_engine_lifecycle(spark, tmp_path):
             q["name"] == "aggview_engine_test" for q in eng.show_queries()
         )
         handle.await_idle()
+        prog = handle.progress()
+        assert prog and prog["num_input_rows"] is not None
+        assert prog["batch_duration_ms"] is not None
     finally:
         assert eng.terminate("aggview_engine_test")
     assert not handle.active
     got = {r["grp"]: r["n_rows"] for r in view.read().collect()}
     assert got == {"a": 1, "b": 1}
+
+
+def test_analyze_table_profiles_registered_table(spark, sf_dir):
+    eng = Engine(spark)
+    eng.register_tables(sf_dir, tables=("region",))
+    prof = {
+        r["col_name"]: r
+        for r in eng.analyze_table("region", ["r_regionkey", "r_name"]).collect()
+    }
+    assert prof["r_regionkey"]["n_rows"] == 5
+    assert prof["r_regionkey"]["n_distinct"] == 5
+    assert prof["r_name"]["n_null"] == 0
