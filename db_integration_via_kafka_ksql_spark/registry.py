@@ -66,6 +66,7 @@ from db_integration_via_kafka_ksql_spark.queries import (  # noqa: E402,F401
     relational_queries,
     dedup_queries,
     similarity_queries,
+    kmeans_queries,
     text_queries,
     multimodal_queries,
 )

@@ -298,3 +298,32 @@ def test_interval_join_is_keyed_equi_join_not_cartesian(reports):
     assert r.nested_loop_joins == 0
     assert r.sort_merge_joins + r.broadcast_hash_joins >= 1
     assert "user_id" in r.plan_text
+
+
+def test_kmeans_assignment_scan_side_single_shuffle(reports):
+    """Lloyd's assignment must be a pure projection over literal
+    centroids: the cluster profile's only exchange is the final
+    map-side-combined groupBy — no join against a centroid table, no
+    window argmin over the n x k cross product. (The round-robin spread
+    of the tiny scan is allowed — it carries raw rows, not pair/cross
+    rows; the only KEYED exchange is the k-row aggregate.)"""
+    import re
+
+    r = reports("kmeans_cluster_sizes")
+    keyed = re.findall(r"hashpartitioning\([^)]*\)", r.plan_text)
+    assert len(keyed) == 1 and "cluster" in keyed[0], keyed
+    assert r.n_shuffle_exchanges <= 2  # round-robin spread + groupBy
+    assert r.n_broadcast_exchanges == 0
+    assert r.windows == 0
+    assert r.sort_merge_joins + r.broadcast_hash_joins + r.nested_loop_joins == 0
+    assert r.has_partial_aggregate
+
+
+def test_semdedup_pair_join_is_cluster_equi_not_cartesian(reports):
+    """The SemDeDup candidate stage must equi-join on the cluster id
+    (pair space bounded by cluster occupancy) — never a nested-loop over
+    the corpus."""
+    r = reports("semdedup_pairs")
+    assert r.nested_loop_joins == 0
+    assert r.sort_merge_joins + r.broadcast_hash_joins >= 1
+    assert "cluster" in r.plan_text
