@@ -646,6 +646,59 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: cut each doc into `window`-token
+    chunks starting every `stride` tokens (overlap = window - stride), the
+    standard RAG-ingest / long-context-training splitter. Unlike
+    pack_sequences (concat-then-chunk across docs), chunks never cross a
+    document boundary, and the tail is always covered: the last start is
+    the smallest multiple of `stride` reaching the final token, so the
+    last chunk may be shorter than `window` but no token is dropped.
+
+    Scale shape: scan-side split + sequence/explode — zero shuffles, zero
+    joins; output size = sum(ceil(max(n-window,0)/stride)+1) rows. All
+    arithmetic is integer (truncating div on non-negative operands ==
+    floor), so chunk boundaries are bit-identical in any engine.
+
+    Returns (doc_id, chunk_id, start_token, n_tokens, chunk_text).
+    """
+    if not (0 < stride <= window):
+        raise ValueError("need 0 < stride <= window")
+    words = F.split(F.col(text_col), " ")
+    # number of stride steps after the first chunk that still uncover
+    # new tokens: ceil((n - window)/stride) for n > window, else 0
+    steps = (
+        f"CASE WHEN size(_w) <= {window} THEN 0 "
+        f"ELSE (size(_w) - {window} + {stride} - 1) div {stride} END"
+    )
+    return (
+        docs.select("doc_id", words.alias("_w"))
+        .select(
+            "doc_id",
+            "_w",
+            F.explode(
+                F.expr(f"sequence(0, ({steps}) * {stride}, {stride})")
+            ).alias("start_token"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"start_token div {stride}").cast("int").alias("chunk_id"),
+            F.col("start_token").cast("int"),
+            F.expr(f"size(slice(_w, start_token + 1, {window}))")
+            .cast("int")
+            .alias("n_tokens"),
+            F.expr(f"array_join(slice(_w, start_token + 1, {window}), ' ')").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
 # PII patterns restricted to the RE2 ∩ Java-regex common subset (no
 # backreferences, no lookaround) so the identical strings run in Spark
 # (JVM) and DuckDB (RE2). Longer alternation branches first: both engines

@@ -963,3 +963,45 @@ def mixture_realized_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("kept_tokens", F.lit(0).cast("bigint")).alias("kept_tokens"),
         F.coalesce("n_docs_kept", F.lit(0).cast("bigint")).alias("n_docs_kept"),
     )
+
+
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "text_chunk_windows",
+    driver=False,  # driver window full; parity-gated in test_oracle_parity
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_W} AS _w FROM documents),
+    s AS (
+        SELECT doc_id, _w,
+               unnest(generate_series(
+                   0,
+                   (CASE WHEN len(_w) <= {CHUNK_WINDOW} THEN 0
+                         ELSE (len(_w) - {CHUNK_WINDOW} + {CHUNK_STRIDE} - 1)
+                              // {CHUNK_STRIDE} END) * {CHUNK_STRIDE},
+                   {CHUNK_STRIDE})) AS start_token
+        FROM w
+    )
+    SELECT doc_id,
+           CAST(start_token // {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+           CAST(start_token AS INTEGER) AS start_token,
+           CAST(len(list_slice(_w, start_token + 1,
+                               start_token + {CHUNK_WINDOW})) AS INTEGER)
+               AS n_tokens,
+           array_to_string(list_slice(_w, start_token + 1,
+                                      start_token + {CHUNK_WINDOW}), ' ')
+               AS chunk_text
+    FROM s
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (64-token windows, 48-token stride): every
+    doc split into overlapping chunks that never cross a doc boundary and
+    never drop a tail token — the RAG-ingest splitter, scan-side only."""
+    return TA.chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        window=CHUNK_WINDOW,
+        stride=CHUNK_STRIDE,
+    )

@@ -773,3 +773,79 @@ def test_profile_table_counts_nulls(spark):
     assert out["x"]["n_null"] == 1 and out["x"]["n_distinct"] == 3
     assert out["s"]["n_null"] == 2 and out["s"]["n_distinct"] == 2
     assert out["x"]["min_value"] == "1" and out["x"]["max_value"] == "3"
+
+
+# --- chunk_documents (sliding-window splitter) ---
+
+
+def _mkdocs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+
+
+def test_chunk_short_doc_is_single_whole_chunk(spark):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    rows = chunk_documents(
+        _mkdocs(spark, ["a b c"]), window=4, stride=2
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.chunk_id, r.start_token, r.n_tokens, r.chunk_text) == (0, 0, 3, "a b c")
+
+
+def test_chunk_exact_window_no_extra_chunk(spark):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    text = " ".join(f"w{i}" for i in range(4))
+    rows = chunk_documents(_mkdocs(spark, [text]), window=4, stride=2).collect()
+    assert len(rows) == 1  # n == window: one chunk, no empty tail
+
+
+def test_chunk_tail_always_covered_and_overlap_correct(spark):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    words = [f"w{i}" for i in range(11)]  # window 4, stride 3 -> starts 0,3,6,9
+    rows = sorted(
+        chunk_documents(
+            _mkdocs(spark, [" ".join(words)]), window=4, stride=3
+        ).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.start_token for r in rows] == [0, 3, 6, 9]
+    assert [r.n_tokens for r in rows] == [4, 4, 4, 2]  # short tail kept
+    for r in rows:
+        assert r.chunk_text.split(" ") == words[r.start_token : r.start_token + 4]
+    covered = set()
+    for r in rows:
+        covered |= set(range(r.start_token, r.start_token + r.n_tokens))
+    assert covered == set(range(11))  # no token dropped
+
+
+def test_chunk_corpus_covers_every_token(spark, sf_dir):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, window=64, stride=48)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max(F.col("start_token") + F.col("n_tokens")).alias("covered"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+    )
+    joined = per_doc.join(
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n")), "doc_id"
+    )
+    bad = joined.filter(F.col("covered") != F.col("n")).count()
+    assert bad == 0
+    assert joined.count() == docs.count()  # every doc chunked

@@ -68,7 +68,12 @@ def test_exact_dedup_single_shuffle(reports):
 
 def test_text_ops_are_scan_only(reports):
     # narrow maps: zero shuffles, zero joins — corpus-scan speed at any SF
-    for name in ("text_token_stats", "text_quality_scores", "text_fingerprints"):
+    for name in (
+        "text_token_stats",
+        "text_quality_scores",
+        "text_fingerprints",
+        "text_chunk_windows",
+    ):
         r = reports(name)
         assert r.n_exchanges == 0, f"{name} gained a shuffle"
         cols = r.scans["documents"].read_columns
