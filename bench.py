@@ -65,6 +65,8 @@ HEADLINE = [
     "decontam_bloom_overlap",
     "text_duplicate_spans",
     "seq_packing_offsets",
+    "text_chunk_windows",
+    "semdedup_pairs",
     "pii_scrub_contacts",
     "mm_byte_features",
     "asof_join_events",

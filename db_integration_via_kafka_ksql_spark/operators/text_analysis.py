@@ -833,6 +833,78 @@ def token_budget_mixture(
     )
 
 
+def temperature_mixture(
+    docs: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based mixture allocation: stratum i gets budget share
+    proportional to available_i^alpha — the standard multilingual /
+    multi-source reweighting (alpha < 1 upsamples low-resource strata,
+    alpha = 1 is proportional, alpha = 0 is uniform). Complements
+    `token_budget_mixture`'s water-filling: temperature SHIFTS mass
+    toward small strata instead of capping large ones.
+
+    Because a small stratum's allocation can exceed its supply, the plan
+    reports both `keep_frac` (capped at 1 — feed it straight to
+    `stratified_sample_by_plan`) and `repeat_factor`
+    (allocated/available; > 1 means the stratum must repeat across
+    epochs — pair with `epoch_split` — which is how temperature sampling
+    upsamples in practice).
+
+    Exactness: alpha=0.5 (the default) uses IEEE sqrt — correctly
+    rounded, so bit-identical in any conforming engine; the weight total
+    is a LEFT-TO-RIGHT running sum in strata order (a window running
+    frame, not an unordered SUM), so double rounding is order-fixed and
+    the DuckDB oracle reproduces it exactly. Other alphas go through
+    pow(), which carries no cross-engine rounding guarantee — supported,
+    but not oracle-gated.
+
+    Scale shape: one partial-aggregated shuffle reduces the corpus to
+    #strata rows; the windows after that run on that tiny frame only
+    (the same documented exception as token_budget_mixture).
+    """
+    avail = docs.groupBy(strata_col).agg(
+        F.sum(T.token_count(text_col)).cast("bigint").alias("available_tokens")
+    )
+    w = (
+        F.sqrt(F.col("available_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("available_tokens").cast("double"), F.lit(alpha))
+    )
+    w_run = (
+        Window.orderBy(strata_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    plan = (
+        avail.withColumn("weight", w)
+        .withColumn("_cum", F.sum("weight").over(w_run))
+        # weights are >= 0 so the running sum is monotone: its max IS the
+        # left-to-right total, with a deterministic addition order
+        .withColumn("_wsum", F.max("_cum").over(w_all))
+        .withColumn(
+            "allocated_tokens",
+            F.lit(float(budget_tokens)) * F.col("weight") / F.col("_wsum"),
+        )
+        .withColumn(
+            "repeat_factor",
+            F.col("allocated_tokens") / F.col("available_tokens").cast("double"),
+        )
+        .withColumn("keep_frac", F.least(F.lit(1.0), F.col("repeat_factor")))
+    )
+    return plan.select(
+        strata_col,
+        "available_tokens",
+        "weight",
+        "allocated_tokens",
+        "keep_frac",
+        "repeat_factor",
+    )
+
+
 def stratified_sample_by_plan(
     docs: DataFrame,
     plan: DataFrame,

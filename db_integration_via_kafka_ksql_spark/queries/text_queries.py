@@ -1005,3 +1005,54 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=CHUNK_WINDOW,
         stride=CHUNK_STRIDE,
     )
+
+
+TEMP_BUDGET_TOKENS = 20_000
+
+
+@query(
+    "mixture_temperature_tokens",
+    driver=False,  # aux: the alpha=0.5 temperature reweighting planner
+    oracle=f"""
+    WITH avail AS (
+        SELECT source,
+               CAST(sum(len({_W})) AS BIGINT) AS available_tokens
+        FROM documents GROUP BY source
+    ),
+    wts AS (
+        SELECT source, available_tokens,
+               sqrt(CAST(available_tokens AS DOUBLE)) AS weight
+        FROM avail
+    ),
+    run AS (
+        SELECT *,
+               sum(weight) OVER (
+                   ORDER BY source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM wts
+    ),
+    tot AS (SELECT *, max(cum) OVER () AS wsum FROM run),
+    alloc AS (
+        SELECT source, available_tokens, weight,
+               {float(TEMP_BUDGET_TOKENS)} * weight / wsum AS allocated_tokens
+        FROM tot
+    )
+    SELECT source, available_tokens, weight, allocated_tokens,
+           least(1.0, allocated_tokens / CAST(available_tokens AS DOUBLE))
+               AS keep_frac,
+           allocated_tokens / CAST(available_tokens AS DOUBLE)
+               AS repeat_factor
+    FROM alloc
+    """,
+)
+def mixture_temperature_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) mixture planner: per-source budget share
+    proportional to sqrt(available tokens) — upsamples low-resource
+    sources; repeat_factor > 1 flags strata that must repeat across
+    epochs to meet their allocation."""
+    return TA.temperature_mixture(
+        load_table(spark, sf_dir, "documents"),
+        budget_tokens=TEMP_BUDGET_TOKENS,
+        alpha=0.5,
+    )

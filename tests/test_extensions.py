@@ -849,3 +849,63 @@ def test_chunk_corpus_covers_every_token(spark, sf_dir):
     bad = joined.filter(F.col("covered") != F.col("n")).count()
     assert bad == 0
     assert joined.count() == docs.count()  # every doc chunked
+
+
+# --- temperature_mixture (alpha reweighting planner) ---
+
+
+def test_temperature_mixture_upsamples_small_stratum(spark):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        temperature_mixture,
+    )
+
+    rows = [(i, "w " * 99 + "w", "big") for i in range(100)]
+    rows += [(1000 + i, "w " * 99 + "w", "small") for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    plan = {r.source: r for r in
+            temperature_mixture(docs, budget_tokens=5100, alpha=0.5).collect()}
+    # supplies: big=10000, small=200; weights 100 vs ~14.14
+    assert plan["big"].available_tokens == 10000
+    assert plan["small"].available_tokens == 200
+    # alpha=0.5 shifts share toward the small stratum: its allocation
+    # exceeds supply -> repeat_factor > 1, keep_frac capped at 1
+    assert plan["small"].repeat_factor > 1.0
+    assert plan["small"].keep_frac == 1.0
+    assert plan["big"].keep_frac < 1.0
+    # total allocation == budget (fixed-order float sum, tiny frame)
+    total = sum(r.allocated_tokens for r in plan.values())
+    assert abs(total - 5100) < 1e-6 * 5100
+    # allocations split in sqrt proportion
+    import math
+    ratio = plan["big"].allocated_tokens / plan["small"].allocated_tokens
+    assert abs(ratio - math.sqrt(10000 / 200)) < 1e-9
+
+
+def test_temperature_mixture_alpha_one_is_proportional(spark):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        temperature_mixture,
+    )
+
+    rows = [(0, "w " * 29 + "w", "a"), (1, "w " * 59 + "w", "b")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    plan = {r.source: r for r in
+            temperature_mixture(docs, budget_tokens=45, alpha=1.0).collect()}
+    assert abs(plan["a"].allocated_tokens - 15.0) < 1e-9
+    assert abs(plan["b"].allocated_tokens - 30.0) < 1e-9
+
+
+def test_temperature_plan_feeds_realizer(spark):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        stratified_sample_by_plan,
+        temperature_mixture,
+    )
+
+    rows = [(i, "w " * 9 + "w", f"s{i % 3}") for i in range(300)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    plan = temperature_mixture(docs, budget_tokens=1500, alpha=0.5)
+    kept = stratified_sample_by_plan(docs, plan)
+    n = kept.count()
+    assert 0 < n < 300  # half the corpus budgeted -> strict subsample
+    # deterministic: same plan, same salt -> same rows
+    again = stratified_sample_by_plan(docs, plan)
+    assert {r.doc_id for r in kept.collect()} == {r.doc_id for r in again.collect()}
