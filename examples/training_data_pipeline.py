@@ -8,12 +8,15 @@ the driver's own testdata.
   3. scrub     PII redaction (text is replaced by its redacted form)
   4. decontam  drop docs overlapping the held-out benchmark subset
   5. dedup     exact keep-one, then embedding near-dup clusters keeping
-               each cluster's BEST-QUALITY member (retention policy)
+               each cluster's BEST-QUALITY member (retention policy),
+               then SemDeDup semantic dedup within k-means clusters
   6. mix       water-fill a token budget across sources → realize the
                plan with fractional stratified sampling →
-               replacement-free epochs
+               replacement-free epochs (temperature plan reported
+               side-by-side)
   7. pack      concat-then-chunk sequence offsets per (epoch, source)
-  8. ship      hive-partitioned parquet (epoch/source) trainers prune
+  8. ship      hive-partitioned parquet (epoch/source) trainers prune;
+               plus the overlapping chunk-window view of epoch 0
 
 Every stage is the same operator the registered query surface verifies
 against DuckDB; this file just composes them. Run:
@@ -34,6 +37,7 @@ from pyspark.sql import functions as F
 from db_integration_via_kafka_ksql_spark.io import load_table
 from db_integration_via_kafka_ksql_spark.operators import dedup as D
 from db_integration_via_kafka_ksql_spark.operators import graph as G
+from db_integration_via_kafka_ksql_spark.operators import kmeans as KM
 from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
 from db_integration_via_kafka_ksql_spark.session import get_spark
 from db_integration_via_kafka_ksql_spark.sinks.dataset import (
@@ -127,12 +131,36 @@ def main() -> None:
     kept = kept.join(reps, "doc_id", "left_semi")
     stages.append(("after near-dup keep-best-quality", kept.count()))
 
+    # 5c. semantic dedup (SemDeDup): k-means blocks the embedding space,
+    # near-dup pairs only form within a cluster. Drop a doc only when its
+    # dominating (lower-id) neighbor actually SURVIVED the upstream cuts —
+    # a ghost dominator must not take its survivors down with it
+    sem_pairs = KM.semdedup_pairs(emb, threshold_pct=40)
+    sem_dropped = (
+        sem_pairs.join(
+            kept.select(F.col("doc_id").alias("vec_a")), "vec_a", "left_semi"
+        )
+        .select(F.col("vec_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = kept.join(sem_dropped, "doc_id", "left_anti")
+    stages.append(("after semantic dedup", kept.count()))
+
     # 6. training mix: water-fill the token budget across sources, realize
     # the plan's fractional rates deterministically, then split epochs
     plan = TA.token_budget_mixture(kept, budget_tokens=MIX_BUDGET_TOKENS)
     mixed = TA.stratified_sample_by_plan(kept, plan)
     mixed = TA.epoch_split(mixed, n_epochs=N_EPOCHS)
     stages.append(("after budgeted mix sampling", mixed.count()))
+    # the temperature planner is the alternative mixing policy (share ~
+    # sqrt(supply) upsamples low-resource sources); report what it WOULD
+    # do to the same corpus so the two plans are comparable side by side
+    temp = TA.temperature_mixture(
+        kept, budget_tokens=MIX_BUDGET_TOKENS, alpha=0.5
+    ).agg(
+        F.min("repeat_factor").alias("lo"), F.max("repeat_factor").alias("hi")
+    ).collect()[0]
+    temp_note = f"temperature(0.5) repeat factors {temp.lo:.2f}..{temp.hi:.2f}"
 
     # 7. sequence packing per (epoch, source) shard
     packed = TA.pack_sequences(
@@ -150,6 +178,9 @@ def main() -> None:
     )
     epoch0 = read_dataset(spark, out).filter("epoch = 0")
     n_epoch0 = epoch0.count()
+    # the RAG/long-context view of the same shipped epoch: overlapping
+    # 64-token windows that never cross a doc boundary
+    n_chunks = TA.chunk_documents(epoch0, window=64, stride=48).count()
     n_seqs = (
         epoch0.groupBy("source").agg(F.max("last_seq").alias("m")).agg(
             F.sum(F.col("m") + 1)
@@ -160,9 +191,11 @@ def main() -> None:
     for stage, n in stages:
         print(f"  {stage:<{width}}  {n:>7,}")
     print(f"  dataset: {out}")
+    print(f"  {temp_note}")
     print(
         f"  epoch 0 reads {n_epoch0:,} docs in {n_seqs:,} packed"
-        f" {PACK_CAPACITY}-token sequences (partition-pruned scan)"
+        f" {PACK_CAPACITY}-token sequences (partition-pruned scan),"
+        f" {n_chunks:,} overlapping 64-token chunk windows"
     )
     spark.stop()
 
