@@ -833,6 +833,56 @@ def token_budget_mixture(
     )
 
 
+def bpe_pair_counts(
+    docs: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """One BPE-training counting step: corpus-wide frequencies of adjacent
+    symbol pairs (here: character bigrams inside words, weighted by word
+    frequency) — the statistic whose argmax is the next merge in
+    byte-pair-encoding vocabulary induction (Sennrich et al. 2016).
+
+    Scale shape — the part that matters at 100 TB: the corpus is first
+    reduced to the DISTINCT-WORD frame with exact frequencies (one
+    map-side-combined shuffle; vocabulary grows ~O(sqrt(corpus)) by
+    Heaps' law, so this frame is tiny relative to the scan), and the
+    per-character explode runs over that frame — never over the corpus.
+    A second uniform-key shuffle aggregates pair counts, and the top-k is
+    a TakeOrdered, not a global sort. The full BPE loop composes by
+    rewriting the distinct-word frame with the chosen merge and running
+    the same count again — each iteration touches only the vocabulary.
+
+    Returns (pair, n, rnk): the top_k pairs, count-desc then pair-asc
+    (fully deterministic).
+    """
+    wf = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        # single-char words carry no adjacent pair; drop BEFORE sequence()
+        # (Spark's sequence(1, 0) counts DOWN rather than yielding empty)
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    pairs = wf.select(
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("freq").cast("bigint").alias("n"))
+    return (
+        counted.orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(top_k)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("pair")))
+            .cast("int"),
+        )
+    )
+
+
 def temperature_mixture(
     docs: DataFrame,
     budget_tokens: int,

@@ -1056,3 +1056,40 @@ def mixture_temperature_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget_tokens=TEMP_BUDGET_TOKENS,
         alpha=0.5,
     )
+
+
+BPE_TOP_K = 20
+
+
+@query(
+    "vocab_top_merge_pairs",
+    driver=False,  # aux: BPE-training counting step over the word frame
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    wf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM w WHERE length(w) >= 2 GROUP BY w
+    ),
+    p AS (
+        SELECT freq,
+               unnest([substr(w, i, 2)
+                       for i in generate_series(1, length(w) - 1)]) AS pair
+        FROM wf
+    ),
+    pc AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS n FROM p GROUP BY pair)
+    SELECT pair, n, rnk FROM (
+        SELECT *, CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER)
+            AS rnk
+        FROM pc
+    ) WHERE rnk <= {BPE_TOP_K}
+    """,
+)
+def vocab_top_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top BPE merge candidates: adjacent character-pair counts inside
+    words, weighted by exact word frequency — computed over the
+    distinct-word frame, never the raw corpus."""
+    return TA.bpe_pair_counts(
+        load_table(spark, sf_dir, "documents"), top_k=BPE_TOP_K
+    )

@@ -909,3 +909,35 @@ def test_temperature_plan_feeds_realizer(spark):
     # deterministic: same plan, same salt -> same rows
     again = stratified_sample_by_plan(docs, plan)
     assert {r.doc_id for r in kept.collect()} == {r.doc_id for r in again.collect()}
+
+
+# --- bpe_pair_counts (vocab induction counting step) ---
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        bpe_pair_counts,
+    )
+
+    # "abab" x3 -> pairs ab,ba,ab per occurrence: ab 6, ba 3
+    # "abc"  x2 -> ab 2, bc 2;  "x" contributes nothing (single char)
+    docs = spark.createDataFrame(
+        [(0, "abab abc x abab"), (1, "abab abc")],
+        "doc_id int, text string",
+    )
+    rows = bpe_pair_counts(docs, top_k=10).collect()
+    got = {r.pair: (r.n, r.rnk) for r in rows}
+    assert got["ab"] == (8, 1)
+    assert got["ba"] == (3, 2)
+    assert got["bc"] == (2, 3)
+    assert set(got) == {"ab", "ba", "bc"}
+
+
+def test_bpe_pair_counts_tie_breaks_on_pair_text(spark):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        bpe_pair_counts,
+    )
+
+    docs = spark.createDataFrame([(0, "zz aa")], "doc_id int, text string")
+    rows = sorted(bpe_pair_counts(docs, top_k=5).collect(), key=lambda r: r.rnk)
+    assert [(r.pair, r.n) for r in rows] == [("aa", 1), ("zz", 1)]

@@ -332,3 +332,15 @@ def test_semdedup_pair_join_is_cluster_equi_not_cartesian(reports):
     assert r.nested_loop_joins == 0
     assert r.sort_merge_joins + r.broadcast_hash_joins >= 1
     assert "cluster" in r.plan_text
+
+
+def test_bpe_counts_aggregate_word_frame_take_ordered(reports):
+    """BPE pair counting must reduce the corpus to the distinct-word
+    frame first (map-side-combined aggregate), count pairs with a second
+    partial aggregate, and take the top-k as a TakeOrdered — never a
+    global sort of the pair table."""
+    r = reports("vocab_top_merge_pairs")
+    assert r.has_partial_aggregate
+    assert r.take_ordered
+    assert r.n_shuffle_exchanges <= 3  # word agg + pair agg (+ limit-1 window)
+    assert r.sort_merge_joins + r.broadcast_hash_joins + r.nested_loop_joins == 0
