@@ -69,6 +69,69 @@ def brute_topk(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    dup_threshold_pct: int = 95,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: each query's top-k
+    MOST-similar neighbors that are NOT near-duplicates — high-similarity
+    non-matches, the negatives that actually move an embedding model.
+
+    Same plan as brute_topk (queries broadcast, corpus spread, per-query
+    window over |queries| x |corpus| scored rows) with the duplicate band
+    excluded BEFORE ranking: a neighbor with quantized cosine >=
+    dup_threshold_pct/100 is a positive/duplicate, not a negative, and
+    must not consume a rank slot. The cosine test is the exact-integer
+    qdot against IEEE sqrt of exact norms (bit-identical cross-engine).
+
+    Returns (query_id, neighbor_id, qdot, rnk).
+    """
+    q = _quantized(embeddings).withColumn("n2", V.qnorm2("q"))
+    queries = q.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("n2").alias("nq"),
+    )
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    corpus = q.repartition(par).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qc"),
+        F.col("n2").alias("nc"),
+    )
+    t = dup_threshold_pct / 100
+    scored = corpus.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            "aggregate(zip_with(qq, qc, (x, y) -> x * y), "
+            "cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("qdot"),
+        "nq",
+        "nc",
+    )
+    negatives = scored.filter(
+        ~(
+            (F.col("qdot") > 0)
+            & F.expr(
+                f"CAST(qdot AS DOUBLE) >= {t} * "
+                f"sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE))"
+            )
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        negatives.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "qdot", "rnk")
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_ids: list[int],

@@ -243,3 +243,51 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=NPROBE,
         dims=DIMS,
     )
+
+
+HARDNEG_DUP_PCT = 40
+
+
+@query(
+    "sim_hard_negatives",
+    driver=False,  # aux: contrastive-training mining over the brute scorer
+    oracle=f"""
+    WITH q0 AS (SELECT vec_id, {_QUANTIZE} AS q FROM embeddings),
+    q AS (
+        SELECT vec_id, q,
+               CAST(list_sum([q[i] * q[i]
+                    for i in generate_series(1, {DIMS})]) AS BIGINT) AS n2
+        FROM q0
+    ),
+    s AS (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id, {_QDOT} AS qdot,
+               qs.n2 AS nq, c.n2 AS nc
+        FROM q qs JOIN q c
+          ON qs.vec_id IN ({_QIDS}) AND c.vec_id <> qs.vec_id
+    ),
+    neg AS (
+        SELECT query_id, neighbor_id, qdot FROM s
+        WHERE NOT (qdot > 0 AND CAST(qdot AS DOUBLE) >=
+                   {HARDNEG_DUP_PCT / 100} * sqrt(CAST(nq AS DOUBLE))
+                                          * sqrt(CAST(nc AS DOUBLE)))
+    )
+    SELECT query_id, neighbor_id, qdot, rnk
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC
+        ) AS INTEGER) AS rnk
+        FROM neg
+    )
+    WHERE rnk <= {TOP_K}
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: each query's top-k most-similar neighbors
+    that fall BELOW the duplicate band — the contrastive-training
+    negatives an embedding model learns most from."""
+    return S.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_IDS,
+        k=TOP_K,
+        dup_threshold_pct=HARDNEG_DUP_PCT,
+    )

@@ -941,3 +941,42 @@ def test_bpe_pair_counts_tie_breaks_on_pair_text(spark):
     docs = spark.createDataFrame([(0, "zz aa")], "doc_id int, text string")
     rows = sorted(bpe_pair_counts(docs, top_k=5).collect(), key=lambda r: r.rnk)
     assert [(r.pair, r.n) for r in rows] == [("aa", 1), ("zz", 1)]
+
+
+# --- hard_negatives (contrastive mining) ---
+
+
+def test_hard_negatives_excludes_duplicate_band(spark):
+    from db_integration_via_kafka_ksql_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),  # query
+        (1, [0.99, 0.01, 0.0, 0.0]),  # near-dup (cos ~0.9999) -> excluded
+        (2, [0.7, 0.7, 0.0, 0.0]),  # similar but below band -> the negative
+        (3, [0.0, 0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = sorted(
+        hard_negatives(emb, [0], k=2, dup_threshold_pct=95).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.neighbor_id for r in got] == [2, 3]  # 1 never takes a slot
+
+
+def test_hard_negatives_rank_slots_not_consumed_by_dups(spark):
+    """The dup must be filtered BEFORE ranking: with k=1 the slot goes to
+    the best NON-duplicate, not to nothing."""
+    from db_integration_via_kafka_ksql_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),
+        (2, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    got = hard_negatives(emb, [0], k=1, dup_threshold_pct=95).collect()
+    assert len(got) == 1 and got[0].neighbor_id == 2
