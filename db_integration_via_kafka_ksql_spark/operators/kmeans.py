@@ -118,6 +118,10 @@ def kmeans_fit(
         .collect()
     )
     centroids: Centroids = [list(r.q) for r in seed_rows]
+    if not centroids:
+        raise ValueError(
+            "kmeans_fit: no vectors to seed from (empty embeddings input)"
+        )
     sums = [
         F.sum(F.element_at("q", i + 1)).cast("bigint").alias(f"s{i}")
         for i in range(dims)

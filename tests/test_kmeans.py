@@ -139,3 +139,21 @@ def test_cluster_profile_counts_cover_corpus(spark, emb):
     assert sum(r.n_vecs for r in rows) == emb.count()
     assert all(r.inertia >= 0 for r in rows)
     assert {r.cluster for r in rows} <= set(range(K))
+
+
+def test_fit_on_empty_input_raises_clearly(spark):
+    empty = spark.createDataFrame([], "vec_id int, embedding array<float>")
+    with pytest.raises(ValueError, match="empty embeddings"):
+        KM.kmeans_fit(empty, k=3, iters=1, seed=1, dims=4)
+
+
+def test_fit_with_fewer_vectors_than_k(spark):
+    # n < k: only n seeds exist; the fit degrades to n centroids and
+    # assignment still covers every vector
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id int, embedding array<float>"
+    )
+    cents = KM.kmeans_fit(df, k=5, iters=1, seed=1, dims=2)
+    assert len(cents) == 2
+    asg = KM.assign_clusters(KM._quantized(df), cents).collect()
+    assert {r.vec_id for r in asg} == {0, 1}

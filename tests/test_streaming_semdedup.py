@@ -181,8 +181,10 @@ def test_live_stream_end_to_end(spark, tmp_path):
     d = _sem(spark, tmp_path)
     d.checkpoint_dir = str(tmp_path / "ckpt")
     d.trigger_seconds = 0
+    # f2 is dropped only after f1's batch is fully processed: the file
+    # source orders same-mtime files arbitrarily, so pre-dropping both
+    # would race the arrival order the assertion depends on
     drop("f1.parquet", [(1, [1.0, 0.0, 0.0, 0.0])])
-    drop("f2.parquet", [(2, [0.97, 0.03, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0])])
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -191,6 +193,12 @@ def test_live_stream_end_to_end(spark, tmp_path):
     q = d.start(stream)
     try:
         q.processAllAvailable()
+        drop(
+            "f2.parquet",
+            [(2, [0.97, 0.03, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0])],
+        )
+        q.processAllAvailable()
+        q.processAllAvailable()  # idle trigger -> empty batch path
     finally:
         q.stop()
     assert _ids(d) == [1, 3]
