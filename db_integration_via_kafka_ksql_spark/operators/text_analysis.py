@@ -646,6 +646,62 @@ def pack_sequences(
     )
 
 
+def source_overlap_matrix(
+    docs: DataFrame,
+    n: int = 5,
+    strata_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, how
+    many distinct n-grams they share — the mirrored-content /
+    cross-source-duplication signal a curation team checks before
+    treating sources as independent.
+
+    Scale design: there is NO gram-keyed self-join. Each gram's distinct
+    source list is aggregated first (bounded by #sources — dozens, not
+    corpus-sized), pairs explode from those tiny sorted lists, and a
+    final count groups by the pair. Shuffled bytes: one (gram, source)
+    distinct pass + one gram-keyed list aggregation + one #sources²-key
+    count — every stage map-side combined, nothing quadratic in corpus
+    size. A gram shared by s sources emits s·(s-1)/2 pair rows, bounded
+    by the source count, not by document frequency.
+
+    Returns (source_a, source_b, shared_grams) with source_a < source_b,
+    only pairs sharing >= 1 gram.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    gs = (
+        docs.select(strata_col, text_col)
+        .repartition(par)
+        .select(
+            strata_col,
+            F.explode(
+                F.array_distinct(
+                    T.shingles_of_words(
+                        f"split({text_col}, ' ')", text_col, n
+                    )
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    per_gram = gs.groupBy("gram").agg(
+        F.array_sort(F.collect_set(strata_col)).alias("srcs")
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (a, i) -> "
+                "transform(slice(srcs, i + 2, size(srcs)), "
+                "b -> struct(a as source_a, b as source_b))))"
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("shared_grams")
+    )
+
+
 def chunk_documents(
     docs: DataFrame,
     window: int = 64,

@@ -1093,3 +1093,42 @@ def vocab_top_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.bpe_pair_counts(
         load_table(spark, sf_dir, "documents"), top_k=BPE_TOP_K
     )
+
+
+OVERLAP_N = 5
+
+
+@query(
+    "source_overlap_shared_grams",
+    driver=False,  # aux: cross-source contamination matrix
+    oracle=f"""
+    WITH w AS (
+        SELECT source, string_split(text, ' ') AS w, text FROM documents
+    ),
+    gs AS (
+        SELECT DISTINCT source,
+               unnest(list_distinct({_sh(OVERLAP_N)})) AS gram
+        FROM w
+    ),
+    per_gram AS (
+        SELECT gram, list_sort(list(source)) AS srcs
+        FROM gs GROUP BY gram
+    ),
+    pairs AS (
+        SELECT unnest(flatten([[{{'source_a': srcs[i], 'source_b': srcs[j]}}
+                   for j in generate_series(i + 1, len(srcs))]
+                   for i in generate_series(1, len(srcs))]),
+               recursive := true)
+        FROM per_gram
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM pairs GROUP BY source_a, source_b
+    """,
+)
+def source_overlap_shared_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination: distinct shared 5-grams per source
+    pair — computed from each gram's bounded source list, never a
+    gram-keyed self-join."""
+    return TA.source_overlap_matrix(
+        load_table(spark, sf_dir, "documents"), n=OVERLAP_N
+    )

@@ -980,3 +980,41 @@ def test_hard_negatives_rank_slots_not_consumed_by_dups(spark):
     emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
     got = hard_negatives(emb, [0], k=1, dup_threshold_pct=95).collect()
     assert len(got) == 1 and got[0].neighbor_id == 2
+
+
+# --- source_overlap_matrix (cross-source contamination) ---
+
+
+def test_source_overlap_counts_shared_distinct_grams(spark):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f", "s1"),  # grams: "a b c d e", "b c d e f"
+            (1, "a b c d e g", "s2"),  # grams: "a b c d e", "b c d e g"
+            (2, "p q r s t u", "s3"),  # disjoint grams
+            (3, "a b c d e f", "s2"),  # dup doc: distinct-gram semantics
+        ],
+        "doc_id int, text string, source string",
+    )
+    rows = source_overlap_matrix(docs, n=5).collect()
+    got = {(r.source_a, r.source_b): r.shared_grams for r in rows}
+    # s1&s2 share "a b c d e" AND "b c d e f" (via doc 3) -> 2
+    assert got == {("s1", "s2"): 2}
+
+
+def test_source_overlap_short_docs_whole_text_gram(spark):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hi there", "a"), (1, "hi there", "b"), (2, "bye", "c")],
+        "doc_id int, text string, source string",
+    )
+    rows = source_overlap_matrix(docs, n=5).collect()
+    assert {(r.source_a, r.source_b, r.shared_grams) for r in rows} == {
+        ("a", "b", 1)
+    }

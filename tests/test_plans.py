@@ -344,3 +344,13 @@ def test_bpe_counts_aggregate_word_frame_take_ordered(reports):
     assert r.take_ordered
     assert r.n_shuffle_exchanges <= 3  # word agg + pair agg (+ limit-1 window)
     assert r.sort_merge_joins + r.broadcast_hash_joins + r.nested_loop_joins == 0
+
+
+def test_source_overlap_has_no_gram_self_join(reports):
+    """The contamination matrix must build pairs from each gram's bounded
+    source list — a gram-keyed self-join (quadratic in document frequency)
+    is the plan this operator exists to avoid."""
+    r = reports("source_overlap_shared_grams")
+    assert r.sort_merge_joins + r.broadcast_hash_joins + r.nested_loop_joins == 0
+    assert r.has_partial_aggregate
+    assert r.n_shuffle_exchanges <= 4  # spread + distinct + gram agg + pair count
