@@ -101,6 +101,16 @@ def lsh_bucket(vec: str, n_planes: int, dims: int) -> Column:
     return F.expr(" + ".join(terms))
 
 
+def quantize_sql_duckdb(vec: str = "embedding") -> str:
+    """The DuckDB mirror of `quantize` — the single definition every
+    query module's oracle interpolates, so the two engines' quantization
+    can never drift apart silently."""
+    return (
+        f"list_transform({vec}, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    )
+
+
 def lsh_bucket_sql_duckdb(vec: str, n_planes: int, dims: int) -> str:
     """The DuckDB mirror of lsh_bucket (1-based list indexing matches)."""
     terms = []

@@ -43,7 +43,7 @@ the identical seed set, and every later stage is integer math, so a fixed
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from db_integration_via_kafka_ksql_spark.functions import vector as V
@@ -94,21 +94,13 @@ def assign_clusters(quantized: DataFrame, centroids: Centroids) -> DataFrame:
     )
 
 
-def kmeans_fit(
-    embeddings: DataFrame,
-    k: int = 8,
-    iters: int = 2,
-    seed: int = 7,
-    dims: int = 64,
-) -> Centroids:
-    """Lloyd's k-means in quantized-integer space; returns the final
-    centroids (k lists of dims BIGINTs, indexed by cluster id).
-
-    Per iteration: one scan-side assignment + one map-side-combined
-    aggregate collecting k rows to the driver (bounded: k x dims ints —
-    the footprint MLlib broadcasts per round). A cluster that captures no
-    vectors keeps its previous centroid (the SQL oracle mirrors this with
-    a COALESCE against the prior round)."""
+def _fit(
+    embeddings: DataFrame, k: int, iters: int, seed: int, dims: int
+) -> tuple[Centroids, DataFrame]:
+    """(final centroids, the eagerly-checkpointed quantized frame) — the
+    shared core of kmeans_fit and kmeans_assignment, so callers that need
+    the final assignment reuse the checkpoint instead of re-quantizing
+    the corpus."""
     q = _quantized(embeddings).localCheckpoint(eager=True)
     # seeds: k vectors with the smallest md5(seed|id); cid = md5 order
     seed_rows = (
@@ -121,6 +113,15 @@ def kmeans_fit(
     if not centroids:
         raise ValueError(
             "kmeans_fit: no vectors to seed from (empty embeddings input)"
+        )
+    if len(centroids[0]) != dims:
+        # a silent mismatch is worse than either symptom it causes: dims
+        # too large NULLs the update sums (driver TypeError mid-loop),
+        # dims too small truncates round-1 centroids and zip_with then
+        # NULL-pads every later distance — garbage clustering, no error
+        raise ValueError(
+            f"kmeans_fit: dims={dims} but the embedding vectors have "
+            f"{len(centroids[0])} dimensions"
         )
     sums = [
         F.sum(F.element_at("q", i + 1)).cast("bigint").alias(f"s{i}")
@@ -138,7 +139,25 @@ def kmeans_fit(
             # python // is exact integer floor division at any magnitude
             nxt[r.cluster] = [r[f"s{i}"] // r.n for i in range(dims)]
         centroids = nxt
-    return centroids
+    return centroids, q
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    seed: int = 7,
+    dims: int = 64,
+) -> Centroids:
+    """Lloyd's k-means in quantized-integer space; returns the final
+    centroids (k lists of dims BIGINTs, indexed by cluster id).
+
+    Per iteration: one scan-side assignment + one map-side-combined
+    aggregate collecting k rows to the driver (bounded: k x dims ints —
+    the footprint MLlib broadcasts per round). A cluster that captures no
+    vectors keeps its previous centroid (the SQL oracle mirrors this with
+    a COALESCE against the prior round)."""
+    return _fit(embeddings, k, iters, seed, dims)[0]
 
 
 def kmeans_assignment(
@@ -148,9 +167,11 @@ def kmeans_assignment(
     seed: int = 7,
     dims: int = 64,
 ) -> DataFrame:
-    """Fit + final assignment: (vec_id, q, cluster, dist2)."""
-    cents = kmeans_fit(embeddings, k=k, iters=iters, seed=seed, dims=dims)
-    return assign_clusters(_quantized(embeddings), cents)
+    """Fit + final assignment: (vec_id, q, cluster, dist2). The
+    assignment scans the fit's checkpointed quantized frame — the corpus
+    is quantized exactly once per fit-and-assign."""
+    cents, q = _fit(embeddings, k, iters, seed, dims)
+    return assign_clusters(q, cents)
 
 
 def kmeans_cluster_profile(
@@ -192,16 +213,28 @@ def semdedup_pairs(
     across engines).
 
     Returns (vec_a, vec_b, cluster, qdot) with vec_a < vec_b."""
-    asg = kmeans_assignment(embeddings, k=k, iters=iters, seed=seed, dims=dims)
-    return _pairs_from_assignment(asg, threshold_pct)
-
-
-def _pairs_from_assignment(asg: DataFrame, threshold_pct: int) -> DataFrame:
-    asg = (
-        asg.select("vec_id", "q", "cluster")
-        .withColumn("n2", V.qnorm2("q"))
-        .localCheckpoint(eager=True)  # both self-join sides share one scan
+    prep = _prepared_assignment(
+        embeddings, k=k, iters=iters, seed=seed, dims=dims
     )
+    return _pairs_from_prepared(prep, threshold_pct)
+
+
+def _prepared_assignment(
+    embeddings: DataFrame, k: int, iters: int, seed: int, dims: int
+) -> DataFrame:
+    """Final assignment + norms, eagerly checkpointed ONCE — every
+    downstream consumer (both self-join sides, the survivor keep frame)
+    scans this stored frame instead of re-evaluating the k x dims
+    literal-distance projection."""
+    return (
+        kmeans_assignment(embeddings, k=k, iters=iters, seed=seed, dims=dims)
+        .select("vec_id", "q", "cluster")
+        .withColumn("n2", V.qnorm2("q"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _pairs_from_prepared(asg: DataFrame, threshold_pct: int) -> DataFrame:
     a, b = asg.alias("a"), asg.alias("b")
     t = threshold_pct / 100
     return (
@@ -248,16 +281,18 @@ def semdedup_survivors(
     exact dedup's keep-one; it can drop more than a greedy sequential scan
     would (b dropped by a, c dropped by b even though a~c might fail), a
     strictly-more-aggressive, order-free variant of the paper's
-    keep-one-per-eps-ball. k-means is fit ONCE; the assignment feeds both
-    the pair generation and the keep set."""
-    asg = kmeans_assignment(embeddings, k=k, iters=iters, seed=seed, dims=dims)
+    keep-one-per-eps-ball. k-means is fit ONCE and the checkpointed
+    assignment feeds both the pair generation and the keep set."""
+    prep = _prepared_assignment(
+        embeddings, k=k, iters=iters, seed=seed, dims=dims
+    )
     dropped = (
-        _pairs_from_assignment(asg, threshold_pct)
+        _pairs_from_prepared(prep, threshold_pct)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
     return (
-        asg.select("vec_id", "cluster")
+        prep.select("vec_id", "cluster")
         .join(dropped, "vec_id", "left_anti")
         .select("vec_id", "cluster")
     )

@@ -673,14 +673,14 @@ def source_overlap_matrix(
     gs = (
         docs.select(strata_col, text_col)
         .repartition(par)
+        # project the words array ONCE: shingles_of_words inlines its
+        # words argument into every per-shingle lambda, so passing a raw
+        # split() would re-split the text O(n_words) times per doc
+        .select(strata_col, F.col(text_col), T.words(text_col).alias("_w"))
         .select(
             strata_col,
             F.explode(
-                F.array_distinct(
-                    T.shingles_of_words(
-                        f"split({text_col}, ' ')", text_col, n
-                    )
-                )
+                F.array_distinct(T.shingles_of_words("_w", text_col, n))
             ).alias("gram"),
         )
         .distinct()

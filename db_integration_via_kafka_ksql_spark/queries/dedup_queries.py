@@ -12,8 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from db_integration_via_kafka_ksql_spark.functions.vector import (
-    QUANT,
     lsh_bucket_sql_duckdb,
+    quantize_sql_duckdb,
 )
 from db_integration_via_kafka_ksql_spark.io import load_table
 from db_integration_via_kafka_ksql_spark.operators import dedup as D
@@ -187,9 +187,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QUANTIZE = (
-    f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
-)
+_QUANTIZE = quantize_sql_duckdb()
 _QDOT = f"CAST(list_sum([a.q[i] * b.q[i] for i in generate_series(1, {DIMS})]) AS BIGINT)"
 _EMB_COND = (
     f"CAST(qdot AS DOUBLE) >= {EMB_THRESHOLD_PCT / 100} * "

@@ -16,7 +16,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from db_integration_via_kafka_ksql_spark.functions.vector import QUANT
+from db_integration_via_kafka_ksql_spark.functions.vector import (
+    quantize_sql_duckdb,
+)
 from db_integration_via_kafka_ksql_spark.io import load_table
 from db_integration_via_kafka_ksql_spark.operators import kmeans as KM
 from db_integration_via_kafka_ksql_spark.registry import query
@@ -30,9 +32,7 @@ DIMS = 64
 # pair set (an empty result would make the parity check vacuous)
 THRESHOLD_PCT = 40
 
-_QUANTIZE = (
-    f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
-)
+_QUANTIZE = quantize_sql_duckdb()
 
 
 def _dist2(qcol: str, ccol: str) -> str:

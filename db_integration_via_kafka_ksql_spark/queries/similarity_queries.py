@@ -10,8 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from db_integration_via_kafka_ksql_spark.functions.vector import (
-    QUANT,
     lsh_bucket_sql_duckdb,
+    quantize_sql_duckdb,
 )
 from db_integration_via_kafka_ksql_spark.io import load_table
 from db_integration_via_kafka_ksql_spark.operators import similarity as S
@@ -22,9 +22,7 @@ QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
 TOP_K = 5
 LSH_PLANES = 4
 
-_QUANTIZE = (
-    f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
-)
+_QUANTIZE = quantize_sql_duckdb()
 _QDOT = (
     f"CAST(list_sum([qs.q[i] * c.q[i] for i in generate_series(1, {DIMS})]) AS BIGINT)"
 )

@@ -76,6 +76,13 @@ class StreamingSemDedup:
     def __post_init__(self) -> None:
         if not self.centroids:
             raise ValueError("centroids must be a non-empty frozen codebook")
+        dims = {len(c) for c in self.centroids}
+        if len(dims) != 1:
+            # zip_with NULL-pads a shorter side, which would silently turn
+            # every distance involving the odd centroid into NULL
+            raise ValueError(
+                f"codebook centroids have inconsistent dimensions: {sorted(dims)}"
+            )
         self.state = ParquetStateStore(
             self.spark,
             self.state_path,
@@ -87,21 +94,13 @@ class StreamingSemDedup:
         """(vec_id, q, cluster, n2) under the frozen codebook."""
         quantized = vecs.select("vec_id", V.quantize("embedding").alias("q"))
         return assign_clusters(quantized, self.centroids).select(
-            "vec_id",
-            "q",
-            "cluster",
-            F.expr(
-                "aggregate(q, cast(0 as bigint), (acc, x) -> acc + x * x)"
-            ).alias("n2"),
+            "vec_id", "q", "cluster", V.qnorm2("q").alias("n2")
         )
 
     def _cos_cond(self, qa, qb, na, nb):
         """qdot(a,b) >= t * |a| * |b|, exact integer dot + IEEE sqrt."""
         t = self.threshold_pct / 100
-        qdot = F.expr(
-            f"aggregate(zip_with({qa}, {qb}, (x, y) -> x * y), "
-            f"cast(0 as bigint), (acc, v) -> acc + v)"
-        )
+        qdot = V.qdot(qa, qb)
         return (qdot > 0) & (
             qdot.cast("double")
             >= F.lit(t)
