@@ -253,6 +253,43 @@ def minhash_lsh_pairs(
     )
 
 
+def _shingle_index(
+    docs: DataFrame, n: int, text_col: str, df_cap: int | None
+) -> DataFrame:
+    """Inverted shingle index (doc_id, sz, g) — the shared front half of
+    the Jaccard and containment pair generators.
+
+    The per-doc shingle arrays feed the inverted index (consumed by the
+    hot-list aggregation AND both self-join sides) — without a
+    materialization Spark recomputes the per-doc shingling expression
+    (the heavy part) up to 4x. localCheckpoint stores the compact per-doc
+    array form once on executor storage and truncates lineage; at scale
+    this is O(total shingles) local disk, far cheaper than re-shingling
+    the corpus per consumer. (Measured at sf0.1: 10.3s -> ~4s for the
+    capped Jaccard variant.) The shingle-set size rides along from
+    explode time (+8 bytes/row in the g-shuffle, no extra join)."""
+    sh = _spread(docs).select(
+        "doc_id", F.col(text_col), F.split(F.col(text_col), " ").alias("_ws")
+    ).select(
+        "doc_id",
+        F.array_distinct(T.shingles_of_words("_ws", text_col, n)).alias("sh"),
+    )
+    sh = sh.localCheckpoint(eager=True)
+    inv = sh.select(
+        "doc_id", F.size("sh").cast("bigint").alias("sz"), F.explode("sh").alias("g")
+    )
+    if df_cap is not None:
+        hot = inv.groupBy("g").count().filter(F.col("count") > df_cap).select("g")
+        # materialize the capped index once: without this, the hot-list
+        # aggregate (a full shuffle over every shingle occurrence) and the
+        # anti-join are physically duplicated under BOTH self-join sides —
+        # Spark's ReuseExchange does not fire across them. One eager
+        # checkpoint = one hot shuffle, and both join sides scan the stored
+        # capped index.
+        inv = inv.join(hot, "g", "left_anti").localCheckpoint(eager=True)
+    return inv
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -269,34 +306,7 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold.
     """
-    sh = _spread(docs).select(
-        "doc_id", F.col(text_col), F.split(F.col(text_col), " ").alias("_ws")
-    ).select(
-        "doc_id",
-        F.array_distinct(T.shingles_of_words("_ws", text_col, n)).alias("sh"),
-    )
-    # the shingle arrays feed the inverted index (consumed by the hot-list
-    # aggregation AND both self-join sides) — without a
-    # materialization Spark recomputes the per-doc shingling expression (the
-    # heavy part) up to 4x. localCheckpoint stores the compact per-doc array
-    # form once on executor storage and truncates lineage; at scale this is
-    # O(total shingles) local disk, far cheaper than re-shingling the corpus
-    # per consumer. (Measured at sf0.1: 10.3s -> ~4s for the capped variant.)
-    sh = sh.localCheckpoint(eager=True)
-    # shingle-set size rides along from explode time (+8 bytes/row in the
-    # g-shuffle, no extra join): it powers the size-ratio prune below
-    inv = sh.select(
-        "doc_id", F.size("sh").cast("bigint").alias("sz"), F.explode("sh").alias("g")
-    )
-    if df_cap is not None:
-        hot = inv.groupBy("g").count().filter(F.col("count") > df_cap).select("g")
-        # materialize the capped index once: without this, the hot-list
-        # aggregate (a full shuffle over every shingle occurrence) and the
-        # anti-join are physically duplicated under BOTH self-join sides —
-        # Spark's ReuseExchange does not fire across them. One eager
-        # checkpoint = one hot shuffle, and both join sides scan the stored
-        # capped index.
-        inv = inv.join(hot, "g", "left_anti").localCheckpoint(eager=True)
+    inv = _shingle_index(docs, n, text_col, df_cap)
     par = docs.sparkSession.sparkContext.defaultParallelism
     # inverted-index join output ~ sum(df(g)^2): decouple parallelism from
     # the (tiny) input size; partitioning by shingle co-locates the join
@@ -334,6 +344,57 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection: pairs where the SMALLER doc's
+    shingle set is mostly contained in the other's — containment =
+    |A∩B| / min(|A|,|B|) >= threshold. Catches quotes, excerpts, and
+    wrapper pages that Jaccard misses by construction (a 50-gram doc
+    fully quoted inside a 5000-gram doc has Jaccard ~0.01 but
+    containment 1.0).
+
+    Same inverted-index plan as ngram_jaccard_pairs — shared-shingle
+    equi-join, map-side-combined pair aggregate, sizes riding the index
+    rows — but deliberately WITHOUT the size-ratio prune: dissimilar
+    sizes are exactly the signal here, so `df_cap` is the only (and
+    still essential) hot-shingle guard at scale.
+
+    Returns (doc_a, doc_b, containment) with doc_a < doc_b.
+    """
+    inv = _shingle_index(docs, n, text_col, df_cap)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    ia, ib = inv.repartition(par, "g").alias("a"), inv.alias("b")
+    inter = (
+        ia.join(
+            ib,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.sz")).alias("sza"),
+            F.first(F.col("b.sz")).alias("szb"),
+        )
+    )
+    return (
+        inter.withColumn(
+            "containment",
+            F.col("inter").cast("double")
+            / F.least("sza", "szb").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
     )
 
 

@@ -476,3 +476,38 @@ def dedup_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.keep_best_per_cluster(
         members, "cluster_rep", "doc_id", "quality"
     ).withColumnRenamed("best_score", "best_quality")
+
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+@query(
+    "dedup_ngram_containment",
+    driver=False,  # aux: asymmetric (quote/excerpt) twin of the Jaccard path
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_SH3}) AS sh FROM documents),
+    inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(sh) AS sz FROM sh)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+               AS containment
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+          >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment pairs: the smaller doc's shingles mostly inside the
+    other's — quotes/excerpts Jaccard structurally misses."""
+    return D.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=NGRAM_N,
+        threshold=CONTAINMENT_THRESHOLD,
+    )

@@ -1018,3 +1018,43 @@ def test_source_overlap_short_docs_whole_text_gram(spark):
     assert {(r.source_a, r.source_b, r.shared_grams) for r in rows} == {
         ("a", "b", 1)
     }
+
+
+# --- ngram_containment_pairs (quote/excerpt detection) ---
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    from db_integration_via_kafka_ksql_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    host = quote + " " + " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, host), (3, "one two three four five six")],
+        "doc_id int, text string",
+    )
+    cont = ngram_containment_pairs(docs, n=3, threshold=0.9).collect()
+    assert [(r.doc_a, r.doc_b) for r in cont] == [(1, 2)]
+    assert cont[0].containment == 1.0  # every quote shingle inside the host
+    # Jaccard at the same corpus misses it (shared / union is tiny)
+    jac = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert (1, 2) not in {(r.doc_a, r.doc_b) for r in jac}
+
+
+def test_containment_df_cap_still_guards_hot_shingles(spark):
+    from db_integration_via_kafka_ksql_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    # every doc shares one hot shingle; df_cap removes it from the index,
+    # so no pair reaches threshold
+    docs = spark.createDataFrame(
+        [(i, f"common one two u{i} v{i} w{i}") for i in range(10)],
+        "doc_id int, text string",
+    )
+    capped = ngram_containment_pairs(docs, n=3, threshold=0.2, df_cap=5)
+    uncapped = ngram_containment_pairs(docs, n=3, threshold=0.2)
+    assert capped.count() == 0
+    assert uncapped.count() > 0
