@@ -251,3 +251,70 @@ def test_decontaminate_bloom_superset_property(spark, texts, mod):
         assert out[i]["n_overlap"] >= len(grams & bench)
         if grams & bench:
             assert out[i]["contaminated"] == 1
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=_corpus,
+    window=st.integers(2, 8),
+    stride_frac=st.integers(1, 100),
+)
+def test_chunk_documents_matches_python_model(spark, texts, window, stride_frac):
+    """chunk_documents == the obvious sequential splitter for any corpus,
+    window, and stride <= window: same starts, same chunk texts, full
+    token coverage, no chunk crossing a doc boundary."""
+    stride = max(1, (window * stride_frac) // 100)
+    got = {}
+    rows = TA.chunk_documents(
+        _docs_df(spark, texts), window=window, stride=stride
+    ).collect()
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.start_token, r.n_tokens, r.chunk_text)
+        )
+    for doc_id, text in enumerate(texts):
+        words = text.split(" ")
+        n = len(words)
+        starts = [0]
+        while starts[-1] + window < n:
+            starts.append(starts[-1] + stride)
+        expect = [
+            (
+                s // stride,
+                s,
+                min(window, n - s),
+                " ".join(words[s : s + window]),
+            )
+            for s in starts
+        ]
+        assert sorted(got.get(doc_id, [])) == sorted(expect), (
+            doc_id, text, window, stride,
+        )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    avails=st.lists(st.integers(1, 40), min_size=1, max_size=5),
+    budget=st.integers(1, 400),
+)
+def test_temperature_mixture_properties(spark, avails, budget):
+    """Allocations sum to the budget, follow sqrt proportions, and
+    keep_frac == min(1, repeat_factor) for arbitrary supplies."""
+    import math
+
+    rows = [
+        (100 * s + i, "w " * (tokens - 1) + "w", f"s{s}")
+        for s, tokens in enumerate(avails)
+        for i, tokens in [(0, tokens)]
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    plan = TA.temperature_mixture(docs, budget_tokens=budget, alpha=0.5).collect()
+    assert len(plan) == len(avails)
+    total = sum(r.allocated_tokens for r in plan)
+    assert abs(total - budget) <= 1e-9 * max(1, budget) * len(avails)
+    wsum = sum(math.sqrt(a) for a in avails)
+    for r in plan:
+        s = int(r.source[1:])
+        expect = budget * math.sqrt(avails[s]) / wsum
+        assert abs(r.allocated_tokens - expect) < 1e-6
+        assert abs(r.keep_frac - min(1.0, r.repeat_factor)) < 1e-12
