@@ -56,6 +56,7 @@ HEADLINE = [
     "corpus_curation_stats",
     "training_mix_curated",
     "dedup_ngram_jaccard_capped",
+    "dedup_ngram_containment",
     "dedup_embedding_pairs_lsh_mp",
     "sim_lsh_topk_mp",
     "sim_ivf_topk",

@@ -486,7 +486,9 @@ CONTAINMENT_THRESHOLD = 0.8
     driver=False,  # aux: asymmetric (quote/excerpt) twin of the Jaccard path
     oracle=f"""
     WITH sh AS (SELECT doc_id, list_distinct({_SH3}) AS sh FROM documents),
-    inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    inv0 AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    hot AS (SELECT g FROM inv0 GROUP BY g HAVING count(*) > {NGRAM_DF_CAP}),
+    inv AS (SELECT * FROM inv0 WHERE g NOT IN (SELECT g FROM hot)),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -504,10 +506,14 @@ CONTAINMENT_THRESHOLD = 0.8
     """,
 )
 def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Containment pairs: the smaller doc's shingles mostly inside the
-    other's — quotes/excerpts Jaccard structurally misses."""
+    """Containment pairs, scale path: the smaller doc's shingles mostly
+    inside the other's — quotes/excerpts Jaccard structurally misses.
+    Same df-cap hot-shingle guard (and the same lower-bound semantics)
+    as the capped Jaccard slot: capped intersections over FULL set
+    sizes, so reported containment never exceeds the true value."""
     return D.ngram_containment_pairs(
         load_table(spark, sf_dir, "documents"),
         n=NGRAM_N,
         threshold=CONTAINMENT_THRESHOLD,
+        df_cap=NGRAM_DF_CAP,
     )
