@@ -421,7 +421,11 @@ def simhash_pairs(
     fp = simhash_fingerprints(docs, text_col)
     lo = fp.select("doc_id", "simhash", F.lit(0).alias("band_id"), F.col("band_lo").alias("bk"))
     hi = fp.select("doc_id", "simhash", F.lit(1).alias("band_id"), F.col("band_hi").alias("bk"))
-    bands = lo.unionByName(hi)
+    # materialize the band frame once: it feeds BOTH self-join sides, and
+    # each un-materialized consumer re-runs the full simhash fold (16
+    # md5-vote bits per doc) plus its spread shuffle — measured 6
+    # exchanges before, 3 after (the dedup.py checkpoint discipline)
+    bands = lo.unionByName(hi).localCheckpoint(eager=True)
     par = docs.sparkSession.sparkContext.defaultParallelism
     a, b = bands.repartition(par).alias("a"), bands.alias("b")
     return (

@@ -354,3 +354,13 @@ def test_source_overlap_has_no_gram_self_join(reports):
     assert r.sort_merge_joins + r.broadcast_hash_joins + r.nested_loop_joins == 0
     assert r.has_partial_aggregate
     assert r.n_shuffle_exchanges <= 4  # spread + distinct + gram agg + pair count
+
+
+def test_simhash_pairs_materialized_band_frame(reports):
+    """The simhash band self-join must consume ONE materialized band
+    frame — an un-checkpointed frame re-runs the 16-bit md5-vote fold
+    and its spread shuffle once per consumer (6 exchanges; now 2 + the
+    broadcast)."""
+    r = reports("dedup_simhash_pairs")
+    assert r.n_shuffle_exchanges <= 3
+    assert r.nested_loop_joins == 0
