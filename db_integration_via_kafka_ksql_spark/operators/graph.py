@@ -228,3 +228,54 @@ def dedup_clusters(
         (F.coalesce("label", "id") == F.col("id")).alias("is_rep"),
     )
     return labeled
+
+
+def leakage_free_splits(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str,
+    pair_b: str,
+    weights: list[tuple[str, int]] | None = None,
+    salt: str = "split1",
+) -> DataFrame:
+    """Train/val/test assignment with the contamination guard: every
+    member of a near-dup CLUSTER lands in the SAME split, because the
+    split is hashed from the cluster representative, never the doc id.
+    Plain per-doc hash splitting leaks — a near-duplicate of a training
+    document sitting in the test split inflates eval scores; splitting
+    by connected component makes that impossible by construction.
+
+    weights are (name, weight) in order; a cluster goes to the split
+    whose cumulative weight range contains md5(salt|rep) % total — the
+    same deterministic hash-Bernoulli discipline as epoch_split, so any
+    engine/partitioning reproduces the assignment. Split proportions are
+    approximate at cluster granularity (a giant cluster moves as one
+    unit — the price of zero leakage, and the reason to dedup first).
+
+    Scale: clustering cost is the existing dedup_clusters path
+    (edge-sized iteration); the assignment itself is a pure column
+    expression over (id, cluster_rep) — no extra shuffle.
+
+    Returns (id_col, cluster_rep, split).
+    """
+    from db_integration_via_kafka_ksql_spark.functions import text as T
+
+    if weights is None:
+        weights = [("train", 80), ("val", 10), ("test", 10)]
+    if not weights or any(w <= 0 for _, w in weights):
+        raise ValueError(f"weights must be positive: {weights!r}")
+    total = sum(w for _, w in weights)
+    clusters = dedup_clusters(nodes, pairs, id_col, pair_a, pair_b)
+    bucket = T.hex_hash_int(
+        F.concat(F.lit(salt + "|"), F.col("cluster_rep").cast("string"))
+    ) % total
+    expr = F.lit(weights[-1][0])  # fallthrough = last split
+    acc = 0
+    conds = []
+    for name, w in weights[:-1]:
+        acc += w
+        conds.append((acc, name))
+    for acc_w, name in reversed(conds):
+        expr = F.when(bucket < acc_w, F.lit(name)).otherwise(expr)
+    return clusters.select(id_col, "cluster_rep", expr.alias("split"))

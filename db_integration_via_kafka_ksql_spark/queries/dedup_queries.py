@@ -517,3 +517,59 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=CONTAINMENT_THRESHOLD,
         df_cap=NGRAM_DF_CAP,
     )
+
+
+SPLIT_SALT = "split1"
+SPLIT_WEIGHTS = [("train", 80), ("val", 10), ("test", 10)]
+
+
+@query(
+    "split_leakage_free",
+    driver=False,  # aux: cluster-aware train/val/test assignment
+    oracle=f"""
+    WITH RECURSIVE {_minhash_pair_ctes(MINHASH_K, MINHASH_BANDS)},
+    pairs AS (
+        SELECT doc_a, doc_b FROM scored
+        WHERE CAST(inter AS DOUBLE) / CAST(sz_sum - inter AS DOUBLE)
+              >= {MINHASH_THRESHOLD}
+    ),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS t FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(src, node) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.src, e.t FROM reach r JOIN edges e ON r.node = e.s
+    ),
+    cl AS (
+        SELECT src AS doc_id, CAST(min(node) AS BIGINT) AS cluster_rep
+        FROM reach GROUP BY src
+    ),
+    b AS (
+        SELECT doc_id, cluster_rep,
+               ('0x' || substr(md5('{SPLIT_SALT}|'
+                    || CAST(cluster_rep AS VARCHAR)), 1, 8))::BIGINT % 100
+                   AS bucket
+        FROM cl
+    )
+    SELECT doc_id, cluster_rep,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/val/test splits: near-dup (MinHash) cluster
+    members always share a split — the train/test contamination guard
+    per-doc hash splitting cannot give."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, k=MINHASH_K, bands=MINHASH_BANDS, threshold=MINHASH_THRESHOLD
+    )
+    return G.leakage_free_splits(
+        docs, pairs, "doc_id", "doc_a", "doc_b",
+        weights=SPLIT_WEIGHTS, salt=SPLIT_SALT,
+    )

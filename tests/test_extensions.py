@@ -1058,3 +1058,61 @@ def test_containment_df_cap_still_guards_hot_shingles(spark):
     uncapped = ngram_containment_pairs(docs, n=3, threshold=0.2)
     assert capped.count() == 0
     assert uncapped.count() > 0
+
+
+# --- leakage_free_splits (cluster-aware train/val/test) ---
+
+
+def test_split_members_of_cluster_share_split_and_no_pair_straddles(spark, sf_dir):
+    from db_integration_via_kafka_ksql_spark.operators import dedup as D
+    from db_integration_via_kafka_ksql_spark.operators.graph import (
+        leakage_free_splits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, k=8, bands=4, threshold=0.5)
+    splits = leakage_free_splits(docs, pairs, "doc_id", "doc_a", "doc_b")
+    rows = splits.collect()
+    assert len(rows) == docs.count()
+    by_cluster = {}
+    split_of = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_rep, set()).add(r.split)
+        split_of[r.doc_id] = r.split
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # THE guarantee: no near-dup pair straddles two splits
+    for p in pairs.collect():
+        assert split_of[p.doc_a] == split_of[p.doc_b]
+
+
+def test_split_proportions_at_cluster_granularity(spark):
+    from db_integration_via_kafka_ksql_spark.operators.graph import (
+        leakage_free_splits,
+    )
+
+    # 500 singleton docs (no pairs): split directly by hashed self-rep
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id int"
+    )
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    got = leakage_free_splits(
+        docs, pairs, "doc_id", "doc_a", "doc_b",
+        weights=[("train", 80), ("val", 10), ("test", 10)],
+    ).groupBy("split").count().collect()
+    counts = {r.split: r["count"] for r in got}
+    assert 340 <= counts["train"] <= 460  # ~400 expected
+    assert 20 <= counts["val"] <= 90
+    assert 20 <= counts["test"] <= 90
+
+
+def test_split_rejects_bad_weights(spark):
+    from db_integration_via_kafka_ksql_spark.operators.graph import (
+        leakage_free_splits,
+    )
+
+    docs = spark.createDataFrame([(1,)], "doc_id int")
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    with pytest.raises(ValueError, match="positive"):
+        leakage_free_splits(
+            docs, pairs, "doc_id", "doc_a", "doc_b", weights=[("train", 0)]
+        )
