@@ -9,7 +9,9 @@ the driver's own testdata.
   4. decontam  drop docs overlapping the held-out benchmark subset
   5. dedup     exact keep-one, then embedding near-dup clusters keeping
                each cluster's BEST-QUALITY member (retention policy),
-               then SemDeDup semantic dedup within k-means clusters
+               then SemDeDup semantic dedup within k-means clusters,
+               then a leakage-free train carve (near-dup clusters never
+               straddle the held-out splits)
   6. mix       water-fill a token budget across sources → realize the
                plan with fractional stratified sampling →
                replacement-free epochs (temperature plan reported
@@ -145,6 +147,24 @@ def main() -> None:
     )
     kept = kept.join(sem_dropped, "doc_id", "left_anti")
     stages.append(("after semantic dedup", kept.count()))
+
+    # 5d. leakage-free eval carve-out: test/val membership is hashed from
+    # the near-dup CLUSTER (MinHash pairs on the surviving corpus), so no
+    # near-duplicate of a training doc can sit in the held-out splits;
+    # only the train split continues into the mix. The pair threshold is
+    # TIGHT (0.9): a loose threshold on this highly-self-similar synthetic
+    # corpus chains everything into one component, and a single cluster
+    # moves as one unit — the documented trade (dedup first, split tight)
+    mh_pairs = D.minhash_lsh_pairs(kept, k=8, bands=4, threshold=0.9)
+    splits = G.leakage_free_splits(
+        kept, mh_pairs, "doc_id", "doc_a", "doc_b",
+        weights=[("train", 90), ("val", 5), ("test", 5)],
+    )
+    train_ids = splits.filter(F.col("split") == "train").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+    kept = kept.join(train_ids, "doc_id", "left_semi")
+    stages.append(("after leakage-free train carve", kept.count()))
 
     # 6. training mix: water-fill the token budget across sources, realize
     # the plan's fractional rates deterministically, then split epochs
