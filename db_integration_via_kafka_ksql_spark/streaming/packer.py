@@ -1,0 +1,194 @@
+"""Streaming sequence packing: the concat-then-chunk packer
+(`operators/text_analysis.pack_sequences`) as a continuous pipeline —
+per-shard token offsets carried across micro-batches in swap-atomic
+state, so a document feed packs into fixed-capacity training sequences
+as it arrives instead of in one batch pass.
+
+Per micro-batch:
+
+1. per-doc token counts; within each shard the batch's docs are ordered
+   by doc_id and given RELATIVE offsets by a shard-keyed running-sum
+   window (the batch twin's exact shape, batch-local);
+2. the per-shard BASE offset (one tiny row per shard, everything packed
+   so far) joins in broadcast — absolute offset = base + relative;
+   sequence spans derive from absolute offsets exactly as in the batch
+   twin (`first_seq = start div capacity`, `last_seq = (end-1) div
+   capacity` — docs may straddle batch boundaries mid-sequence);
+3. idempotent append of the assignment rows (dynamic overwrite of the
+   batch's own `ingest_batch` partition);
+4. the state advances by each shard's batch token total, written with
+   the aggview atomic-swap + `_epoch.json` marker.
+
+**Ordering semantics (documented honestly).** A one-pass stream packs in
+ARRIVAL order: (ingest_batch, doc_id), not the global doc_id order of
+the batch twin. Feeding batches in ascending doc_id order reproduces the
+batch result exactly (equivalence-tested); out-of-order arrival gives a
+different — still gapless and deterministic-per-arrival-order — packing.
+
+**Replay.** The dataset partition write PRECEDES the state swap. A crash
+before the swap replays the batch against the unchanged base — same
+rows, same partition, overwritten in place. After the swap, the replayed
+epoch is detected (`epoch <= last_epoch`) and skipped entirely: its
+partition is already on disk, and re-running it against the advanced
+base would double-advance every offset. Same discipline as
+`IncrementalAggView`.
+
+Scale: state is one row per shard; the only corpus-touching work per
+batch is one shard-keyed window over the BATCH. Parallelism = number of
+shards, the same deliberate contract as the batch twin (shard by
+(source, hash-bucket) so no shard outgrows an executor).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from db_integration_via_kafka_ksql_spark.functions import text as T
+
+_EPOCH_FILE = "_epoch.json"
+
+
+@dataclass
+class StreamingPacker:
+    """Continuous concat-then-chunk packing into a partitioned dataset."""
+
+    spark: SparkSession
+    dataset_path: str
+    state_path: str
+    capacity: int = 256
+    shard_cols: tuple[str, ...] = ("source",)
+    batch_col: str = "ingest_batch"
+    checkpoint_dir: str | None = None
+    trigger_seconds: float = 2.0
+    query_name: str = "streaming_packer"
+
+    def __post_init__(self) -> None:
+        if self.capacity < 1:
+            raise ValueError(f"capacity must be >= 1, got {self.capacity}")
+
+    # ------------------------------------------------------------- state
+    def state_exists(self) -> bool:
+        return os.path.isdir(self.state_path) and bool(os.listdir(self.state_path))
+
+    def read_state(self) -> DataFrame:
+        """(shard_cols..., base_offset): tokens packed so far per shard."""
+        return self.spark.read.parquet(self.state_path)
+
+    def last_epoch(self) -> int | None:
+        meta = os.path.join(self.state_path, _EPOCH_FILE)
+        if not os.path.isfile(meta):
+            return None
+        with open(meta) as f:
+            return json.load(f)["epoch"]
+
+    def _swap_state(self, df: DataFrame, epoch_id: int) -> None:
+        tmp = f"{self.state_path}__staging_{uuid.uuid4().hex[:8]}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, _EPOCH_FILE), "w") as f:
+            json.dump({"epoch": epoch_id}, f)
+        old = f"{self.state_path}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(self.state_path):
+            os.rename(self.state_path, old)
+        os.rename(tmp, self.state_path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    # ------------------------------------------------------------- batch
+    def _assigned(self, docs: DataFrame) -> DataFrame:
+        shard = list(self.shard_cols)
+        w = (
+            Window.partitionBy(*shard)
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = docs.select(
+            *shard, "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
+        ).withColumn("rel_end", F.sum("n_tokens").over(w))
+        if self.state_exists():
+            base = self.read_state()
+            cum = cum.join(F.broadcast(base), shard, "left").withColumn(
+                "base_offset", F.coalesce("base_offset", F.lit(0).cast("bigint"))
+            )
+        else:
+            cum = cum.withColumn("base_offset", F.lit(0).cast("bigint"))
+        cap = self.capacity
+        return cum.select(
+            *shard,
+            "doc_id",
+            "n_tokens",
+            (F.col("base_offset") + F.col("rel_end") - F.col("n_tokens")).alias(
+                "start_offset"
+            ),
+            F.expr(f"(base_offset + rel_end - n_tokens) div {cap}")
+            .cast("bigint")
+            .alias("first_seq"),
+            F.expr(f"(base_offset + rel_end - 1) div {cap}")
+            .cast("bigint")
+            .alias("last_seq"),
+        )
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = self.last_epoch()
+        if last is not None and epoch_id <= last:
+            # replayed epoch AFTER its state swap: the partition is on
+            # disk; recomputing against the advanced base would
+            # double-advance offsets — skip wholesale
+            return
+        assigned = self._assigned(batch_df).localCheckpoint()
+        (
+            assigned.withColumn(self.batch_col, F.lit(epoch_id).cast("bigint"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.batch_col)
+            .parquet(self.dataset_path)
+        )
+        shard = list(self.shard_cols)
+        delta = assigned.groupBy(*shard).agg(
+            F.sum("n_tokens").cast("bigint").alias("d")
+        )
+        if self.state_exists():
+            base = self.read_state()
+            merged = (
+                base.join(delta, shard, "full")
+                .select(
+                    *[
+                        F.coalesce(base[c], delta[c]).alias(c) for c in shard
+                    ],
+                    (
+                        F.coalesce("base_offset", F.lit(0).cast("bigint"))
+                        + F.coalesce("d", F.lit(0).cast("bigint"))
+                    ).alias("base_offset"),
+                )
+                # the swap replaces the dir this plan reads — cut lineage
+                .localCheckpoint()
+            )
+        else:
+            merged = delta.select(
+                *shard, F.col("d").alias("base_offset")
+            ).localCheckpoint()
+        self._swap_state(merged, epoch_id)
+
+    def read_packed(self) -> DataFrame:
+        return self.spark.read.parquet(self.dataset_path)
+
+    def start(self, doc_stream: DataFrame) -> StreamingQuery:
+        writer = (
+            doc_stream.writeStream.queryName(self.query_name)
+            .foreachBatch(self.process_batch)
+            .outputMode("update")
+        )
+        if self.checkpoint_dir:
+            writer = writer.option("checkpointLocation", self.checkpoint_dir)
+        if self.trigger_seconds:
+            writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
+        return writer.start()
