@@ -238,3 +238,49 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         assert len(by_user[2]) == 1
     finally:
         q.stop()
+
+
+def test_chunk_documents_is_streaming_compatible(spark, tmp_path):
+    """chunk_documents is pure scan-side projection/explode, so the SAME
+    operator code must run unmodified on a readStream (append mode, no
+    state) — the streaming ingest path for RAG chunking."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", IntegerType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    words = " ".join(f"w{i}" for i in range(11))
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int32()), "text": pa.array([words])}),
+        f"{src}/f1.parquet",
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        chunk_documents(stream, window=4, stride=3)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = sorted(
+        (r.chunk_id, r.start_token, r.n_tokens)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [(0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 2)]
