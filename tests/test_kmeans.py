@@ -157,3 +157,31 @@ def test_fit_with_fewer_vectors_than_k(spark):
     assert len(cents) == 2
     asg = KM.assign_clusters(KM._quantized(df), cents).collect()
     assert {r.vec_id for r in asg} == {0, 1}
+
+
+def test_pandas_assignment_equals_expression_assignment(spark, emb):
+    cents = KM.kmeans_fit(emb, k=K, iters=ITERS, seed=SEED, dims=DIMS)
+    q = KM._quantized(emb)
+    expr = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in KM.assign_clusters(q, cents).collect()
+    }
+    arrow = {
+        r.vec_id: (r.cluster, r.dist2)
+        for r in KM.assign_clusters_pandas(q, cents).collect()
+    }
+    assert arrow == expr
+
+
+def test_pandas_assignment_tie_breaks_to_lowest_cid(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 4) for i in range(6)],
+        "vec_id int, embedding array<float>",
+    )
+    q = KM._quantized(df)
+    cents = [[2048] * 4, [2048] * 4]
+    got = {
+        r.vec_id: r.cluster
+        for r in KM.assign_clusters_pandas(q, cents).collect()
+    }
+    assert set(got.values()) == {0}
