@@ -191,12 +191,25 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.7,
     text_col: str = "text",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH with exact-Jaccard rerank.
 
     k salted min-hashes over distinct words, `bands` bands of k/bands rows;
     docs sharing any band key become candidates; candidates are reranked
     with exact word-set Jaccard and kept when >= threshold.
+
+    `bucket_cap` is the band-bucket analogue of the inverted-index df_cap:
+    a (band_id, band_key) bucket holding more than bucket_cap docs is
+    dropped BEFORE the self-join (a bucket of m docs emits m²/2 candidate
+    pairs — on a boilerplate-heavy corpus one degenerate bucket can
+    dominate the whole join). Unlike the shingle cap this is a RECALL
+    trade, not just a cost cut: a pair whose only agreeing band was
+    capped is missed; pairs agreeing in any surviving band are still
+    found, and every emitted pair passes the exact-Jaccard rerank, so
+    precision is unaffected. The streaming twin's `salt_bands` spreads
+    the same hot buckets instead of dropping them (streaming batches are
+    bounded; an unbounded batch corpus is not).
 
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
@@ -212,6 +225,18 @@ def minhash_lsh_pairs(
     # at bands=4). The signature table is tiny (doc_id + k hex strings) —
     # checkpoint it so the self-join's two sides share one computation.
     all_bands = _band_keys_of_sets(sets, k, bands).localCheckpoint(eager=True)
+    if bucket_cap is not None:
+        hot = (
+            all_bands.groupBy("band_id", "band_key")
+            .count()
+            .filter(F.col("count") > bucket_cap)
+            .select("band_id", "band_key")
+        )
+        # one checkpoint so the hot-bucket aggregate runs once, not under
+        # both self-join sides (the _shingle_index df_cap rationale)
+        all_bands = all_bands.join(
+            hot, ["band_id", "band_key"], "left_anti"
+        ).localCheckpoint(eager=True)
     par = docs.sparkSession.sparkContext.defaultParallelism
     # probe side spread round-robin: the band join's OUTPUT is quadratic
     # in bucket occupancy, so parallelism must not follow input size

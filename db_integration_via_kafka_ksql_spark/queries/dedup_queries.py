@@ -47,10 +47,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_duplicates(load_table(spark, sf_dir, "documents"))
 
 
-def _minhash_pair_ctes(k: int, bands: int) -> str:
+def _minhash_pair_ctes(k: int, bands: int, bucket_cap: int | None = None) -> str:
     """CTE chain ending in `scored(doc_a, doc_b, inter, sz_sum)` — shared
-    by the pair oracle and the cluster-retention composite (which embeds
-    it inside a larger WITH RECURSIVE)."""
+    by the pair oracle, the cluster-retention composite (which embeds it
+    inside a larger WITH RECURSIVE), and the bucket-capped variant."""
     rows = k // bands
     sig_cols = ",\n               ".join(
         f"min(md5('s{i}|' || w)) AS h{i}" for i in range(k)
@@ -62,6 +62,21 @@ def _minhash_pair_ctes(k: int, bands: int) -> str:
             f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
         )
     bands_sql = "\n        UNION ALL ".join(band_selects)
+    if bucket_cap is None:
+        cap_ctes = "\n    bands AS (SELECT * FROM bands0),"
+    else:
+        cap_ctes = f"""
+    hot AS (
+        SELECT band_id, band_key FROM bands0
+        GROUP BY band_id, band_key HAVING count(*) > {bucket_cap}
+    ),
+    bands AS (
+        SELECT b.* FROM bands0 b
+        WHERE NOT EXISTS (
+            SELECT 1 FROM hot h
+            WHERE h.band_id = b.band_id AND h.band_key = b.band_key
+        )
+    ),"""
     return f"""sets AS (SELECT doc_id, list_distinct({_W}) AS ws FROM documents),
     w AS (SELECT doc_id, unnest(ws) AS w FROM sets),
     sig AS (
@@ -69,9 +84,9 @@ def _minhash_pair_ctes(k: int, bands: int) -> str:
                {sig_cols}
         FROM w GROUP BY doc_id
     ),
-    bands AS (
+    bands0 AS (
         {bands_sql}
-    ),
+    ),{cap_ctes}
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -572,4 +587,34 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.leakage_free_splits(
         docs, pairs, "doc_id", "doc_a", "doc_b",
         weights=SPLIT_WEIGHTS, salt=SPLIT_SALT,
+    )
+
+
+MINHASH_BUCKET_CAP = 50
+
+
+@query(
+    "dedup_minhash_lsh_capped",
+    driver=False,  # aux: hot-band-bucket guarded twin of dedup_minhash_lsh
+    oracle=f"""
+    WITH {_minhash_pair_ctes(MINHASH_K, MINHASH_BANDS, MINHASH_BUCKET_CAP)}
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(sz_sum - inter AS DOUBLE) AS jaccard
+    FROM scored
+    WHERE CAST(inter AS DOUBLE) / CAST(sz_sum - inter AS DOUBLE)
+          >= {MINHASH_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash pairs with the band-bucket occupancy cap: buckets holding
+    more than MINHASH_BUCKET_CAP docs are dropped before the self-join —
+    the batch path's guard against a boilerplate bucket emitting m²/2
+    candidates (documented recall trade; precision unaffected by the
+    exact rerank)."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+        bucket_cap=MINHASH_BUCKET_CAP,
     )

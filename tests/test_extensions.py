@@ -1116,3 +1116,39 @@ def test_split_rejects_bad_weights(spark):
         leakage_free_splits(
             docs, pairs, "doc_id", "doc_a", "doc_b", weights=[("train", 0)]
         )
+
+
+# --- minhash bucket_cap (hot band-bucket guard) ---
+
+
+def test_minhash_bucket_cap_noop_on_benign_corpus(spark, sf_dir):
+    from db_integration_via_kafka_ksql_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = {(r.doc_a, r.doc_b) for r in
+             minhash_lsh_pairs(docs, threshold=0.9).collect()}
+    capped = {(r.doc_a, r.doc_b) for r in
+              minhash_lsh_pairs(docs, threshold=0.9, bucket_cap=10_000).collect()}
+    assert capped == plain  # cap far above any bucket: identical result
+
+
+def test_minhash_bucket_cap_drops_degenerate_bucket_keeps_cold_pairs(spark):
+    from db_integration_via_kafka_ksql_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    # 30 identical docs = one degenerate bucket per band; 2 cold near-dup
+    # docs still share their own buckets
+    hot = [(i, "alpha beta gamma delta epsilon") for i in range(30)]
+    cold = [(100, "one two three four five six"),
+            (101, "one two three four five six")]
+    docs = spark.createDataFrame(hot + cold, "doc_id int, text string")
+    got = minhash_lsh_pairs(docs, threshold=0.7, bucket_cap=10).collect()
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    assert (100, 101) in pairs            # cold pair survives
+    assert all(a >= 100 for a, _ in pairs)  # hot bucket fully capped
+    # uncapped finds the hot quadratic set too
+    n_uncapped = minhash_lsh_pairs(docs, threshold=0.7).count()
+    assert n_uncapped == 30 * 29 // 2 + 1
