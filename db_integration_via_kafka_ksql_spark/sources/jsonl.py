@@ -1,0 +1,78 @@
+"""JSONL corpus ingestion: the interchange format LLM corpora actually
+ship in (one JSON document per line), read with an EXPLICIT schema and
+the same poison-record discipline as the CDC source (K5): malformed
+lines are split into a dead-letter frame instead of silently nulling or
+failing the job.
+
+Spark's JSON reader is used in PERMISSIVE mode with
+columnNameOfCorruptRecord, so a bad line yields one row whose corrupt
+column holds the raw text and whose data columns are NULL — we split on
+that marker. Schema is mandatory: schema inference reads the data twice
+and locks in whatever the first sample implied, which is exactly the
+silent-coercion failure the CDC side blocks too.
+
+Scale: the JSON source splits by file and by line, predicate/column
+pruning applies after parse; a corrupt-heavy input degrades to
+dead-letter rows, never to task retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CORRUPT = "__corrupt_record"
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """(valid rows, dead letters) from a JSONL file/directory.
+
+    A line is dead iff the parser could not bind it to the schema
+    (malformed JSON, or a type mismatch on a schema column). Dead rows
+    carry (raw, reason) — the raw line for replay after a fix, mirroring
+    `CdcPipeline.dead_letter`.
+    """
+    if any(f.name == _CORRUPT for f in schema.fields):
+        raise ValueError(f"schema may not contain the reserved {_CORRUPT!r}")
+    # StructType.add MUTATES the receiver — build a fresh StructType so a
+    # caller-shared schema constant is never modified across calls
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(_CORRUPT, T.StringType())]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .json(path)
+    )
+    # the corrupt column is only populated on parse failure; cache the
+    # split point so valid/dead don't re-parse the input separately
+    raw = raw.localCheckpoint(eager=True)
+    valid = raw.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    dead = raw.filter(F.col(_CORRUPT).isNotNull()).select(
+        F.col(_CORRUPT).alias("raw"),
+        F.lit("jsonl_parse_error").alias("reason"),
+    )
+    return valid, dead
+
+
+def read_jsonl_documents(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """The documents-table contract over JSONL input."""
+    return read_jsonl(spark, path, DOCUMENTS_SCHEMA)

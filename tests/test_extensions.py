@@ -1152,3 +1152,57 @@ def test_minhash_bucket_cap_drops_degenerate_bucket_keeps_cold_pairs(spark):
     # uncapped finds the hot quadratic set too
     n_uncapped = minhash_lsh_pairs(docs, threshold=0.7).count()
     assert n_uncapped == 30 * 29 // 2 + 1
+
+
+# --- JSONL ingestion (K5 discipline for batch corpus input) ---
+
+
+def test_jsonl_splits_valid_and_dead_lines(spark, tmp_path):
+    from db_integration_via_kafka_ksql_spark.sources.jsonl import (
+        read_jsonl_documents,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "a", "n_chars": 11}\n'
+        'this is not json\n'
+        '{"doc_id": 2, "text": "bye", "lang": "en", "source": "b", "n_chars": 3}\n'
+        '{"doc_id": "not_a_number", "text": "x", "lang": "en", "source": "c", "n_chars": 1}\n'
+    )
+    valid, dead = read_jsonl_documents(spark, str(p))
+    rows = {r.doc_id: r for r in valid.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].text == "hello world" and rows[1].n_chars == 11
+    dl = dead.collect()
+    assert len(dl) == 2
+    assert {d.reason for d in dl} == {"jsonl_parse_error"}
+    raws = {d.raw for d in dl}
+    assert any("not json" in r for r in raws)
+    assert any("not_a_number" in r for r in raws)
+
+
+def test_jsonl_valid_rows_feed_the_operator_surface(spark, tmp_path):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        token_stats,
+    )
+    from db_integration_via_kafka_ksql_spark.sources.jsonl import (
+        read_jsonl_documents,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "a b c", "lang": "en", "source": "s", "n_chars": 5}\n'
+    )
+    valid, _ = read_jsonl_documents(spark, str(p))
+    got = token_stats(valid).collect()
+    assert got[0].n_tokens == 3
+
+
+def test_jsonl_rejects_reserved_corrupt_column(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from db_integration_via_kafka_ksql_spark.sources.jsonl import read_jsonl
+
+    bad = T.StructType([T.StructField("__corrupt_record", T.StringType())])
+    with pytest.raises(ValueError, match="reserved"):
+        read_jsonl(spark, str(tmp_path), bad)
