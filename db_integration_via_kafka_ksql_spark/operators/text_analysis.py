@@ -646,6 +646,41 @@ def pack_sequences(
     )
 
 
+def dataset_card(docs: DataFrame, strata_col: str = "source") -> DataFrame:
+    """Per-source dataset-card row: the summary a data team publishes
+    next to a corpus — doc/token volume, language spread, exact-duplicate
+    rate, token-length range, and mean quality.
+
+    One map-side-combined shuffle keyed by the stratum. The two distinct
+    aggregates (languages, md5 texts) expand map-side and still combine
+    before the exchange; avg_quality routes the per-doc doubles through
+    DECIMAL(18,6) so the sum is order-independent (the registry parity
+    convention) and divides once at the end.
+
+    Returns (strata_col, n_docs, total_tokens, n_langs, n_unique_texts,
+    min_tokens, max_tokens, avg_quality).
+    """
+    scored = quality_scores(docs, keep_cols=(strata_col, "lang", "text"))
+    per_doc = scored.select(
+        strata_col,
+        "lang",
+        F.md5("text").alias("_h"),
+        F.col("n_tokens").cast("bigint").alias("_t"),
+        F.col("quality").cast("decimal(18,6)").alias("_q"),
+    )
+    return per_doc.groupBy(strata_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("_t").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("_h").cast("bigint").alias("n_unique_texts"),
+        F.min("_t").cast("bigint").alias("min_tokens"),
+        F.max("_t").cast("bigint").alias("max_tokens"),
+        (
+            F.sum("_q").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avg_quality"),
+    )
+
+
 def source_overlap_matrix(
     docs: DataFrame,
     n: int = 5,

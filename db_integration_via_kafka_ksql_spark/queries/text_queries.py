@@ -1132,3 +1132,39 @@ def source_overlap_shared_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.source_overlap_matrix(
         load_table(spark, sf_dir, "documents"), n=OVERLAP_N
     )
+
+
+@query(
+    "corpus_dataset_card",
+    driver=False,  # aux: the per-source datasheet summary row
+    oracle=f"""
+    WITH scored AS (
+        SELECT source, lang, text,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               {_QUALITY_EXPR} AS quality
+        FROM (
+            SELECT source, lang, text,
+                   len({_W}) AS n_tok,
+                   len({_DW}) AS n_dis,
+                   {_STOP_SUM} AS stop_hits,
+                   length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+                   length(text) AS n_chars
+            FROM documents
+        )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_quality
+    FROM scored GROUP BY source
+    """,
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card summary: volumes, language spread,
+    exact-duplicate rate, token range, decimal-routed mean quality."""
+    return TA.dataset_card(load_table(spark, sf_dir, "documents"))
