@@ -318,3 +318,57 @@ def test_temperature_mixture_properties(spark, avails, budget):
         expect = budget * math.sqrt(avails[s]) / wsum
         assert abs(r.allocated_tokens - expect) < 1e-6
         assert abs(r.keep_frac - min(1.0, r.repeat_factor)) < 1e-12
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc, min_size=2, max_size=8))
+def test_containment_matches_set_model(spark, texts):
+    """ngram_containment_pairs == the python set model |A∩B|/min(|A|,|B|)
+    for arbitrary corpora (threshold 0 keeps every co-shingled pair)."""
+    from db_integration_via_kafka_ksql_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in ngram_containment_pairs(
+            _docs_df(spark, texts), n=2, threshold=0.0
+        ).collect()
+    }
+    sets = {
+        i: set(_grams(t.split(" "), 2, t)) for i, t in enumerate(texts)
+    }
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                expect[(a, b)] = len(sets[a] & sets[b]) / min(
+                    len(sets[a]), len(sets[b])
+                )
+    assert set(got) == set(expect)
+    for k in expect:
+        assert abs(got[k] - expect[k]) < 1e-12
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(_doc, min_size=2, max_size=8), cap=st.integers(1, 6))
+def test_minhash_bucket_cap_is_subset_and_rerank_exact(spark, texts, cap):
+    """Capped pairs ⊆ uncapped pairs with identical Jaccard values
+    (the cap only removes candidates, never rescores), for arbitrary
+    corpora and caps."""
+    from db_integration_via_kafka_ksql_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    docs = _docs_df(spark, texts)
+    plain = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.1).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.1, bucket_cap=cap).collect()
+    }
+    assert set(capped) <= set(plain)
+    for k, v in capped.items():
+        assert v == plain[k]
