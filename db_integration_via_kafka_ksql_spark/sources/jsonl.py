@@ -76,3 +76,22 @@ def read_jsonl_documents(
 ) -> tuple[DataFrame, DataFrame]:
     """The documents-table contract over JSONL input."""
     return read_jsonl(spark, path, DOCUMENTS_SCHEMA)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Export a frame as JSONL — the interchange handoff to downstream
+    tokenizer/trainer stacks that don't read parquet. gzip by default
+    (splittable input isn't needed for an export artifact; size is);
+    max_records_per_file bounds individual file size for uploaders.
+    Round-trips through read_jsonl with the same schema (tested)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.json(path)

@@ -1206,3 +1206,20 @@ def test_jsonl_rejects_reserved_corrupt_column(spark, tmp_path):
     bad = T.StructType([T.StructField("__corrupt_record", T.StringType())])
     with pytest.raises(ValueError, match="reserved"):
         read_jsonl(spark, str(tmp_path), bad)
+
+
+def test_jsonl_round_trip_via_writer(spark, tmp_path, sf_dir):
+    from db_integration_via_kafka_ksql_spark.io import load_table
+    from db_integration_via_kafka_ksql_spark.sources.jsonl import (
+        read_jsonl_documents,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "export")
+    write_jsonl(docs, out, compression="gzip", max_records_per_file=100)
+    valid, dead = read_jsonl_documents(spark, out)
+    assert dead.count() == 0
+    a = sorted((r.doc_id, r.text, r.source) for r in docs.collect())
+    b = sorted((r.doc_id, r.text, r.source) for r in valid.collect())
+    assert a == b
