@@ -648,14 +648,16 @@ def pack_sequences(
 
 def dataset_card(docs: DataFrame, strata_col: str = "source") -> DataFrame:
     """Per-source dataset-card row: the summary a data team publishes
-    next to a corpus — doc/token volume, language spread, exact-duplicate
-    rate, token-length range, and mean quality.
+    next to a corpus — doc/token volume, language spread, distinct-text
+    count (n_docs - n_unique_texts = exact duplicates), token-length
+    range, and mean quality.
 
-    One map-side-combined shuffle keyed by the stratum. The two distinct
-    aggregates (languages, md5 texts) expand map-side and still combine
-    before the exchange; avg_quality routes the per-doc doubles through
-    DECIMAL(18,6) so the sum is order-independent (the registry parity
-    convention) and divides once at the end.
+    Two shuffles: the multi-distinct aggregate plans as Expand + partial
+    count-distinct + final merge (both stages map-side combined — the
+    exchanges carry per-(stratum, distinct-value) partials, never raw
+    docs). avg_quality routes the per-doc doubles through DECIMAL(18,6)
+    so the sum is order-independent (the registry parity convention) and
+    divides once at the end.
 
     Returns (strata_col, n_docs, total_tokens, n_langs, n_unique_texts,
     min_tokens, max_tokens, avg_quality).

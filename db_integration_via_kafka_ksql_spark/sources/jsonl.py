@@ -39,16 +39,26 @@ def read_jsonl(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
+    required: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """(valid rows, dead letters) from a JSONL file/directory.
 
     A line is dead iff the parser could not bind it to the schema
-    (malformed JSON, or a type mismatch on a schema column). Dead rows
-    carry (raw, reason) — the raw line for replay after a fix, mirroring
+    (malformed JSON, or a type mismatch on a schema column), OR any
+    `required` column came out NULL — a parseable line that simply OMITS
+    a field (renamed upstream, truncated export) binds as NULL in
+    PERMISSIVE mode, which would otherwise be exactly the silent-NULL
+    ingestion this reader exists to block. Dead rows carry (raw, reason)
+    — the raw line (re-serialized from the bound columns for the
+    missing-field case) for replay after a fix, mirroring
     `CdcPipeline.dead_letter`.
     """
     if any(f.name == _CORRUPT for f in schema.fields):
         raise ValueError(f"schema may not contain the reserved {_CORRUPT!r}")
+    names = {f.name for f in schema.fields}
+    missing = [c for c in required if c not in names]
+    if missing:
+        raise ValueError(f"required columns not in schema: {missing}")
     # StructType.add MUTATES the receiver — build a fresh StructType so a
     # caller-shared schema constant is never modified across calls
     full = T.StructType(
@@ -63,19 +73,38 @@ def read_jsonl(
     # the corrupt column is only populated on parse failure; cache the
     # split point so valid/dead don't re-parse the input separately
     raw = raw.localCheckpoint(eager=True)
-    valid = raw.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    parsed = raw.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     dead = raw.filter(F.col(_CORRUPT).isNotNull()).select(
         F.col(_CORRUPT).alias("raw"),
         F.lit("jsonl_parse_error").alias("reason"),
     )
+    if required:
+        null_req = None
+        for c in required:
+            e = F.col(c).isNull()
+            null_req = e if null_req is None else (null_req | e)
+        valid = parsed.filter(~null_req)
+        dead = dead.unionByName(
+            parsed.filter(null_req).select(
+                F.to_json(F.struct(*[f.name for f in schema.fields])).alias(
+                    "raw"
+                ),
+                F.lit("missing_required_field").alias("reason"),
+            )
+        )
+    else:
+        valid = parsed
     return valid, dead
 
 
 def read_jsonl_documents(
     spark: SparkSession, path: str
 ) -> tuple[DataFrame, DataFrame]:
-    """The documents-table contract over JSONL input."""
-    return read_jsonl(spark, path, DOCUMENTS_SCHEMA)
+    """The documents-table contract over JSONL input: a row without a
+    doc_id, text, or source is dead, not a NULL-bearing 'document'."""
+    return read_jsonl(
+        spark, path, DOCUMENTS_SCHEMA, required=("doc_id", "text", "source")
+    )
 
 
 def write_jsonl(

@@ -46,10 +46,6 @@ order and bit-comparable with a recompute.
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
-import uuid
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
@@ -57,9 +53,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from db_integration_via_kafka_ksql_spark.operators import cdc
+from db_integration_via_kafka_ksql_spark.streaming import swapdir
 from db_integration_via_kafka_ksql_spark.streaming.state import ParquetStateStore
-
-_EPOCH_FILE = "_epoch.json"
 
 
 @dataclass
@@ -81,32 +76,20 @@ class IncrementalAggView:
 
     # ---------------------------------------------------------------- state
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and bool(os.listdir(self.path))
+        return swapdir.dir_exists(self.path)
 
     def read(self) -> DataFrame:
         """The current view: (group_col, n_rows, sum_value)."""
         return self.spark.read.parquet(self.path)
 
     def last_epoch(self) -> int | None:
-        meta = os.path.join(self.path, _EPOCH_FILE)
-        if not os.path.isfile(meta):
-            return None
-        with open(meta) as f:
-            return json.load(f)["epoch"]
+        return swapdir.read_epoch(self.path)
 
     def _write_atomic(self, df: DataFrame, epoch_id: int) -> None:
-        tmp = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        # epoch marker lands INSIDE the staged dir, so data + marker swap
-        # in as one rename (underscore prefix: ignored by parquet readers)
-        with open(os.path.join(tmp, _EPOCH_FILE), "w") as f:
-            json.dump({"epoch": epoch_id}, f)
-        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        # epoch marker lands inside the staged dir, so data + marker swap
+        # in as one rename — see streaming/swapdir.py (shared with the
+        # packer)
+        swapdir.swap_write(df, self.path, epoch_id)
 
     # ---------------------------------------------------------------- apply
     def _contrib(self, rows: DataFrame, sign: int) -> DataFrame:
@@ -271,13 +254,22 @@ class IncrementalAggView:
         """Run continuously over a streaming changelog (foreachBatch),
         same lifecycle surface as the other streaming components — usable
         with Engine.deploy."""
+        if not self.checkpoint_dir:
+            # same restart hazard as StreamingPacker.start: the epoch
+            # replay guard needs Spark's batch numbering to survive a
+            # restart, or renumbered-from-0 live batches are silently
+            # skipped as replays until the old high-water mark passes
+            raise ValueError(
+                "IncrementalAggView.start() requires checkpoint_dir: the "
+                "epoch-based replay guard is only sound when Spark's batch "
+                "numbering survives restarts"
+            )
         writer = (
             changelog_stream.writeStream.queryName(self.query_name)
             .foreachBatch(self.process_batch)
             .outputMode("update")
         )
-        if self.checkpoint_dir:
-            writer = writer.option("checkpointLocation", self.checkpoint_dir)
+        writer = writer.option("checkpointLocation", self.checkpoint_dir)
         if self.trigger_seconds:
             writer = writer.trigger(
                 processingTime=f"{self.trigger_seconds} seconds"

@@ -41,19 +41,14 @@ shards, the same deliberate contract as the batch twin (shard by
 
 from __future__ import annotations
 
-import json
-import os
-import shutil
-import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.functions import text as T
-
-_EPOCH_FILE = "_epoch.json"
+from db_integration_via_kafka_ksql_spark.streaming import swapdir
 
 
 @dataclass
@@ -74,32 +69,19 @@ class StreamingPacker:
         if self.capacity < 1:
             raise ValueError(f"capacity must be >= 1, got {self.capacity}")
 
-    # ------------------------------------------------------------- state
+    # ----------------------------------------------- state (swapdir shared)
     def state_exists(self) -> bool:
-        return os.path.isdir(self.state_path) and bool(os.listdir(self.state_path))
+        return swapdir.dir_exists(self.state_path)
 
     def read_state(self) -> DataFrame:
         """(shard_cols..., base_offset): tokens packed so far per shard."""
         return self.spark.read.parquet(self.state_path)
 
     def last_epoch(self) -> int | None:
-        meta = os.path.join(self.state_path, _EPOCH_FILE)
-        if not os.path.isfile(meta):
-            return None
-        with open(meta) as f:
-            return json.load(f)["epoch"]
+        return swapdir.read_epoch(self.state_path)
 
     def _swap_state(self, df: DataFrame, epoch_id: int) -> None:
-        tmp = f"{self.state_path}__staging_{uuid.uuid4().hex[:8]}"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, _EPOCH_FILE), "w") as f:
-            json.dump({"epoch": epoch_id}, f)
-        old = f"{self.state_path}__old_{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(self.state_path):
-            os.rename(self.state_path, old)
-        os.rename(tmp, self.state_path)
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+        swapdir.swap_write(df, self.state_path, epoch_id)
 
     # ------------------------------------------------------------- batch
     def _assigned(self, docs: DataFrame) -> DataFrame:
@@ -113,9 +95,22 @@ class StreamingPacker:
             *shard, "doc_id", T.token_count("text").cast("bigint").alias("n_tokens")
         ).withColumn("rel_end", F.sum("n_tokens").over(w))
         if self.state_exists():
-            base = self.read_state()
-            cum = cum.join(F.broadcast(base), shard, "left").withColumn(
-                "base_offset", F.coalesce("base_offset", F.lit(0).cast("bigint"))
+            # null-SAFE key equality: the batch twin's Window.partitionBy
+            # groups NULL shard values together, so the state lookup (and
+            # the merge below) must match NULL keys too — a plain equi-join
+            # would reset a NULL shard's base to 0 every batch
+            base = F.broadcast(self.read_state()).alias("s")
+            cond = None
+            for c in shard:
+                e = cum[c].eqNullSafe(F.col(f"s.{c}"))
+                cond = e if cond is None else (cond & e)
+            cum = (
+                cum.join(base, cond, "left")
+                .select(cum["*"], F.col("s.base_offset"))
+                .withColumn(
+                    "base_offset",
+                    F.coalesce("base_offset", F.lit(0).cast("bigint")),
+                )
             )
         else:
             cum = cum.withColumn("base_offset", F.lit(0).cast("bigint"))
@@ -157,16 +152,22 @@ class StreamingPacker:
             F.sum("n_tokens").cast("bigint").alias("d")
         )
         if self.state_exists():
-            base = self.read_state()
+            base = self.read_state().alias("b")
+            dl = delta.alias("d")
+            cond = None
+            for c in shard:  # null-safe: one row per shard incl. NULL keys
+                e = F.col(f"b.{c}").eqNullSafe(F.col(f"d.{c}"))
+                cond = e if cond is None else (cond & e)
             merged = (
-                base.join(delta, shard, "full")
+                base.join(dl, cond, "full")
                 .select(
                     *[
-                        F.coalesce(base[c], delta[c]).alias(c) for c in shard
+                        F.coalesce(F.col(f"b.{c}"), F.col(f"d.{c}")).alias(c)
+                        for c in shard
                     ],
                     (
-                        F.coalesce("base_offset", F.lit(0).cast("bigint"))
-                        + F.coalesce("d", F.lit(0).cast("bigint"))
+                        F.coalesce("b.base_offset", F.lit(0).cast("bigint"))
+                        + F.coalesce("d.d", F.lit(0).cast("bigint"))
                     ).alias("base_offset"),
                 )
                 # the swap replaces the dir this plan reads — cut lineage
@@ -182,13 +183,24 @@ class StreamingPacker:
         return self.spark.read.parquet(self.dataset_path)
 
     def start(self, doc_stream: DataFrame) -> StreamingQuery:
+        if not self.checkpoint_dir:
+            # the replay guard compares Spark's epoch ids against
+            # _epoch.json; without a durable checkpoint a RESTARTED query
+            # renumbers from 0 and live batches would be skipped as
+            # "replays" (no data written, no error) until the counter
+            # passes the old high-water mark. Refuse rather than lose data.
+            # (process_batch remains directly callable for tests/tools.)
+            raise ValueError(
+                "StreamingPacker.start() requires checkpoint_dir: the "
+                "epoch-based replay guard is only sound when Spark's batch "
+                "numbering survives restarts"
+            )
         writer = (
             doc_stream.writeStream.queryName(self.query_name)
             .foreachBatch(self.process_batch)
             .outputMode("update")
         )
-        if self.checkpoint_dir:
-            writer = writer.option("checkpointLocation", self.checkpoint_dir)
+        writer = writer.option("checkpointLocation", self.checkpoint_dir)
         if self.trigger_seconds:
             writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
         return writer.start()

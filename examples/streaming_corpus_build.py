@@ -11,7 +11,16 @@
 Each stage is its own StreamingQuery with its own checkpoint and
 replay-idempotent state; the curated dataset is simultaneously the first
 stage's sink and the second stage's streaming source — no custom glue,
-just parquet + Structured Streaming file semantics. Run:
+just parquet + Structured Streaming file semantics.
+
+Exactly-once caveat, stated honestly: each stage is replay-idempotent in
+ISOLATION, but the composition is at-least-once across one crash window —
+if stage 1 dies between its dataset write and its state update, the
+replay rewrites the partition with fresh part-file NAMES, and a
+file-name-tracking downstream source re-ingests those rows. Production
+chaining closes this with a commit-log handoff (streaming file sink's
+_spark_metadata, or a manifest the packer filters on) — out of scope for
+this demo. Run:
 
     python examples/streaming_corpus_build.py   (~40 s, local)
 """

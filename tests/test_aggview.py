@@ -271,3 +271,12 @@ def test_aggview_equals_recompute_for_any_changelog(
     for i, b in enumerate(batches):
         v.process_batch(_batch(spark, b), i)
         _check(v)
+
+
+def test_start_requires_checkpoint_dir(spark, tmp_path):
+    v = _view(spark, tmp_path)
+    stream = spark.readStream.format("rate").load()
+    import pytest
+
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        v.start(stream)

@@ -1223,3 +1223,24 @@ def test_jsonl_round_trip_via_writer(spark, tmp_path, sf_dir):
     a = sorted((r.doc_id, r.text, r.source) for r in docs.collect())
     b = sorted((r.doc_id, r.text, r.source) for r in valid.collect())
     assert a == b
+
+
+def test_jsonl_missing_required_field_is_dead_not_null(spark, tmp_path):
+    from db_integration_via_kafka_ksql_spark.sources.jsonl import (
+        read_jsonl_documents,
+    )
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok doc", "lang": "en", "source": "a", "n_chars": 6}\n'
+        '{"doc_id": 2, "body": "renamed field", "lang": "en", "source": "a", "n_chars": 13}\n'
+        '{"doc_id": 3, "text": "no source", "lang": "en", "n_chars": 9}\n'
+        '{"doc_id": 4, "text": "lang optional", "source": "b", "n_chars": 13}\n'
+    )
+    valid, dead = read_jsonl_documents(spark, str(p))
+    ids = {r.doc_id for r in valid.collect()}
+    assert ids == {1, 4}  # lang is NOT required; text/source are
+    dl = dead.collect()
+    assert len(dl) == 2
+    assert all(d.reason == "missing_required_field" for d in dl)
+    assert any('"doc_id":2' in d.raw.replace(" ", "") for d in dl)

@@ -171,3 +171,24 @@ def test_live_stream_end_to_end(spark, tmp_path):
         q.stop()
     got = {r[0]: r for r in _rows(p)}
     assert got[1][3] == 0 and got[2][3] == 5
+
+
+def test_null_shard_key_continues_across_batches(spark, tmp_path):
+    """NULL shard values must behave like the batch twin (one group):
+    null-safe state joins, continuous offsets, a single state row."""
+    p = _packer(spark, tmp_path)
+    rows1 = [(1, None, _tok(5))]
+    rows2 = [(2, None, _tok(6))]
+    p.process_batch(_df(spark, rows1), 0)
+    p.process_batch(_df(spark, rows2), 1)
+    got = {r[0]: r for r in _rows(p)}
+    assert got[2][3] == 5  # continues, not reset to 0
+    st = p.read_state().collect()
+    assert len(st) == 1 and st[0].source is None and st[0].base_offset == 11
+
+
+def test_start_requires_checkpoint_dir(spark, tmp_path):
+    p = _packer(spark, tmp_path)  # checkpoint_dir defaults to None
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        p.start(stream)
