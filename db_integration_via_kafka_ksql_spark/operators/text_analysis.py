@@ -976,6 +976,78 @@ def bpe_pair_counts(
     )
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table: each word starts as characters
+    and adjacent pairs merge in MERGE-RANK order (lowest rank first,
+    leftmost occurrence first on rank ties) — the exact greedy procedure
+    of Sennrich et al. 2016 at inference time. Complements
+    bpe_pair_counts (which produces the next merge candidate during
+    training: alternate count → append argmax to `merges` → re-encode).
+
+    Execution shape: mapInPandas with a PER-BATCH DISTINCT-WORD memo —
+    Zipf's law means a batch's rows repeat a small word set, so each
+    distinct word is encoded once per batch, not once per occurrence;
+    the merge table ships in the task closure (vocabularies are
+    10k-100k pairs — broadcast-sized by construction). No shuffle; the
+    output is a scan-side projection.
+
+    Returns (doc_id, n_tokens, n_pieces, pieces) — pieces joined by
+    spaces within a word and ' | ' between words (both separators are
+    outside any piece alphabet produced from space-split words).
+    """
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_word(word: str, memo: dict) -> list[str]:
+        got = memo.get(word)
+        if got is not None:
+            return got
+        pieces = list(word)
+        while len(pieces) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(pieces) - 1):
+                r = ranks.get((pieces[i], pieces[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            pieces[best_i : best_i + 2] = [
+                pieces[best_i] + pieces[best_i + 1]
+            ]
+        memo[word] = pieces
+        return pieces
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            memo: dict = {}
+            n_tok, n_pc, joined = [], [], []
+            for text in pdf["text"]:
+                words = text.split(" ")
+                enc = [encode_word(w, memo) for w in words]
+                n_tok.append(len(words))
+                n_pc.append(sum(len(e) for e in enc))
+                joined.append(" | ".join(" ".join(e) for e in enc))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pd.Series(n_tok, dtype="int64"),
+                    "n_pieces": pd.Series(n_pc, dtype="int64"),
+                    "pieces": joined,
+                }
+            )
+
+    return docs.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        run, "doc_id long, n_tokens long, n_pieces long, pieces string"
+    )
+
+
 def temperature_mixture(
     docs: DataFrame,
     budget_tokens: int,

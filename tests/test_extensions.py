@@ -1244,3 +1244,71 @@ def test_jsonl_missing_required_field_is_dead_not_null(spark, tmp_path):
     assert len(dl) == 2
     assert all(d.reason == "missing_required_field" for d in dl)
     assert any('"doc_id":2' in d.raw.replace(" ", "") for d in dl)
+
+
+# --- bpe_encode (apply a learned merge table) ---
+
+
+def _py_bpe(word, merges):
+    ranks = {p: i for i, p in enumerate(merges)}
+    pieces = list(word)
+    while len(pieces) > 1:
+        cands = [
+            (ranks[(pieces[i], pieces[i + 1])], i)
+            for i in range(len(pieces) - 1)
+            if (pieces[i], pieces[i + 1]) in ranks
+        ]
+        if not cands:
+            break
+        _, i = min(cands)
+        pieces[i : i + 2] = [pieces[i] + pieces[i + 1]]
+    return pieces
+
+
+def test_bpe_encode_known_merge_sequence(spark):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        bpe_encode,
+    )
+
+    merges = [("a", "b"), ("ab", "c")]
+    docs = spark.createDataFrame(
+        [(0, "abc ab ba xyz")], "doc_id long, text string"
+    )
+    r = bpe_encode(docs, merges).collect()[0]
+    # abc -> [abc]; ab -> [ab]; ba -> [b,a]; xyz untouched -> [x,y,z]
+    assert r.pieces == "abc | ab | b a | x y z"
+    assert (r.n_tokens, r.n_pieces) == (4, 7)
+
+
+def test_bpe_encode_rank_order_beats_position(spark):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        bpe_encode,
+    )
+
+    # "bc" has lower rank than "ab": in "abc" the bc merge applies first,
+    # so ab can never form
+    merges = [("b", "c"), ("a", "b")]
+    docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
+    r = bpe_encode(docs, merges).collect()[0]
+    assert r.pieces == "a bc"
+
+
+def test_bpe_encode_matches_python_reference_on_corpus(spark, sf_dir):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        bpe_encode,
+        bpe_pair_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # seed the table with the corpus's own top pair (ties the encoder to
+    # the training statistic), then extend with hand-picked merges that
+    # exercise multi-level merging
+    top = bpe_pair_counts(docs, top_k=1).collect()[0].pair
+    merges = [(top[0], top[1]), ("i", "n"), ("s", "t"), (top, "s")]
+    got = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    for row in docs.limit(20).collect():
+        words = row.text.split(" ")
+        expect = [_py_bpe(w, merges) for w in words]
+        g = got[row.doc_id]
+        assert g.pieces == " | ".join(" ".join(e) for e in expect)
+        assert g.n_pieces == sum(len(e) for e in expect)
