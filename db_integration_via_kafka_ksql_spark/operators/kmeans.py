@@ -114,14 +114,21 @@ def _fit(
         raise ValueError(
             "kmeans_fit: no vectors to seed from (empty embeddings input)"
         )
-    if len(centroids[0]) != dims:
-        # a silent mismatch is worse than either symptom it causes: dims
-        # too large NULLs the update sums (driver TypeError mid-loop),
-        # dims too small truncates round-1 centroids and zip_with then
-        # NULL-pads every later distance — garbage clustering, no error
+    # a silent mismatch is worse than either symptom it causes: dims too
+    # large NULLs the update sums (driver TypeError mid-loop), dims too
+    # small truncates round-1 centroids and zip_with then NULL-pads every
+    # later distance — garbage clustering, no error. Checking only the
+    # seed rows would miss a RAGGED embedding column (later vectors with
+    # a different length), so validate min==max==dims over the WHOLE
+    # checkpointed frame: one cheap aggregate over stored data, ~free
+    # next to the `iters` full assignment passes that follow.
+    sz = q.agg(
+        F.min(F.size("q")).alias("lo"), F.max(F.size("q")).alias("hi")
+    ).first()
+    if sz.lo != dims or sz.hi != dims:
         raise ValueError(
             f"kmeans_fit: dims={dims} but the embedding vectors have "
-            f"{len(centroids[0])} dimensions"
+            f"{sz.lo}..{sz.hi} dimensions"
         )
     sums = [
         F.sum(F.element_at("q", i + 1)).cast("bigint").alias(f"s{i}")
@@ -173,8 +180,14 @@ def assign_clusters_pandas(
                 }
             )
 
+    # vec_id's type is taken from the input frame: the production
+    # embeddings table stores bigint ids, and hard-coding `int` here
+    # would silently downcast them in the Arrow path only, diverging
+    # from the expression path this twin is equivalence-tested against
+    id_type = quantized.schema["vec_id"].dataType.simpleString()
     return quantized.mapInPandas(
-        assign, "vec_id int, q array<bigint>, cluster int, dist2 bigint"
+        assign,
+        f"vec_id {id_type}, q array<bigint>, cluster int, dist2 bigint",
     )
 
 

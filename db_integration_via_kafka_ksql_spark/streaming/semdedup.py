@@ -98,14 +98,28 @@ class StreamingSemDedup:
         )
 
     def _cos_cond(self, qa, qb, na, nb):
-        """qdot(a,b) >= t * |a| * |b|, exact integer dot + IEEE sqrt."""
+        """qdot(a,b) >= t * |a| * |b|, exact integer dot + IEEE sqrt.
+
+        Zero-norm vectors (all-zero quantized embedding) are degenerate:
+        cosine is undefined, and `qdot > 0` alone would make them match
+        NOTHING — including themselves — which breaks the replay-
+        idempotence mechanism (a replayed batch relies on every vector
+        colliding with its own witness; a zero vector that never
+        self-collides would survive the replay and dynamically overwrite
+        its epoch partition with only the zero vectors, dropping the
+        partition's previously accepted rows). So two zero-norm vectors
+        are DEFINED as duplicates of each other: self-collision always
+        fires, and within a batch all zero vectors of a cluster collapse
+        to the min-id representative. (The batch `semdedup_pairs`
+        operator keeps the stricter `qdot > 0` rule — it has no replay
+        contract and its DuckDB oracle mirrors that filter.)"""
         t = self.threshold_pct / 100
         qdot = V.qdot(qa, qb)
-        return (qdot > 0) & (
-            qdot.cast("double")
-            >= F.lit(t)
-            * F.sqrt(F.col(na).cast("double"))
-            * F.sqrt(F.col(nb).cast("double"))
+        na_d = F.col(na).cast("double")
+        nb_d = F.col(nb).cast("double")
+        return ((F.col(na) == 0) & (F.col(nb) == 0)) | (
+            (qdot > 0)
+            & (qdot.cast("double") >= F.lit(t) * F.sqrt(na_d) * F.sqrt(nb_d))
         )
 
     def accepted_of_batch(self, vecs: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -1,0 +1,89 @@
+"""bench.py stdout contract: the driver keeps only the LAST ~2,000 chars
+of bench stdout and json.loads them (BENCH_r06.json shipped parsed:null
+when the line outgrew that window). These tests emulate that capture
+against the compact line bench actually prints."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+DRIVER_TAIL_CHARS = 2000
+
+
+def _full_report(query_names, n_reps=3):
+    """A realistic FULL report: per-query timings plus every heavy
+    section that round 6 proved can bloat the line past the window."""
+    timings = {q: round(1.0 + 0.001 * i, 4) for i, q in enumerate(query_names)}
+    return {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "reps": {q: [v, v + 0.01, v + 0.02] for q, v in timings.items()},
+        "n_reps": n_reps,
+        "n_timed": len(timings),
+        "sf": "sf0.1",
+        "cc": {"seconds": 1.9, "rounds": 5, "edges": 485},
+        "replay_events_per_sec": 3264151,
+        "replay_n_events": 5000000,
+        "state_footprint": {"bytes_per_key": 9.8},
+        "propagation_latency": {"p50": 2.0, "max": 2.02},
+        "aggview": {"events_per_sec": 26600},
+        "aggview_minmax": {"events_per_sec": 9500},
+    }
+
+
+def _emulate_driver(stdout_text: str):
+    """The driver's capture: last DRIVER_TAIL_CHARS of stdout, parse the
+    final line as JSON."""
+    tail = stdout_text[-DRIVER_TAIL_CHARS:]
+    return json.loads(tail.strip().splitlines()[-1])
+
+
+def test_compact_line_fits_budget_with_real_headline_set():
+    report = _full_report(bench.HEADLINE + ["cc_stress_placeholder"])
+    line = json.dumps(bench.compact_report(report))
+    assert len(line) <= bench.STDOUT_BUDGET
+    # the real headline set is small enough that per-query timings fit
+    parsed = _emulate_driver(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["n_timed"] == len(report["queries"])
+    assert len(parsed["queries"]) == len(report["queries"])
+
+
+def test_tail_capture_parses_even_after_earlier_noise():
+    report = _full_report(bench.HEADLINE)
+    stdout = "WARN noisy jvm line\n" * 200 + json.dumps(
+        bench.compact_report(report)
+    )
+    parsed = _emulate_driver(stdout)
+    assert parsed["value"] == report["value"]
+    assert parsed["detail"] == "BENCH_DETAIL.json"
+
+
+def test_oversized_registry_drops_queries_not_parseability():
+    # 120 queries with long names: per-query timings can no longer fit —
+    # they must be dropped wholesale and flagged, never clipped
+    names = [f"extremely_long_query_family_name_variant_{i:03d}" for i in range(120)]
+    report = _full_report(names)
+    report["errors"] = {"q_bad": "boom"}
+    report["partial"] = True
+    compact = bench.compact_report(report)
+    line = json.dumps(compact)
+    assert len(line) <= bench.STDOUT_BUDGET
+    assert compact["queries_dropped"] == 120
+    assert compact["n_errors"] == 1
+    assert compact["partial"] is True
+    assert _emulate_driver("x" * 5000 + "\n" + line)["queries_dropped"] == 120
+
+
+def test_compact_report_keeps_headline_metric_fields():
+    report = _full_report(bench.HEADLINE)
+    compact = bench.compact_report(report)
+    for key in ("metric", "value", "unit", "sf", "n_timed", "n_reps"):
+        assert compact[key] == report[key]
+    # heavy sections must NOT leak into the stdout line
+    for key in ("reps", "cc", "aggview", "propagation_latency"):
+        assert key not in compact

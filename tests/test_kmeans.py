@@ -185,3 +185,27 @@ def test_pandas_assignment_tie_breaks_to_lowest_cid(spark):
         for r in KM.assign_clusters_pandas(q, cents).collect()
     }
     assert set(got.values()) == {0}
+
+
+def test_pandas_assignment_preserves_bigint_vec_id(spark):
+    # the production embeddings table stores vec_id as bigint; the Arrow
+    # twin must not silently downcast ids to int32 (ADVICE r6)
+    df = spark.createDataFrame(
+        [(2**40, [1.0, 0.0]), (2**40 + 1, [0.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = KM._quantized(df)
+    out = KM.assign_clusters_pandas(q, [[1024, 0], [0, 1024]])
+    assert out.schema["vec_id"].dataType.simpleString() == "bigint"
+    assert {r.vec_id for r in out.collect()} == {2**40, 2**40 + 1}
+
+
+def test_fit_rejects_ragged_embeddings(spark):
+    # a later row with the wrong length must fail loudly, not NULL-pad:
+    # the check is a whole-frame aggregate, not a first-row peek
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0, 0.5])],
+        "vec_id int, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="dimensions"):
+        KM.kmeans_fit(df, k=2, iters=1, seed=1, dims=2)

@@ -202,3 +202,27 @@ def test_live_stream_end_to_end(spark, tmp_path):
     finally:
         q.stop()
     assert _ids(d) == [1, 3]
+
+
+def test_zero_norm_vectors_collapse_and_replay_idempotent(spark, tmp_path):
+    """Zero-norm (all-zero) embeddings are degenerate: they are DEFINED
+    as duplicates of each other, so (a) within a batch they collapse to
+    the min-id zero vector, and (b) on a replay AFTER the state update
+    every vector — zero or not — collides with its own witness and the
+    epoch partition is left untouched (ADVICE r6: the old `qdot > 0`
+    condition made zero vectors match nothing, including themselves, so
+    a replayed epoch was overwritten with ONLY the zero vectors)."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),  # zero-norm
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm dup of #2 -> dropped
+    ]
+    d = _sem(spark, tmp_path)
+    d.process_batch(_df(spark, rows), 7)
+    assert _ids(d) == [1, 2]
+    # crash after state update: replay must not rewrite the partition
+    d.process_batch(_df(spark, rows), 7)
+    assert _ids(d) == [1, 2]
+    # cross-batch: a later zero vector is dropped by the zero witness
+    d.process_batch(_df(spark, [(9, [0.0, 0.0, 0.0, 0.0])]), 8)
+    assert _ids(d) == [1, 2]
