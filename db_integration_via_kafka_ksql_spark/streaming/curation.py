@@ -13,13 +13,17 @@ Design mirrors the CDC pipeline's external-state stance:
   same store the CDC TABLE uses) — size ∝ unique accepted docs, one
   md5-key shuffle per batch;
 - **exactly-once append without a transactional table format**: each
-  micro-batch writes ONLY its own `ingest_batch=<epoch_id>` partitions
-  via dynamic partition overwrite. A replayed batch recomputes the same
-  accepted set (the state is unchanged until after the write) and
-  overwrites its own partitions instead of duplicating them; if the
-  failure happened after the state update, the replay's anti-join yields
-  an empty batch, dynamic overwrite touches no partitions, and the
-  earlier append stands. Either way replays converge.
+  micro-batch publishes ONLY its own `ingest_batch=<epoch_id>` partition,
+  atomically and with FINAL part-file names (`streaming/epochdir` —
+  staging dir + one rename). A replayed batch finds its partition already
+  committed and skips the write entirely (the accepted set is
+  deterministic given the pre-batch state, so the on-disk rows are
+  already exactly what the replay would produce); if the failure happened
+  after the state update, the replay additionally computes an empty
+  accepted set. Either way replays converge — and because part-file
+  names never change once visible, a DOWNSTREAM stage streaming this
+  dataset by file name never re-ingests an epoch (the composition is
+  exactly-once, not just each stage in isolation).
 - **the dataset is the recovery log**: `rebuild_state()` derives the
   dedup state from the dataset itself (distinct hashes), so losing the
   state directory costs one scan, not correctness — the same
@@ -37,6 +41,7 @@ from pyspark.sql.streaming import StreamingQuery
 from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
     quality_scores,
 )
+from db_integration_via_kafka_ksql_spark.streaming import epochdir
 from db_integration_via_kafka_ksql_spark.streaming.state import ParquetStateStore
 
 
@@ -77,27 +82,26 @@ class StreamingCurator:
         )
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        """One micro-batch: curate, drop already-accepted hashes, append
-        this batch's partitions (idempotent overwrite), then record the
-        new hashes in the dedup state."""
+        """One micro-batch: curate, drop already-accepted hashes, publish
+        this batch's partition (atomic, name-stable, skipped on replay),
+        then record the new hashes in the dedup state."""
         kept = self.curate_batch(batch_df)
         if self.state.exists():
             kept = kept.join(self.state.read().select("h"), on="h", how="left_anti")
-        accepted = kept.withColumn(
-            self.batch_col, F.lit(epoch_id).cast("bigint")
-        ).localCheckpoint()  # computed once: dataset write + state update
-        (
-            accepted.repartition(F.col("source"))
-            .sortWithinPartitions("source", "doc_id")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(self.batch_col, "source")
-            .parquet(self.dataset_path)
+        accepted = kept.localCheckpoint()  # once: dataset write + state
+        epochdir.commit_epoch(
+            accepted.repartition(F.col("source")).sortWithinPartitions(
+                "source", "doc_id"
+            ),
+            self.dataset_path,
+            self.batch_col,
+            epoch_id,
+            partition_cols=("source",),
         )
         self.state.apply_batch(
             accepted.select(
                 "h",
-                F.col(self.batch_col).alias("offset"),
+                F.lit(epoch_id).cast("bigint").alias("offset"),
                 F.lit("false").alias("__deleted"),
             )
         )

@@ -1,0 +1,105 @@
+"""Atomic, NAME-STABLE per-epoch partition commits — the composition-safe
+handoff between chained streaming stages.
+
+Round-6 state of the world: every foreachBatch stage wrote its epoch's
+rows with dynamic partition overwrite. Each stage alone was
+replay-idempotent, but the COMPOSITION (e.g. curator → packer, where the
+upstream dataset is simultaneously the downstream's file-stream source)
+was at-least-once across one crash window: a stage that died between its
+dataset write and its state update would, on replay, rewrite the same
+partition with FRESH part-file names — and a file-name-tracking
+downstream source re-ingested those rows as new.
+
+The fix is to make the partition itself the commit record:
+
+1. the epoch's rows are written to a STAGING sibling
+   (`{dataset}__epoch_staging_<uuid>`) with Spark's normal writer — the
+   job commits entirely inside staging, so a mid-job crash never touches
+   the dataset;
+2. one `os.rename` publishes staging as `{dataset}/{batch_col}=<epoch>` —
+   the partition appears atomically, files and names final;
+3. a replayed epoch finds the partition dir already present and SKIPS the
+   write entirely (`commit_epoch` returns False). Part-file names are
+   therefore immutable once visible: a downstream file-stream source can
+   never observe a second copy of an epoch's rows, closing the
+   composition window without any out-of-band manifest — the renamed
+   partition dir IS the manifest entry.
+
+Soundness of the skip relies on a contract every caller already honors:
+a stage's per-epoch output is DETERMINISTIC given its pre-batch state
+(pure column math / deterministic hashing, state read-only until after
+the write), and epoch ids never repeat across different batches (Spark's
+checkpointed batch numbering; `StreamingPacker.start` refuses to run
+without a checkpoint for exactly this reason).
+
+Crash matrix (stage order: commit_epoch → state update):
+- during staging write → orphan staging dir, dataset untouched; swept on
+  the next commit, replay restages. Exactly-once.
+- between rename and state update → partition visible (downstream may
+  ingest it), state stale; replay recomputes the identical rows, SKIPS
+  the write (names unchanged — downstream sees nothing new), applies the
+  state. Exactly-once end-to-end.
+- after state update → replay skips the write and re-applies an
+  idempotent (or empty) state batch. Exactly-once.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+
+_STAGING_MARK = "__epoch_staging_"
+
+
+def partition_dir(dataset_path: str, batch_col: str, epoch_id: int) -> str:
+    return os.path.join(dataset_path, f"{batch_col}={epoch_id}")
+
+
+def epoch_committed(dataset_path: str, batch_col: str, epoch_id: int) -> bool:
+    """True iff this epoch's partition has been atomically published."""
+    return os.path.isdir(partition_dir(dataset_path, batch_col, epoch_id))
+
+
+def sweep_orphans(dataset_path: str) -> None:
+    """Remove staging siblings stranded by a crash mid-write. Inert until
+    swept (fresh uuid suffixes, outside the dataset dir), same discipline
+    as swapdir._sweep_orphans."""
+    parent = os.path.dirname(dataset_path) or "."
+    base = os.path.basename(dataset_path)
+    if not os.path.isdir(parent):
+        return
+    for name in os.listdir(parent):
+        if name.startswith(f"{base}{_STAGING_MARK}"):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
+def commit_epoch(
+    df: DataFrame,
+    dataset_path: str,
+    batch_col: str,
+    epoch_id: int,
+    partition_cols: tuple[str, ...] = (),
+) -> bool:
+    """Publish `df` (WITHOUT the batch column — it becomes the partition
+    dir name) as `{dataset}/{batch_col}={epoch}` via staging + one atomic
+    rename. Returns False without touching anything if the partition is
+    already committed (a replayed epoch); True after a fresh commit.
+
+    An empty frame still commits (a dir holding only `_SUCCESS`): parquet
+    readers ignore file-less partition dirs, and the dir doubles as the
+    replay marker so an empty epoch is not recomputed forever."""
+    dest = partition_dir(dataset_path, batch_col, epoch_id)
+    if os.path.isdir(dest):
+        return False
+    sweep_orphans(dataset_path)
+    os.makedirs(dataset_path, exist_ok=True)
+    staging = f"{dataset_path}{_STAGING_MARK}{uuid.uuid4().hex[:8]}"
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    os.rename(staging, dest)
+    return True

@@ -10,8 +10,10 @@ Per micro-batch:
    components (`operators/graph.dedup_clusters`) → min-doc_id reps;
 3. cross-batch filter: any doc sharing a (band_id, band_key) bucket with
    ANY previously-seen doc is dropped;
-4. idempotent append of the survivors (dynamic overwrite of the batch's
-   own `ingest_batch` partition — the `StreamingCurator` replay story);
+4. idempotent append of the survivors (atomic name-stable publish of
+   the batch's own `ingest_batch` partition via `streaming/epochdir` —
+   the `StreamingCurator` replay story; replays skip the committed
+   partition, so chained downstream stages never re-ingest an epoch);
 5. state grows by the batch's band keys — for ALL docs, accepted or
    dropped, so later docs that resemble an already-dropped doc are still
    caught (collision witnesses must persist).
@@ -56,6 +58,7 @@ from db_integration_via_kafka_ksql_spark.operators.dedup import (
     sig_band_structs,
 )
 from db_integration_via_kafka_ksql_spark.operators.graph import dedup_clusters
+from db_integration_via_kafka_ksql_spark.streaming import epochdir
 from db_integration_via_kafka_ksql_spark.streaming.state import ParquetStateStore
 
 
@@ -282,14 +285,12 @@ class StreamingNearDup:
         if batch_df.isEmpty():  # idle trigger — nothing to dedup or record
             return
         accepted, bk = self.accepted_of_batch(batch_df)
-        accepted = accepted.withColumn(
-            self.batch_col, F.lit(epoch_id).cast("bigint")
-        ).localCheckpoint()
-        (
-            accepted.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(self.batch_col)
-            .parquet(self.dataset_path)
+        accepted = accepted.localCheckpoint()
+        # atomic, name-stable partition publish (streaming/epochdir):
+        # replays find the partition committed and skip the write, so
+        # downstream file-stream consumers never see an epoch twice
+        epochdir.commit_epoch(
+            accepted, self.dataset_path, self.batch_col, epoch_id
         )
         # state grows by every incoming doc's buckets (witnesses persist);
         # replays upsert the same composite keys — idempotent. With rerank

@@ -14,8 +14,9 @@ Per micro-batch:
    sequence spans derive from absolute offsets exactly as in the batch
    twin (`first_seq = start div capacity`, `last_seq = (end-1) div
    capacity` — docs may straddle batch boundaries mid-sequence);
-3. idempotent append of the assignment rows (dynamic overwrite of the
-   batch's own `ingest_batch` partition);
+3. idempotent append of the assignment rows (atomic name-stable
+   publish of the batch's own `ingest_batch` partition via
+   `streaming/epochdir`);
 4. the state advances by each shard's batch token total, written with
    the aggview atomic-swap + `_epoch.json` marker.
 
@@ -25,13 +26,13 @@ the batch twin. Feeding batches in ascending doc_id order reproduces the
 batch result exactly (equivalence-tested); out-of-order arrival gives a
 different — still gapless and deterministic-per-arrival-order — packing.
 
-**Replay.** The dataset partition write PRECEDES the state swap. A crash
-before the swap replays the batch against the unchanged base — same
-rows, same partition, overwritten in place. After the swap, the replayed
-epoch is detected (`epoch <= last_epoch`) and skipped entirely: its
-partition is already on disk, and re-running it against the advanced
-base would double-advance every offset. Same discipline as
-`IncrementalAggView`.
+**Replay.** The dataset partition publish PRECEDES the state swap. A
+crash before the swap replays the batch against the unchanged base —
+same rows; the committed partition (name-stable, `epochdir`) is found
+and the write skipped, the state swap then lands. After the swap, the
+replayed epoch is detected (`epoch <= last_epoch`) and skipped entirely:
+re-running it against the advanced base would double-advance every
+offset. Same discipline as `IncrementalAggView`.
 
 Scale: state is one row per shard; the only corpus-touching work per
 batch is one shard-keyed window over the BATCH. Parallelism = number of
@@ -48,7 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.functions import text as T
-from db_integration_via_kafka_ksql_spark.streaming import swapdir
+from db_integration_via_kafka_ksql_spark.streaming import epochdir, swapdir
 
 
 @dataclass
@@ -140,12 +141,13 @@ class StreamingPacker:
             # double-advance offsets — skip wholesale
             return
         assigned = self._assigned(batch_df).localCheckpoint()
-        (
-            assigned.withColumn(self.batch_col, F.lit(epoch_id).cast("bigint"))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(self.batch_col)
-            .parquet(self.dataset_path)
+        # atomic, name-stable partition publish (streaming/epochdir): a
+        # replay that crashed AFTER this write but BEFORE the state swap
+        # finds the partition committed and skips it — file names never
+        # change once visible, so a downstream stage streaming the packed
+        # dataset by file name cannot re-ingest this epoch
+        epochdir.commit_epoch(
+            assigned, self.dataset_path, self.batch_col, epoch_id
         )
         shard = list(self.shard_cols)
         delta = assigned.groupBy(*shard).agg(

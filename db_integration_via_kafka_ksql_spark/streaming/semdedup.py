@@ -13,8 +13,8 @@ Per micro-batch:
    previously-seen vector IN ITS CLUSTER reaches the threshold is
    dropped (the cluster id is the blocking key, so the probe only
    compares against that cluster's history, never the full state);
-4. idempotent append of the survivors (dynamic overwrite of the batch's
-   own `ingest_batch` partition);
+4. idempotent append of the survivors (atomic name-stable publish of the
+   batch's own `ingest_batch` partition via `streaming/epochdir`);
 5. state grows by ALL batch vectors — accepted or dropped — so later
    arrivals resembling an already-dropped vector are still caught
    (witnesses persist, exactly like the MinHash pass).
@@ -28,11 +28,13 @@ land in their nearest old cluster (over-full clusters are visible in the
 state's per-cluster counts — refit offline and rebuild state to re-block).
 
 **Replay idempotence** (same mechanism as StreamingNearDup, relied on by
-the tests): on a replay AFTER the state update, every batch vector
-collides with its own witness row (cosine(self) = 1), the accepted frame
-is empty, and an empty dynamic-overwrite write touches no partitions —
-the dataset is unchanged. On a replay BEFORE the state update the batch
-re-runs exactly as the first time. Both interleavings converge.
+the tests): a replayed epoch finds its partition already committed and
+`epochdir.commit_epoch` skips the write — part-file names never change
+once visible, so chained downstream stages are exactly-once too. The
+witness self-collision property still holds independently (on a replay
+AFTER the state update every batch vector — zero-norm included, see
+`_cos_cond` — collides with its own witness, so the recomputed accepted
+frame is empty anyway). Both interleavings converge.
 
 Scale shape: assignment is a projection (zero shuffle); the within-batch
 pair join is cluster-keyed over a micro-batch; the history probe
@@ -55,6 +57,7 @@ from db_integration_via_kafka_ksql_spark.operators.kmeans import (
     Centroids,
     assign_clusters,
 )
+from db_integration_via_kafka_ksql_spark.streaming import epochdir
 from db_integration_via_kafka_ksql_spark.streaming.state import ParquetStateStore
 
 
@@ -180,14 +183,12 @@ class StreamingSemDedup:
         if batch_df.isEmpty():
             return
         accepted, asg = self.accepted_of_batch(batch_df)
-        accepted = accepted.withColumn(
-            self.batch_col, F.lit(epoch_id).cast("bigint")
-        ).localCheckpoint()
-        (
-            accepted.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(self.batch_col)
-            .parquet(self.dataset_path)
+        accepted = accepted.localCheckpoint()
+        # atomic, name-stable partition publish (streaming/epochdir):
+        # replays find the partition committed and skip the write, so
+        # downstream file-stream consumers never see an epoch twice
+        epochdir.commit_epoch(
+            accepted, self.dataset_path, self.batch_col, epoch_id
         )
         # witnesses persist for every incoming vector; replays upsert the
         # same keys — idempotent

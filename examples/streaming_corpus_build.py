@@ -13,14 +13,16 @@ replay-idempotent state; the curated dataset is simultaneously the first
 stage's sink and the second stage's streaming source — no custom glue,
 just parquet + Structured Streaming file semantics.
 
-Exactly-once caveat, stated honestly: each stage is replay-idempotent in
-ISOLATION, but the composition is at-least-once across one crash window —
-if stage 1 dies between its dataset write and its state update, the
-replay rewrites the partition with fresh part-file NAMES, and a
-file-name-tracking downstream source re-ingests those rows. Production
-chaining closes this with a commit-log handoff (streaming file sink's
-_spark_metadata, or a manifest the packer filters on) — out of scope for
-this demo. Run:
+Exactly-once ACROSS the composition, not just per stage: every stage
+publishes its epoch partition atomically with FINAL part-file names
+(`streaming/epochdir` — staging dir + one rename; a replayed epoch finds
+the partition committed and skips the write). The round-6 at-least-once
+window — stage 1 dying between its dataset write and its state update,
+then replaying fresh part-file names that a file-name-tracking
+downstream source re-ingested — is closed by construction: file names
+never change once visible, so the committed partition dir doubles as the
+commit-log entry. Crash-replay coverage for exactly that window lives in
+tests/test_streaming_composition.py. Run:
 
     python examples/streaming_corpus_build.py   (~40 s, local)
 """

@@ -1,0 +1,164 @@
+"""Composition-level exactly-once for chained streaming stages
+(curator → packer, where the curated dataset is simultaneously stage 1's
+sink and stage 2's file-stream source).
+
+Round 6 documented this composition as at-least-once across one crash
+window: a stage-1 crash between its dataset write and its state update
+replayed into a dynamic-overwrite rewrite with FRESH part-file names,
+which a file-name-tracking downstream source re-ingested. The
+`streaming/epochdir` name-stable atomic partition commit closes it:
+these tests kill stage 1 in exactly that window and assert the packer
+ingests no duplicate rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.curation import StreamingCurator
+from db_integration_via_kafka_ksql_spark.streaming.packer import StreamingPacker
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "to find some more interesting food in the next valley over the hill"
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        list(rows), "doc_id bigint, source string, text string"
+    )
+
+
+def _files_of(dataset_path):
+    out = set()
+    for d, _s, files in os.walk(dataset_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.add(os.path.relpath(os.path.join(d, f), dataset_path))
+    return out
+
+
+@pytest.fixture
+def stages(spark, tmp_path):
+    curator = StreamingCurator(
+        spark,
+        dataset_path=str(tmp_path / "curated"),
+        state_path=str(tmp_path / "curation_state"),
+        min_quality=0.2,
+        min_tokens=8,
+        checkpoint_dir=str(tmp_path / "ckpt_curate"),
+        trigger_seconds=0,
+    )
+    packer = StreamingPacker(
+        spark,
+        dataset_path=str(tmp_path / "packed"),
+        state_path=str(tmp_path / "packing_state"),
+        capacity=64,
+        checkpoint_dir=str(tmp_path / "ckpt_pack"),
+        trigger_seconds=0,
+    )
+    return curator, packer
+
+
+def _pack_available(spark, curator, packer):
+    """Run the packer over whatever the curated dataset holds right now
+    (one live micro-stream pass, then stop)."""
+    curated = spark.readStream.schema(curator.read_corpus().schema).parquet(
+        curator.dataset_path
+    )
+    q = packer.start(curated.select("doc_id", "source", "text"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_stage1_crash_between_write_and_state_no_downstream_dupes(
+    spark, tmp_path, stages
+):
+    """Kill stage 1 BETWEEN its dataset publish and its state update
+    (the round-6 at-least-once window); the downstream packer must
+    ingest each curated row exactly once across the crash + replay."""
+    curator, packer = stages
+    b0 = [(1, "web", GOOD + " one"), (2, "books", GOOD + " two")]
+    b1 = [(3, "web", GOOD + " three"), (4, "books", GOOD + " four")]
+
+    curator.process_batch(_batch(spark, b0), 0)
+    _pack_available(spark, curator, packer)
+    assert packer.read_packed().count() == 2
+
+    # stage-1 crash: partition published, state update never happens
+    orig_apply = curator.state.apply_batch
+
+    def crash(df):
+        raise RuntimeError("injected crash before state update")
+
+    curator.state.apply_batch = crash
+    with pytest.raises(RuntimeError, match="injected crash"):
+        curator.process_batch(_batch(spark, b1), 1)
+    curator.state.apply_batch = orig_apply
+    assert epochdir.epoch_committed(curator.dataset_path, "ingest_batch", 1)
+
+    # downstream runs while stage 1 is down — it SEES the committed epoch
+    _pack_available(spark, curator, packer)
+    assert packer.read_packed().count() == 4
+    files_before = _files_of(curator.dataset_path)
+
+    # stage-1 replay of the same epoch (checkpoint re-delivers batch 1):
+    # the partition is already committed — file names must NOT change
+    curator.process_batch(_batch(spark, b1), 1)
+    assert _files_of(curator.dataset_path) == files_before
+
+    # downstream re-lists: nothing new to ingest, no duplicates
+    _pack_available(spark, curator, packer)
+    packed = packer.read_packed()
+    assert packed.count() == 4
+    assert packed.select("doc_id").distinct().count() == 4
+    # offsets are a consistent gapless packing: per shard, the state's
+    # base offset equals the sum of packed token counts
+    state = {
+        r.source: r.base_offset for r in packer.read_state().collect()
+    }
+    sums = {
+        r.source: r.total
+        for r in packed.groupBy("source")
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    }
+    assert state == sums
+    # and stage 1's state catch-up happened on the replay: a later
+    # duplicate of batch-1 text is still rejected
+    curator.process_batch(
+        _batch(spark, [(9, "web", GOOD + " three")]), 2
+    )
+    corpus_ids = sorted(
+        r.doc_id for r in curator.read_corpus().select("doc_id").collect()
+    )
+    assert corpus_ids == [1, 2, 3, 4]
+
+
+def test_stage1_crash_mid_staging_publishes_nothing_downstream(
+    spark, tmp_path, stages
+):
+    """A crash DURING the staging write leaves only an orphan staging
+    dir: the dataset (and thus the downstream source) sees nothing; the
+    replay commits once and the orphan is swept."""
+    curator, packer = stages
+    curator.process_batch(
+        _batch(spark, [(1, "web", GOOD + " one")]), 0
+    )
+    # emulate a mid-staging crash artifact
+    orphan = f"{curator.dataset_path}__epoch_staging_deadbeef"
+    os.makedirs(orphan)
+    b1 = [(2, "books", GOOD + " two")]
+    curator.process_batch(_batch(spark, b1), 1)
+    assert not os.path.isdir(orphan)  # swept by the successful commit
+    _pack_available(spark, curator, packer)
+    packed = packer.read_packed()
+    assert packed.count() == 2
+    assert packed.select("doc_id").distinct().count() == 2
