@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_embedding_pairs_lsh_mp",
     "sim_lsh_topk_mp",
     "sim_ivf_topk",
+    "sim_ivf_pq_topk",
     "text_fingerprints",
     "text_repetition_scores",
     "decontam_ngram_overlap",

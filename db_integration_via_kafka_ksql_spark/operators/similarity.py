@@ -415,3 +415,336 @@ def brute_topk_pandas(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "qdot", "rnk")
     )
+
+
+# ------------------------------------------------------------------ IVF-PQ
+#
+# Product quantization over the IVF residuals (Jégou et al., "Product
+# Quantization for Nearest Neighbor Search", IEEE TPAMI 2011 — the
+# FAISS IVFPQ shape). Round-6 verdict: at 100 TB the IVF lists' raw
+# 64-d BIGINT vectors dominate memory; PQ stores m small codes per
+# vector instead (m=8, ksub=16 → 8 nibbles ≈ 4 bytes vs 512 bytes raw,
+# a ~128x list shrink) and scores candidates with an ADC lookup table.
+#
+# Everything stays integer-exact so the whole pipeline (coarse assign →
+# residual → codebook fit → encode → ADC scores) is DuckDB-oracle
+# hash-parity-gated like the rest of the engine:
+# - residuals are BIGINT differences of quantized vectors;
+# - per-subspace codebooks are fit with the same deterministic Lloyd's
+#   discipline as operators/kmeans.py (md5-order seeding, (dist2, cid)
+#   tie-break, exact integer floor-mean update, empty cluster keeps its
+#   previous centroid) — driver state is m x ksub x dsub ints;
+# - the ADC score for dot-product similarity decomposes exactly:
+#   <q, c_list + recon_residual> = <q, c_list> + sum_s <q_s, C_s[code_s]>
+#   where the second term reads a per-query LUT (m x ksub integer dots)
+#   by code — no floats anywhere, so ADC scores are bit-identical
+#   across engines even though they are APPROXIMATE w.r.t. true qdot.
+
+
+def _pq_lit_array(c: list[int]) -> str:
+    return "array(" + ",".join(f"{x}L" for x in c) + ")"
+
+
+def _pq_sub_dist2(res_col: str, s: int, dsub: int, centroid: list[int]) -> str:
+    """Integer squared distance between residual subspace s and a literal
+    codeword, as one compact fold (slice keeps the codegen unit small —
+    the kmeans literal-centroid pattern)."""
+    arr = _pq_lit_array(centroid)
+    return (
+        f"aggregate(zip_with(slice({res_col}, {s * dsub + 1}, {dsub}), {arr}, "
+        f"(x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, v) -> a + v)"
+    )
+
+
+def _pq_sub_dot(q_col: str, s: int, dsub: int, centroid: list[int]) -> str:
+    arr = _pq_lit_array(centroid)
+    return (
+        f"aggregate(zip_with(slice({q_col}, {s * dsub + 1}, {dsub}), {arr}, "
+        f"(x, y) -> x * y), cast(0 as bigint), (a, v) -> a + v)"
+    )
+
+
+def _pq_codes_expr(codebook: list[list[list[int]]], dsub: int) -> F.Column:
+    """codes array<int>: per subspace, the argmin codeword id — a pure
+    scan-side projection over literal codewords (zero joins/shuffles),
+    ties to the lowest cid via (dist2, cid) struct ordering."""
+    per_s = []
+    for s, words in enumerate(codebook):
+        structs = ", ".join(
+            f"struct({_pq_sub_dist2('res', s, dsub, w)} as d, {j} as cid)"
+            for j, w in enumerate(words)
+        )
+        per_s.append(f"array_min(array({structs})).cid")
+    return F.expr("array(" + ", ".join(per_s) + ")")
+
+
+def _pq_lut_expr(codebook: list[list[list[int]]], dsub: int) -> F.Column:
+    """lut array<array<bigint>>: lut[s][j] = <query subvector s, C_s[j]>
+    — the per-query ADC table, built on the (tiny) probe frame only."""
+    per_s = []
+    for s, words in enumerate(codebook):
+        dots = ", ".join(_pq_sub_dot("qq", s, dsub, w) for w in words)
+        per_s.append(f"array({dots})")
+    return F.expr("array(" + ", ".join(per_s) + ")")
+
+
+def pq_fit_codebook(
+    corpus_res: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    seed: int = 5,
+    dims: int = 64,
+) -> list[list[list[int]]]:
+    """Fit m per-subspace codebooks (ksub codewords of dims/m ints each)
+    over the `res` column of corpus_res (neighbor_id, res) with
+    deterministic integer Lloyd's.
+
+    Seeding: the ksub vectors with the smallest md5('pq{seed}|' ||
+    neighbor_id) seed EVERY subspace (cid = md5 rank) — one ranking
+    shared across subspaces keeps the oracle replay to a single seed CTE.
+
+    Scale: the corpus explodes to n x m subvector rows ONCE
+    (localCheckpoint — fit-time cost, amortized over the fit's iters
+    passes); each iteration is one broadcast join against the m x ksub
+    codebook frame plus one map-side-combined aggregate collecting
+    m x ksub rows of dsub sums — driver state is m x ksub x dsub ints,
+    the MLlib-style bounded footprint. Assignment ties break (dist2,
+    cid), matching the SQL oracle's row_number order."""
+    spark = corpus_res.sparkSession
+    dsub = dims // m
+    if m * dsub != dims:
+        raise ValueError(f"dims={dims} not divisible into m={m} subspaces")
+    sub = corpus_res.select(
+        "neighbor_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
+        "res",
+    ).select(
+        "neighbor_id",
+        "s",
+        F.expr(f"slice(res, s * {dsub} + 1, {dsub})").alias("v"),
+    ).localCheckpoint(eager=True)
+
+    seed_rows = (
+        corpus_res.select(
+            "neighbor_id",
+            F.md5(
+                F.concat(
+                    F.lit(f"pq{seed}|"), F.col("neighbor_id").cast("string")
+                )
+            ).alias("h"),
+        )
+        .orderBy("h")
+        .limit(ksub)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("pq_fit_codebook: empty corpus")
+    seed_ids = [r.neighbor_id for r in seed_rows]
+    rank_of = {vid: i for i, vid in enumerate(seed_ids)}
+    seed_sub = sub.filter(F.col("neighbor_id").isin(seed_ids)).collect()
+    k_eff = len(seed_ids)  # n < ksub degrades to n codewords, like kmeans
+    codebook: list[list[list[int]]] = [[None] * k_eff for _ in range(m)]
+    for r in seed_sub:
+        codebook[r.s][rank_of[r.neighbor_id]] = list(r.v)
+
+    d2 = (
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (a, x) -> a + x)"
+    )
+    for _ in range(iters):
+        cb_df = spark.createDataFrame(
+            [
+                (s, j, codebook[s][j])
+                for s in range(m)
+                for j in range(k_eff)
+            ],
+            "s int, cid int, c array<bigint>",
+        )
+        best = (
+            sub.join(F.broadcast(cb_df), "s")
+            .select(
+                "neighbor_id", "s", "v", "cid", F.expr(d2).alias("d2")
+            )
+            .groupBy("neighbor_id", "s")
+            .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
+        )
+        stats = (
+            best.groupBy("s", F.col("m.cid").alias("cid"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                *[
+                    F.sum(F.element_at("m.v", i + 1))
+                    .cast("bigint")
+                    .alias(f"s{i}")
+                    for i in range(dsub)
+                ],
+            )
+            .collect()
+        )
+        nxt = [list(words) for words in codebook]  # empty keeps previous
+        for r in stats:
+            nxt[r.s][r.cid] = [r[f"s{i}"] // r.n for i in range(dsub)]
+        codebook = nxt
+    return codebook
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 4,
+    dims: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    seed: int = 5,
+    refine: int | None = 4,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: IVF coarse lists + product-quantized
+    residual codes + ADC scoring (+ exact refine) — the memory-scale ANN
+    path.
+
+    Plan shape (the parts that must survive 100 TB):
+    - coarse assignment: broadcast centroids, partial-aggregate argmin —
+      NO window over n x nlists (the ivf_topk discipline);
+    - encode: `codes` is a pure projection over literal codewords (zero
+      shuffles) — the serving-time list build never joins the corpus;
+    - the inverted lists carry (neighbor_id, list_id, codes) ONLY: m
+      small ints per vector instead of dims BIGINTs (~128x smaller);
+    - probes: per-query LUT built on the tiny broadcast query frame;
+      scoring reads lut[s][code_s] per candidate — dsub multiplies are
+      paid once per (query, codeword), not per (query, candidate);
+    - refine (the FAISS IVFPQR shape): the top refine*k ADC candidates
+      per query are rescored EXACTLY by one broadcast semi-join of the
+      (n_queries x refine*k)-row shortlist against the full-precision
+      corpus — the only stage that touches raw vectors again, and its
+      probe side is tiny by construction.
+
+    With refine=None the ADC scores rank directly (measurably lossier —
+    the m x ksub codebook quantization noise is comparable to true-
+    neighbor score gaps at top-k; tests pin both recalls). Either way
+    every score is integer-exact and the whole pipeline is DuckDB-
+    oracle hash-parity-gated.
+    Returns (query_id, neighbor_id, qdot, rnk) — qdot is the ADC
+    approximation when refine is None, the exact qdot after refine."""
+    dsub = dims // m
+    if m * dsub != dims:
+        raise ValueError(f"dims={dims} not divisible into m={m} subspaces")
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    q = (
+        embeddings.select("vec_id", "label", V.quantize("embedding").alias("q"))
+        .repartition(par)
+        .localCheckpoint(eager=True)
+    )
+    cent = F.broadcast(_label_centroids(q, dims).localCheckpoint(eager=True))
+    dist2 = F.expr(
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    ).alias("dist2")
+    # coarse assignment with the winning centroid carried in the struct
+    # (needed for the residual); argmin is a partial aggregate, not a
+    # window — see ivf_topk
+    corpus_res = (
+        q.crossJoin(cent)
+        .select("vec_id", "q", "c_label", "c", dist2)
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(F.col("dist2"), F.col("c_label"), F.col("q"), F.col("c"))
+            ).alias("m")
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("m.c_label").alias("list_id"),
+            F.expr("zip_with(m.q, m.c, (x, y) -> x - y)").alias("res"),
+        )
+        .localCheckpoint(eager=True)  # feeds the fit AND the encode
+    )
+    codebook = pq_fit_codebook(
+        corpus_res, m=m, ksub=ksub, iters=iters, seed=seed, dims=dims
+    )
+    # the inverted lists: codes projection only — this frame is the whole
+    # PQ memory story (m small ints per vector)
+    lists = corpus_res.select(
+        "neighbor_id", "list_id", _pq_codes_expr(codebook, dsub).alias("codes")
+    )
+    # probes: nprobe nearest lists per query; window over queries x
+    # nlists only (tiny). Carries the exact coarse term <q, c_list> and
+    # the per-query ADC LUT.
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("dist2").asc(), F.col("c_label").asc()
+    )
+    probes = (
+        q.filter(F.col("vec_id").isin(query_ids))
+        .crossJoin(cent)
+        .select("vec_id", F.col("q").alias("qq"), "c_label", "c", dist2)
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") <= nprobe)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("c_label").alias("probe_list"),
+            F.expr(
+                "aggregate(zip_with(qq, c, (x, y) -> x * y), "
+                "cast(0 as bigint), (a, v) -> a + v)"
+            ).alias("qdot_c"),
+            _pq_lut_expr(codebook, dsub).alias("lut"),
+            F.col("qq"),
+        )
+        .drop("qq")
+    )
+    scored = lists.join(
+        F.broadcast(probes),
+        (F.col("probe_list") == F.col("list_id"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.col("qdot_c")
+            + F.expr(
+                "aggregate(zip_with(codes, lut, (cd, l) -> element_at(l, cd + 1)), "
+                "cast(0 as bigint), (a, v) -> a + v)"
+            )
+        ).alias("qdot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    if refine is None:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "qdot", "rnk")
+        )
+    # exact refine (the IVFPQR second stage): shortlist the top refine*k
+    # ADC candidates per query, rescore them with full-precision vectors.
+    # Both refine joins BROADCAST the tiny shortlist/query side — the
+    # corpus is scanned once more, never shuffled, and raw vectors are
+    # touched only for n_queries x refine*k rows.
+    shortlist = (
+        scored.withColumn("arnk", F.row_number().over(w))
+        .filter(F.col("arnk") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    qq_df = q.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    exact = (
+        q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc"))
+        .join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qq_df), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(qq, qc, (x, y) -> x * y), "
+                "cast(0 as bigint), (a, v) -> a + v)"
+            ).alias("qdot"),
+        )
+    )
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "qdot", "rnk")
+    )

