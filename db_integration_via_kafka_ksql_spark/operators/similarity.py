@@ -689,9 +689,7 @@ def ivf_pq_topk(
                 "cast(0 as bigint), (a, v) -> a + v)"
             ).alias("qdot_c"),
             _pq_lut_expr(codebook, dsub).alias("lut"),
-            F.col("qq"),
         )
-        .drop("qq")
     )
     scored = lists.join(
         F.broadcast(probes),

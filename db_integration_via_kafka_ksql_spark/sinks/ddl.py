@@ -176,7 +176,10 @@ def staged_merge_sql(
     conflict = ", ".join(keys)
     sets = ", ".join(f"{c} = excluded.{c}" for c in non_keys)
     col_list = ", ".join(cols)
+    # WHERE true disambiguates INSERT ... SELECT from the upsert clause:
+    # sqlite REQUIRES it (parse error otherwise — found by the behavioral
+    # MERGE tests), postgres documents the same idiom, duckdb accepts it
     return (
         f"INSERT INTO {table} ({col_list}) SELECT {col_list} FROM {stage_table} "
-        f"ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
+        f"WHERE true ON CONFLICT ({conflict}) DO UPDATE SET {sets}"
     )

@@ -146,3 +146,111 @@ def test_jdbc_statements_preview(spark):
     assert create.startswith("CREATE TABLE IF NOT EXISTS movies_sink")
     assert "FROM movies_sink__stage" in merge and "ON CONFLICT (id)" in merge
     assert "movies_sink__stage_deletes" in delete
+
+
+# --- mssql MERGE dialect, behaviorally verified (round-7 verdict #6) ---
+#
+# No MSSQL server exists in-container and the bundled DuckDB (1.0.0)
+# predates MERGE support, so the mssql-dialect statements are executed by
+# a minimal T-SQL interpreter (tests/tsql_interpreter.py) whose behavior
+# is derived ONLY from parsing the generated SQL text — and the outcome
+# must match the sqlite ON CONFLICT path row-by-row on the same workload.
+
+
+def _sqlite_replay(workload):
+    con = sqlite3.connect(":memory:")
+    con.execute(
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, title TEXT, rating REAL)"
+    )
+    up = ddl.merge_sql("t", ["id", "title", "rating"], ["id"], "sqlite")
+    dl = ddl.delete_sql("t", ["id"], "sqlite")
+    for op, *params in workload:
+        con.execute(up if op == "upsert" else dl, params)
+    rows = sorted(con.execute("SELECT id, rating, title FROM t").fetchall())
+    # column-sorted order (id, rating, title) matches TSqlTable.snapshot
+    return rows
+
+
+def _tsql_replay(workload):
+    from tests.tsql_interpreter import TSqlTable
+
+    t = TSqlTable()
+    up = ddl.merge_sql("t", ["id", "title", "rating"], ["id"], "mssql")
+    dl = ddl.delete_sql("t", ["id"], "mssql")
+    for op, *params in workload:
+        if op == "upsert":
+            t.merge_values(up, params)
+        else:
+            t.delete(dl, params)
+    return t.snapshot()
+
+
+def test_mssql_merge_behavior_matches_sqlite_path():
+    """Insert, update-in-place, delete, reinsert — the interpreted MERGE
+    text and the executed sqlite ON CONFLICT text must converge to the
+    identical table state."""
+    workload = [
+        ("upsert", 1, "one", 4.5),
+        ("upsert", 2, "two", 3.0),
+        ("upsert", 1, "one-v2", 4.8),  # update path
+        ("delete", 2),
+        ("upsert", 2, "two-back", 1.0),  # reinsert after delete
+        ("upsert", 3, "three", 2.2),
+        ("delete", 9),  # no-op delete of a missing key
+    ]
+    assert _tsql_replay(workload) == _sqlite_replay(workload)
+
+
+def test_mssql_staged_merge_behavior_matches_sqlite_path():
+    """The set-based stage-table MERGE: one statement applies a whole
+    micro-batch. Interpreted outcome == sqlite staged path."""
+    from tests.tsql_interpreter import TSqlTable
+
+    base = [(1, "one", 4.5), (2, "two", 3.0)]
+    batch = [
+        {"id": 2, "title": "two-v2", "rating": 3.5},  # update
+        {"id": 5, "title": "five", "rating": 5.0},  # insert
+    ]
+    # sqlite: real staged execution
+    con = sqlite3.connect(":memory:")
+    con.execute(
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, title TEXT, rating REAL)"
+    )
+    con.execute("CREATE TABLE t__stage (id INTEGER, title TEXT, rating REAL)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", base)
+    con.executemany(
+        "INSERT INTO t__stage VALUES (?, ?, ?)",
+        [(r["id"], r["title"], r["rating"]) for r in batch],
+    )
+    con.execute(
+        ddl.staged_merge_sql(
+            "t", "t__stage", ["id", "title", "rating"], ["id"], "sqlite"
+        )
+    )
+    sqlite_rows = sorted(
+        con.execute("SELECT id, rating, title FROM t").fetchall()
+    )
+    # mssql: interpreted staged MERGE
+    t = TSqlTable()
+    seed = ddl.merge_sql("t", ["id", "title", "rating"], ["id"], "mssql")
+    for row in base:
+        t.merge_values(seed, list(row))
+    t.merge_stage(
+        ddl.staged_merge_sql(
+            "t", "t__stage", ["id", "title", "rating"], ["id"], "mssql"
+        ),
+        batch,
+    )
+    assert t.snapshot() == sqlite_rows
+
+
+def test_mssql_merge_rejects_duplicate_source_keys():
+    """SQL Server refuses to UPDATE the same target row twice in one
+    MERGE; the interpreter surfaces the same failure instead of silently
+    last-write-winning (guards the sink's per-batch key compaction)."""
+    from tests.tsql_interpreter import TSqlTable
+
+    t = TSqlTable()
+    sql = ddl.staged_merge_sql("t", "t__stage", ["id", "x"], ["id"], "mssql")
+    with pytest.raises(ValueError, match="duplicate source key"):
+        t.merge_stage(sql, [{"id": 1, "x": "a"}, {"id": 1, "x": "b"}])
