@@ -1247,3 +1247,137 @@ def stratified_sample_by_plan(
         .filter(bucket < rate)
         .drop("keep_frac")
     )
+
+
+def ngram_novelty_scores(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc n-gram novelty: what fraction of a doc's DISTINCT word
+    n-grams FIRST occur (corpus-wide minimum doc id) in this doc.
+
+    The signal curation pipelines read it for: a doc whose novelty is
+    near 0 is assembled almost entirely from n-grams some earlier doc
+    already carries — boilerplate, quotes, templated spam, shuffled
+    near-duplicates — even when no single pairwise Jaccard crosses a
+    dedup threshold (cf. the duplicated-span pressure C4/RefinedWeb
+    prune on). Near 1 means fresh content. "First" = minimum doc id,
+    the same deterministic keep-one convention as exact dedup.
+
+    Plan shape at 100 TB: ONE explode to the distinct (doc, gram)
+    inverted index (the same frame every n-gram dedup op here builds);
+    per-gram first-occurrence is a map-side-combined MIN; both per-doc
+    counts are map-side-combined COUNTs; the final assembly joins two
+    DOC-sized frames (one row per doc) — the gram-sized frame is never
+    joined against itself, so there is no pair blow-up anywhere and no
+    df_cap is needed. novelty = exact-int / exact-int in one IEEE
+    division (correctly rounded — bit-identical cross-engine).
+
+    Returns (doc_id, n_grams, n_novel, novelty).
+    """
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("ws"),
+            F.col(text_col).alias("text"),
+        )
+        .select(
+            "doc_id",
+            F.explode(T.shingles_of_words("ws", "text", n)).alias("gram"),
+        )
+        .distinct()
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    novel = (
+        grams.groupBy("gram")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0).cast("bigint")).alias("n_novel"),
+            (
+                F.coalesce("n_novel", F.lit(0).cast("bigint")).cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS scheme): hash every word k-gram, slide a
+    window of w consecutive hashes, and select each window's MINIMUM
+    (ties → the RIGHTMOST minimal position, the paper's robust-winnowing
+    rule). The selected set is position-stable under unrelated edits —
+    the guarantee plagiarism/overlap detectors rely on: every w
+    consecutive k-grams contribute at least one selected fingerprint, so
+    any shared run of w + k - 1 words between two docs is caught by at
+    least one shared fingerprint.
+
+    Complements the existing fingerprint family: `fingerprints` hashes
+    the WHOLE doc (exact-sequence identity), `duplicate_span_counts`
+    counts window-hash multiplicity corpus-wide; winnowing gives the
+    per-doc compact sketch (≈ 2/(w+1) of grams selected) that overlap
+    joins can run on instead of full gram sets.
+
+    Docs with fewer than w k-grams select their single global minimum
+    (the frame at the last position covers every gram), so every doc
+    emits at least one fingerprint.
+
+    Scale shape: one scan-side shingle projection + posexplode, then ONE
+    window partitioned BY DOC (per-doc partitions are document-sized —
+    never a corpus-wide sort), a min(struct) per frame (no second pass:
+    the rightmost-tie position rides the struct as a negated field), and
+    a distinct over the selected (doc, pos, fp) rows. Hashes are
+    md5-derived bigints (portable — DuckDB-oracle hash-parity-gated).
+
+    Returns (doc_id, fp_pos, fp): 1-based gram position + fingerprint.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("ws"),
+        F.col(text_col).alias("text"),
+    ).select(
+        "doc_id",
+        F.posexplode(T.shingles_of_words("ws", "text", k)).alias("p0", "gram"),
+        F.size(T.shingles_of_words("ws", "text", k)).alias("n_grams"),
+    )
+    hashed = base.select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        "n_grams",
+        T.hex_hash_int(F.col("gram")).alias("h"),
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    sel = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("negpos"))).over(
+        frame
+    )
+    return (
+        hashed.withColumn("sel", sel)
+        .filter(F.col("pos") >= F.least(F.lit(w), F.col("n_grams")))
+        .select(
+            "doc_id",
+            (-F.col("sel.negpos")).cast("bigint").alias("fp_pos"),
+            F.col("sel.h").alias("fp"),
+        )
+        .distinct()
+    )

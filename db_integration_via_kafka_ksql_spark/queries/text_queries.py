@@ -1183,3 +1183,108 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "rnk int, a string, b string",
     )
+
+
+@query("bpe_encode_pieces", driver=False)  # greedy sequential merge
+# application is non-SQL-expressible: rows-only check here; the encode
+# itself is equivalence-tested vs a python reference (known-sequence,
+# rank-beats-position, corpus equivalence, train round-trip)
+def bpe_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train→encode composition on the documents corpus: learn a
+    small merge table with bpe_train, then encode every document with the
+    memoized mapInPandas greedy encoder. Returns per-doc token/piece
+    counts plus the piece string (deterministic for a fixed corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = TA.bpe_train(docs, n_merges=6)
+    return TA.bpe_encode(docs, merges)
+
+
+NOVELTY_N = 3
+
+
+@query(
+    "text_ngram_novelty",
+    driver=False,  # driver window full; parity-gated locally
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, list_distinct({_sh(NOVELTY_N, _W, "text")}) AS sh
+        FROM documents
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    firstg AS (SELECT g, min(doc_id) AS doc_id FROM inv GROUP BY g),
+    per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM inv GROUP BY doc_id
+    ),
+    novel AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_novel
+        FROM firstg GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_grams,
+           COALESCE(n.n_novel, 0) AS n_novel,
+           CAST(COALESCE(n.n_novel, 0) AS DOUBLE)
+               / CAST(p.n_grams AS DOUBLE) AS novelty
+    FROM per_doc p LEFT JOIN novel n ON n.doc_id = p.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (fraction of the doc's distinct 3-grams
+    whose corpus-wide first occurrence is this doc) — the duplicated-
+    content pressure signal curation prunes on, with no pairwise join
+    anywhere (inverted-index MIN + two doc-sized counts)."""
+    return TA.ngram_novelty_scores(
+        load_table(spark, sf_dir, "documents"), n=NOVELTY_N
+    )
+
+
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+@query(
+    "text_winnowing_fingerprints",
+    driver=False,  # driver window full; parity-gated locally
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, {_sh(WINNOW_K, _W, "text")} AS sh FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               unnest(generate_series(1, len(sh))) AS pos,
+               unnest([('0x' || substr(md5(x), 1, 8))::BIGINT for x in sh])
+                   AS h,
+               len(sh) AS n_grams
+        FROM sh
+    ),
+    wmin AS (
+        SELECT doc_id, pos, n_grams, h,
+               min(h) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW
+               ) AS mh
+        FROM g
+    ),
+    ends AS (
+        SELECT doc_id, pos AS end_pos, mh FROM wmin
+        WHERE pos >= least({WINNOW_W}, n_grams)
+    ),
+    sel AS (
+        SELECT e.doc_id, e.mh AS fp, CAST(max(g2.pos) AS BIGINT) AS fp_pos
+        FROM ends e JOIN wmin g2
+          ON g2.doc_id = e.doc_id
+         AND g2.pos BETWEEN e.end_pos - {WINNOW_W - 1} AND e.end_pos
+         AND g2.h = e.mh
+        GROUP BY e.doc_id, e.end_pos, e.mh
+    )
+    SELECT DISTINCT doc_id, fp_pos, fp FROM sel
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection over the documents corpus:
+    per-window minimum k-gram hash, rightmost-minimal tie-break — the
+    position-stable compact overlap sketch. The oracle replays the
+    selection with an explicit rightmost-argmax join; Spark carries the
+    tie position inside one min(struct) window."""
+    return TA.winnowing_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=WINNOW_K, w=WINNOW_W
+    )

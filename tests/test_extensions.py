@@ -1549,3 +1549,115 @@ def test_cc_auto_strategy_pins_both_regimes(spark, monkeypatch):
     assert stats_big["strategy"] == "distributed"
     assert stats_big["rounds"] >= 1
     assert big == small  # identical labeling either side of the cap
+
+
+# --- ngram_novelty_scores (first-occurrence duplication pressure) ---
+
+
+def test_ngram_novelty_planted_extremes(spark):
+    """doc 0 is all-fresh (novelty 1.0); doc 1 reuses ONLY doc-0 grams
+    (novelty 0.0); doc 2 is half borrowed, half fresh."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f"),  # grams: abc bcd cde def -> all first here
+            (1, "a b c d"),  # abc bcd — both first seen in doc 0
+            (2, "c d e x y z"),  # cde(seen) dex exy xyz -> 3/4 novel
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+        for r in TA.ngram_novelty_scores(docs, n=3).collect()
+    }
+    assert got[0] == (4, 4, 1.0)
+    assert got[1] == (2, 0, 0.0)
+    assert got[2] == (4, 3, 0.75)
+
+
+def test_ngram_novelty_duplicate_text_first_id_wins(spark):
+    """Exact duplicates: the minimum doc id owns every gram; the copy
+    scores 0 — the same keep-one convention as exact dedup."""
+    docs = spark.createDataFrame(
+        [(7, "p q r s t"), (3, "p q r s t")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.novelty for r in TA.ngram_novelty_scores(docs).collect()}
+    assert got[3] == 1.0 and got[7] == 0.0
+
+
+def test_ngram_novelty_short_doc_whole_text_shingle(spark):
+    """Sub-n docs shingle to the whole text (the shingles_of_words
+    fallback) and still get exactly one countable gram."""
+    docs = spark.createDataFrame([(1, "hi")], "doc_id long, text string")
+    rows = TA.ngram_novelty_scores(docs, n=3).collect()
+    assert [(r.n_grams, r.n_novel, r.novelty) for r in rows] == [(1, 1, 1.0)]
+
+
+# --- winnowing_fingerprints (Schleimer et al. 2003 MOSS sketch) ---
+
+
+def _py_winnow(text, k, w):
+    """Sequential reference: md5-derived k-gram hashes, per-window min,
+    rightmost minimal position on ties; short docs -> global min."""
+    import hashlib
+
+    words = text.split(" ")
+    if len(words) < k:
+        grams = [text]
+    else:
+        grams = [
+            " ".join(words[i : i + k]) for i in range(len(words) - k + 1)
+        ]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+    ]
+    out = set()
+    n = len(hs)
+    for end in range(min(w, n) - 1, n):
+        lo = max(0, end - w + 1)
+        window = hs[lo : end + 1]
+        m = min(window)
+        # rightmost occurrence of the minimum
+        ri = lo + max(i for i, h in enumerate(window) if h == m)
+        out.add((ri + 1, m))
+    # short docs: only the last (full-coverage) window counts
+    if n < w:
+        m = min(hs)
+        ri = max(i for i, h in enumerate(hs) if h == m)
+        return {(ri + 1, m)}
+    return out
+
+
+def test_winnowing_matches_python_model(spark):
+    texts = [
+        "a b c d e f g h i j",
+        "a a a a a a",  # all-equal hashes: rightmost tie every window
+        "x y",  # shorter than k: whole-text shingle
+        "p q r s",  # fewer grams than w: global min fallback
+        "the quick brown fox jumps over the lazy dog again and again",
+    ]
+    k, w = 3, 4
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict = {}
+    for r in TA.winnowing_fingerprints(docs, k=k, w=w).collect():
+        got.setdefault(r.doc_id, set()).add((r.fp_pos, r.fp))
+    for i, t in enumerate(texts):
+        assert got[i] == _py_winnow(t, k, w), f"doc {i}"
+
+
+def test_winnowing_coverage_guarantee(spark):
+    """THE winnowing property: every window of w consecutive grams
+    contains at least one selected position — any shared run of
+    w + k - 1 words is caught by some fingerprint."""
+    text = "m n o p q r s t u v w x y z a b c d e f"
+    k, w = 3, 4
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    sel_pos = sorted(
+        r.fp_pos for r in TA.winnowing_fingerprints(docs, k=k, w=w).collect()
+    )
+    n_grams = len(text.split(" ")) - k + 1
+    for lo in range(1, n_grams - w + 2):
+        assert any(lo <= p <= lo + w - 1 for p in sel_pos), f"window {lo}"
+    # density ~ 2/(w+1): the sketch is actually compact
+    assert len(sel_pos) < n_grams

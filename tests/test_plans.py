@@ -377,3 +377,28 @@ def test_ivf_pq_lists_stay_scan_side(reports):
     assert r.windows <= 3, "a corpus-sized window crept into IVF-PQ"
     assert r.n_broadcast_exchanges >= 3
     assert r.sort_merge_joins == 0
+
+
+def test_ngram_novelty_no_pairwise_join(reports):
+    """Novelty's scale contract: the gram-sized inverted index is never
+    self-joined (no pair blow-up — unlike the dedup pair generators);
+    the only join assembles two doc-sized count frames, and both
+    aggregates combine map-side."""
+    r = reports("text_ngram_novelty")
+    assert r.has_partial_aggregate
+    assert r.windows == 0
+    assert r.nested_loop_joins == 0
+    # one doc-sized assembly join only
+    assert (r.broadcast_hash_joins + r.sort_merge_joins) <= 1
+
+
+def test_winnowing_single_doc_window_no_joins(reports):
+    """Winnowing's scale contract: one window partitioned BY DOC (frames
+    are document-sized, never corpus-wide) with the rightmost-tie
+    position riding the min(struct) — no argmax join-back, no joins at
+    all in the live plan."""
+    r = reports("text_winnowing_fingerprints")
+    assert r.windows == 1
+    assert (
+        r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins
+    ) == 0
