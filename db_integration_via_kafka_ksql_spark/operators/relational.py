@@ -584,3 +584,48 @@ def profile_table(
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def user_inter_arrival_stats(events: DataFrame, ts_us: Column) -> DataFrame:
+    """Per-user inter-arrival statistics over the event stream: the
+    LAG-analytic rollup (time since the previous event, per user) that
+    feeds rate limiting, bot detection, and session-gap calibration —
+    e.g. pick `sessionize`'s gap threshold from the observed gap
+    distribution instead of guessing.
+
+    ts_us: the epoch-microsecond Column for the frame (callers pass
+    io.epoch_us_col(df) so the parquet TIMESTAMP encoding never leaks in).
+
+    Ordering is (ts_us, event_id) — fully deterministic under same-
+    timestamp ties. Users with a single event have no gap and are
+    omitted (stated contract; avoids engine-specific NULL/divide-by-zero
+    edge semantics in the mean). avg_gap_us is an exact-int / exact-int
+    single IEEE division — bit-identical cross-engine.
+
+    Scale shape: ONE window partitioned by user (per-user frames,
+    never a global sort) + ONE map-side-combined groupBy on the same
+    key — the window's hash partitioning is reusable by the aggregate,
+    so the plan carries a single user-keyed exchange.
+
+    Returns (user_id, n_events, n_gaps, min_gap_us, max_gap_us,
+    sum_gap_us, avg_gap_us).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = events.select(
+        "user_id", ts_us.alias("ts_us"), "event_id"
+    ).withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count("gap_us").cast("bigint").alias("n_gaps"),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+            F.max("gap_us").cast("bigint").alias("max_gap_us"),
+            F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+        )
+        .filter(F.col("n_gaps") >= 1)
+        .withColumn(
+            "avg_gap_us",
+            F.col("sum_gap_us").cast("double") / F.col("n_gaps").cast("double"),
+        )
+    )

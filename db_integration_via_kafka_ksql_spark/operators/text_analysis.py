@@ -1381,3 +1381,58 @@ def winnowing_fingerprints(
         )
         .distinct()
     )
+
+
+def winnowing_overlap_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    fp_cap: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-overlap candidate pairs from winnowing sketches: pairs of
+    docs sharing >= min_shared selected fingerprints — the MOSS overlap
+    join. The winnowing guarantee makes the candidate set meaningful:
+    any shared run of w + k - 1 words forces at least one shared
+    fingerprint, so long verbatim overlaps cannot hide, while the join
+    runs on the ≈ 2/(w+1)-density sketch instead of full gram sets
+    (the compact-sketch counterpart of `ngram_jaccard_pairs`).
+
+    Scale shape: the inverted index is (fp → docs) over SKETCH rows;
+    `fp_cap` drops fingerprints selected by more than fp_cap docs before
+    the self-join (the df_cap discipline — a boilerplate fingerprint
+    shared by thousands of docs would otherwise blow the pair space
+    quadratically; dropping it only loses pairs whose overlap evidence
+    was that one ubiquitous — i.e. least discriminative — fingerprint).
+    One equi-join on fp, map-side-combined pair counts.
+
+    Returns (doc_a, doc_b, shared_fps) with doc_a < doc_b.
+    """
+    fps = (
+        winnowing_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+        .select("doc_id", "fp")
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds the cap count AND both join sides
+    )
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("dfc"))
+        .filter(F.col("dfc") > fp_cap)
+        .select("fp")
+    )
+    kept = fps.join(hot, "fp", "left_anti")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

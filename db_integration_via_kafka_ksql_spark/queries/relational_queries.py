@@ -697,3 +697,35 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.profile_table(
         load_table(spark, sf_dir, "orders"), cols=list(_PROFILE_COLS)
     )
+
+
+@query(
+    "events_inter_arrival_stats",
+    driver=False,  # driver window full; parity-gated locally
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(sum(gap_us) AS DOUBLE) / CAST(count(gap_us) AS DOUBLE)
+               AS avg_gap_us
+    FROM g GROUP BY user_id
+    HAVING count(gap_us) >= 1
+    """,
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user LAG-analytic inter-arrival rollup (gap distribution per
+    user) — the empirical input to sessionization gap thresholds."""
+    from db_integration_via_kafka_ksql_spark.io import epoch_us_col
+
+    ev = load_table(spark, sf_dir, "events")
+    return R.user_inter_arrival_stats(ev, epoch_us_col(ev, "ts"))

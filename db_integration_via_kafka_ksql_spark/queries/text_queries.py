@@ -1239,13 +1239,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_K = 3
 WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+WINNOW_FP_CAP = 50
 
-
-@query(
-    "text_winnowing_fingerprints",
-    driver=False,  # driver window full; parity-gated locally
-    oracle=f"""
-    WITH sh AS (
+# Winnowing selection as a reusable CTE body ending in `sel` =
+# (doc_id, fp, fp_pos) — shared by the fingerprint query and the
+# overlap-pair query so the two oracles cannot drift apart.
+_WINNOW_CTES = f"""sh AS (
         SELECT doc_id, {_sh(WINNOW_K, _W, "text")} AS sh FROM documents
     ),
     g AS (
@@ -1275,7 +1275,14 @@ WINNOW_W = 4
          AND g2.pos BETWEEN e.end_pos - {WINNOW_W - 1} AND e.end_pos
          AND g2.h = e.mh
         GROUP BY e.doc_id, e.end_pos, e.mh
-    )
+    )"""
+
+
+@query(
+    "text_winnowing_fingerprints",
+    driver=False,  # driver window full; parity-gated locally
+    oracle=f"""
+    WITH {_WINNOW_CTES}
     SELECT DISTINCT doc_id, fp_pos, fp FROM sel
     """,
 )
@@ -1287,4 +1294,41 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie position inside one min(struct) window."""
     return TA.winnowing_fingerprints(
         load_table(spark, sf_dir, "documents"), k=WINNOW_K, w=WINNOW_W
+    )
+
+
+@query(
+    "text_winnowing_overlap_pairs",
+    driver=False,  # driver window full; parity-gated locally
+    oracle=f"""
+    WITH {_WINNOW_CTES},
+    fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+    freq AS (SELECT fp, count(*) AS dfc FROM fps GROUP BY fp),
+    kept AS (
+        SELECT f.doc_id, f.fp FROM fps f
+        JOIN freq ON freq.fp = f.fp
+        WHERE freq.dfc <= {WINNOW_FP_CAP}
+    ),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared_fps
+        FROM kept a JOIN kept b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared_fps FROM p
+    WHERE shared_fps >= {WINNOW_MIN_SHARED}
+    """,
+)
+def text_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap candidates: doc pairs sharing >= 2 winnowing
+    fingerprints, hot (boilerplate) fingerprints capped before the
+    self-join. The compact-sketch counterpart of the n-gram Jaccard pair
+    generator — the join runs on ~2/(w+1) of the gram mass."""
+    return TA.winnowing_overlap_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=WINNOW_K,
+        w=WINNOW_W,
+        min_shared=WINNOW_MIN_SHARED,
+        fp_cap=WINNOW_FP_CAP,
     )

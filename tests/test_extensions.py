@@ -1661,3 +1661,38 @@ def test_winnowing_coverage_guarantee(spark):
         assert any(lo <= p <= lo + w - 1 for p in sel_pos), f"window {lo}"
     # density ~ 2/(w+1): the sketch is actually compact
     assert len(sel_pos) < n_grams
+
+
+def test_winnowing_overlap_pairs_planted(spark):
+    """Two docs sharing a long verbatim run must pair (the coverage
+    guarantee in action); unrelated docs must not; a fingerprint shared
+    by more than fp_cap docs is dropped before the join."""
+    run = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, run + " one two three"),
+            (2, "x y z " + run),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in TA.winnowing_overlap_pairs(
+            docs, k=3, w=4, min_shared=1, fp_cap=50
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in pairs)
+    # fp_cap: with the cap below the sharing degree, boilerplate shared
+    # by every doc stops generating pairs
+    boiler = [(i, run) for i in range(5)]
+    bdocs = spark.createDataFrame(boiler, "doc_id long, text string")
+    capped = TA.winnowing_overlap_pairs(
+        bdocs, k=3, w=4, min_shared=1, fp_cap=4
+    ).collect()
+    assert capped == []  # every fp is shared by 5 > 4 docs
+    uncapped = TA.winnowing_overlap_pairs(
+        bdocs, k=3, w=4, min_shared=1, fp_cap=5
+    ).collect()
+    assert len(uncapped) == 10  # all C(5,2) pairs

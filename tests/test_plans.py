@@ -402,3 +402,26 @@ def test_winnowing_single_doc_window_no_joins(reports):
     assert (
         r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins
     ) == 0
+
+
+def test_winnowing_pairs_join_on_sketch_only(reports):
+    """The overlap join runs on the capped SKETCH inverted index: one
+    fp-equi pair join plus the cap anti-join — never a gram-set or
+    corpus self-join; pair counts combine map-side."""
+    r = reports("text_winnowing_overlap_pairs")
+    assert r.has_partial_aggregate
+    assert r.nested_loop_joins == 0
+    assert r.windows == 0  # selection is materialized behind the sketch
+
+
+def test_inter_arrival_single_user_exchange(reports):
+    """The LAG rollup's scale shape: the per-user window and the
+    per-user aggregate share ONE user-keyed exchange (Catalyst reuses
+    the window's hash partitioning for the groupBy), the aggregate
+    still combines map-side, and the events scan reads only the three
+    columns the frame needs."""
+    r = reports("events_inter_arrival_stats")
+    assert r.n_shuffle_exchanges == 1
+    assert r.windows == 1
+    assert r.has_partial_aggregate
+    assert len(r.scans["events"].read_columns) == 3
