@@ -121,3 +121,12 @@ def lsh_bucket_sql_duckdb(vec: str, n_planes: int, dims: int) -> str:
         )
         terms.append(f"(CASE WHEN ({s}) > 0 THEN {1 << p} ELSE 0 END)")
     return "(" + " + ".join(terms) + ")"
+
+
+def lit_bigint_array(values: list[int]) -> str:
+    """Spark-SQL literal `array(1L,2L,...)` fragment for baking small
+    integer vectors (centroids, PQ codewords) into scan-side expressions
+    — the shared codegen idiom of operators/kmeans.py and the IVF-PQ
+    path in operators/similarity.py (one definition so the 'L'-suffix /
+    fold conventions cannot drift between them)."""
+    return "array(" + ",".join(f"{x}L" for x in values) + ")"

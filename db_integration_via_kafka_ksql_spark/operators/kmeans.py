@@ -66,7 +66,7 @@ def _seed_hash(seed: int) -> Column:
 
 
 def _lit_array(c: list[int]) -> str:
-    return "array(" + ",".join(f"{x}L" for x in c) + ")"
+    return V.lit_bigint_array(c)
 
 
 def _dist2_expr(centroid: list[int]) -> str:

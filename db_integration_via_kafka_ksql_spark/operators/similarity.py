@@ -442,7 +442,7 @@ def brute_topk_pandas(
 
 
 def _pq_lit_array(c: list[int]) -> str:
-    return "array(" + ",".join(f"{x}L" for x in c) + ")"
+    return V.lit_bigint_array(c)
 
 
 def _pq_sub_dist2(res_col: str, s: int, dsub: int, centroid: list[int]) -> str:
@@ -670,26 +670,35 @@ def ivf_pq_topk(
         "neighbor_id", "list_id", _pq_codes_expr(codebook, dsub).alias("codes")
     )
     # probes: nprobe nearest lists per query; window over queries x
-    # nlists only (tiny). Carries the exact coarse term <q, c_list> and
-    # the per-query ADC LUT.
+    # nlists only (tiny). Carries the exact coarse term <q, c_list>,
+    # which depends on the probed list. The ADC LUT depends only on the
+    # QUERY, so it is computed on the one-row-per-query frame and joined
+    # in AFTER the nprobe fan-out — dsub multiplies genuinely paid once
+    # per (query, codeword), not once per probe.
+    qq_df = q.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    luts = qq_df.select(
+        "query_id", _pq_lut_expr(codebook, dsub).alias("lut")
+    )
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("dist2").asc(), F.col("c_label").asc()
     )
     probes = (
         q.filter(F.col("vec_id").isin(query_ids))
         .crossJoin(cent)
-        .select("vec_id", F.col("q").alias("qq"), "c_label", "c", dist2)
+        .select("vec_id", "q", "c_label", "c", dist2)
         .withColumn("rnk", F.row_number().over(w_assign))
         .filter(F.col("rnk") <= nprobe)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("c_label").alias("probe_list"),
             F.expr(
-                "aggregate(zip_with(qq, c, (x, y) -> x * y), "
+                "aggregate(zip_with(q, c, (x, y) -> x * y), "
                 "cast(0 as bigint), (a, v) -> a + v)"
             ).alias("qdot_c"),
-            _pq_lut_expr(codebook, dsub).alias("lut"),
         )
+        .join(luts, "query_id")
     )
     scored = lists.join(
         F.broadcast(probes),
@@ -725,10 +734,7 @@ def ivf_pq_topk(
         .filter(F.col("arnk") <= refine * k)
         .select("query_id", "neighbor_id")
     )
-    qq_df = q.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
-    )
-    exact = (
+    exact = (  # qq_df: the same one-row-per-query frame the LUT used
         q.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("qc"))
         .join(F.broadcast(shortlist), "neighbor_id")
         .join(F.broadcast(qq_df), "query_id")

@@ -1348,14 +1348,21 @@ def winnowing_fingerprints(
 
     Returns (doc_id, fp_pos, fp): 1-based gram position + fingerprint.
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.col(text_col), " ").alias("ws"),
-        F.col(text_col).alias("text"),
-    ).select(
-        "doc_id",
-        F.posexplode(T.shingles_of_words("ws", "text", k)).alias("p0", "gram"),
-        F.size(T.shingles_of_words("ws", "text", k)).alias("n_grams"),
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("ws"),
+            F.col(text_col).alias("text"),
+        )
+        # shingle array projected ONCE per row (the functions/text.py
+        # projection-boundary discipline) — posexplode and size then read
+        # the same column instead of re-building the grams twice
+        .select("doc_id", T.shingles_of_words("ws", "text", k).alias("sh"))
+        .select(
+            "doc_id",
+            F.posexplode("sh").alias("p0", "gram"),
+            F.size("sh").alias("n_grams"),
+        )
     )
     hashed = base.select(
         "doc_id",

@@ -123,13 +123,26 @@ class StreamingCurator:
         )
 
     def start(self, doc_stream: DataFrame) -> StreamingQuery:
+        if not self.checkpoint_dir:
+            # epochdir's skip-if-committed replay guard is only sound when
+            # Spark's batch numbering survives restarts: a restarted query
+            # without a checkpoint renumbers epochs from 0, commit_epoch
+            # silently skips the "already committed" partitions while the
+            # state still advances — permanent data loss AND a dedup state
+            # rejecting rows that never reached the dataset. Refuse, like
+            # StreamingPacker.start. (process_batch stays directly
+            # callable for tests/tools.)
+            raise ValueError(
+                "StreamingCurator.start() requires checkpoint_dir: the "
+                "epoch-committed-partition replay guard is only sound when "
+                "Spark's batch numbering survives restarts"
+            )
         writer = (
             doc_stream.writeStream.queryName(self.query_name)
             .foreachBatch(self.process_batch)
             .outputMode("update")
+            .option("checkpointLocation", self.checkpoint_dir)
         )
-        if self.checkpoint_dir:
-            writer = writer.option("checkpointLocation", self.checkpoint_dir)
         if self.trigger_seconds:
             writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
         return writer.start()

@@ -25,12 +25,16 @@ The fix is to make the partition itself the commit record:
    composition window without any out-of-band manifest — the renamed
    partition dir IS the manifest entry.
 
-Soundness of the skip relies on a contract every caller already honors:
-a stage's per-epoch output is DETERMINISTIC given its pre-batch state
-(pure column math / deterministic hashing, state read-only until after
-the write), and epoch ids never repeat across different batches (Spark's
-checkpointed batch numbering; `StreamingPacker.start` refuses to run
-without a checkpoint for exactly this reason).
+Soundness of the skip relies on a two-part contract, ENFORCED at every
+caller: a stage's per-epoch output is DETERMINISTIC given its pre-batch
+state (pure column math / deterministic hashing, state read-only until
+after the write), and epoch ids never repeat across different batches —
+Spark's checkpointed batch numbering guarantees the latter, which is why
+every stage's `start()` (curator, near-dup, semdedup, packer) REFUSES to
+run without a checkpoint_dir: a restarted checkpoint-less query would
+renumber from 0 and this module would silently skip the "already
+committed" partitions while the stage's state kept advancing — data loss
+plus a state that rejects rows the dataset never received.
 
 Crash matrix (stage order: commit_epoch → state update):
 - during staging write → orphan staging dir, dataset untouched; swept on

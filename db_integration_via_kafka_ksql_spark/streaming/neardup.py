@@ -324,13 +324,22 @@ class StreamingNearDup:
         return self.spark.read.parquet(self.dataset_path)
 
     def start(self, doc_stream: DataFrame) -> StreamingQuery:
+        if not self.checkpoint_dir:
+            # see StreamingCurator.start: without a durable checkpoint a
+            # restarted query renumbers epochs from 0 and the epoch-
+            # committed-partition guard silently drops the new batches
+            # while the witness state advances. Refuse.
+            raise ValueError(
+                "StreamingNearDup.start() requires checkpoint_dir: the "
+                "epoch-committed-partition replay guard is only sound when "
+                "Spark's batch numbering survives restarts"
+            )
         writer = (
             doc_stream.writeStream.queryName(self.query_name)
             .foreachBatch(self.process_batch)
             .outputMode("update")
+            .option("checkpointLocation", self.checkpoint_dir)
         )
-        if self.checkpoint_dir:
-            writer = writer.option("checkpointLocation", self.checkpoint_dir)
         if self.trigger_seconds:
             writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
         return writer.start()

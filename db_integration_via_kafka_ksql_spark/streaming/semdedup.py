@@ -105,17 +105,20 @@ class StreamingSemDedup:
 
         Zero-norm vectors (all-zero quantized embedding) are degenerate:
         cosine is undefined, and `qdot > 0` alone would make them match
-        NOTHING — including themselves — which breaks the replay-
-        idempotence mechanism (a replayed batch relies on every vector
-        colliding with its own witness; a zero vector that never
-        self-collides would survive the replay and dynamically overwrite
-        its epoch partition with only the zero vectors, dropping the
-        partition's previously accepted rows). So two zero-norm vectors
-        are DEFINED as duplicates of each other: self-collision always
-        fires, and within a batch all zero vectors of a cluster collapse
-        to the min-id representative. (The batch `semdedup_pairs`
-        operator keeps the stricter `qdot > 0` rule — it has no replay
-        contract and its DuckDB oracle mirrors that filter.)"""
+        NOTHING — including themselves. Two zero-norm vectors are
+        therefore DEFINED as duplicates of each other: within a batch
+        all zero vectors of a cluster collapse to the min-id
+        representative, and the witness self-collision invariant the
+        tests assert (every vector collides with its own witness, so a
+        replay-after-state-update recomputes an EMPTY accepted frame)
+        holds for every vector, zero-norm included. Dataset integrity on
+        replays no longer depends on that invariant — the epochdir
+        committed-partition skip is the primary guard — but the
+        invariant keeps the accepted-set semantics consistent: a
+        replayed or re-sent zero vector must not be "new" twice. (The
+        batch `semdedup_pairs` operator keeps the stricter `qdot > 0`
+        rule — it has no cross-batch contract and its DuckDB oracle
+        mirrors that filter.)"""
         t = self.threshold_pct / 100
         qdot = V.qdot(qa, qb)
         na_d = F.col(na).cast("double")
@@ -213,13 +216,22 @@ class StreamingSemDedup:
         return self.spark.read.parquet(self.dataset_path)
 
     def start(self, vec_stream: DataFrame) -> StreamingQuery:
+        if not self.checkpoint_dir:
+            # see StreamingCurator.start: without a durable checkpoint a
+            # restarted query renumbers epochs from 0 and the epoch-
+            # committed-partition guard silently drops the new batches
+            # while the witness state advances. Refuse.
+            raise ValueError(
+                "StreamingSemDedup.start() requires checkpoint_dir: the "
+                "epoch-committed-partition replay guard is only sound when "
+                "Spark's batch numbering survives restarts"
+            )
         writer = (
             vec_stream.writeStream.queryName(self.query_name)
             .foreachBatch(self.process_batch)
             .outputMode("update")
+            .option("checkpointLocation", self.checkpoint_dir)
         )
-        if self.checkpoint_dir:
-            writer = writer.option("checkpointLocation", self.checkpoint_dir)
         if self.trigger_seconds:
             writer = writer.trigger(processingTime=f"{self.trigger_seconds} seconds")
         return writer.start()

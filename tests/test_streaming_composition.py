@@ -162,3 +162,47 @@ def test_stage1_crash_mid_staging_publishes_nothing_downstream(
     packed = packer.read_packed()
     assert packed.count() == 2
     assert packed.select("doc_id").distinct().count() == 2
+
+
+def test_every_epochdir_stage_refuses_checkpointless_start(spark, tmp_path):
+    """The epochdir skip-if-committed guard is only sound when Spark's
+    batch numbering survives restarts: a checkpoint-less restart would
+    renumber epochs from 0, silently skip the 'already committed'
+    partitions, and still advance the state — permanent data loss. Every
+    stage's start() must refuse (round-7 review finding: only the packer
+    enforced the contract its own module documented)."""
+    from db_integration_via_kafka_ksql_spark.streaming.neardup import (
+        StreamingNearDup,
+    )
+    from db_integration_via_kafka_ksql_spark.streaming.semdedup import (
+        StreamingSemDedup,
+    )
+
+    stream = spark.readStream.format("rate").load()  # never started
+    stages = [
+        StreamingCurator(
+            spark,
+            dataset_path=str(tmp_path / "c1"),
+            state_path=str(tmp_path / "s1"),
+        ),
+        StreamingNearDup(
+            spark,
+            dataset_path=str(tmp_path / "c2"),
+            state_path=str(tmp_path / "s2"),
+        ),
+        StreamingSemDedup(
+            spark,
+            dataset_path=str(tmp_path / "c3"),
+            state_path=str(tmp_path / "s3"),
+            centroids=[[1024, 0], [0, 1024]],
+        ),
+        StreamingPacker(
+            spark,
+            dataset_path=str(tmp_path / "c4"),
+            state_path=str(tmp_path / "s4"),
+        ),
+    ]
+    for stage in stages:
+        assert stage.checkpoint_dir is None  # the dataclass default
+        with pytest.raises(ValueError, match="requires checkpoint_dir"):
+            stage.start(stream)
