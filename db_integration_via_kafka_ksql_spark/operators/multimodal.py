@@ -91,16 +91,136 @@ def payload_meta(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """STUB — real image decode requires PIL/libjpeg, absent here.
+def sniff_media_format(payload: bytes) -> str | None:
+    """Magic-byte format sniff: 'bmp', 'pnm' (PPM/PGM binary), 'png',
+    'jpeg', or None for unrecognized payloads."""
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] in (b"P5", b"P6") and payload[2:3] in b" \t\r\n":
+        return "pnm"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    return None
 
-    Raises NotImplementedError; tests and extract_features use
-    `_fake_decode` instead. On a real cluster, swap this for
-    `PIL.Image.open(io.BytesIO(payload))`.
-    """
+
+# BT.601 integer luma: (299 R + 587 G + 114 B) // 1000 — exact integer
+# math so decoded rasters are bit-identical across hosts
+def _luma(rgb) -> "bytes":
+    import numpy as np
+
+    px = rgb.astype(np.int64)
+    gray = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+    return gray.astype(np.uint8)
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Uncompressed (BI_RGB) 24/32-bit BMP → (w, h, grayscale raster,
+    row-major top-down, 1 byte/px). Pure header+raster format: numpy
+    alone decodes it — no codec library. Handles 4-byte row padding and
+    bottom-up (positive height) vs top-down (negative height) storage."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        raise ValueError("BMP truncated: no room for file+info headers")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BMP core-header variant not supported")
+    w, h_signed = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only BI_RGB 24/32-bit BMP decodable without a codec "
+            f"(got compression={comp}, bpp={bpp})"
+        )
+    top_down, h = h_signed < 0, abs(h_signed)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"BMP invalid dims {w}x{h_signed}")
+    bypp = bpp // 8
+    stride = (w * bypp + 3) & ~3  # rows pad to 4-byte boundaries
+    if len(payload) < data_offset + stride * h:
+        raise ValueError("BMP truncated: raster shorter than header claims")
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_offset
+    ).reshape(h, stride)[:, : w * bypp].reshape(h, w, bypp)
+    if not top_down:
+        raster = raster[::-1]
+    # BMP stores BGR(A): reverse the channel order for the luma weights
+    return w, h, _luma(raster[..., 2::-1]).tobytes()
+
+
+def _decode_pnm(payload: bytes) -> tuple[int, int, bytes]:
+    """Binary PPM (P6, RGB) / PGM (P5, gray) → (w, h, grayscale raster).
+    Header is whitespace-separated ASCII tokens with '#' comments; numpy
+    reads the raster directly — no codec library."""
+    import numpy as np
+
+    magic = payload[:2]
+    pos = 2
+
+    def token(pos: int) -> tuple[bytes, int]:
+        while pos < len(payload):
+            c = payload[pos : pos + 1]
+            if c in (b" ", b"\t", b"\r", b"\n"):
+                pos += 1
+            elif c == b"#":  # comment runs to end of line
+                while pos < len(payload) and payload[pos : pos + 1] not in (b"\r", b"\n"):
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1] not in (
+            b" ", b"\t", b"\r", b"\n",
+        ):
+            pos += 1
+        if start == pos:
+            raise ValueError("PNM truncated header")
+        return payload[start:pos], pos
+
+    vals = []
+    for _ in range(3):
+        t, pos = token(pos)
+        vals.append(int(t))
+    w, h, maxval = vals
+    if w <= 0 or h <= 0:
+        raise ValueError(f"PNM invalid dims {w}x{h}")
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    ch = 3 if magic == b"P6" else 1
+    if len(payload) < pos + w * h * ch:
+        raise ValueError("PNM truncated: raster shorter than header claims")
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=w * h * ch, offset=pos
+    ).reshape(h, w, ch)
+    gray = _luma(raster) if ch == 3 else raster[..., 0]
+    return w, h, gray.tobytes()
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an image payload to (width, height, grayscale raster bytes,
+    row-major top-down, 1 byte/px).
+
+    Codec-free formats decode NATIVELY (numpy only, deterministic
+    integer BT.601 luma): BMP (BI_RGB 24/32-bit) and binary PPM/PGM.
+    Compressed formats (JPEG/PNG) remain the documented stub — their
+    codecs (PIL/libjpeg) are not in this container; on a real cluster
+    swap the NotImplementedError branch for
+    `PIL.Image.open(io.BytesIO(payload))`."""
+    fmt = sniff_media_format(payload)
+    if fmt == "bmp":
+        return _decode_bmp(payload)
+    if fmt == "pnm":
+        return _decode_pnm(payload)
     raise NotImplementedError(
-        "image decoding requires PIL/libjpeg (not in this container); "
-        "use _fake_decode for deterministic testing"
+        f"decoding {fmt or 'unrecognized'} payloads requires a codec "
+        "library (PIL/libjpeg, not in this container); BMP/PPM/PGM "
+        "decode natively, or use _fake_decode for deterministic testing"
     )
 
 
@@ -181,15 +301,19 @@ RESIZE_SCHEMA = StructType(
 
 
 def resize_images(
-    media: DataFrame, dst_width: int = 32, dst_height: int = 32
+    media: DataFrame,
+    dst_width: int = 32,
+    dst_height: int = 32,
+    decode=None,
 ) -> DataFrame:
     """Nearest-neighbor resize of every payload to a fixed raster size.
 
-    The decode step is the stub (`_fake_decode` — no codec libs here:
-    payload bytes ARE the raster, row-major, 1 byte/px); the resize math,
-    Arrow batching, and output schema are the real production plumbing.
-    On a cluster, swap the decode line for `decode_image` and the same
-    numpy index-sampling resize applies to the decoded raster.
+    `decode` picks the decode step: None (default) uses `_fake_decode`
+    (payload bytes ARE the raster — the oracle-stable contract for the
+    text-derived payloads), `decode_image` runs the REAL native decoder
+    (BMP/PPM/PGM, grayscale luma raster) — the same numpy index-sampling
+    resize applies to either raster; the decode callable ships to
+    executors inside the mapInPandas closure.
 
     Scale notes: output size is fixed (dst_w × dst_h bytes/row), so this
     is the op that turns an unbounded-size image column into a
@@ -204,6 +328,8 @@ def resize_images(
     """
     import numpy as np
     import pandas as pd
+
+    dec = decode if decode is not None else _fake_decode
 
     def resize_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         # target pixel grid is the same for every image: precompute the
@@ -225,7 +351,7 @@ def resize_images(
                 if payload is None:  # NULL payload: zero raster, dims 0
                     blobs[i] = zero
                     continue
-                w, h, raw = _fake_decode(bytes(payload))
+                w, h, raw = dec(bytes(payload))
                 sw[i], sh[i] = w, h
                 if w <= 0 or h <= 0:  # empty payload: all-zero raster
                     blobs[i] = zero

@@ -589,45 +589,24 @@ def pq_fit_codebook(
     return codebook
 
 
-def ivf_pq_topk(
+def ivf_pq_fit(
     embeddings: DataFrame,
-    query_ids: list[int],
-    k: int = 5,
-    nprobe: int = 4,
     dims: int = 64,
     m: int = 8,
     ksub: int = 16,
     iters: int = 2,
     seed: int = 5,
-    refine: int | None = 4,
-) -> DataFrame:
-    """IVF-PQ approximate top-k: IVF coarse lists + product-quantized
-    residual codes + ADC scoring (+ exact refine) — the memory-scale ANN
-    path.
+) -> "IvfPqIndex":
+    """FIT stage of IVF-PQ: quantize the corpus, build the coarse
+    centroids, compute coarse-assignment residuals, and train the m
+    per-subspace codebooks (deterministic integer Lloyd's). Returns an
+    IvfPqIndex that ivf_pq_serve answers queries from.
 
-    Plan shape (the parts that must survive 100 TB):
-    - coarse assignment: broadcast centroids, partial-aggregate argmin —
-      NO window over n x nlists (the ivf_topk discipline);
-    - encode: `codes` is a pure projection over literal codewords (zero
-      shuffles) — the serving-time list build never joins the corpus;
-    - the inverted lists carry (neighbor_id, list_id, codes) ONLY: m
-      small ints per vector instead of dims BIGINTs (~128x smaller);
-    - probes: per-query LUT built on the tiny broadcast query frame;
-      scoring reads lut[s][code_s] per candidate — dsub multiplies are
-      paid once per (query, codeword), not per (query, candidate);
-    - refine (the FAISS IVFPQR shape): the top refine*k ADC candidates
-      per query are rescored EXACTLY by one broadcast semi-join of the
-      (n_queries x refine*k)-row shortlist against the full-precision
-      corpus — the only stage that touches raw vectors again, and its
-      probe side is tiny by construction.
-
-    With refine=None the ADC scores rank directly (measurably lossier —
-    the m x ksub codebook quantization noise is comparable to true-
-    neighbor score gaps at top-k; tests pin both recalls). Either way
-    every score is integer-exact and the whole pipeline is DuckDB-
-    oracle hash-parity-gated.
-    Returns (query_id, neighbor_id, qdot, rnk) — qdot is the ADC
-    approximation when refine is None, the exact qdot after refine."""
+    Factored out of ivf_pq_topk (round-8 verdict item: the fit is a
+    once-per-corpus cost — ~20 tiny driver-coordinated Lloyd jobs that
+    dominate the benched row at small scale — while the serve path is
+    what repeats per query batch; benching them separately makes the
+    serve path's true cost legible)."""
     dsub = dims // m
     if m * dsub != dims:
         raise ValueError(f"dims={dims} not divisible into m={m} subspaces")
@@ -664,6 +643,39 @@ def ivf_pq_topk(
     codebook = pq_fit_codebook(
         corpus_res, m=m, ksub=ksub, iters=iters, seed=seed, dims=dims
     )
+    return IvfPqIndex(q=q, cent=cent, corpus_res=corpus_res, codebook=codebook)
+
+
+class IvfPqIndex:
+    """Fitted IVF-PQ state: the quantized corpus frame, broadcast coarse
+    centroids, coarse-residual frame, and trained codebooks. Driver
+    footprint is the codebook only (m x ksub x dsub ints); q/corpus_res
+    are checkpointed DataFrames, distributed as usual."""
+
+    def __init__(self, q, cent, corpus_res, codebook):
+        self.q = q
+        self.cent = cent
+        self.corpus_res = corpus_res
+        self.codebook = codebook
+
+
+def ivf_pq_serve(
+    index: "IvfPqIndex",
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 4,
+    dims: int = 64,
+    m: int = 8,
+    refine: int | None = 4,
+) -> DataFrame:
+    """SERVE stage of IVF-PQ: encode the corpus into the inverted lists
+    (scan-side literal-codeword projection), build per-query ADC LUTs,
+    score probed lists, and (optionally) exactly rescore the top
+    refine*k shortlist. See ivf_pq_topk for the full plan-shape story."""
+    dsub = dims // m
+    q, cent, corpus_res, codebook = (
+        index.q, index.cent, index.corpus_res, index.codebook,
+    )
     # the inverted lists: codes projection only — this frame is the whole
     # PQ memory story (m small ints per vector)
     lists = corpus_res.select(
@@ -681,6 +693,10 @@ def ivf_pq_topk(
     luts = qq_df.select(
         "query_id", _pq_lut_expr(codebook, dsub).alias("lut")
     )
+    dist2 = F.expr(
+        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        "cast(0 as bigint), (acc, v) -> acc + v)"
+    ).alias("dist2")
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("dist2").asc(), F.col("c_label").asc()
     )
@@ -751,4 +767,53 @@ def ivf_pq_topk(
         exact.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "qdot", "rnk")
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 4,
+    dims: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    seed: int = 5,
+    refine: int | None = 4,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: IVF coarse lists + product-quantized
+    residual codes + ADC scoring (+ exact refine) — the memory-scale ANN
+    path. Composition of ivf_pq_fit (once-per-corpus codebook training)
+    and ivf_pq_serve (per-query-batch encode + probe + ADC + refine);
+    kept as one call for the oracle's fit-inclusive contract.
+
+    Plan shape (the parts that must survive 100 TB):
+    - coarse assignment: broadcast centroids, partial-aggregate argmin —
+      NO window over n x nlists (the ivf_topk discipline);
+    - encode: `codes` is a pure projection over literal codewords (zero
+      shuffles) — the serving-time list build never joins the corpus;
+    - the inverted lists carry (neighbor_id, list_id, codes) ONLY: m
+      small ints per vector instead of dims BIGINTs (~128x smaller);
+    - probes: per-query LUT built on the tiny broadcast query frame;
+      scoring reads lut[s][code_s] per candidate — dsub multiplies are
+      paid once per (query, codeword), not per (query, candidate);
+    - refine (the FAISS IVFPQR shape): the top refine*k ADC candidates
+      per query are rescored EXACTLY by one broadcast semi-join of the
+      (n_queries x refine*k)-row shortlist against the full-precision
+      corpus — the only stage that touches raw vectors again, and its
+      probe side is tiny by construction.
+
+    With refine=None the ADC scores rank directly (measurably lossier —
+    the m x ksub codebook quantization noise is comparable to true-
+    neighbor score gaps at top-k; tests pin both recalls). Either way
+    every score is integer-exact and the whole pipeline is DuckDB-
+    oracle hash-parity-gated.
+    Returns (query_id, neighbor_id, qdot, rnk) — qdot is the ADC
+    approximation when refine is None, the exact qdot after refine."""
+    index = ivf_pq_fit(
+        embeddings, dims=dims, m=m, ksub=ksub, iters=iters, seed=seed
+    )
+    return ivf_pq_serve(
+        index, query_ids, k=k, nprobe=nprobe, dims=dims, m=m, refine=refine
     )

@@ -87,3 +87,48 @@ def test_compact_report_keeps_headline_metric_fields():
     # heavy sections must NOT leak into the stdout line
     for key in ("reps", "cc", "aggview", "propagation_latency"):
         assert key not in compact
+
+def test_load_suspect_flag_logic():
+    # clean run: probes stable within the 1.5x drift ratio
+    assert bench.load_suspect({"start": 0.20, "middle": 0.22, "end": 0.25}) is False
+    # loaded host: end probe 2x the start probe -> flagged
+    assert bench.load_suspect({"start": 0.20, "middle": 0.21, "end": 0.45}) is True
+    # drift exactly at the boundary is NOT suspect (strict >)
+    assert bench.load_suspect({"start": 0.20, "end": 0.30}) is False
+    # degenerate inputs never flag: empty, single probe, zero/None values
+    assert bench.load_suspect({}) is False
+    assert bench.load_suspect({"start": 0.20}) is False
+    assert bench.load_suspect({"start": 0.0, "end": 0.0}) is False
+    assert bench.load_suspect({"start": None, "end": 0.2}) is False
+
+
+def test_load_suspect_propagates_to_compact_line():
+    report = _full_report(bench.HEADLINE)
+    report["load_suspect"] = True
+    report["calibration"] = {"start": 0.2, "middle": 0.2, "end": 0.5}
+    compact = bench.compact_report(report)
+    assert compact["load_suspect"] is True
+    assert len(json.dumps(compact)) <= bench.STDOUT_BUDGET
+    # calibration detail itself stays in BENCH_DETAIL, not the stdout line
+    assert "calibration" not in compact
+    # a clean report carries no flag at all (absence == healthy)
+    clean = bench.compact_report(_full_report(bench.HEADLINE))
+    assert "load_suspect" not in clean
+
+
+def test_prior_round_timings_reads_queries_and_tolerates_absence(tmp_path):
+    detail = tmp_path / "BENCH_DETAIL.json"
+    detail.write_text(json.dumps({
+        "sf": 0.1,
+        "queries": {"q1": 1.74, "q_broken": None, "q_str": "x"},
+    }))
+    prior = bench.prior_round_timings(str(detail), 0.1)
+    assert prior == {"q1": 1.74}
+    # a prior detail at a DIFFERENT sf never drives reruns (timings at
+    # sf0.1 vs sf0.01 are not comparable)
+    assert bench.prior_round_timings(str(detail), 0.01) == {}
+    # missing file (first round) and corrupt file -> {} (no reruns), no raise
+    assert bench.prior_round_timings(str(tmp_path / "nope.json"), 0.1) == {}
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert bench.prior_round_timings(str(bad), 0.1) == {}
