@@ -85,6 +85,12 @@ class StreamingCurator:
         """One micro-batch: curate, drop already-accepted hashes, publish
         this batch's partition (atomic, name-stable, skipped on replay),
         then record the new hashes in the dedup state."""
+        if batch_df.isEmpty():
+            # same guard as neardup/semdedup/packer: a long-idle stream
+            # must not run the full curate plan nor accumulate one empty
+            # epoch-marker dir per trigger (an un-committed empty epoch
+            # replays to the same empty result, so skipping is sound)
+            return
         kept = self.curate_batch(batch_df)
         if self.state.exists():
             kept = kept.join(self.state.read().select("h"), on="h", how="left_anti")

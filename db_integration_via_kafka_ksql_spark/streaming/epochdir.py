@@ -45,6 +45,16 @@ Crash matrix (stage order: commit_epoch → state update):
   state. Exactly-once end-to-end.
 - after state update → replay skips the write and re-applies an
   idempotent (or empty) state batch. Exactly-once.
+
+Filesystem scope: the atomic-publish protocol is implemented with
+driver-local `os.rename`/`os.path.isdir`, so dataset paths must live on
+a POSIX filesystem reachable from the driver (the repo-wide
+ParquetStateStore/swapdir convention — on a cluster that means a shared
+mount like NFS). Scheme-qualified URIs (`hdfs://`, `s3a://`, ...) are
+REJECTED early rather than failing after the staging write: porting to
+an object store needs the same single-rename publish expressed through
+that store's committer (HDFS rename / S3 atomic-visibility manifest),
+not a silent fallback.
 """
 
 from __future__ import annotations
@@ -58,12 +68,26 @@ from pyspark.sql import DataFrame
 _STAGING_MARK = "__epoch_staging_"
 
 
+def _require_local_path(dataset_path: str) -> None:
+    """Reject scheme-qualified URIs up front: the publish/skip protocol
+    below is driver-local os.rename/isdir, which on `hdfs://`/`s3a://`
+    paths would report epoch_committed=False forever and crash after the
+    staging write — see the module docstring's filesystem-scope note."""
+    if "://" in dataset_path:
+        raise ValueError(
+            f"epochdir requires a driver-local POSIX path, got URI "
+            f"{dataset_path!r}; port the single-rename publish through "
+            "that filesystem's own committer instead"
+        )
+
+
 def partition_dir(dataset_path: str, batch_col: str, epoch_id: int) -> str:
     return os.path.join(dataset_path, f"{batch_col}={epoch_id}")
 
 
 def epoch_committed(dataset_path: str, batch_col: str, epoch_id: int) -> bool:
     """True iff this epoch's partition has been atomically published."""
+    _require_local_path(dataset_path)
     return os.path.isdir(partition_dir(dataset_path, batch_col, epoch_id))
 
 
@@ -95,6 +119,7 @@ def commit_epoch(
     An empty frame still commits (a dir holding only `_SUCCESS`): parquet
     readers ignore file-less partition dirs, and the dir doubles as the
     replay marker so an empty epoch is not recomputed forever."""
+    _require_local_path(dataset_path)
     dest = partition_dir(dataset_path, batch_col, epoch_id)
     if os.path.isdir(dest):
         return False

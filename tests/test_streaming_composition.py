@@ -206,3 +206,16 @@ def test_every_epochdir_stage_refuses_checkpointless_start(spark, tmp_path):
         assert stage.checkpoint_dir is None  # the dataclass default
         with pytest.raises(ValueError, match="requires checkpoint_dir"):
             stage.start(stream)
+
+
+def test_epochdir_rejects_scheme_qualified_paths(spark):
+    """The publish/skip protocol is driver-local os.rename/isdir; on an
+    hdfs:// or s3a:// URI epoch_committed would be False forever and the
+    rename would crash after the staging write — so both entry points
+    reject URIs up front (ADVICE r7)."""
+    df = spark.range(1)
+    for uri in ("hdfs://nn/data/corpus", "s3a://bucket/corpus"):
+        with pytest.raises(ValueError, match="driver-local POSIX path"):
+            epochdir.commit_epoch(df, uri, "ingest_batch", 0)
+        with pytest.raises(ValueError, match="driver-local POSIX path"):
+            epochdir.epoch_committed(uri, "ingest_batch", 0)
