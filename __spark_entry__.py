@@ -18,9 +18,9 @@ from db_integration_via_kafka_ksql_spark.registry import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: changelog compaction + delete filtering — the reference's
-    core semantic (ksqlDB TABLE + JDBC delete sink) — on sf0.001."""
-    return QUERIES["cdc_soft_delete_filter"](spark, "/root/testdata/sf0.001")
+    """Flagship: changelog compaction to latest-per-key — the reference's
+    core semantic (ksqlDB TABLE materialization) — on sf0.001."""
+    return QUERIES["cdc_compact_latest"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -55,6 +55,7 @@ def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cdc_soft_delete_filter",
+    driver=False,  # round-8 rotation: 3-rounds-stable slot ceded to a newer op
     oracle=f"SELECT * FROM ({_COMPACT_SQL}) WHERE __deleted <> 'true'",
 )
 def cdc_soft_delete_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,6 +110,7 @@ def cdc_changelog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cdc_state_count",
+    driver=False,  # round-8 rotation: 3-rounds-stable slot ceded to a newer op
     oracle=f"""
     SELECT CAST(count(*) AS BIGINT) AS total
     FROM ({_COMPACT_SQL}) WHERE __deleted <> 'true'
@@ -126,6 +128,7 @@ def cdc_state_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cdc_point_lookup",
+    driver=False,  # round-8 rotation: 3-rounds-stable slot ceded to a newer op
     oracle=f"SELECT * FROM ({_COMPACT_SQL}) WHERE __deleted <> 'true' AND key_id = 7",
 )
 def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -133,7 +133,7 @@ pf AS (
 
 @query(
     "kmeans_cluster_sizes",
-    driver=False,  # driver window full; parity-gated in test_oracle_parity
+    # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH {_kmeans_chain()}
     SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -171,7 +171,7 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "semdedup_survivors",
-    driver=False,
+    # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH {_kmeans_chain()},
     {_PAIRS_CTE}

@@ -133,6 +133,7 @@ def mm_resize_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_frame_sample_counts",
+    driver=False,  # round-8 rotation: 3-rounds-stable slot ceded to a newer op
     oracle="""
     SELECT doc_id,
            CAST(octet_length(text::BLOB) // 100 // 10 + 1 AS BIGINT) AS n_sampled

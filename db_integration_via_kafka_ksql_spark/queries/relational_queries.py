@@ -168,6 +168,7 @@ def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "window_running_customer_spend",
+    driver=False,  # round-8 rotation: 3-rounds-stable slot ceded to a newer op
     oracle="""
     SELECT o_custkey, o_orderkey,
            o_orderdate,
@@ -185,6 +186,7 @@ def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "topk_expensive_orders",
+    driver=False,  # round-8 rotation: 3-rounds-stable slot ceded to a newer op
     oracle="""
     SELECT o_orderkey, o_custkey,
            CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
@@ -200,6 +202,7 @@ def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "union_order_value_extremes",
+    driver=False,  # round-8 rotation: 3-rounds-stable slot ceded to a newer op
     oracle="""
     SELECT o_orderkey,
            CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
@@ -220,6 +223,7 @@ def union_order_value_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "semi_join_customers_with_open_orders",
+    driver=False,  # round-8 rotation: 3-rounds-stable slot ceded to a newer op
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
     FROM customer
@@ -394,6 +398,7 @@ def window_moving_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scalar_subquery_min_price_parts",
+    driver=False,  # round-8 rotation: 3-rounds-stable slot ceded to a newer op
     oracle="""
     SELECT p_brand, p_partkey, p_name,
            CAST(CAST(p_retailprice AS DECIMAL(18,4)) AS DOUBLE) AS p_retailprice
@@ -701,7 +706,7 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_inter_arrival_stats",
-    driver=False,  # driver window full; parity-gated locally
+    # round-8 rotation: promoted into the external driver window
     oracle="""
     WITH g AS (
         SELECT user_id, event_id, epoch_us(ts) AS ts_us,

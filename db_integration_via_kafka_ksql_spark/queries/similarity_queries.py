@@ -448,7 +448,7 @@ def _ivf_pq_oracle(
 
 @query(
     "sim_ivf_pq_topk",
-    driver=False,  # aux: driver window full; parity-gated locally
+    # round-8 rotation: promoted into the external driver window
     oracle=_ivf_pq_oracle(
         DIMS, NPROBE, PQ_M, PQ_KSUB, PQ_ITERS, PQ_SEED, PQ_REFINE
     ),

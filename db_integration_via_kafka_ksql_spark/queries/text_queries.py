@@ -151,6 +151,7 @@ def text_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_clean_normalize",
+    driver=False,  # round-8 rotation: 3-rounds-stable slot ceded to a newer op
     oracle="""
     SELECT doc_id,
            trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
@@ -821,7 +822,7 @@ MIX_BUDGET_TOKENS = 15_000
 
 @query(
     "mixture_token_budget",
-    driver=False,  # aux: the budget→per-source-fraction planning step
+    # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH avail AS (
         SELECT source,
@@ -880,7 +881,7 @@ _MIX_BUCKET = (
 
 @query(
     "mixture_realized_tokens",
-    driver=False,  # aux: plan -> realized sample accounting
+    # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH avail AS (
         SELECT source,
@@ -1063,7 +1064,7 @@ BPE_TOP_K = 20
 
 @query(
     "vocab_top_merge_pairs",
-    driver=False,  # aux: BPE-training counting step over the word frame
+    # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH w AS (
         SELECT unnest(string_split(text, ' ')) AS w FROM documents
@@ -1204,7 +1205,7 @@ NOVELTY_N = 3
 
 @query(
     "text_ngram_novelty",
-    driver=False,  # driver window full; parity-gated locally
+    # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH sh AS (
         SELECT doc_id, list_distinct({_sh(NOVELTY_N, _W, "text")}) AS sh
@@ -1280,7 +1281,7 @@ _WINNOW_CTES = f"""sh AS (
 
 @query(
     "text_winnowing_fingerprints",
-    driver=False,  # driver window full; parity-gated locally
+    # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH {_WINNOW_CTES}
     SELECT DISTINCT doc_id, fp_pos, fp FROM sel
@@ -1299,7 +1300,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_winnowing_overlap_pairs",
-    driver=False,  # driver window full; parity-gated locally
+    # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH {_WINNOW_CTES},
     fps AS (SELECT DISTINCT doc_id, fp FROM sel),
