@@ -605,6 +605,156 @@ def duplicate_spans(
     )
 
 
+def duplicate_substring_matches(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    min_count: int = 2,
+    occ_cap: int = 64,
+) -> DataFrame:
+    """EXACT maximal duplicate-substring extraction (the suffix-array
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", 2022 — reimplemented as sorted-k-gram diagonal runs,
+    which are equivalent: a substring match of M >= L tokens between two
+    locations is exactly a maximal run of M-L+1 consecutive matching
+    L-grams along the (doc_a, doc_b, pos_b-pos_a) diagonal).
+
+    Emits one row per (maximal pairwise match, side): doc_id, start, end
+    (token offsets, end exclusive, end-start >= min_tokens), partner_doc,
+    partner_start — the span tokens[start:end] occurs VERBATIM at the
+    partner location. Within-doc repeats (doc_a == doc_b, delta > 0) are
+    matches too, including overlapping ones from period-<L repetition.
+
+    Exactness: boundaries are exact maximal extents for every substring
+    all of whose L-grams occur in [min_count, occ_cap] locations. Grams
+    hotter than occ_cap are dropped before pairing (the df_cap/bucket_cap
+    discipline used repo-wide): ultra-hot boilerplate would otherwise
+    explode the pair space quadratically, and it is already caught by the
+    doc-level scorers (duplicate_spans, novelty). The property gate in
+    tests compares against a sequential python model under the same cap.
+
+    Scale shape: one groupBy(h) count (map-side combined) + a semi-join
+    keeps only eligible gram positions; the pair join is an equi-join on
+    h whose per-key fan-out is capped at occ_cap^2/2; diagonal runs are
+    one window per (doc_a, doc_b, delta) whose partition size is bounded
+    by doc length. Grams shuffle as 8-byte xxhash64 values, never
+    strings (~2^-64 per-pair collision odds, the duplicate_spans
+    trade)."""
+    L = int(min_tokens)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    grams_sql = (
+        f"CASE WHEN size(w) < {L} THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size(w) - {L - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {L}))) END"
+    )
+    win = (
+        docs.select("doc_id", "text")
+        .repartition(par)
+        .select("doc_id", T.words("text").alias("w"))
+        .select("doc_id", F.posexplode(F.expr(grams_sql)).alias("pos", "gram"))
+        .select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    )
+    eligible_h = (
+        win.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter((F.col("c") >= min_count) & (F.col("c") <= occ_cap))
+        .select("h")
+    )
+    elig = win.join(eligible_h, "h", "left_semi")
+    a = elig.select(
+        F.col("h").alias("ha"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    b = elig.select(
+        F.col("h").alias("hb"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("ha") == F.col("hb"))
+        & (
+            F.struct(F.col("doc_a"), F.col("pos_a"))
+            < F.struct(F.col("doc_b"), F.col("pos_b"))
+        ),
+    ).select(
+        "doc_a", "pos_a", "doc_b",
+        (F.col("pos_b") - F.col("pos_a")).alias("delta"),
+    )
+    wdiag = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pos_a")
+    runs = (
+        pairs.withColumn("grp", F.col("pos_a") - F.row_number().over(wdiag))
+        .groupBy("doc_a", "doc_b", "delta", "grp")
+        .agg(F.min("pos_a").alias("s"), F.max("pos_a").alias("e"))
+    )
+    side_a = runs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("s").cast("bigint").alias("start"),
+        (F.col("e") + L).cast("bigint").alias("end"),
+        F.col("doc_b").alias("partner_doc"),
+        (F.col("s") + F.col("delta")).cast("bigint").alias("partner_start"),
+    )
+    side_b = runs.select(
+        F.col("doc_b").alias("doc_id"),
+        (F.col("s") + F.col("delta")).cast("bigint").alias("start"),
+        (F.col("e") + F.col("delta") + L).cast("bigint").alias("end"),
+        F.col("doc_a").alias("partner_doc"),
+        F.col("s").cast("bigint").alias("partner_start"),
+    )
+    return side_a.unionAll(side_b)
+
+
+def duplicate_cut_spans(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    min_count: int = 2,
+    occ_cap: int = 64,
+) -> DataFrame:
+    """Span-level CUTTING intervals: the per-doc union of all exact
+    maximal duplicate-substring matches (duplicate_substring_matches),
+    merged into maximal disjoint (doc_id, start, end) intervals with
+    n_runs = how many pairwise match spans merged into the interval.
+    Every token inside an interval is covered by a verbatim >=min_tokens
+    duplicate of some other location — the safe removal set for
+    substring-level dedup (cut these, keep the rest of the doc), as
+    opposed to duplicate_spans' doc-level coverage SCORE.
+
+    One extra doc_id-keyed window pass over the (small) match-span frame
+    does the interval union — gaps-and-islands on running max(end)."""
+    m = duplicate_substring_matches(
+        docs, min_tokens=min_tokens, min_count=min_count, occ_cap=occ_cap
+    ).select("doc_id", "start", "end")
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("start", "end")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        m.withColumn("prev_end", F.max("end").over(wprev))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("start") > F.col("prev_end")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(wrun))
+        .groupBy("doc_id", "island")
+        .agg(
+            F.min("start").cast("bigint").alias("start"),
+            F.max("end").cast("bigint").alias("end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        )
+        .select("doc_id", "start", "end", "n_runs")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 256,

@@ -459,6 +459,98 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUPSUB_L = 6
+DUPSUB_OCC_CAP = 64
+
+
+@query(
+    "text_duplicate_cut_spans",
+    driver=False,
+    oracle=f"""
+    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    base AS (
+        SELECT doc_id, greatest(len(w) - {DUPSUB_L} + 1, 0) AS n_windows, w
+        FROM ws
+    ),
+    pos AS (
+        SELECT doc_id, unnest(range(0, n_windows)) AS pos, w
+        FROM base WHERE n_windows > 0
+    ),
+    win AS (
+        SELECT doc_id, pos,
+               array_to_string(w[pos + 1 : pos + {DUPSUB_L}], ' ') AS gram
+        FROM pos
+    ),
+    elig_g AS (
+        SELECT gram FROM win GROUP BY gram
+        HAVING count(*) BETWEEN 2 AND {DUPSUB_OCC_CAP}
+    ),
+    elig AS (
+        SELECT doc_id, pos, gram FROM win
+        WHERE gram IN (SELECT gram FROM elig_g)
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+               b.doc_id AS doc_b, b.pos - a.pos AS delta
+        FROM elig a JOIN elig b ON a.gram = b.gram
+         AND (a.doc_id < b.doc_id OR (a.doc_id = b.doc_id AND a.pos < b.pos))
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, delta, grp,
+               min(pos_a) AS s, max(pos_a) AS e
+        FROM (
+            SELECT *, pos_a - row_number() OVER (
+                PARTITION BY doc_a, doc_b, delta ORDER BY pos_a
+            ) AS grp FROM pairs
+        ) GROUP BY doc_a, doc_b, delta, grp
+    ),
+    sides AS (
+        SELECT doc_a AS doc_id, s AS st, e + {DUPSUB_L} AS en FROM runs
+        UNION ALL
+        SELECT doc_b, s + delta, e + delta + {DUPSUB_L} FROM runs
+    ),
+    isl AS (
+        SELECT doc_id, st, en,
+               CASE WHEN prev_en IS NULL OR st > prev_en THEN 1 ELSE 0 END
+                   AS new_island
+        FROM (
+            SELECT *, max(en) OVER (
+                PARTITION BY doc_id ORDER BY st, en
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ) AS prev_en FROM sides
+        )
+    )
+    SELECT doc_id,
+           CAST(min(st) AS BIGINT) AS start,
+           CAST(max(en) AS BIGINT) AS "end",
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM (
+        SELECT *, sum(new_island) OVER (
+            PARTITION BY doc_id ORDER BY st, en
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS island FROM isl
+    )
+    GROUP BY doc_id, island
+    """,
+)
+def text_duplicate_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-dedup spans for span-level CUTTING (Lee et al.
+    2022): per-doc maximal disjoint intervals covered by verbatim
+    >= {DUPSUB_L}-token duplicates of other corpus locations, with exact
+    boundaries from diagonal-run merging of matching grams
+    (operators/text_analysis.duplicate_substring_matches +
+    duplicate_cut_spans). The oracle replays the ENTIRE pipeline —
+    eligible grams (count in [2, occ_cap]), all pairwise matches,
+    diagonal runs, both sides, interval union — grouping by gram STRING
+    while the operator groups by xxhash64 (the duplicate_spans collision
+    trade, ~2^-64 per pair)."""
+    return TA.duplicate_cut_spans(
+        load_table(spark, sf_dir, "documents"),
+        min_tokens=DUPSUB_L,
+        occ_cap=DUPSUB_OCC_CAP,
+    )
+
+
 PACK_CAPACITY = 256
 
 

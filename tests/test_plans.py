@@ -425,3 +425,16 @@ def test_inter_arrival_single_user_exchange(reports):
     assert r.windows == 1
     assert r.has_partial_aggregate
     assert len(r.scans["events"].read_columns) == 3
+
+
+def test_duplicate_cut_spans_equi_pair_join_no_nlj(reports):
+    """Exact substring-dedup's scale contract: the pair generator is an
+    EQUI-join on the 8-byte gram hash (fan-out capped at occ_cap^2/2 per
+    key by the eligibility filter), never a nested-loop/cartesian; gram
+    eligibility combines map-side; windows are the diagonal-run and
+    per-doc interval-merge passes only (both partitioned on bounded
+    keys), never corpus-wide."""
+    r = reports("text_duplicate_cut_spans")
+    assert r.nested_loop_joins == 0
+    assert r.has_partial_aggregate
+    assert r.windows == 2  # diagonal runs + interval union, nothing else
