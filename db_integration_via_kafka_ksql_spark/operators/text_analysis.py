@@ -682,10 +682,15 @@ def duplicate_substring_matches(
         (F.col("pos_b") - F.col("pos_a")).alias("delta"),
     )
     wdiag = Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pos_a")
+    # Materialize the expensive subtree (gram explode -> eligibility
+    # semi-join -> pair equi-join -> diagonal-run window) ONCE: without
+    # this, the side_a/side_b union re-plans the whole chain per branch
+    # (the simhash-bands precedent, operators/dedup.py).
     runs = (
         pairs.withColumn("grp", F.col("pos_a") - F.row_number().over(wdiag))
         .groupBy("doc_a", "doc_b", "delta", "grp")
         .agg(F.min("pos_a").alias("s"), F.max("pos_a").alias("e"))
+        .localCheckpoint(eager=True)
     )
     side_a = runs.select(
         F.col("doc_a").alias("doc_id"),
@@ -720,10 +725,22 @@ def duplicate_cut_spans(
     opposed to duplicate_spans' doc-level coverage SCORE.
 
     One extra doc_id-keyed window pass over the (small) match-span frame
-    does the interval union — gaps-and-islands on running max(end)."""
-    m = duplicate_substring_matches(
-        docs, min_tokens=min_tokens, min_count=min_count, occ_cap=occ_cap
-    ).select("doc_id", "start", "end")
+    does the interval union — gaps-and-islands on running max(end).
+
+    Determinism: a doc span matching two different partners emits two
+    IDENTICAL (doc_id, start, end) rows, so ORDER BY (start, end) alone
+    is not a total order and the two window passes (running max(end) +
+    running sum) could order the tie differently, splitting one island.
+    Matches are therefore pre-aggregated to UNIQUE spans (cnt = how many
+    pairwise matches collapsed) before the island windows — the ORDER BY
+    is then total per doc — and n_runs = sum(cnt) per island."""
+    m = (
+        duplicate_substring_matches(
+            docs, min_tokens=min_tokens, min_count=min_count, occ_cap=occ_cap
+        )
+        .groupBy("doc_id", "start", "end")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     wprev = (
         Window.partitionBy("doc_id")
         .orderBy("start", "end")
@@ -749,7 +766,7 @@ def duplicate_cut_spans(
         .agg(
             F.min("start").cast("bigint").alias("start"),
             F.max("end").cast("bigint").alias("end"),
-            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.sum("cnt").cast("bigint").alias("n_runs"),
         )
         .select("doc_id", "start", "end", "n_runs")
     )

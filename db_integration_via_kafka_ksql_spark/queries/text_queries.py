@@ -509,21 +509,29 @@ DUPSUB_OCC_CAP = 64
         UNION ALL
         SELECT doc_b, s + delta, e + delta + {DUPSUB_L} FROM runs
     ),
+    spans AS (
+        -- pre-aggregate duplicate (doc_id, st, en) rows so the island
+        -- ORDER BY (st, en) is a TOTAL order per doc (a span matching
+        -- two partners would otherwise emit tied rows the two window
+        -- passes may order differently, splitting an island)
+        SELECT doc_id, st, en, count(*) AS cnt
+        FROM sides GROUP BY doc_id, st, en
+    ),
     isl AS (
-        SELECT doc_id, st, en,
+        SELECT doc_id, st, en, cnt,
                CASE WHEN prev_en IS NULL OR st > prev_en THEN 1 ELSE 0 END
                    AS new_island
         FROM (
             SELECT *, max(en) OVER (
                 PARTITION BY doc_id ORDER BY st, en
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-            ) AS prev_en FROM sides
+            ) AS prev_en FROM spans
         )
     )
     SELECT doc_id,
            CAST(min(st) AS BIGINT) AS start,
            CAST(max(en) AS BIGINT) AS "end",
-           CAST(count(*) AS BIGINT) AS n_runs
+           CAST(sum(cnt) AS BIGINT) AS n_runs
     FROM (
         SELECT *, sum(new_island) OVER (
             PARTITION BY doc_id ORDER BY st, en

@@ -159,6 +159,25 @@ def test_occ_cap_drops_ultra_hot_grams(spark):
     assert cuts == [(d, 3, 11, 5) for d in range(6)]
 
 
+def test_two_partners_same_span_merges_deterministically(spark):
+    """Regression for the round-8 flaky parity: a doc span matching TWO
+    different partners emits two IDENTICAL (doc_id, start, end) rows, so
+    ORDER BY (start, end) is not total and the pre-fix island windows
+    could split one island into duplicate output rows depending on tie
+    order. Post-fix (pre-aggregate to unique spans, n_runs = sum(cnt))
+    the result is one island with n_runs=2, stable across runs."""
+    shared = _tokens("s", 22)
+    docs = [
+        (50, " ".join(shared + _tokens("q", 3))),   # span [0, 22) both pairs
+        (51, " ".join(_tokens("b", 5) + shared)),
+        (52, " ".join(_tokens("c", 9) + shared)),
+    ]
+    want = model_cut_spans(model_matches(docs, L=8))
+    assert (50, 0, 22, 2) in want
+    for _ in range(5):
+        assert _collect_cuts(spark, docs, L=8) == want
+
+
 def test_short_docs_and_no_dups_yield_empty(spark):
     docs = [(0, "only three words"), (1, "entirely different text here")]
     assert _collect_matches(spark, docs, L=8) == []

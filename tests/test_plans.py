@@ -428,13 +428,19 @@ def test_inter_arrival_single_user_exchange(reports):
 
 
 def test_duplicate_cut_spans_equi_pair_join_no_nlj(reports):
-    """Exact substring-dedup's scale contract: the pair generator is an
-    EQUI-join on the 8-byte gram hash (fan-out capped at occ_cap^2/2 per
-    key by the eligibility filter), never a nested-loop/cartesian; gram
-    eligibility combines map-side; windows are the diagonal-run and
-    per-doc interval-merge passes only (both partitioned on bounded
-    keys), never corpus-wide."""
+    """Exact substring-dedup's scale contract: the expensive subtree
+    (gram explode -> eligibility semi-join -> equi pair join on the
+    8-byte hash -> diagonal-run window) is MATERIALIZED once via
+    localCheckpoint before the side_a/side_b union, so the visible plan
+    is only the post-checkpoint interval union: zero joins of any kind
+    (in particular no nested-loop/cartesian and no second copy of the
+    pair join), the unique-span pre-aggregation combines map-side, and
+    the two per-doc island window passes — nothing corpus-wide."""
     r = reports("text_duplicate_cut_spans")
     assert r.nested_loop_joins == 0
+    assert (
+        r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins
+    ) == 0  # the pair join ran exactly once, behind the checkpoint
     assert r.has_partial_aggregate
-    assert r.windows == 2  # diagonal runs + interval union, nothing else
+    assert r.windows == 2  # the two island passes; diagonal runs checkpointed
+    assert r.n_shuffle_exchanges == 2  # span pre-agg + doc_id island window
