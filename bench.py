@@ -142,8 +142,28 @@ def prior_round_timings(detail_path: str, sf) -> dict:
         return {}
 
 
-RERUN_RATIO = 2.0
+RERUN_RATIO = 1.5
 RERUN_EXTRA_REPS = 2
+
+SPREAD_RATIO = 2.0
+
+
+def spread_suspects(rep_timings: dict) -> list[str]:
+    """Names of queries whose own repetitions disagree by more than
+    SPREAD_RATIO (max rep / min rep): per-query noise the run-level
+    calibration probes can miss (round-8 lesson —
+    star_sales_by_region_segment's reps [2.77, 5.96, 5.38] carried a
+    2.15x spread while the probe drift stayed at 1.40, under the 1.5
+    trip wire, so an adjudication-needing artifact shipped unflagged).
+    A flagged query's best-of-N is still the headline value; the flag
+    tells a cross-round reader the number came off a noisy floor. Pure
+    function so the logic is unit-testable without a Spark run."""
+    out = []
+    for name, raw in rep_timings.items():
+        vals = [v for v in raw if isinstance(v, (int, float)) and v > 0]
+        if len(vals) >= 2 and max(vals) / min(vals) > SPREAD_RATIO:
+            out.append(name)
+    return out
 
 
 def release_checkpoints(spark) -> None:
@@ -261,8 +281,7 @@ def ivf_pq_split(spark, sf_dir: str) -> dict:
         t0 = time.perf_counter()
         run_query(
             S.ivf_pq_serve(
-                index, QUERY_IDS, k=TOP_K, nprobe=NPROBE,
-                dims=DIMS, m=PQ_M, refine=PQ_REFINE,
+                index, QUERY_IDS, k=TOP_K, nprobe=NPROBE, refine=PQ_REFINE
             )
         )
         serve_reps.append(round(time.perf_counter() - t0, 4))
@@ -598,6 +617,12 @@ def compact_report(report: dict) -> dict:
         # host noise detected by the calibration probes — per-query deltas
         # in this artifact are NOT trustworthy regressions (round-7 lesson)
         compact["load_suspect"] = True
+    if report.get("spread_suspect"):
+        # per-query rep spread >SPREAD_RATIO: that query's own reps
+        # disagree, so its delta needs a re-measure before it's believed.
+        # Capped at 8 names to keep the line inside STDOUT_BUDGET; the
+        # full list is always in BENCH_DETAIL.json.
+        compact["spread_suspect"] = report["spread_suspect"][:8]
     if report.get("errors"):
         compact["n_errors"] = len(report["errors"])
     if report.get("replay_events_per_sec") is not None:
@@ -783,6 +808,9 @@ def main() -> None:
         report["reruns"] = reruns
     if load_suspect(calibration):
         report["load_suspect"] = True
+    suspects = spread_suspects(rep_timings)
+    if suspects:
+        report["spread_suspect"] = suspects
     if n_timed < len(timings):
         # the headline total covers fewer queries than registered — flag it
         # in the report itself so cross-round `value` comparisons can't

