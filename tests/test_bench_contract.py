@@ -116,6 +116,39 @@ def test_load_suspect_propagates_to_compact_line():
     assert "load_suspect" not in clean
 
 
+def test_spread_suspect_flag_logic():
+    # clean: every query's reps within the 2x spread ratio
+    assert bench.spread_suspects({"a": [1.0, 1.2, 1.1], "b": [0.5, 0.6]}) == []
+    # star's round-8 case: [2.77, 5.96, 5.38] spread 2.15x -> flagged
+    assert bench.spread_suspects({"star": [2.77, 5.96, 5.38]}) == ["star"]
+    # boundary is NOT suspect (strict >), degenerate inputs never flag
+    assert bench.spread_suspects({"a": [1.0, 2.0]}) == []
+    assert bench.spread_suspects({"a": [1.0]}) == []
+    assert bench.spread_suspects({"a": []}) == []
+    assert bench.spread_suspects({"a": [0.0, 0.0]}) == []
+    assert bench.spread_suspects({"a": [None, 1.0]}) == []
+    # multiple suspects preserve dict order
+    assert bench.spread_suspects(
+        {"a": [1.0, 2.5], "b": [1.0, 1.1], "c": [0.2, 0.9]}
+    ) == ["a", "c"]
+
+
+def test_spread_suspect_propagates_to_compact_line():
+    report = _full_report(bench.HEADLINE)
+    report["spread_suspect"] = ["star_sales_by_region_segment"]
+    compact = bench.compact_report(report)
+    assert compact["spread_suspect"] == ["star_sales_by_region_segment"]
+    assert len(json.dumps(compact)) <= bench.STDOUT_BUDGET
+    # a long suspect list is capped at 8 names on the stdout line (the
+    # full list lives in BENCH_DETAIL.json) so the budget always holds
+    report["spread_suspect"] = [f"suspect_query_{i}" for i in range(20)]
+    compact = bench.compact_report(report)
+    assert len(compact["spread_suspect"]) == 8
+    assert len(json.dumps(compact)) <= bench.STDOUT_BUDGET
+    # absence == healthy
+    assert "spread_suspect" not in bench.compact_report(_full_report(bench.HEADLINE))
+
+
 def test_prior_round_timings_reads_queries_and_tolerates_absence(tmp_path):
     detail = tmp_path / "BENCH_DETAIL.json"
     detail.write_text(json.dumps({
