@@ -323,7 +323,7 @@ def cdc_state_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "interval_join_clicks_purchases",
-    driver=False,  # aux: batch twin of streaming/joins.interval_join
+    # promoted to the driver window round 9; batch twin of streaming joins
     oracle="""
     WITH p AS (
         SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS tu

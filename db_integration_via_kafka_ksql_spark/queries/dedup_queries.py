@@ -540,7 +540,7 @@ SPLIT_WEIGHTS = [("train", 80), ("val", 10), ("test", 10)]
 
 @query(
     "split_leakage_free",
-    driver=False,  # aux: cluster-aware train/val/test assignment
+    # promoted to the driver window round 9 (rotation)
     oracle=f"""
     WITH RECURSIVE {_minhash_pair_ctes(MINHASH_K, MINHASH_BANDS)},
     pairs AS (

@@ -147,6 +147,7 @@ def star_sales_by_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "window_top_orders_per_customer",
+    driver=False,  # round-9 rotation: stable slot ceded to a newer op
     oracle="""
     SELECT o_custkey, o_orderkey,
            CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
@@ -262,6 +263,7 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
 
 @query(
     "segment_distinct_stats",
+    driver=False,  # round-9 rotation: stable slot ceded to a newer op
     oracle=f"""
     SELECT c_mktsegment,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
@@ -280,6 +282,7 @@ def segment_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_hourly_counts",
+    driver=False,  # round-9 rotation: stable slot ceded to a newer op
     oracle=f"""
     SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
            event_type,
@@ -322,6 +325,7 @@ def rollup_sales_by_region_segment(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "cube_order_stats",
+    driver=False,  # round-9 rotation: stable slot ceded to a newer op
     oracle=f"""
     SELECT o_orderstatus,
            o_orderpriority,
@@ -338,6 +342,7 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "outer_join_customer_order_counts",
+    driver=False,  # round-9 rotation: stable slot ceded to a newer op
     oracle="""
     SELECT c_custkey,
            c_mktsegment,
@@ -565,7 +570,7 @@ def monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "skew_salted_topk_orders",
-    driver=False,  # aux: oracle-gates the salted top-k against the window form
+    # promoted to the driver window round 9; oracle-gates the salted top-k
     oracle="""
     SELECT c_mktsegment, o_orderkey, total_price, rnk FROM (
         SELECT c.c_mktsegment, o.o_orderkey,
@@ -609,7 +614,7 @@ def skew_salted_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "skew_salted_distinct_parts",
-    driver=False,  # aux: oracle-gates the salted distinct-count decomposition
+    # promoted to the driver window round 9; salted distinct decomposition
     oracle="""
     SELECT l_suppkey,
            CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_l_partkey
@@ -645,7 +650,7 @@ _ANOM_Z = (
 
 @query(
     "events_hourly_anomalies",
-    driver=False,  # aux: anomaly screen over the hourly-counts family
+    # promoted to the driver window round 9 (hourly-counts family slot)
     oracle=f"""
     WITH hourly AS (
         SELECT epoch_us(ts) // 3600000000 AS hour_bucket,

@@ -229,7 +229,11 @@ def _ivf_oracle(dims: int, nprobe: int) -> str:
     """
 
 
-@query("sim_ivf_topk", oracle=_ivf_oracle(DIMS, NPROBE))
+@query(
+    "sim_ivf_topk",
+    driver=False,  # round-9 rotation: ANN family keeps ivf_pq + lsh_mp external
+    oracle=_ivf_oracle(DIMS, NPROBE),
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF two-level ANN: corpus bucketed into per-centroid inverted
     lists, each query probes its nprobe nearest lists only — the classic
@@ -248,7 +252,7 @@ HARDNEG_DUP_PCT = 40
 
 @query(
     "sim_hard_negatives",
-    driver=False,  # aux: contrastive-training mining over the brute scorer
+    # promoted to the driver window round 9 (contrastive mining)
     oracle=f"""
     WITH q0 AS (SELECT vec_id, {_QUANTIZE} AS q FROM embeddings),
     q AS (

@@ -112,6 +112,7 @@ _FP = (
 
 @query(
     "text_fingerprints",
+    driver=False,  # round-9 rotation: stable slot ceded to a newer op
     oracle=f"""
     SELECT doc_id,
            {_FP} AS rolling_fp,
@@ -126,6 +127,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_top_terms_per_source",
+    driver=False,  # round-9 rotation: stable slot ceded to a newer op
     oracle="""
     SELECT source, term, tf, rnk
     FROM (
@@ -235,7 +237,7 @@ def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_keep_best_quality",
-    driver=False,  # aux: retention-policy refinement of corpus curation
+    # promoted to the driver window round 9 (retention policy)
     oracle=f"""
     WITH scored AS (
         SELECT doc_id, md5(text) AS text_hash,
@@ -318,6 +320,7 @@ def _rep_cols() -> str:
 
 @query(
     "text_repetition_scores",
+    driver=False,  # round-9 rotation: stable slot ceded to a newer op
     oracle=f"""
     WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
     g AS (
@@ -465,7 +468,7 @@ DUPSUB_OCC_CAP = 64
 
 @query(
     "text_duplicate_cut_spans",
-    driver=False,
+    # promoted to the driver window round 9 (fixed determinism this round)
     oracle=f"""
     WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     base AS (
@@ -689,6 +692,7 @@ SAMPLE_SALT = "mix1"
 
 @query(
     "sample_stratified_sources",
+    driver=False,  # round-9 rotation: stable slot ceded to a newer op
     oracle=f"""
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_kept,
@@ -844,7 +848,7 @@ _QUALITY_BY_SOURCE = f"""
 
 @query(
     "quality_cutoffs_per_source",
-    driver=False,  # driver window full; locally parity-gated
+    # promoted to the driver window round 9
     oracle=f"""
     WITH q AS ({_QUALITY_BY_SOURCE}),
     ranked AS (
@@ -1201,7 +1205,7 @@ OVERLAP_N = 5
 
 @query(
     "source_overlap_shared_grams",
-    driver=False,  # aux: cross-source contamination matrix
+    # promoted to the driver window round 9 (contamination matrix)
     oracle=f"""
     WITH w AS (
         SELECT source, string_split(text, ' ') AS w, text FROM documents
