@@ -96,7 +96,11 @@ def sniff_media_format(payload: bytes) -> str | None:
     'jpeg', or None for unrecognized payloads."""
     if payload[:2] == b"BM":
         return "bmp"
-    if payload[:2] in (b"P5", b"P6") and payload[2:3] in b" \t\r\n":
+    # membership in a TUPLE of byte strings: `payload[2:3] in b" \t\r\n"`
+    # would be True for the EMPTY slice of a 2-byte payload
+    if payload[:2] in (b"P5", b"P6") and payload[2:3] in (
+        b" ", b"\t", b"\r", b"\n",
+    ):
         return "pnm"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "png"
@@ -189,6 +193,8 @@ def _decode_pnm(payload: bytes) -> tuple[int, int, bytes]:
     w, h, maxval = vals
     if w <= 0 or h <= 0:
         raise ValueError(f"PNM invalid dims {w}x{h}")
+    if maxval < 1:
+        raise ValueError(f"PNM invalid maxval {maxval}")
     if maxval > 255:
         raise NotImplementedError("16-bit PNM not supported")
     pos += 1  # exactly one whitespace byte separates header from raster
@@ -198,6 +204,12 @@ def _decode_pnm(payload: bytes) -> tuple[int, int, bytes]:
     raster = np.frombuffer(
         payload, dtype=np.uint8, count=w * h * ch, offset=pos
     ).reshape(h, w, ch)
+    if maxval != 255:
+        # spec: sample values are fractions of maxval — rescale to the
+        # 0..255 range with integer rounding (exact: maxval <= 255)
+        raster = (
+            (raster.astype(np.int64) * 255 + maxval // 2) // maxval
+        ).astype(np.uint8)
     gray = _luma(raster) if ch == 3 else raster[..., 0]
     return w, h, gray.tobytes()
 

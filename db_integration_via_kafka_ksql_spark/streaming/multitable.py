@@ -113,21 +113,22 @@ class MultiTableCdcPipeline:
             )
 
     def _txn_order(self, batch_df: DataFrame) -> list[Any]:
-        """Global commit order: min order-cols over each txn's rows across
-        ALL tables, txn id as the deterministic tie-break. NULL txn ids
-        (snapshot events carry no transaction metadata) form a real group,
-        applied like any other — the CdcPipeline.txn_col discipline."""
-        firsts = [
-            F.min(c).alias(f"_first{i}") for i, c in enumerate(self.order_cols)
-        ]
+        """Global commit order: the LEXICOGRAPHIC minimum of the order
+        cols over each txn's rows across ALL tables (min over a struct —
+        per-column independent mins would compose e.g. min(ts_ms) and
+        min(lsn) from DIFFERENT rows into a composite belonging to no
+        row, which can misorder two txns under a multi-column envelope),
+        txn id as the deterministic tie-break. NULL txn ids (snapshot
+        events carry no transaction metadata) form a real group, applied
+        like any other — the CdcPipeline.txn_col discipline."""
+        first = F.min(
+            F.struct(*[F.col(c) for c in self.order_cols])
+        ).alias("_first")
         return [
             r[0]
             for r in batch_df.groupBy(self.txn_col)
-            .agg(*firsts)
-            .orderBy(
-                *[f"_first{i}" for i in range(len(self.order_cols))],
-                self.txn_col,
-            )
+            .agg(first)
+            .orderBy("_first", self.txn_col)
             .select(self.txn_col)
             .collect()
         ]

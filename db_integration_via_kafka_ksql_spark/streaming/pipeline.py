@@ -145,26 +145,27 @@ class CdcPipeline:
                 self.dead_letter(dead)
         self._capture_schema_change(batch_df, epoch_id)
         if self.txn_col and self.txn_col in batch_df.columns:
-            # commit order = first change within each txn, compared on ALL
-            # order cols with the txn id as a deterministic tie-break (two
-            # txns sharing a min offset would otherwise apply in arbitrary
-            # order, breaking last-txn-wins reproducibility). The txn-id
-            # list is driver-side but bounded by txns/batch — the same
-            # serial-apply the reference's Connect sink does. A NULL txn id
-            # (Debezium snapshot events ship no transaction metadata) is a
-            # real group: it must be applied, not dropped, so both the
-            # groupBy collect and the per-txn filter are null-safe.
-            firsts = [
-                F.min(c).alias(f"_first{i}") for i, c in enumerate(self.order_cols)
-            ]
+            # commit order = first change within each txn: the
+            # LEXICOGRAPHIC min of the order cols (min over a struct —
+            # per-column independent mins would compose e.g. min(ts_ms)
+            # and min(lsn) from DIFFERENT rows into a composite belonging
+            # to no row, misordering txns under a multi-column envelope),
+            # txn id as a deterministic tie-break (two txns sharing a min
+            # offset would otherwise apply in arbitrary order, breaking
+            # last-txn-wins reproducibility). The txn-id list is
+            # driver-side but bounded by txns/batch — the same
+            # serial-apply the reference's Connect sink does. A NULL txn
+            # id (Debezium snapshot events ship no transaction metadata)
+            # is a real group: it must be applied, not dropped, so both
+            # the groupBy collect and the per-txn filter are null-safe.
+            first = F.min(
+                F.struct(*[F.col(c) for c in self.order_cols])
+            ).alias("_first")
             txns = [
                 r[0]
                 for r in batch_df.groupBy(self.txn_col)
-                .agg(*firsts)
-                .orderBy(
-                    *[f"_first{i}" for i in range(len(self.order_cols))],
-                    self.txn_col,
-                )
+                .agg(first)
+                .orderBy("_first", self.txn_col)
                 .select(self.txn_col)
                 .collect()
             ]

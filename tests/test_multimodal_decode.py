@@ -106,6 +106,28 @@ def test_sniff_formats():
     assert M.sniff_media_format(b"plain text") is None
     # 'P6' not followed by whitespace is NOT a PNM (e.g. a doc "P6abc...")
     assert M.sniff_media_format(b"P6abc") is None
+    # round-9 ADVICE: a bare 2-byte payload must not sniff as PNM — the
+    # empty slice payload[2:3] is a member of b" \t\r\n" under bytes
+    # membership, which the tuple-membership guard avoids
+    assert M.sniff_media_format(b"P5") is None
+    assert M.sniff_media_format(b"P6") is None
+
+
+def test_pnm_maxval_rescaled_and_invalid_rejected():
+    """Round-9 ADVICE: PNM samples are fractions of maxval — a maxval<255
+    image must rescale to 0..255 (spec), and maxval<1 is malformed."""
+    # P5 with maxval 15: value v decodes to round(v * 255 / 15) = 17*v
+    pgm = b"P5\n3 1\n15\n" + bytes([0, 7, 15])
+    w, h, raw = M.decode_image(pgm)
+    assert (w, h) == (3, 1)
+    assert raw == bytes([0, (7 * 255 + 7) // 15, 255])
+    # P6 with maxval 1 (bitmap-like): channels scale to 0/255 before luma
+    ppm = b"P6\n1 1\n1\n" + bytes([1, 0, 1])
+    assert M.decode_image(ppm)[2] == bytes([(299 * 255 + 114 * 255) // 1000])
+    with pytest.raises(ValueError):
+        M.decode_image(b"P5\n1 1\n0\n\x00")
+    with pytest.raises(ValueError):
+        M.decode_image(b"P5\n1 1\n-3\n\x00")
 
 
 def test_compressed_formats_stay_explicit_stub():

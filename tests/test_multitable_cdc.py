@@ -291,6 +291,27 @@ def test_sqlite_sinks_end_to_end_three_tables(spark, tmp_path):
         con.close()
 
 
+def test_global_txn_order_is_lexicographic_over_order_cols(spark):
+    """Round-9 ADVICE (medium): the global commit order takes the
+    LEXICOGRAPHIC minimum row of the order cols per txn (min over a
+    struct), not per-column independent mins — with a Debezium
+    ts_ms+LSN envelope, min(ts) and min(lsn) can come from different
+    rows of one txn, composing a position belonging to no row and
+    misordering two txns. Txn A's rows (ts=1,lsn=9),(ts=2,lsn=1) have
+    per-column min (1,1) — before B's (1,5) — but A's true first change
+    (1,9) is AFTER it."""
+    pipe = MultiTableCdcPipeline(
+        source=None,  # type: ignore[arg-type]  # _txn_order needs no stream
+        tables=[DIM_PRODUCT],
+        order_cols=["ts", "lsn"],
+    )
+    batch = spark.createDataFrame(
+        [("A", 1, 9), ("A", 2, 1), ("B", 1, 5)],
+        ["txn_id", "ts", "lsn"],
+    )
+    assert pipe._txn_order(batch) == ["B", "A"]
+
+
 def test_duplicate_table_names_rejected(spark):
     with pytest.raises(ValueError, match="duplicate table names"):
         MultiTableCdcPipeline(

@@ -348,6 +348,44 @@ def test_txn_atomic_application(harness, spark):
     ]
 
 
+def test_txn_commit_order_is_lexicographic_over_order_cols(harness, spark):
+    """Round-9 ADVICE (medium): with a multi-column envelope (Debezium
+    ts_ms + LSN), a txn's commit position is the LEXICOGRAPHIC minimum
+    row of its order cols — per-column independent mins would compose
+    min(ts) and min(lsn) from DIFFERENT rows into a position belonging
+    to no row. Here txn A's rows are (ts=1,lsn=9) and (ts=2,lsn=1):
+    per-column min (1,1) would sort A before B's (1,5) and let B's write
+    to the shared key win; the true first-change order is B then A, so
+    A's value must be final under serial last-txn-wins."""
+    calls = []
+
+    class RecordingSink:
+        def write_batch(self, upserts, delete_keys):
+            calls.append(sorted((r["id"], r["title"]) for r in upserts.collect()))
+
+    pipe = CdcPipeline(
+        source=None,
+        key_cols=["id"],
+        order_cols=["ts", "lsn"],
+        sink=RecordingSink(),
+        txn_col="txn_id",
+        query_name="test_txn_lex",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("A", 1, "a_wins", "false", 1, 9),
+            ("A", 2, "a_other", "false", 2, 1),
+            ("B", 1, "b_loses", "false", 1, 5),
+        ],
+        ["txn_id", "id", "title", "__deleted", "ts", "lsn"],
+    )
+    pipe.process_batch(batch, 0)
+    assert calls == [
+        [(1, "b_loses")],
+        [(1, "a_wins"), (2, "a_other")],
+    ]
+
+
 def test_txn_null_metadata_rows_are_applied(harness, spark):
     """S6 edge: Debezium snapshot events carry NULL transaction metadata.
     A NULL txn id must be applied as its own atomic unit, not silently
