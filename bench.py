@@ -75,6 +75,10 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "decontam_bloom_overlap",
     "text_duplicate_spans",
+    # the exact substring-dedup pipeline (gram explode -> eligibility ->
+    # pair equi-join -> diagonal runs [checkpointed once] -> interval
+    # union) — benched from round 9, after its determinism fix
+    "text_duplicate_cut_spans",
     "seq_packing_offsets",
     "text_chunk_windows",
     "semdedup_pairs",
