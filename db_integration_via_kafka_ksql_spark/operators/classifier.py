@@ -1,0 +1,186 @@
+"""Distributed hashed-n-gram linear quality classifier.
+
+A linear text classifier over hashed bigram counts, trained with a
+batch-mode AVERAGED PERCEPTRON — the fastText/"hashing trick" family
+(Weinberger et al. 2009; Joulin et al. 2017) reduced to the repo's
+deterministic-aggregate discipline. Labels come from the curation
+composite (operators/text_analysis.quality_scores >= threshold), so the
+trained model is a cheap linear surrogate for the heuristic filter — the
+standard bootstrap for corpus quality classifiers (train on a rule, then
+generalize), and the piece the curation pipeline needs to score NEW text
+without recomputing every heuristic.
+
+Determinism strategy (how an iterative float-free trainer stays
+bit-identical across partitionings and engines):
+- features are INTEGER bigram counts bucketed by the md5-derived hash
+  the repo uses everywhere (first 8 md5 hex chars as an int, mod dim) —
+  no platform-dependent hashing;
+- every per-epoch quantity is an INTEGER SUM (margin = sum cnt*w over a
+  doc; update = sum y*cnt over misclassified docs per bucket): integer
+  addition is associative/commutative, so Spark's partial aggregates
+  give the same result for every partitioning — the kmeans/BPE
+  discipline;
+- the update rule is BATCH perceptron (one synchronized weight update
+  per epoch from the sum over all misclassified docs), not the
+  sequential per-example rule — sequential updates would impose a row
+  order no distributed scan can honor. Averaging sums the epoch
+  snapshots w_1..w_E (integer), which scales scores by a positive
+  constant and never changes a prediction, so the returned weights are
+  exact integers end-to-end;
+- labels: y = +1 iff quality >= threshold. The quality double math is
+  the fixed-order exact-operand IEEE sequence quality_scores documents,
+  so the comparison is reproducible too.
+
+Scale shape (100 TB): the feature frame (doc_id, y, bucket, cnt) is
+token-sized; it is repartitioned BY doc_id and localCheckpoint-ed once,
+and every epoch reuses that one partitioning for both its aggregations
+(per-doc margin groupBy and the misclassified semi-join), so each epoch
+costs one scan of the checkpointed features plus one dim-sized shuffle
+for the bucket update. Weights live driver-side as a (dim+1)-int array
+broadcast into the scan as a literal (the kmeans literal-centroid
+pattern) — dim is a model hyperparameter (default 1024), never
+corpus-sized. Nothing all-pairs, nothing per-row on the driver; the
+only collect is the <=dim+1-row update vector per epoch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.functions import text as T
+from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
+
+DEFAULT_DIM = 1024
+
+
+def _bucket_expr(gram_col: str, dim: int):
+    """md5-derived feature bucket: first 8 md5 hex chars as an int, mod
+    dim — identical in python as int(md5(g).hexdigest()[:8], 16) % dim."""
+    return (T.hex_hash_int(F.col(gram_col)) % dim).cast("int")
+
+
+def hashed_bigram_features(
+    docs: DataFrame,
+    dim: int = DEFAULT_DIM,
+    threshold: float = 0.75,
+    min_tokens: int = 50,
+) -> DataFrame:
+    """(doc_id, y, bucket, cnt): integer bigram-count features with the
+    curation label attached, plus one bias row (bucket=dim, cnt=1) per
+    doc. Single-token docs still get their bias row — they are scored
+    (and trained on) by the bias weight alone."""
+    labeled = TA.quality_scores(
+        docs, min_tokens=min_tokens, keep_cols=("text",)
+    ).select(
+        "doc_id",
+        F.when(F.col("quality") >= threshold, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y"),
+        "text",
+    )
+    bigrams_sql = (
+        "CASE WHEN size(w) < 2 THEN CAST(array() AS array<string>) "
+        "ELSE transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END"
+    )
+    grams = (
+        labeled.select("doc_id", "y", T.words("text").alias("w"))
+        .select("doc_id", "y", F.explode_outer(F.expr(bigrams_sql)).alias("g"))
+    )
+    counts = (
+        grams.filter(F.col("g").isNotNull())
+        .select("doc_id", "y", _bucket_expr("g", dim).alias("bucket"))
+        .groupBy("doc_id", "y", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    bias = labeled.select(
+        "doc_id", "y", F.lit(dim).alias("bucket"), F.lit(1).cast("bigint").alias("cnt")
+    )
+    return counts.unionByName(bias)
+
+
+def _weights_lit(weights: list[int]):
+    return F.array(*[F.lit(int(v)) for v in weights])
+
+
+def _margin_col(weights: list[int]):
+    """sum(cnt * w[bucket]) per doc, with the weight vector inlined as a
+    literal array — scan-side, no join, partial-aggregated."""
+    return F.sum(
+        F.col("cnt") * F.element_at(_weights_lit(weights), F.col("bucket") + 1)
+    )
+
+
+def train_quality_perceptron(
+    docs: DataFrame,
+    dim: int = DEFAULT_DIM,
+    epochs: int = 3,
+    threshold: float = 0.75,
+    min_tokens: int = 50,
+) -> list[int]:
+    """Train the averaged batch perceptron; returns the summed epoch
+    snapshots w_1 + ... + w_E as a (dim+1)-int list (index dim = bias).
+    Positive scaling preserves every prediction, so the sum IS the
+    averaged model without leaving integer arithmetic."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    feats = (
+        hashed_bigram_features(
+            docs, dim=dim, threshold=threshold, min_tokens=min_tokens
+        )
+        .repartition(par, "doc_id")  # one partitioning reused by every epoch
+        .localCheckpoint(eager=True)
+    )
+    w = [0] * (dim + 1)
+    avg = [0] * (dim + 1)
+    for _ in range(int(epochs)):
+        mis = (
+            feats.groupBy("doc_id", "y")
+            .agg(_margin_col(w).alias("margin"))
+            .filter(F.col("y") * F.col("margin") <= 0)
+            .select("doc_id")
+        )
+        upd = (
+            feats.join(mis, "doc_id", "left_semi")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("y") * F.col("cnt")).cast("bigint").alias("u"))
+            .collect()
+        )
+        for r in upd:
+            w[r["bucket"]] += int(r["u"])
+        for i in range(dim + 1):
+            avg[i] += w[i]
+    return avg
+
+
+def score_quality_perceptron(
+    docs: DataFrame,
+    weights: list[int],
+    threshold: float = 0.75,
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Score every doc with a trained weight vector: (doc_id, y, score,
+    pred, correct). score is the exact integer margin under the summed
+    weights; pred = +1 iff score > 0 (ties negative, the perceptron
+    convention)."""
+    dim = len(weights) - 1
+    feats = hashed_bigram_features(
+        docs, dim=dim, threshold=threshold, min_tokens=min_tokens
+    )
+    return (
+        feats.groupBy("doc_id", "y")
+        .agg(_margin_col(weights).cast("bigint").alias("score"))
+        .select(
+            "doc_id",
+            F.col("y").cast("bigint").alias("y"),
+            "score",
+            F.when(F.col("score") > 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("pred"),
+            (
+                F.when(F.col("score") > 0, F.lit(1)).otherwise(F.lit(-1))
+                == F.col("y")
+            ).alias("correct"),
+        )
+    )

@@ -772,6 +772,61 @@ def duplicate_cut_spans(
     )
 
 
+def remove_duplicate_spans(
+    docs: DataFrame,
+    min_tokens: int = 8,
+    min_count: int = 2,
+    occ_cap: int = 64,
+) -> DataFrame:
+    """APPLY the substring-dedup cut intervals (duplicate_cut_spans) to
+    the corpus: every token inside a cut interval is removed and the
+    survivors are rejoined — the actual Lee et al. 2022 dedup step
+    (compute duplicate spans, then CUT them from the training text),
+    completing the compute-spans -> cut-spans -> cleaned-corpus chain.
+
+    Output: (doc_id, clean_text, n_tokens, n_removed, n_kept) with
+    n_tokens = pre-cut count and clean_text = '' when everything was cut
+    (the doc was pure duplicate).
+
+    Scale shape: the interval frame aggregates to ONE row per affected
+    doc (sort_array(collect_list) — intervals are disjoint by
+    construction, so the array is doc-length-bounded and the sort is
+    total), then a doc_id-keyed LEFT join back to the corpus; the cut
+    itself is a scan-side array filter (positions x intervals per doc,
+    both doc-length-bounded) — no explode of corpus tokens, no
+    token-level shuffle."""
+    spans = (
+        duplicate_cut_spans(
+            docs, min_tokens=min_tokens, min_count=min_count, occ_cap=occ_cap
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("start", "end"))
+            ).alias("iv")
+        )
+    )
+    keep_sql = (
+        "CASE WHEN iv IS NULL THEN sequence(0, size(w) - 1) "
+        "ELSE filter(sequence(0, size(w) - 1), "
+        "i -> NOT exists(iv, s -> i >= s.start AND i < s.end)) END"
+    )
+    return (
+        docs.select("doc_id", T.words("text").alias("w"))
+        .join(spans, "doc_id", "left")
+        .select("doc_id", "w", F.expr(keep_sql).alias("keep"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.expr("transform(keep, i -> element_at(w, i + 1))")
+            ).alias("clean_text"),
+            F.size("w").cast("bigint").alias("n_tokens"),
+            (F.size("w") - F.size("keep")).cast("bigint").alias("n_removed"),
+            F.size("keep").cast("bigint").alias("n_kept"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     capacity: int = 256,

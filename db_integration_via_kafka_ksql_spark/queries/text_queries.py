@@ -465,12 +465,11 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 DUPSUB_L = 6
 DUPSUB_OCC_CAP = 64
 
-
-@query(
-    "text_duplicate_cut_spans",
-    # promoted to the driver window round 9 (fixed determinism this round)
-    oracle=f"""
-    WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+# shared CTE chain replaying the FULL substring-dedup pipeline (used by
+# the cut-spans oracle and the cleaned-corpus oracle): eligible grams
+# (count in [2, occ_cap]), all pairwise matches, diagonal runs, both
+# sides, unique-span pre-aggregation, gaps-and-islands interval union
+_DUPSUB_CTES = f"""ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     base AS (
         SELECT doc_id, greatest(len(w) - {DUPSUB_L} + 1, 0) AS n_windows, w
         FROM ws
@@ -530,18 +529,29 @@ DUPSUB_OCC_CAP = 64
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
             ) AS prev_en FROM spans
         )
-    )
+    ),
+    cuts AS (
+        SELECT doc_id, min(st) AS st, max(en) AS en, sum(cnt) AS n_runs
+        FROM (
+            SELECT *, sum(new_island) OVER (
+                PARTITION BY doc_id ORDER BY st, en
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS island FROM isl
+        )
+        GROUP BY doc_id, island
+    )"""
+
+
+@query(
+    "text_duplicate_cut_spans",
+    # promoted to the driver window round 9 (fixed determinism this round)
+    oracle=f"""
+    WITH {_DUPSUB_CTES}
     SELECT doc_id,
-           CAST(min(st) AS BIGINT) AS start,
-           CAST(max(en) AS BIGINT) AS "end",
-           CAST(sum(cnt) AS BIGINT) AS n_runs
-    FROM (
-        SELECT *, sum(new_island) OVER (
-            PARTITION BY doc_id ORDER BY st, en
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS island FROM isl
-    )
-    GROUP BY doc_id, island
+           CAST(st AS BIGINT) AS start,
+           CAST(en AS BIGINT) AS "end",
+           CAST(n_runs AS BIGINT) AS n_runs
+    FROM cuts
     """,
 )
 def text_duplicate_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,6 +566,50 @@ def text_duplicate_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the operator groups by xxhash64 (the duplicate_spans collision
     trade, ~2^-64 per pair)."""
     return TA.duplicate_cut_spans(
+        load_table(spark, sf_dir, "documents"),
+        min_tokens=DUPSUB_L,
+        occ_cap=DUPSUB_OCC_CAP,
+    )
+
+
+@query(
+    "text_cut_span_removal",
+    driver=False,  # aux: the applied form of the driver-slotted cut spans
+    oracle=f"""
+    WITH {_DUPSUB_CTES},
+    tok AS (
+        SELECT doc_id, p, w[p + 1] AS t
+        FROM (
+            SELECT doc_id, w, unnest(range(0, len(w))) AS p FROM ws
+        )
+    ),
+    keptagg AS (
+        SELECT doc_id,
+               string_agg(t, ' ' ORDER BY p) AS clean_text,
+               count(*) AS n_kept
+        FROM tok
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cuts c
+            WHERE c.doc_id = tok.doc_id AND tok.p >= c.st AND tok.p < c.en
+        )
+        GROUP BY doc_id
+    )
+    SELECT ws.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           CAST(len(ws.w) AS BIGINT) AS n_tokens,
+           CAST(len(ws.w) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM ws LEFT JOIN keptagg k USING (doc_id)
+    """,
+)
+def text_cut_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLIED Lee-et-al dedup step: cut every duplicate-substring
+    interval (text_duplicate_cut_spans) out of the corpus and rejoin the
+    surviving tokens (operators/text_analysis.remove_duplicate_spans) —
+    compute-spans -> cut -> cleaned training text, with per-doc removed/
+    kept token accounting. The oracle replays the whole span pipeline by
+    gram STRING, then reconstructs each cleaned doc positionally."""
+    return TA.remove_duplicate_spans(
         load_table(spark, sf_dir, "documents"),
         min_tokens=DUPSUB_L,
         occ_cap=DUPSUB_OCC_CAP,
@@ -1437,3 +1491,30 @@ def text_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared=WINNOW_MIN_SHARED,
         fp_cap=WINNOW_FP_CAP,
     )
+
+
+PERC_DIM = 512
+PERC_EPOCHS = 3
+PERC_THRESHOLD = 0.75
+
+
+@query("text_quality_perceptron", driver=False)
+# rows-only: the trainer is an ITERATIVE weight-update loop (3 synchronized
+# batch-perceptron epochs) — not single-statement-SQL-expressible without
+# replaying the weight sequence; correctness is instead equivalence-gated
+# against a sequential python model over the same corpus
+# (tests/test_classifier.py), the repo's kmeans/BPE discipline.
+def text_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bigram linear quality classifier (averaged batch
+    perceptron, operators/classifier.py): trains on the curation
+    composite's own labels (quality >= {PERC_THRESHOLD}) and scores
+    every doc with the integer-exact averaged weights — the cheap linear
+    surrogate a 100 TB curation pass would apply to unseen text. Output:
+    (doc_id, y, score, pred, correct)."""
+    from db_integration_via_kafka_ksql_spark.operators import classifier as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = C.train_quality_perceptron(
+        docs, dim=PERC_DIM, epochs=PERC_EPOCHS, threshold=PERC_THRESHOLD
+    )
+    return C.score_quality_perceptron(docs, w, threshold=PERC_THRESHOLD)

@@ -182,3 +182,62 @@ def test_short_docs_and_no_dups_yield_empty(spark):
     docs = [(0, "only three words"), (1, "entirely different text here")]
     assert _collect_matches(spark, docs, L=8) == []
     assert _collect_cuts(spark, docs, L=8) == []
+
+
+def model_removal(docs, cuts):
+    """Apply cut intervals: drop tokens inside any interval, rejoin."""
+    per = {d: [] for d, _ in docs}
+    for d, s, e, _ in cuts:
+        per[d].append((s, e))
+    out = []
+    for d, text in docs:
+        w = text.split(" ")
+        keep = [
+            t for i, t in enumerate(w)
+            if not any(s <= i < e for s, e in per[d])
+        ]
+        out.append((d, " ".join(keep), len(w), len(w) - len(keep), len(keep)))
+    return sorted(out)
+
+
+def test_cut_span_removal_matches_model(spark):
+    """The APPLIED dedup step: exact duplicate intervals are cut from the
+    text, survivors rejoin in order; untouched docs pass through whole
+    and an all-duplicate doc shrinks to the empty string."""
+    shared = _tokens("s", 22)
+    docs = [
+        (0, " ".join(shared)),                      # pure duplicate -> ''
+        (1, " ".join(_tokens("b", 5) + shared)),    # prefix survives
+        (2, " ".join(_tokens("c", 4))),             # untouched
+    ]
+    cuts = model_cut_spans(model_matches(docs, L=8))
+    want = model_removal(docs, cuts)
+    got = sorted(
+        tuple(r)
+        for r in TA.remove_duplicate_spans(
+            _docs_df(spark, docs), min_tokens=8
+        ).collect()
+    )
+    assert got == want
+    by_doc = {r[0]: r for r in got}
+    assert by_doc[0][1] == "" and by_doc[0][4] == 0
+    assert by_doc[1][1] == " ".join(_tokens("b", 5)) and by_doc[1][3] == 22
+    assert by_doc[2][3] == 0 and by_doc[2][1] == docs[2][1]
+
+
+def test_cut_span_removal_random_corpus_matches_model(spark):
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(10)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(15, 60))))
+        for d in range(10)
+    ]
+    cuts = model_cut_spans(model_matches(docs, L=4))
+    want = model_removal(docs, cuts)
+    got = sorted(
+        tuple(r)
+        for r in TA.remove_duplicate_spans(
+            _docs_df(spark, docs), min_tokens=4
+        ).collect()
+    )
+    assert got == want

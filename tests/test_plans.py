@@ -379,6 +379,35 @@ def test_ivf_pq_lists_stay_scan_side(reports):
     assert r.sort_merge_joins == 0
 
 
+def test_cut_span_removal_no_token_explode_join(reports):
+    """The applied dedup step's scale contract: the expensive span
+    machinery stays behind the matches checkpoint; live plan = the two
+    island windows, the span-array aggregation (map-side combined), and
+    ONE doc_id-keyed join back to the corpus — the cut itself is a
+    scan-side array filter, so there is never a token-level join or a
+    corpus-wide window."""
+    r = reports("text_cut_span_removal")
+    assert r.nested_loop_joins == 0
+    assert r.windows == 2  # the island passes only
+    assert (r.broadcast_hash_joins + r.sort_merge_joins) == 1  # join-back
+    assert r.has_partial_aggregate
+    assert r.n_shuffle_exchanges <= 4
+
+
+def test_quality_perceptron_scoring_stays_scan_side(reports):
+    """The classifier's scale contract: scoring is a pure scan-side
+    pipeline — hashed-bucket features with the (dim+1)-int weight vector
+    inlined as a literal, one map-side-combined per-doc aggregate, no
+    joins and no windows anywhere (training's per-epoch collect is the
+    <=dim+1-row update vector, outside this plan)."""
+    r = reports("text_quality_perceptron")
+    assert r.has_partial_aggregate
+    assert r.windows == 0
+    assert r.nested_loop_joins == 0
+    assert (r.broadcast_hash_joins + r.sort_merge_joins) == 0
+    assert r.n_shuffle_exchanges == 2  # feature count + per-doc margin
+
+
 def test_ngram_novelty_no_pairwise_join(reports):
     """Novelty's scale contract: the gram-sized inverted index is never
     self-joined (no pair blow-up — unlike the dedup pair generators);
