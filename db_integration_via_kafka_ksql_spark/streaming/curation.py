@@ -58,6 +58,14 @@ class StreamingCurator:
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_curation"
+    # optional LEARNED quality gate: averaged-perceptron weights from
+    # operators/classifier.train_quality_perceptron (the text-side
+    # fit/serve split — train once offline, score every batch in-stream).
+    # When set, a doc must also score strictly positive under the model
+    # to be accepted. Weights are a fixed (dim+1)-int vector inlined as
+    # a literal, so the accepted set stays deterministic given pre-batch
+    # state — the property the epoch-partition replay guard requires.
+    classifier_weights: list[int] | None = None
 
     def __post_init__(self) -> None:
         self.state = ParquetStateStore(
@@ -66,8 +74,24 @@ class StreamingCurator:
 
     # -- per-batch plan ---------------------------------------------------
     def curate_batch(self, docs: DataFrame) -> DataFrame:
-        """Quality filter + within-batch keep-one: the batch pass's exact
-        shape (one scan, keep-one riding a min(struct) aggregate)."""
+        """Quality filter (+ optional learned-model gate) + within-batch
+        keep-one: the batch pass's exact shape (one scan, keep-one riding
+        a min(struct) aggregate)."""
+        if self.classifier_weights is not None:
+            from db_integration_via_kafka_ksql_spark.operators import (
+                classifier as C,
+            )
+
+            positive = (
+                C.score_quality_perceptron(
+                    docs.select("doc_id", "text"),
+                    self.classifier_weights,
+                    min_tokens=self.min_tokens,
+                )
+                .filter(F.col("pred") == 1)
+                .select("doc_id")
+            )
+            docs = docs.join(positive, "doc_id", "left_semi")
         f = quality_scores(
             docs, min_tokens=self.min_tokens, keep_cols=("source", "text")
         ).filter(F.col("quality") >= self.min_quality)

@@ -87,6 +87,21 @@ def main() -> None:
     )
     stages.append(("after quality+repetition+span cut", kept.count()))
 
+    # 2b. substring-level CUTTING (Lee et al. 2022, the applied step):
+    # surviving docs get their exact duplicate spans REMOVED, not just
+    # scored — dropping only mostly-duplicate docs leaves boilerplate
+    # embedded in otherwise-good ones. Docs cut down to nothing leave.
+    cuts = TA.remove_duplicate_spans(docs).select(
+        "doc_id", "clean_text", "n_removed"
+    )
+    kept = (
+        kept.join(cuts, "doc_id")
+        .filter(F.col("clean_text") != "")
+        .withColumn("text", F.col("clean_text"))
+        .drop("clean_text", "n_removed")
+    )
+    stages.append(("after duplicate-span removal", kept.count()))
+
     # 3. PII scrub: text continues downstream in redacted form
     kept = (
         TA.scrub_pii(kept, id_cols=("doc_id", "source"))

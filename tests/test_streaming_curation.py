@@ -179,3 +179,48 @@ def test_streaming_matches_batch_curation(spark, curator):
         r["h"] for r in curator.read_corpus().select("h").collect()
     }
     assert stream_hashes == batch_hashes
+
+
+def test_classifier_gate_filters_model_negative_docs(spark, tmp_path):
+    """The learned-model serve path: weights trained offline
+    (train_quality_perceptron) gate each micro-batch — a doc must score
+    strictly positive under the fixed weight vector AND pass the
+    heuristic filter. The gate is deterministic (literal integer
+    weights), so replaying the same batch against the same pre-batch
+    state accepts the identical set — the epochdir idempotence
+    contract is unchanged."""
+    from db_integration_via_kafka_ksql_spark.operators import classifier as C
+
+    train = _batch(
+        spark,
+        [(i, "s", GOOD + f" tail{i}") for i in range(6)]
+        + [(100 + i, "s", "the the the the the") for i in range(6)],
+    )
+    w = C.train_quality_perceptron(train, dim=64, epochs=3, threshold=0.7, min_tokens=20)
+    cur = StreamingCurator(
+        spark,
+        dataset_path=str(tmp_path / "corpus"),
+        state_path=str(tmp_path / "dedup_state"),
+        min_quality=0.7,
+        min_tokens=20,
+        trigger_seconds=0,
+        classifier_weights=w,
+    )
+    rows = [
+        (1, "a", GOOD + " uniquely one"),
+        (2, "a", "the the the the the"),  # model- and heuristic-negative
+    ]
+    # the model must actually separate the two classes on this corpus
+    scored = {
+        r["doc_id"]: r["pred"]
+        for r in C.score_quality_perceptron(
+            _batch(spark, rows).select("doc_id", "text"), w, min_tokens=20
+        ).collect()
+    }
+    assert scored[1] == 1 and scored[2] == -1
+    cur.process_batch(_batch(spark, rows), 0)
+    got = [r["doc_id"] for r in cur.read_corpus().collect()]
+    assert got == [1]
+    # replay converges to the same accepted set (no duplicate partition)
+    cur.process_batch(_batch(spark, rows), 0)
+    assert [r["doc_id"] for r in cur.read_corpus().collect()] == [1]
