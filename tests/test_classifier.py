@@ -56,21 +56,28 @@ def py_features(docs, dim, threshold):
     return out
 
 
-def py_train(docs, dim, epochs, threshold):
+def py_train(docs, dim, epochs, threshold, n_buckets=8):
     feats = py_features(docs, dim, threshold)
     w = [0] * (dim + 1)
     avg = [0] * (dim + 1)
     for _ in range(epochs):
-        upd = defaultdict(int)
-        for y, f in feats.values():
-            margin = sum(cnt * w[b] for b, cnt in f.items())
-            if y * margin <= 0:
-                for b, cnt in f.items():
-                    upd[b] += y * cnt
-        for b, u in upd.items():
-            w[b] += u
-        for i in range(dim + 1):
-            avg[i] += w[i]
+        for mb in range(n_buckets):
+            upd = defaultdict(int)
+            for doc_id, (y, f) in feats.items():
+                if (
+                    int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+                    % n_buckets
+                    != mb
+                ):
+                    continue
+                margin = sum(cnt * w[b] for b, cnt in f.items())
+                if y * margin <= 0:
+                    for b, cnt in f.items():
+                        upd[b] += y * cnt
+            for b, u in upd.items():
+                w[b] += u
+            for i in range(dim + 1):
+                avg[i] += w[i]
     return avg
 
 
@@ -123,6 +130,34 @@ def test_scores_equal_python_model_and_beat_zero_model(spark, sf_dir):
     acc = sum(1 for r in got if r[4]) / len(got)
     zero_acc = sum(1 for r in got if r[1] == -1) / len(got)
     assert acc > zero_acc
+
+
+def test_holdout_generalization_beats_majority_baseline(spark, sf_dir):
+    """Train on even doc_ids, score the UNSEEN odd docs: held-out
+    accuracy must beat the majority-class baseline — the classifier
+    generalizes the heuristic labels through the hashed features, it
+    does not just memorize its training rows."""
+    docs = _corpus(spark, sf_dir, n=300)
+    train = [(d, t) for d, t in docs if d % 2 == 0]
+    test = [(d, t) for d, t in docs if d % 2 == 1]
+    w = C.train_quality_perceptron(
+        spark.createDataFrame(train, "doc_id long, text string"),
+        dim=1024, epochs=3, threshold=THRESHOLD,
+    )
+    got = sorted(
+        tuple(r)
+        for r in C.score_quality_perceptron(
+            spark.createDataFrame(test, "doc_id long, text string"),
+            w,
+            threshold=THRESHOLD,
+        ).collect()
+    )
+    assert got == py_score(test, w, 1024, THRESHOLD)
+    labels = [r[1] for r in got]
+    majority = max(labels.count(1), labels.count(-1)) / len(labels)
+    acc = sum(1 for r in got if r[4]) / len(got)
+    print(f"holdout acc {acc:.3f} vs majority {majority:.3f}")
+    assert acc > majority
 
 
 def test_training_is_deterministic_across_partitionings(spark, sf_dir):
