@@ -664,7 +664,14 @@ class IvfPqIndex:
     inverted lists (m small ints per vector — the whole PQ memory
     story), and the fit geometry (dims, m). Driver footprint is the
     codebook only (m x ksub x dsub ints); q/corpus_res/lists are
-    checkpointed DataFrames, distributed as usual."""
+    checkpointed DataFrames, distributed as usual.
+
+    save()/load() persist the SERVING state (q, centroids, lists,
+    codebook, geometry) so an index built once serves across sessions —
+    the operational half of the fit/serve split (FAISS's write_index /
+    read_index shape). corpus_res is fit-time scratch (it feeds codebook
+    training and the list encode, both already done) and is not
+    persisted; a loaded index carries corpus_res=None."""
 
     def __init__(self, q, cent, corpus_res, codebook, lists, dims, m):
         self.q = q
@@ -674,6 +681,46 @@ class IvfPqIndex:
         self.lists = lists
         self.dims = dims
         self.m = m
+
+    def save(self, path: str) -> None:
+        """Persist to `path`: q/cent/lists as parquet (distributed
+        writes — the corpus-sized frames never pass through the
+        driver), codebook + geometry as one small json."""
+        import json
+        import os
+
+        self.q.write.mode("overwrite").parquet(f"{path}/q")
+        self.cent.write.mode("overwrite").parquet(f"{path}/cent")
+        self.lists.write.mode("overwrite").parquet(f"{path}/lists")
+        os.makedirs(path, exist_ok=True)
+        tmp = f"{path}/meta.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"dims": self.dims, "m": self.m, "codebook": self.codebook},
+                f,
+            )
+        os.replace(tmp, f"{path}/meta.json")  # atomic publish
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        """Reopen a saved index for serving. The parquet frames read
+        lazily (partition-pruned scans per serve call); only the
+        codebook json touches the driver."""
+        import json
+
+        with open(f"{path}/meta.json") as f:
+            meta = json.load(f)
+        return cls(
+            q=spark.read.parquet(f"{path}/q"),
+            cent=F.broadcast(spark.read.parquet(f"{path}/cent")),
+            corpus_res=None,  # fit-time scratch, not part of serving state
+            codebook=[
+                [list(word) for word in sub] for sub in meta["codebook"]
+            ],
+            lists=spark.read.parquet(f"{path}/lists"),
+            dims=int(meta["dims"]),
+            m=int(meta["m"]),
+        )
 
 
 def ivf_pq_serve(

@@ -1378,6 +1378,32 @@ def test_ivf_pq_serve_reads_geometry_from_index(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_ivf_pq_index_save_load_round_trip(spark, sf_dir, tmp_path):
+    """The operational half of the fit/serve split: an index saved to
+    disk and reloaded serves BIT-IDENTICAL results to the in-memory
+    fit (q/cent/lists round-trip through parquet, codebook + geometry
+    through json), and the loaded geometry still validates mismatched
+    serve parameters."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(400)
+    index = S.ivf_pq_fit(emb, dims=64, m=8, ksub=8, iters=1)
+    want = sorted(
+        tuple(r) for r in S.ivf_pq_serve(index, [0, 1, 2], k=4).collect()
+    )
+    path = str(tmp_path / "ivfpq_index")
+    index.save(path)
+    loaded = S.IvfPqIndex.load(spark, path)
+    assert (loaded.dims, loaded.m) == (64, 8)
+    assert loaded.codebook == index.codebook
+    got = sorted(
+        tuple(r) for r in S.ivf_pq_serve(loaded, [0, 1, 2], k=4).collect()
+    )
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="m=16 != index.m=8"):
+        S.ivf_pq_serve(loaded, [0], m=16)
+
+
 def test_pq_codes_shape_and_determinism(spark, sf_dir):
     """The PQ encode contract: every vector gets exactly m codes, each in
     [0, ksub); fit + encode is deterministic across partitionings (the
