@@ -43,7 +43,7 @@ def py_label(text: str, threshold: float, min_tokens: int = 50) -> int:
     return 1 if quality >= threshold else -1
 
 
-def py_features(docs, dim, threshold):
+def py_features(docs, dim, threshold, min_tokens=50):
     """{doc_id: (y, Counter{bucket: cnt})} with the bias row at index dim."""
     out = {}
     for doc_id, text in docs:
@@ -52,7 +52,7 @@ def py_features(docs, dim, threshold):
             py_bucket(f"{a} {b}", dim) for a, b in zip(w, w[1:])
         )
         feats[dim] += 1  # bias
-        out[doc_id] = (py_label(text, threshold), feats)
+        out[doc_id] = (py_label(text, threshold, min_tokens), feats)
     return out
 
 
