@@ -605,6 +605,28 @@ def duplicate_spans(
     )
 
 
+def gram_positions(docs: DataFrame, min_tokens: int = 8) -> DataFrame:
+    """(doc_id, pos, h): every overlapping min_tokens-word window of
+    every doc as an 8-byte xxhash64 — the gram index frame shared by the
+    batch substring-dedup pipeline and its streaming twin
+    (streaming/substrdedup.py, which persists exactly these rows as its
+    accumulated index). Grams shuffle as hashes, never strings."""
+    L = int(min_tokens)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    grams_sql = (
+        f"CASE WHEN size(w) < {L} THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size(w) - {L - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {L}))) END"
+    )
+    return (
+        docs.select("doc_id", "text")
+        .repartition(par)
+        .select("doc_id", T.words("text").alias("w"))
+        .select("doc_id", F.posexplode(F.expr(grams_sql)).alias("pos", "gram"))
+        .select("doc_id", "pos", F.xxhash64("gram").alias("h"))
+    )
+
+
 def duplicate_substring_matches(
     docs: DataFrame,
     min_tokens: int = 8,
@@ -640,19 +662,7 @@ def duplicate_substring_matches(
     strings (~2^-64 per-pair collision odds, the duplicate_spans
     trade)."""
     L = int(min_tokens)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    grams_sql = (
-        f"CASE WHEN size(w) < {L} THEN CAST(array() AS array<string>) "
-        f"ELSE transform(sequence(1, size(w) - {L - 1}), "
-        f"i -> concat_ws(' ', slice(w, i, {L}))) END"
-    )
-    win = (
-        docs.select("doc_id", "text")
-        .repartition(par)
-        .select("doc_id", T.words("text").alias("w"))
-        .select("doc_id", F.posexplode(F.expr(grams_sql)).alias("pos", "gram"))
-        .select("doc_id", "pos", F.xxhash64("gram").alias("h"))
-    )
+    win = gram_positions(docs, min_tokens=L)
     eligible_h = (
         win.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -734,12 +744,22 @@ def duplicate_cut_spans(
     Matches are therefore pre-aggregated to UNIQUE spans (cnt = how many
     pairwise matches collapsed) before the island windows — the ORDER BY
     is then total per doc — and n_runs = sum(cnt) per island."""
-    m = (
+    return merge_spans(
         duplicate_substring_matches(
             docs, min_tokens=min_tokens, min_count=min_count, occ_cap=occ_cap
-        )
-        .groupBy("doc_id", "start", "end")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        ).select("doc_id", "start", "end")
+    )
+
+
+def merge_spans(m: DataFrame) -> DataFrame:
+    """Interval union of (doc_id, start, end) rows (duplicates allowed)
+    into maximal disjoint per-doc intervals with n_runs = rows merged —
+    the gaps-and-islands pass shared by duplicate_cut_spans and the
+    streaming twin. Duplicate rows are pre-aggregated to unique spans
+    first so the island ORDER BY is total per doc (the round-9
+    determinism fix)."""
+    spans = m.groupBy("doc_id", "start", "end").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
     wprev = (
         Window.partitionBy("doc_id")
@@ -752,7 +772,7 @@ def duplicate_cut_spans(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        m.withColumn("prev_end", F.max("end").over(wprev))
+        spans.withColumn("prev_end", F.max("end").over(wprev))
         .withColumn(
             "new_island",
             F.when(
