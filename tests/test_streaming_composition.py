@@ -177,6 +177,12 @@ def test_every_epochdir_stage_refuses_checkpointless_start(spark, tmp_path):
     from db_integration_via_kafka_ksql_spark.streaming.semdedup import (
         StreamingSemDedup,
     )
+    from db_integration_via_kafka_ksql_spark.streaming.substrdedup import (
+        StreamingSubstringDedup,
+    )
+    from db_integration_via_kafka_ksql_spark.streaming.trainer import (
+        StreamingPerceptronTrainer,
+    )
 
     stream = spark.readStream.format("rate").load()  # never started
     stages = [
@@ -201,11 +207,78 @@ def test_every_epochdir_stage_refuses_checkpointless_start(spark, tmp_path):
             dataset_path=str(tmp_path / "c4"),
             state_path=str(tmp_path / "s4"),
         ),
+        StreamingSubstringDedup(
+            spark,
+            index_path=str(tmp_path / "c5"),
+            output_path=str(tmp_path / "s5"),
+        ),
+        StreamingPerceptronTrainer(
+            spark,
+            weights_path=str(tmp_path / "c6"),
+        ),
     ]
     for stage in stages:
         assert stage.checkpoint_dir is None  # the dataclass default
         with pytest.raises(ValueError, match="requires checkpoint_dir"):
             stage.start(stream)
+
+
+def test_curator_crash_window_never_dupes_substring_index(
+    spark, tmp_path, stages
+):
+    """Composition: the curated dataset is simultaneously the curator's
+    sink and the substring-dedup stage's file-stream source. Kill the
+    curator in the round-6 at-least-once window (partition published,
+    state update lost); if the replay re-published the epoch under fresh
+    part-file names, the downstream would ingest every doc's grams TWICE
+    — doubling each gram count and cutting unique docs as duplicates of
+    themselves. Exactly-once means: unique texts yield ZERO cut spans
+    across the crash + replay."""
+    from db_integration_via_kafka_ksql_spark.streaming.substrdedup import (
+        StreamingSubstringDedup,
+    )
+
+    curator, _ = stages
+    sd = StreamingSubstringDedup(
+        spark,
+        index_path=str(tmp_path / "gram_index"),
+        output_path=str(tmp_path / "cut_spans"),
+        min_tokens=6,
+        checkpoint_dir=str(tmp_path / "ckpt_sd"),
+        trigger_seconds=0,
+    )
+    b0 = [(1, "web", GOOD + " uniquely one"), (2, "books", GOOD + " two")]
+    orig_apply = curator.state.apply_batch
+
+    def crash(df):
+        raise RuntimeError("injected crash before state update")
+
+    curator.state.apply_batch = crash
+    with pytest.raises(RuntimeError):
+        curator.process_batch(_batch(spark, b0), 0)
+    curator.state.apply_batch = orig_apply
+    curator.process_batch(_batch(spark, b0), 0)  # replay
+
+    curated = spark.readStream.schema(curator.read_corpus().schema).parquet(
+        curator.dataset_path
+    )
+    q = sd.start(curated.select("doc_id", "text"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # each doc's grams indexed exactly once...
+    idx = spark.read.parquet(sd.index_path)
+    assert idx.count() == idx.select("doc_id", "pos").distinct().count()
+    # ...so the GOOD prefix shared by both docs cuts BOTH (a real cross-doc
+    # duplicate), but neither doc is ever matched against a ghost copy of
+    # itself: each cut is EXACTLY the shared prefix — a doubled index
+    # would extend the interval over the doc's unique tail.
+    prefix_len = len(GOOD.split(" "))
+    cuts = sd.cut_spans().select("doc_id", "start", "end").collect()
+    assert {r["doc_id"] for r in cuts} == {1, 2}
+    for r in cuts:
+        assert (r["start"], r["end"]) == (0, prefix_len)
 
 
 def test_epochdir_rejects_scheme_qualified_paths(spark):
