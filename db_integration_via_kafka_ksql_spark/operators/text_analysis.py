@@ -792,6 +792,85 @@ def merge_spans(m: DataFrame) -> DataFrame:
     )
 
 
+def lm_fluency_scores(docs: DataFrame) -> DataFrame:
+    """Corpus-self-trained bigram-LM fluency scoring — the CCNet-style
+    "does this read like the corpus" quality signal (Wenzek et al. 2020
+    score docs with an n-gram LM; here the LM is the corpus's own MLE
+    bigram model, the standard bootstrap when no external LM ships).
+
+    Per doc: n_bigrams, sum_ppm, avg_ppm where each bigram (w1, w2)
+    contributes the Laplace-smoothed conditional probability in parts
+    per million as PURE INTEGER math:
+
+        ppm = (1_000_000 * (c(w1 w2) + 1)) div (c(w1) + V)
+
+    c(w1 w2) = corpus bigram occurrences, c(w1) = corpus token
+    occurrences of w1, V = corpus distinct-token count. Integer div is
+    exact in both engines and the per-doc SUM is order-free, so the
+    whole score is bit-identical in DuckDB — no floating log/ln calls
+    whose last ulp could differ across libm builds. avg_ppm is one
+    exact-int/exact-int IEEE division (the repo-safe pattern).
+    Low-probability (rare/incoherent) word transitions pull avg_ppm
+    down; repetitive high-frequency text scores high — complementary to
+    the length/diversity heuristics and the repetition filters.
+
+    Scale shape: two map-side-combined count aggregates build the model
+    (bigram + unigram frames, gram-sized); V rides a broadcast 1-row
+    frame (no driver action); each doc's bigrams equi-join the two
+    count frames (gram-keyed shuffles, never a corpus self-join) and
+    fold back with one doc-keyed partial-aggregated sum."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    bigrams_sql = (
+        "CASE WHEN size(w) < 2 THEN CAST(array() AS array<string>) "
+        "ELSE transform(sequence(1, size(w) - 1), "
+        "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) END"
+    )
+    base = docs.select("doc_id", T.words("text").alias("w")).repartition(par)
+    toks = base.select("doc_id", F.explode("w").alias("w1"))
+    doc_bi = base.select(
+        "doc_id", F.explode(F.expr(bigrams_sql)).alias("g")
+    ).select(
+        "doc_id",
+        F.substring_index("g", " ", 1).alias("w1"),
+        F.col("g"),
+    )
+    cb = doc_bi.groupBy("g").agg(F.count(F.lit(1)).alias("cb"))
+    cu = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    v = cu.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    scored = (
+        doc_bi.join(cb, "g")
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(1000000 * (cb + 1) AS BIGINT) div (cu + v)"
+            ).alias("ppm"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(
+            scored.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                F.sum("ppm").cast("bigint").alias("sum_ppm"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("sum_ppm", F.lit(0)).cast("bigint").alias("sum_ppm"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.col("sum_ppm").cast("double")
+                / F.col("n_bigrams").cast("double"),
+            ).alias("avg_ppm"),
+        )
+    )
+
+
 def remove_duplicate_spans(
     docs: DataFrame,
     min_tokens: int = 8,

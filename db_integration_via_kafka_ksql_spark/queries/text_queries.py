@@ -616,6 +616,57 @@ def text_cut_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_lm_fluency",
+    driver=False,  # aux: the CCNet-style LM quality signal
+    oracle=f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    toks AS (SELECT doc_id, unnest(w) AS w1 FROM base),
+    doc_bi AS (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                      ELSE [w[i] || ' ' || w[i + 1] for i in range(1, len(w))]
+                      END) AS g
+        FROM base
+    ),
+    split_bi AS (
+        SELECT doc_id, g, string_split(g, ' ')[1] AS w1 FROM doc_bi
+    ),
+    cb AS (SELECT g, count(*) AS cb FROM doc_bi GROUP BY g),
+    cu AS (SELECT w1, count(*) AS cu FROM toks GROUP BY w1),
+    v AS (SELECT count(*) AS v FROM cu),
+    scored AS (
+        SELECT s.doc_id,
+               CAST(1000000 * (cb.cb + 1) AS BIGINT) // (cu.cu + v.v) AS ppm
+        FROM split_bi s
+        JOIN cb USING (g) JOIN cu USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(ppm) AS BIGINT) AS sum_ppm
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(a.sum_ppm, 0) AS BIGINT) AS sum_ppm,
+           CASE WHEN COALESCE(a.n_bigrams, 0) > 0
+                THEN CAST(a.sum_ppm AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+           END AS avg_ppm
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring (CCNet-style, Wenzek et al. 2020): each
+    doc's average Laplace-smoothed conditional bigram probability under
+    the corpus's own MLE model, in integer parts-per-million — no
+    floating log whose last ulp could differ across libm builds
+    (operators/text_analysis.lm_fluency_scores). The oracle replays the
+    model build AND the scoring; avg_ppm is the one exact-int/exact-int
+    IEEE division."""
+    return TA.lm_fluency_scores(load_table(spark, sf_dir, "documents"))
+
+
 PACK_CAPACITY = 256
 
 

@@ -379,6 +379,19 @@ def test_ivf_pq_lists_stay_scan_side(reports):
     assert r.sort_merge_joins == 0
 
 
+def test_lm_fluency_model_joins_are_gram_keyed(reports):
+    """The LM scorer's scale contract: the bigram/unigram model frames
+    join the doc bigrams by GRAM KEY (broadcast at this sf, hash-equi
+    at scale) — never a corpus self-join; the vocabulary size rides a
+    single-row broadcast (the one annotated NLJ); every count aggregate
+    combines map-side; no windows anywhere."""
+    r = reports("text_lm_fluency")
+    assert r.windows == 0
+    assert r.has_partial_aggregate
+    assert r.nested_loop_joins == 1  # doc_bi x |1-row V| only (NLJ_NOTES)
+    assert r.sort_merge_joins + r.broadcast_hash_joins >= 3  # cb, cu, doc join-back
+
+
 def test_cut_span_removal_no_token_explode_join(reports):
     """The applied dedup step's scale contract: the expensive span
     machinery stays behind the matches checkpoint; live plan = the two

@@ -372,3 +372,30 @@ def test_minhash_bucket_cap_is_subset_and_rerank_exact(spark, texts, cap):
     assert set(capped) <= set(plain)
     for k, v in capped.items():
         assert v == plain[k]
+
+
+def test_lm_fluency_hand_computed_exact(spark):
+    """Bigram LM fluency on a hand-derivable corpus: cu(a)=3, cu(b)=2,
+    V=3 (a, b, z), cb('a b')=2, cb('b a')=1 ->
+    doc 1: ppm('a b') = 1e6*3//6 = 500000, ppm('b a') = 1e6*2//5 = 400000;
+    doc 2: 500000; doc 3 has no bigram (NULL avg, zero counts)."""
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b"), (3, "z")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in TA.lm_fluency_scores(docs).collect()}
+    assert (got[1]["n_bigrams"], got[1]["sum_ppm"]) == (2, 900000)
+    assert got[1]["avg_ppm"] == 450000.0
+    assert (got[2]["n_bigrams"], got[2]["sum_ppm"]) == (1, 500000)
+    assert got[2]["avg_ppm"] == 500000.0
+    assert (got[3]["n_bigrams"], got[3]["sum_ppm"]) == (0, 0)
+    assert got[3]["avg_ppm"] is None
+
+
+def test_lm_fluency_ranks_incoherent_text_below_corpus_like(spark):
+    """The signal does its job: a doc made of transitions the corpus has
+    never seen scores below docs whose transitions are corpus-frequent."""
+    common = [(i, "the cat sat on the mat") for i in range(1, 9)]
+    docs = common + [(100, "mat the on cat the sat")]  # same tokens, alien order
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_ppm"] for r in TA.lm_fluency_scores(df).collect()}
+    assert got[100] < got[1]
