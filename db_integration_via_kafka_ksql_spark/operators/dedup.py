@@ -560,3 +560,50 @@ def embedding_dup_pairs(
         )
         .select("vec_a", "vec_b", "qdot")
     )
+
+
+def edit_verified_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    prefilter_jaccard: float = 0.5,
+    max_dist: int | None = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy near-dup pairs with EXACT character-level verification: the
+    MinHash-LSH candidate generator and word-set Jaccard prefilter feed
+    a Levenshtein edit-distance check over the raw texts — the fuzzy-
+    dedup shape where a cheap set-similarity recall stage is confirmed
+    by an exact sequence-level distance (word-set Jaccard is blind to
+    ORDER; two docs with identical vocabularies but scrambled text pass
+    the prefilter and are rejected here).
+
+    Returns (doc_a, doc_b, jaccard, edit_dist), doc_a < doc_b, keeping
+    pairs with edit_dist <= max_dist (max_dist=None emits all prefilter
+    survivors with their distances — the analysis form).
+
+    Scale shape: inherits the banded-bucket candidate discipline (never
+    all-pairs); the O(|ta|*|tb|) Levenshtein DP — the expensive exact
+    stage — runs ONLY on pairs that survived both the band join and the
+    Jaccard prefilter, joined to the raw texts by two doc-keyed
+    equi-joins. levenshtein() is a JVM intrinsic (whole-stage codegen),
+    and DuckDB's levenshtein computes the identical unit-cost DP, so
+    the whole pipeline stays oracle-exact."""
+    cand = minhash_lsh_pairs(
+        docs, k=k, bands=bands, threshold=prefilter_jaccard, text_col=text_col
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col(text_col).alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col(text_col).alias("tb"))
+    out = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.levenshtein("ta", "tb").cast("bigint").alias("edit_dist"),
+        )
+    )
+    if max_dist is not None:
+        out = out.filter(F.col("edit_dist") <= max_dist)
+    return out

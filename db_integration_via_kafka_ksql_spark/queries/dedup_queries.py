@@ -618,3 +618,41 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=MINHASH_THRESHOLD,
         bucket_cap=MINHASH_BUCKET_CAP,
     )
+
+
+EDIT_PREFILTER_JACCARD = 0.5
+EDIT_MAX_DIST = 20
+
+
+@query(
+    "dedup_edit_verified",
+    driver=False,  # aux: exact-verification refinement of the minhash family
+    oracle=f"""
+    WITH {{ctes}}
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.inter AS DOUBLE) / CAST(s.sz_sum - s.inter AS DOUBLE)
+               AS jaccard,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+    FROM scored s
+    JOIN documents da ON da.doc_id = s.doc_a
+    JOIN documents db ON db.doc_id = s.doc_b
+    WHERE CAST(s.inter AS DOUBLE) / CAST(s.sz_sum - s.inter AS DOUBLE)
+          >= {EDIT_PREFILTER_JACCARD}
+      AND levenshtein(da.text, db.text) <= {EDIT_MAX_DIST}
+    """.format(ctes=_minhash_pair_ctes(MINHASH_K, MINHASH_BANDS)),
+)
+def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup with exact character-level confirmation
+    (operators/dedup.edit_verified_pairs): MinHash-LSH candidates,
+    word-set Jaccard prefilter >= {EDIT_PREFILTER_JACCARD}, then
+    Levenshtein <= {EDIT_MAX_DIST} over the raw texts — rejecting
+    scrambled-order false positives the set-similarity stages cannot
+    see. Spark's levenshtein and DuckDB's compute the identical
+    unit-cost DP, so the full pipeline is hash-parity-exact."""
+    return D.edit_verified_pairs(
+        load_table(spark, sf_dir, "documents"),
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        prefilter_jaccard=EDIT_PREFILTER_JACCARD,
+        max_dist=EDIT_MAX_DIST,
+    )

@@ -1749,3 +1749,38 @@ def test_winnowing_overlap_pairs_planted(spark):
         bdocs, k=3, w=4, min_shared=1, fp_cap=5
     ).collect()
     assert len(uncapped) == 10  # all C(5,2) pairs
+
+
+def test_edit_verified_pairs_rejects_scrambled_order(spark):
+    """The exact stage earns its cost: identical-vocabulary docs in a
+    different ORDER sail through every set-similarity stage (jaccard =
+    1.0) and are rejected only by the character-level distance; a doc
+    with one substituted word passes with the exact edit distance."""
+    from db_integration_via_kafka_ksql_spark.operators import dedup as D
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("echo", "ecko")),          # 1 substituted char
+            (3, " ".join(reversed(base.split(" ")))),   # same vocab, scrambled
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in D.edit_verified_pairs(
+            docs, prefilter_jaccard=0.5, max_dist=20
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)]["edit_dist"] == 1
+    assert (1, 3) not in got and (2, 3) not in got
+    # the analysis form (max_dist=None) shows WHY: scrambled pairs carry
+    # jaccard ~1 but a large distance
+    all_pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in D.edit_verified_pairs(
+            docs, prefilter_jaccard=0.5, max_dist=None
+        ).collect()
+    }
+    assert all_pairs[(1, 3)]["jaccard"] == 1.0  # PERFECT set similarity...
+    assert all_pairs[(1, 3)]["edit_dist"] > 20  # ...rejected purely by order
