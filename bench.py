@@ -462,6 +462,66 @@ def aggview_throughput(
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def substrdedup_throughput(
+    spark, n_docs: int = 3000, n_batches: int = 3, doc_tokens: int = 40
+) -> dict:
+    """Incremental exact substring dedup rate: synthetic batches (every
+    5th doc repeats an earlier doc's token block, the rest unique —
+    deterministic modular construction, no RNG) driven through
+    StreamingSubstringDedup.process_batch; reports docs/s over the full
+    run and the verified count of docs that were actually cut — a
+    zero-cut run would mean the metric measured nothing."""
+    from pyspark.sql import functions as F
+
+    from db_integration_via_kafka_ksql_spark.streaming.substrdedup import (
+        StreamingSubstringDedup,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_substrdedup_")
+    try:
+        per = n_docs // n_batches
+        sd = StreamingSubstringDedup(
+            spark,
+            index_path=os.path.join(tmp, "gram_index"),
+            output_path=os.path.join(tmp, "cut_spans"),
+            min_tokens=8,
+            trigger_seconds=0,
+        )
+        # token i of doc d: unique per doc, except every 5th doc copies
+        # its PREDECESSOR's block (d-1 is never itself a copier, so the
+        # copied text really exists) -> a steady ~20% duplicate stream
+        src_id = F.when(
+            (F.col("id") % 5 == 0) & (F.col("id") >= 5), F.col("id") - 1
+        ).otherwise(F.col("id"))
+        text = F.concat_ws(
+            " ", *[F.concat(F.lit(f"t{i}_"), src_id) for i in range(doc_tokens)]
+        )
+        batches = []
+        for b in range(n_batches):
+            lo = b * per
+            df = spark.range(lo, lo + per, numPartitions=16).select(
+                F.col("id").alias("doc_id"), text.alias("text")
+            )
+            path = os.path.join(tmp, f"batch_{b}")
+            df.write.mode("overwrite").parquet(path)
+            batches.append(spark.read.parquet(path))
+        t0 = time.perf_counter()
+        for b, df in enumerate(batches):
+            sd.process_batch(df, b)
+        dt = time.perf_counter() - t0
+        cut_docs = sd.cut_spans().select("doc_id").distinct().count()
+        if cut_docs == 0:
+            raise AssertionError("substring-dedup bench produced zero cuts")
+        return {
+            "docs_per_sec": round(n_docs / dt),
+            "n_docs": n_docs,
+            "n_batches": n_batches,
+            "cut_docs": cut_docs,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def aggview_minmax_throughput(
     spark,
     n_events: int = 100_000,
@@ -786,6 +846,12 @@ def main() -> None:
         aggview_mm = None
         errors["__aggview_minmax__"] = repr(e)[:500]
 
+    try:
+        substrdedup = substrdedup_throughput(spark)
+    except Exception as e:
+        substrdedup = None
+        errors["__substrdedup__"] = repr(e)[:500]
+
     total = round(sum(v for v in timings.values() if v is not None), 4)
     n_timed = sum(1 for v in timings.values() if v is not None)
     report = {
@@ -803,6 +869,7 @@ def main() -> None:
         "state_footprint": state_footprint,
         "propagation_latency": latency,
         "aggview": aggview,
+        "substrdedup": substrdedup,
         "aggview_minmax": aggview_mm,
         "calibration": calibration,
         "load_drift_ratio": LOAD_DRIFT_RATIO,
