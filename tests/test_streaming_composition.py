@@ -183,6 +183,9 @@ def test_every_epochdir_stage_refuses_checkpointless_start(spark, tmp_path):
     from db_integration_via_kafka_ksql_spark.streaming.trainer import (
         StreamingPerceptronTrainer,
     )
+    from db_integration_via_kafka_ksql_spark.streaming.kmeans import (
+        StreamingKMeans,
+    )
 
     stream = spark.readStream.format("rate").load()  # never started
     stages = [
@@ -215,6 +218,11 @@ def test_every_epochdir_stage_refuses_checkpointless_start(spark, tmp_path):
         StreamingPerceptronTrainer(
             spark,
             weights_path=str(tmp_path / "c6"),
+        ),
+        StreamingKMeans(
+            spark,
+            state_path=str(tmp_path / "c7"),
+            initial_centroids=[[0, 0], [1024, 1024]],
         ),
     ]
     for stage in stages:
