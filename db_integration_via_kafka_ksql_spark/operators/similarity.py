@@ -745,6 +745,58 @@ def ivf_pq_serve(
         raise ValueError(f"dims={dims} != index.dims={index.dims}")
     if m is not None and m != index.m:
         raise ValueError(f"m={m} != index.m={index.m}")
+    qq_df = index.q.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    return _ivf_pq_serve_frame(
+        index, qq_df, k=k, nprobe=nprobe, refine=refine, exclude_self=True
+    )
+
+
+def ivf_pq_serve_vectors(
+    index: "IvfPqIndex",
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    refine: int | None = 4,
+) -> DataFrame:
+    """Serve ARBITRARY query vectors against a fitted/loaded index:
+    `queries` is (query_id, embedding array<float>) — the vectors need
+    not be corpus members (the real serving shape; ivf_pq_serve's
+    id-based form is the oracle-friendly special case). Vectors are
+    quantized with the corpus's own quantizer, so a corpus vector
+    served BY VALUE returns itself as its top hit with the exact
+    self-dot — the identity the round-trip test pins. No self-exclusion
+    (an external query has no corpus identity to exclude).
+
+    Dim mismatches fail fast: a query vector of the wrong width would
+    otherwise NULL-pad zip_with and silently score garbage."""
+    dims = index.dims
+    qq_df = queries.select(
+        "query_id", V.quantize("embedding").alias("qq")
+    )
+    sz = qq_df.agg(
+        F.min(F.size("qq")).alias("lo"), F.max(F.size("qq")).alias("hi")
+    ).first()
+    if sz.lo is not None and (sz.lo != dims or sz.hi != dims):
+        raise ValueError(
+            f"ivf_pq_serve_vectors: index.dims={dims} but query vectors "
+            f"have {sz.lo}..{sz.hi} dimensions"
+        )
+    return _ivf_pq_serve_frame(
+        index, qq_df, k=k, nprobe=nprobe, refine=refine, exclude_self=False
+    )
+
+
+def _ivf_pq_serve_frame(
+    index: "IvfPqIndex",
+    qq_df: DataFrame,
+    k: int,
+    nprobe: int,
+    refine: int | None,
+    exclude_self: bool,
+) -> DataFrame:
+    """Shared serve core over a (query_id, qq array<bigint>) frame."""
     dims, m = index.dims, index.m
     dsub = dims // m
     q, cent, codebook, lists = (
@@ -756,39 +808,39 @@ def ivf_pq_serve(
     # QUERY, so it is computed on the one-row-per-query frame and joined
     # in AFTER the nprobe fan-out — dsub multiplies genuinely paid once
     # per (query, codeword), not once per probe.
-    qq_df = q.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
-    )
     luts = qq_df.select(
         "query_id", _pq_lut_expr(codebook, dsub).alias("lut")
     )
     dist2 = F.expr(
-        "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+        "aggregate(zip_with(qq, c, (x, y) -> (x - y) * (x - y)), "
         "cast(0 as bigint), (acc, v) -> acc + v)"
     ).alias("dist2")
-    w_assign = Window.partitionBy("vec_id").orderBy(
+    w_assign = Window.partitionBy("query_id").orderBy(
         F.col("dist2").asc(), F.col("c_label").asc()
     )
     probes = (
-        q.filter(F.col("vec_id").isin(query_ids))
-        .crossJoin(cent)
-        .select("vec_id", "q", "c_label", "c", dist2)
+        qq_df.crossJoin(cent)
+        .select("query_id", "qq", "c_label", "c", dist2)
         .withColumn("rnk", F.row_number().over(w_assign))
         .filter(F.col("rnk") <= nprobe)
         .select(
-            F.col("vec_id").alias("query_id"),
+            "query_id",
             F.col("c_label").alias("probe_list"),
             F.expr(
-                "aggregate(zip_with(q, c, (x, y) -> x * y), "
+                "aggregate(zip_with(qq, c, (x, y) -> x * y), "
                 "cast(0 as bigint), (a, v) -> a + v)"
             ).alias("qdot_c"),
         )
         .join(luts, "query_id")
     )
+    self_guard = (
+        (F.col("query_id") != F.col("neighbor_id"))
+        if exclude_self
+        else F.lit(True)
+    )
     scored = lists.join(
         F.broadcast(probes),
-        (F.col("probe_list") == F.col("list_id"))
-        & (F.col("query_id") != F.col("neighbor_id")),
+        (F.col("probe_list") == F.col("list_id")) & self_guard,
     ).select(
         "query_id",
         "neighbor_id",

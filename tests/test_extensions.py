@@ -1404,6 +1404,70 @@ def test_ivf_pq_index_save_load_round_trip(spark, sf_dir, tmp_path):
         S.ivf_pq_serve(loaded, [0], m=16)
 
 
+def test_ivf_pq_serve_arbitrary_vectors(spark, sf_dir, tmp_path):
+    """The real serving shape: queries by VALUE, not corpus id. A corpus
+    vector served by value (no self-exclusion) returns ITSELF as the
+    top hit with the exact self-dot; a NON-corpus vector (perturbed
+    copy) still retrieves its source as top-1; wrong-width vectors fail
+    fast instead of NULL-padding zip_with into garbage scores."""
+    import pytest
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(400)
+    index = S.ivf_pq_fit(emb, dims=64, m=8, ksub=8, iters=1)
+    rows = emb.filter("vec_id in (3, 7)").collect()
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    by_value = spark.createDataFrame(
+        [(1000 + r["vec_id"], [float(x) for x in r["embedding"]]) for r in rows],
+        schema,
+    )
+    got = {
+        r["query_id"]: r
+        for r in S.ivf_pq_serve_vectors(index, by_value, k=3).collect()
+        if r["rnk"] == 1
+    }
+    # exact self-dot from the index's own quantized corpus
+    qmap = {
+        r["vec_id"]: list(r["q"])
+        for r in index.q.filter("vec_id in (3, 7)").collect()
+    }
+    for r in rows:
+        vid = r["vec_id"]
+        top = got[1000 + vid]
+        assert top["neighbor_id"] == vid, "served vector must find itself"
+        assert top["qdot"] == sum(x * x for x in qmap[vid])
+    # a perturbed (out-of-corpus) copy still retrieves its source
+    import random as _r  # deterministic: fixed seed
+    rng = _r.Random(3)
+    perturbed = spark.createDataFrame(
+        [
+            (
+                2000 + r["vec_id"],
+                [float(x) + rng.uniform(-0.005, 0.005) for x in r["embedding"]],
+            )
+            for r in rows
+        ],
+        schema,
+    )
+    got2 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in S.ivf_pq_serve_vectors(index, perturbed, k=1).collect()
+    }
+    assert got2 == {2003: 3, 2007: 7}
+    with pytest.raises(ValueError, match="query vectors have"):
+        S.ivf_pq_serve_vectors(
+            index,
+            spark.createDataFrame([(1, [0.5] * 32)], schema),
+        ).collect()
+
+
 def test_pq_codes_shape_and_determinism(spark, sf_dir):
     """The PQ encode contract: every vector gets exactly m codes, each in
     [0, ksub); fit + encode is deterministic across partitionings (the
