@@ -1,0 +1,233 @@
+"""Sketch query surface (HLL / KMV / Count-Min) with DuckDB oracles.
+
+Each oracle replays the sketch construction hash-for-hash: md5-derived
+60-bit hashes, integer register/counter math, and fixed-order IEEE double
+estimates (the HLL linear-counting ln comes from functions/detmath.py's
+basic-ops series, identical text in both dialects), so values are
+bit-identical across engines. Estimates sit next to the exact answer in
+the same row — the accuracy contract is asserted in
+tests/test_sketches.py, the cross-engine equality here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.functions.detmath import det_ln_sql, dlit
+from db_integration_via_kafka_ksql_spark.io import load_table
+from db_integration_via_kafka_ksql_spark.operators import sketches as SK
+from db_integration_via_kafka_ksql_spark.registry import query
+
+HLL_P = 10
+_M = 1 << HLL_P
+_W_BITS = SK.HASH_BITS - HLL_P
+_FULL = 1 << (_W_BITS + 1)
+_ALPHA = dlit(SK.hll_alpha(HLL_P))
+_H60 = "('0x' || substr(md5({v}), 1, 15))::BIGINT"
+_LC = det_ln_sql(
+    f"(CAST({_M} AS DOUBLE) / CAST(greatest(zero_registers, 1) AS DOUBLE))",
+    "duckdb",
+)
+
+KMV_K = 256
+_POW60 = dlit(1 << SK.HASH_BITS)
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_PROBES = 20
+
+
+@query(
+    "sketch_hll_distinct_users",
+    driver=False,
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               {_H60.format(v="CAST(user_id AS VARCHAR)")} AS h
+        FROM events
+    ),
+    reg AS (
+        SELECT event_type, h // {1 << _W_BITS} AS bucket,
+               max(CASE WHEN h % {1 << _W_BITS} = 0 THEN {_W_BITS + 1}
+                        ELSE {_W_BITS + 1} - length(bin(h % {1 << _W_BITS}))
+                   END) AS rho
+        FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT event_type, count(*) AS n_regs,
+               CAST(sum(CAST(1 AS BIGINT) << ({_W_BITS + 1} - rho)) AS BIGINT)
+                 AS s_present
+        FROM reg GROUP BY 1
+    ),
+    base AS (
+        SELECT event_type,
+               {_M} - n_regs AS zero_registers,
+               s_present + ({_M} - n_regs) * {_FULL} AS register_sum
+        FROM agg
+    ),
+    est AS (
+        SELECT event_type, zero_registers, register_sum,
+               CASE WHEN zero_registers > 0
+                         AND ({_ALPHA} * {dlit(_M * _M)} * {dlit(_FULL)}
+                              / CAST(register_sum AS DOUBLE)) <= {dlit(2.5 * _M)}
+                    THEN {dlit(_M)} * {_LC}
+                    ELSE ({_ALPHA} * {dlit(_M * _M)} * {dlit(_FULL)}
+                          / CAST(register_sum AS DOUBLE))
+               END AS e
+        FROM base
+    ),
+    ex AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+                 AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT est.event_type, {_M} AS m, zero_registers, register_sum,
+           CAST(floor(e) AS BIGINT) AS hll_estimate, exact_distinct
+    FROM est JOIN ex ON est.event_type = ex.event_type
+    """,
+)
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct users per event type, exact count alongside.
+
+    Scale path: the register frame is <=1024 rows per event type however
+    many billions of events feed it, and merges across days/partitions by
+    per-bucket max (proven lossless in tests/test_sketches.py). The exact
+    column exists to expose the error; at 100 TB you keep only the
+    register frame."""
+    events = load_table(spark, sf_dir, "events")
+    regs = SK.hll_registers(events, ["event_type"], F.col("user_id"), p=HLL_P)
+    est = SK.hll_estimate(regs, ["event_type"], p=HLL_P)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return est.join(F.broadcast(exact), "event_type")
+
+
+@query(
+    "sketch_kmv_source_token_overlap",
+    driver=False,
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT source, {_H60.format(v="tok")} AS h
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+    ),
+    sk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM toks
+        ) WHERE rn <= {KMV_K}
+    ),
+    g AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b
+        FROM g a JOIN g b ON a.source < b.source
+    ),
+    u0 AS (
+        SELECT p.source_a, p.source_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.source = p.source_a
+        UNION ALL
+        SELECT p.source_a, p.source_b, s.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk s ON s.source = p.source_b
+    ),
+    u1 AS (
+        SELECT source_a, source_b, h, max(in_a) AS in_a, max(in_b) AS in_b
+        FROM u0 GROUP BY 1, 2, 3
+    ),
+    us AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY source_a, source_b ORDER BY h) AS rn
+            FROM u1
+        ) WHERE rn <= {KMV_K}
+    ),
+    agg AS (
+        SELECT source_a, source_b,
+               CAST(count(*) AS BIGINT) AS ku,
+               CAST(sum(in_a * in_b) AS BIGINT) AS x_common,
+               max(h) AS max_h
+        FROM us GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, ku, x_common,
+           x_common * 1000000 // ku AS jaccard_micro,
+           CASE WHEN ku < {KMV_K} THEN ku
+                ELSE CAST(floor({dlit(KMV_K - 1)} * {_POW60}
+                                / CAST(max_h AS DOUBLE)) AS BIGINT)
+           END AS union_est,
+           (x_common * 1000000 // ku)
+             * (CASE WHEN ku < {KMV_K} THEN ku
+                     ELSE CAST(floor({dlit(KMV_K - 1)} * {_POW60}
+                                     / CAST(max_h AS DOUBLE)) AS BIGINT)
+                END) // 1000000 AS inter_est
+    FROM agg
+    """,
+)
+def sketch_kmv_source_token_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra between sources' token vocabularies.
+
+    Scale path: each source's raw token stream collapses to k=256 hashes;
+    every pairwise union/intersection/Jaccard estimate then costs
+    O(pairs*k) — no cross-corpus join ever touches raw tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    sketch = SK.kmv_sketch(toks, ["source"], F.col("tok"), k=KMV_K)
+    return SK.kmv_pairwise_overlap(sketch, "source", k=KMV_K)
+
+
+@query(
+    "sketch_cms_token_counts",
+    driver=False,
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    exact AS (
+        SELECT tok AS token, CAST(count(*) AS BIGINT) AS exact_cnt
+        FROM toks GROUP BY 1
+    ),
+    probes AS (
+        SELECT token, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, token ASC LIMIT {CMS_PROBES}
+    ),
+    ii AS (SELECT unnest([{", ".join(str(i) for i in range(CMS_DEPTH))}]) AS i),
+    counters AS (
+        SELECT i, {_H60.format(v="CAST(i AS VARCHAR) || ':' || tok")}
+                     % {CMS_WIDTH} AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM toks, ii GROUP BY 1, 2
+    ),
+    pb AS (
+        SELECT p.token, p.exact_cnt, ii.i,
+               {_H60.format(v="CAST(ii.i AS VARCHAR) || ':' || p.token")}
+                 % {CMS_WIDTH} AS bucket
+        FROM probes p, ii
+    )
+    SELECT pb.token, pb.exact_cnt,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_estimate
+    FROM pb LEFT JOIN counters c ON c.i = pb.i AND c.bucket = pb.bucket
+    GROUP BY 1, 2
+    """,
+)
+def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the corpus's top heavy hitters.
+
+    Scale path: the counter grid is depth*width = 4096 rows total, built
+    with one partially-aggregated groupBy over the token stream; the
+    probe join is a broadcast of that fixed-size grid. The exact counts
+    ride along to expose the (one-sided) error."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    counters = SK.cms_build(toks, F.col("tok"), depth=CMS_DEPTH, width=CMS_WIDTH)
+    probes = (
+        toks.groupBy(F.col("tok").alias("token"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+        .limit(CMS_PROBES)
+    )
+    return SK.cms_estimate(
+        counters, probes, "token", depth=CMS_DEPTH, width=CMS_WIDTH
+    )

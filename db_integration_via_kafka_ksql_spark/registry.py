@@ -69,4 +69,5 @@ from db_integration_via_kafka_ksql_spark.queries import (  # noqa: E402,F401
     kmeans_queries,
     text_queries,
     multimodal_queries,
+    sketch_queries,
 )

@@ -486,3 +486,37 @@ def test_duplicate_cut_spans_equi_pair_join_no_nlj(reports):
     assert r.has_partial_aggregate
     assert r.windows == 2  # the two island passes; diagonal runs checkpointed
     assert r.n_shuffle_exchanges == 2  # span pre-agg + doc_id island window
+
+
+def test_hll_register_agg_combines_map_side(reports):
+    """HLL's scale contract: the register build is a partially-aggregated
+    groupBy (each input partition emits <= m rows per group before the
+    shuffle), and the exact-count companion joins by broadcast — four
+    hash exchanges total (registers, estimate rollup, and the two-phase
+    distinct), none carrying raw events."""
+    r = reports("sketch_hll_distinct_users")
+    assert r.has_partial_aggregate
+    assert r.n_shuffle_exchanges == 4
+    assert r.n_broadcast_exchanges >= 1
+
+
+def test_kmv_overlap_sketch_built_once(reports):
+    """The k-min sketch feeds three plan branches (group list + both pair
+    sides); the eager localCheckpoint means the distinct+rank subtree over
+    the raw token stream appears ONCE — the visible plan has a single
+    window (the union-sketch rank), not one per branch."""
+    r = reports("sketch_kmv_source_token_overlap")
+    assert r.windows == 1
+    assert r.n_shuffle_exchanges <= 4
+
+
+def test_cms_counter_grid_partial_agg_probe_broadcast(reports):
+    """Count-Min's scale contract: the counter grid groupBy combines
+    map-side (grid rows, not token rows, cross the wire), probe selection
+    is TakeOrdered (no global sort), and the probe/counter join
+    broadcasts the fixed-size grid."""
+    r = reports("sketch_cms_token_counts")
+    assert r.has_partial_aggregate
+    assert r.take_ordered
+    assert r.n_broadcast_exchanges >= 1
+    assert r.n_shuffle_exchanges <= 2

@@ -1,0 +1,148 @@
+"""Sketch correctness beyond oracle parity: the deterministic-ln helper's
+cross-engine bit-equality, HLL merge losslessness, and the accuracy /
+one-sided-error contracts of each estimator (parity alone would accept a
+sketch that is bit-identically wrong in both engines)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.functions.detmath import det_ln_sql, dlit
+from db_integration_via_kafka_ksql_spark.io import load_table
+from db_integration_via_kafka_ksql_spark.operators import sketches as SK
+
+LN_GRID = [
+    1.0, 1.0000001, 1.5, 2.0, 2.5, 3.0, 3.7, 7.77, 10.0, 63.9, 64.0,
+    100.0, 1023.0, 1024.0, 123456.789, 9.87e8, 2.0**40, 1.8e15,
+]
+
+
+def test_det_ln_bit_identical_across_engines(spark):
+    rows = spark.createDataFrame([(x,) for x in LN_GRID], "x double")
+    got = [
+        r[0]
+        for r in rows.select(F.expr(det_ln_sql("x", "spark"))).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {det_ln_sql(dlit(x), 'duckdb')}").fetchone()[0]
+        for x in LN_GRID
+    ]
+    assert got == want  # exact float equality — the whole point
+
+
+def test_det_ln_accuracy():
+    con = duckdb.connect()
+    for x in LN_GRID:
+        v = con.execute(f"SELECT {det_ln_sql(dlit(x), 'duckdb')}").fetchone()[0]
+        assert v == pytest.approx(math.log(x), abs=3e-6)
+
+
+def test_det_ln_rejects_unknown_dialect():
+    with pytest.raises(ValueError):
+        det_ln_sql("x", "postgres")
+
+
+def test_hll_merge_is_lossless(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    whole = SK.hll_registers(events, ["event_type"], F.col("user_id"))
+    merged = SK.hll_merge(
+        SK.hll_registers(half_a, ["event_type"], F.col("user_id")),
+        SK.hll_registers(half_b, ["event_type"], F.col("user_id")),
+    )
+    def key(df):
+        return sorted(map(tuple, df.collect()))
+    assert key(merged) == key(whole)
+
+
+def test_hll_estimate_accuracy(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    regs = SK.hll_registers(events, ["event_type"], F.col("user_id"))
+    est = {
+        r["event_type"]: r["hll_estimate"]
+        for r in SK.hll_estimate(regs, ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        # p=10 -> ~3.25% stderr; linear counting regime is tighter still
+        assert abs(est[k] - n) <= max(0.12 * n, 3), (k, est[k], n)
+
+
+def test_kmv_distinct_estimate_accuracy(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    sketch = SK.kmv_sketch(toks, ["source"], F.col("tok"), k=256)
+    est = {
+        r["source"]: (r["n_hashes"], r["kmv_estimate"])
+        for r in SK.kmv_distinct_estimate(sketch, ["source"], k=256).collect()
+    }
+    exact = {
+        r["source"]: r["n"]
+        for r in toks.groupBy("source")
+        .agg(F.countDistinct("tok").alias("n"))
+        .collect()
+    }
+    for src, n in exact.items():
+        n_hashes, e = est[src]
+        if n < 256:
+            assert e == n  # below k the sketch IS the exact distinct set
+        else:
+            assert abs(e - n) <= 0.25 * n, (src, e, n)  # ~1/sqrt(255) stderr
+
+
+def test_kmv_pairwise_jaccard_tracks_exact(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).distinct()
+    sketch = SK.kmv_sketch(toks, ["source"], F.col("tok"), k=256)
+    got = {
+        (r["source_a"], r["source_b"]): r["jaccard_micro"] / 1e6
+        for r in SK.kmv_pairwise_overlap(sketch, "source", k=256).collect()
+    }
+    pairs = list(got)
+    assert pairs, "expected at least one source pair"
+    sets = {
+        src: {r["tok"] for r in toks.filter(F.col("source") == src).collect()}
+        for src in {s for p in pairs for s in p}
+    }
+    for a, b in pairs:
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        true_j = inter / union
+        assert abs(got[(a, b)] - true_j) <= 0.12, ((a, b), got[(a, b)], true_j)
+
+
+def test_cms_error_is_one_sided_and_bounded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    n_total = toks.count()
+    counters = SK.cms_build(toks, F.col("tok"), depth=4, width=1024)
+    probes = (
+        toks.groupBy(F.col("tok").alias("token"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+        .limit(50)
+    )
+    rows = SK.cms_estimate(counters, probes, "token").collect()
+    # the sf0.001 synthetic vocab is smaller than 50 — every distinct
+    # token becomes a probe then
+    assert len(rows) == probes.count() and len(rows) >= 20
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_cnt"]  # one-sided by construction
+        # standard CMS bound: overshoot <= e*N/width w.h.p.; allow 3x slack
+        assert r["cms_estimate"] - r["exact_cnt"] <= 3 * math.e * n_total / 1024
