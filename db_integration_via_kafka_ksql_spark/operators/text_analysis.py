@@ -1764,3 +1764,71 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Positive-PMI adjacent-bigram collocations, ranked corpus-wide.
+
+    The corpus-analysis classic (Church & Hanks 1990): for every adjacent
+    token pair, PMI = ln(N * c_xy / (c_x * c_y)) against the bigram
+    marginals. Pairs with lift < 1 (negative PMI — anti-collocations) and
+    pairs rarer than ``min_count`` are dropped; the survivors rank by
+    ``pmi_micro`` (PMI in integer micro-nats via the deterministic ln of
+    functions/detmath.py, so the DuckDB oracle is bit-identical).
+
+    Scale shape (100 TB): ONE pass explodes bigrams into a map-side-
+    combined (w1, w2) count frame; marginals derive from that frame by
+    re-aggregation (never a second corpus scan), N rides a single-row
+    broadcast (the lm_fluency pattern), and the global top-k is
+    TakeOrdered — no full sort. The pair-count frame feeds four branches
+    (join input, both marginals, N) so it is localCheckpoint-ed once.
+
+    Columns: (w1, w2, c_xy, c_x, c_y, pmi_micro).
+    """
+    from db_integration_via_kafka_ksql_spark.functions.detmath import det_ln_sql
+
+    toks = docs.select(F.split(F.col("text"), " ").alias("w"))
+    bigrams = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("w"), 1, F.size("w") - 1).alias("w1"),
+                F.slice(F.col("w"), 2, F.size("w") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    pairs = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=True)
+    )
+    cx = pairs.groupBy("w1").agg(F.sum("c_xy").cast("long").alias("c_x"))
+    cy = pairs.groupBy("w2").agg(F.sum("c_xy").cast("long").alias("c_y"))
+    n = pairs.agg(F.sum("c_xy").cast("long").alias("n_total"))
+    lift = (
+        "(CAST(n_total AS DOUBLE) * CAST(c_xy AS DOUBLE)"
+        " / CAST(c_x AS DOUBLE) / CAST(c_y AS DOUBLE))"
+    )
+    scored = (
+        pairs.join(cx, "w1")
+        .join(cy, "w2")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("c_xy") >= min_count)
+        .filter(F.expr(f"{lift} >= 1.0e0"))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr(
+                f"CAST(floor(1.0e6 * {det_ln_sql(lift, 'spark')}) AS BIGINT)"
+            ).alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)

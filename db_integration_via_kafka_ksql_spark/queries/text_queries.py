@@ -1569,3 +1569,54 @@ def text_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, dim=PERC_DIM, epochs=PERC_EPOCHS, threshold=PERC_THRESHOLD
     )
     return C.score_quality_perceptron(docs, w, threshold=PERC_THRESHOLD)
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+_PMI_LIFT = (
+    "(CAST(n_total AS DOUBLE) * CAST(c_xy AS DOUBLE)"
+    " / CAST(c_x AS DOUBLE) / CAST(c_y AS DOUBLE))"
+)
+
+from db_integration_via_kafka_ksql_spark.functions.detmath import (  # noqa: E402
+    det_ln_sql as _det_ln_sql,
+)
+
+_PMI_LN = _det_ln_sql(_PMI_LIFT, "duckdb")
+
+
+@query(
+    "text_pmi_collocations",
+    driver=False,
+    oracle=f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+    bg AS (
+        SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+        FROM toks
+    ),
+    pairs AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM bg GROUP BY 1, 2
+    ),
+    cx AS (SELECT w1, CAST(sum(c_xy) AS BIGINT) AS c_x FROM pairs GROUP BY 1),
+    cy AS (SELECT w2, CAST(sum(c_xy) AS BIGINT) AS c_y FROM pairs GROUP BY 1),
+    n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_total FROM pairs),
+    s AS (
+        SELECT pairs.w1, pairs.w2, c_xy, c_x, c_y,
+               CAST(floor(1.0e6 * {_PMI_LN}) AS BIGINT) AS pmi_micro
+        FROM pairs
+        JOIN cx ON pairs.w1 = cx.w1
+        JOIN cy ON pairs.w2 = cy.w2, n
+        WHERE c_xy >= {PMI_MIN_COUNT} AND {_PMI_LIFT} >= 1.0e0
+    )
+    SELECT * FROM s ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT {PMI_TOP_K}
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide positive-PMI collocations (Church & Hanks): the top
+    adjacent-token pairs by micro-nat PMI against bigram marginals —
+    one bigram-count pass, marginals re-aggregated from the pair frame,
+    N broadcast, global top-k TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TA.pmi_collocations(
+        docs, min_count=PMI_MIN_COUNT, top_k=PMI_TOP_K
+    )

@@ -520,3 +520,15 @@ def test_cms_counter_grid_partial_agg_probe_broadcast(reports):
     assert r.take_ordered
     assert r.n_broadcast_exchanges >= 1
     assert r.n_shuffle_exchanges <= 2
+
+
+def test_pmi_single_pair_count_pass_topk_take_ordered(reports):
+    """PMI's scale contract: one bigram-count pass (checkpointed, then
+    marginals re-aggregate the pair frame — no second corpus scan), N as
+    the single-row broadcast (the lm_fluency NLJ pattern), and the
+    global top-k via TakeOrdered, never a full sort."""
+    r = reports("text_pmi_collocations")
+    assert r.has_partial_aggregate
+    assert r.take_ordered
+    assert r.nested_loop_joins == 1  # single-row N broadcast only
+    assert r.n_shuffle_exchanges <= 4
