@@ -1,0 +1,129 @@
+"""Full-text ranked retrieval over the corpus: BM25 via an inverted index.
+
+The search-side companion to the dedup/curation operators: score every
+document against a fixed query set with Okapi BM25 and return the top-k
+per query. The scale shape is the inverted-index discipline —
+
+- ONE tokenize pass builds the (doc_id, term, tf) postings frame
+  (map-side-combined groupBy); doc lengths and document frequencies both
+  derive from that frame, never from a second corpus scan;
+- the query term list is tiny and broadcasts against the postings —
+  retrieval is an equi-join on term, so only postings of query terms
+  survive the join (at 100 TB: partition/bucket postings BY TERM and the
+  scan prunes to the queried terms);
+- corpus constants (N, total token count -> avgdl) ride a single-row
+  broadcast, the annotated nested-loop pattern shared with lm_fluency;
+- per-query top-k is rank-pruned, and the per-(query, doc) score is an
+  exact BIGINT (micro-units), so ties break deterministically.
+
+Determinism: idf uses the basic-ops ln from functions/detmath.py
+(JVM/libm ``log`` differ in the last ulp); the tf normalization is a
+fixed-order IEEE double sequence on exact integer inputs; each term's
+contribution is floored to integer micro-units BEFORE the per-document
+sum, so the sum is associative and partitioning-independent. The DuckDB
+oracle in queries/retrieval_queries.py replays all of it bit-exactly.
+
+Reference parity: the reference engine has no text-retrieval surface
+(reference: deploy-ksql-cli.sh — equality predicates only); this module
+belongs to the repo's LLM-data-pipeline extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.functions.detmath import det_ln_sql, dlit
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_idf_sql(dialect: str) -> str:
+    """Okapi idf with the +1 robustness floor: ln((N-df+0.5)/(df+0.5)+1).
+
+    The argument is always >= 1, which is exactly det_ln's domain.
+    References columns n_docs (double-castable) and df."""
+    arg = (
+        f"((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + {dlit(0.5)})"
+        f" / (CAST(df AS DOUBLE) + {dlit(0.5)}) + {dlit(1.0)})"
+    )
+    return det_ln_sql(arg, dialect)
+
+
+def bm25_tf_sql() -> str:
+    """Okapi tf normalization; references columns tf, dl, avgdl.
+    Identical text in both dialects (basic ops only)."""
+    dl_ratio = "(CAST(dl AS DOUBLE) / avgdl)"
+    denom = (
+        f"(CAST(tf AS DOUBLE) + {dlit(K1)} * "
+        f"({dlit(1.0 - B)} + {dlit(B)} * {dl_ratio}))"
+    )
+    return f"(CAST(tf AS DOUBLE) * {dlit(K1 + 1.0)} / {denom})"
+
+
+def postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, dl): the inverted-index postings frame with the
+    document length denormalized onto every posting (one window-free pass:
+    tf and dl come out of the same per-doc aggregate)."""
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    return tf.join(dl, "doc_id")
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k documents per query by BM25.
+
+    ``queries`` is a list of (query_id, text) pairs; each query's
+    whitespace terms are deduplicated (standard bag-of-words BM25 over
+    the unique query terms). Output: (query_id, doc_id, score_micro,
+    rnk), rnk 1..top_k ordered by (score desc, doc_id asc).
+    """
+    from pyspark.sql.window import Window
+
+    post = postings(docs).localCheckpoint(eager=True)
+    df_frame = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    consts = post.groupBy().agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("tf").cast("long").alias("total_tokens"),
+    ).select(
+        "n_docs",
+        (F.col("total_tokens").cast("double") / F.col("n_docs").cast("double")
+         ).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(
+        sorted({(qid, t) for qid, text in queries for t in text.split(" ") if t}),
+        "query_id int, term string",
+    )
+    scored = (
+        post.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_frame), "term")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "query_id",
+            "doc_id",
+            F.expr(
+                f"CAST(floor({dlit(1e6)} * {bm25_idf_sql('spark')}"
+                f" * {bm25_tf_sql()}) AS BIGINT)"
+            ).alias("contrib"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").cast("long").alias("score_micro"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= top_k)
+    )

@@ -70,4 +70,5 @@ from db_integration_via_kafka_ksql_spark.queries import (  # noqa: E402,F401
     text_queries,
     multimodal_queries,
     sketch_queries,
+    retrieval_queries,
 )

@@ -532,3 +532,17 @@ def test_pmi_single_pair_count_pass_topk_take_ordered(reports):
     assert r.take_ordered
     assert r.nested_loop_joins == 1  # single-row N broadcast only
     assert r.n_shuffle_exchanges <= 4
+
+
+def test_bm25_inverted_index_broadcast_joins(reports):
+    """BM25's scale contract: postings built once (checkpointed), the
+    query-term list and df frame join by broadcast hash (an equi-join on
+    term — at scale, term-bucketed postings prune the scan), corpus
+    constants ride the single-row broadcast NLJ, and the only window is
+    the per-query rank prune."""
+    r = reports("text_bm25_topk")
+    assert r.has_partial_aggregate
+    assert r.broadcast_hash_joins >= 2
+    assert r.nested_loop_joins == 1  # single-row (n_docs, avgdl) broadcast
+    assert r.sort_merge_joins == 0
+    assert r.windows == 1
