@@ -86,6 +86,12 @@ HEADLINE = [
     "mm_byte_features",
     "asof_join_events",
     "range_join_events_sessions",
+    # round 9 additions: the sketch family's scale paths and ranked
+    # retrieval — fixed-size mergeable state vs the corpus-sized exact
+    # twins benched above
+    "sketch_hll_distinct_users",
+    "sketch_kmv_source_token_overlap",
+    "text_bm25_topk",
 ]
 
 

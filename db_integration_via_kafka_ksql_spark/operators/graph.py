@@ -292,3 +292,68 @@ def leakage_free_splits(
     for acc_w, name in reversed(conds):
         expr = F.when(bucket < acc_w, F.lit(name)).otherwise(expr)
     return clusters.select(id_col, "cluster_rep", expr.alias("split"))
+
+
+PAGERANK_SCALE = 1_000_000_000_000  # ranks in integer picoshares of 1.0
+PAGERANK_DAMP_NUM = 85  # damping 0.85 as the exact rational 85/100
+PAGERANK_DAMP_DEN = 100
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+) -> DataFrame:
+    """Integer fixed-point PageRank over a directed edge frame (src, dst).
+
+    Ranks are integer "picoshares" (PAGERANK_SCALE = one unit of
+    probability mass); every update is integer math — contributions are
+    ``rank DIV out_degree``, the damping factor is the exact rational
+    85/100 — so the fixed iteration count yields bit-identical ranks on
+    any partitioning, and the DuckDB oracle can replay the entire
+    iteration chain (the kmeans discipline for iterative operators).
+    Floor division leaks a few picoshares per step; that loss is
+    deterministic and identical in the oracle.
+
+    Requirements: no dangling nodes (every node must have at least one
+    out-edge — symmetrize the graph first if needed). Nodes are BIGINT
+    ids in ``src``/``dst``.
+
+    Scale shape (100 TB): the edge frame is joined per iteration on
+    ``src`` against the node-sized rank frame — edges are repartitioned
+    by src ONCE and checkpointed with their out-degree denormalized, so
+    each iteration costs one node-sized shuffle (the contribution
+    groupBy, map-side combined) plus the rank-frame join that reuses the
+    edge partitioning. Rank frames are localCheckpoint-ed per iteration
+    to truncate lineage (see the connected-components note above).
+
+    Returns (node, rank_scaled).
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edeg = (
+        edges.join(deg, "src")
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # bounded scalar collect (one long)
+    init = PAGERANK_SCALE // n_nodes
+    base = (15 * init) // 100
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("r"))
+    for _ in range(iterations):
+        contribs = edeg.join(
+            ranks.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), F.expr("r DIV deg").alias("c"))
+        ranks = (
+            contribs.groupBy("node")
+            .agg(
+                F.expr(
+                    f"{base} + {PAGERANK_DAMP_NUM} * CAST(sum(c) AS BIGINT)"
+                    f" DIV {PAGERANK_DAMP_DEN}"
+                ).alias("r")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))

@@ -739,3 +739,120 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return R.user_inter_arrival_stats(ev, epoch_us_col(ev, "ts"))
+
+
+PAGERANK_ITERS = 5
+PAGERANK_TOP_K = 20
+
+
+@query(
+    "graph_pagerank_topk",
+    driver=False,
+    oracle="""
+    WITH pe AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pe
+        UNION ALL
+        SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pe
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    c AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+               1000000000000 // CAST(count(*) AS BIGINT) AS init
+        FROM nodes
+    ),
+    r0 AS (SELECT node, init AS r FROM nodes, c),
+    r1 AS (
+        SELECT e.dst AS node,
+               (SELECT (15 * init) // 100 FROM c)
+                 + 85 * CAST(sum(r.r // d.deg) AS BIGINT) // 100 AS r
+        FROM edges e
+        JOIN r0 r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY 1
+    ),
+    r2 AS (
+        SELECT e.dst AS node,
+               (SELECT (15 * init) // 100 FROM c)
+                 + 85 * CAST(sum(r.r // d.deg) AS BIGINT) // 100 AS r
+        FROM edges e
+        JOIN r1 r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY 1
+    ),
+    r3 AS (
+        SELECT e.dst AS node,
+               (SELECT (15 * init) // 100 FROM c)
+                 + 85 * CAST(sum(r.r // d.deg) AS BIGINT) // 100 AS r
+        FROM edges e
+        JOIN r2 r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY 1
+    ),
+    r4 AS (
+        SELECT e.dst AS node,
+               (SELECT (15 * init) // 100 FROM c)
+                 + 85 * CAST(sum(r.r // d.deg) AS BIGINT) // 100 AS r
+        FROM edges e
+        JOIN r3 r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY 1
+    ),
+    r5 AS (
+        SELECT e.dst AS node,
+               (SELECT (15 * init) // 100 FROM c)
+                 + 85 * CAST(sum(r.r // d.deg) AS BIGINT) // 100 AS r
+        FROM edges e
+        JOIN r4 r ON e.src = r.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY 1
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS entity_key,
+           r AS rank_scaled
+    FROM r5
+    ORDER BY rank_scaled DESC, node ASC LIMIT 20
+    """,
+)
+def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the symmetrized customer-supplier
+    interaction graph (distinct trade pairs from orders x lineitem,
+    customers on even node ids, suppliers on odd): 5 integer fixed-point
+    iterations (operators/graph.pagerank — the oracle replays the whole
+    chain), then the global top-20 by rank. The iterative-operator
+    counterpart of connected components: ranks entities by graph
+    centrality instead of labeling reachability."""
+    from db_integration_via_kafka_ksql_spark.operators import graph as G
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+        )
+    )
+    ranks = G.pagerank(edges, iterations=PAGERANK_ITERS)
+    top = ranks.orderBy(
+        F.col("rank_scaled").desc(), F.col("node").asc()
+    ).limit(PAGERANK_TOP_K)
+    return top.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node DIV 2").alias("entity_key"),
+        "rank_scaled",
+    )

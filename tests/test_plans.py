@@ -546,3 +546,16 @@ def test_bm25_inverted_index_broadcast_joins(reports):
     assert r.nested_loop_joins == 1  # single-row (n_docs, avgdl) broadcast
     assert r.sort_merge_joins == 0
     assert r.windows == 1
+
+
+def test_pagerank_visible_plan_is_topk_over_checkpointed_ranks(reports):
+    """The iterative work (5 edge-join + contribution-groupBy rounds) is
+    materialized behind per-iteration localCheckpoints (the
+    connected-components lineage discipline); the visible plan is just
+    the global top-k — TakeOrdered, no sort, no joins, no shuffles."""
+    r = reports("graph_pagerank_topk")
+    assert r.take_ordered
+    assert r.n_shuffle_exchanges == 0
+    assert (
+        r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins
+    ) == 0
