@@ -1,0 +1,119 @@
+"""Product-analytics operators over the event stream: cohort retention
+and ordered funnel conversion.
+
+The classic ksql-style continuous-analytics workloads, expressed batch-
+side as pure DataFrame plans (their streaming twins are the windowed
+aggregates in streaming/windows.py):
+
+- **Cohort retention**: users bucket into weekly cohorts by their first
+  event; each later week they appear in becomes a (cohort, offset) cell.
+  One user-keyed aggregate finds the cohort, one user-keyed join tags
+  every event, and the cell counts partially aggregate — at 100 TB the
+  only wide state is user-sized, never event-sized, and the retention
+  matrix itself is O(weeks^2).
+- **Ordered funnel**: how many users performed step1 < step2 < step3 in
+  time order. Each step is a per-user conditional-min aggregate chained
+  through a user-keyed join with the previous step's frame — 3 scans
+  with the step's event_type predicate PUSHED DOWN (never one unfiltered
+  scan fanned out), and per-user frames are node-sized.
+
+All math is integer (epoch micros, week indexes, permille ratios), so
+the DuckDB oracles match bit-exactly.
+
+Reference parity: the reference engine's continuous queries aggregate
+the movies/sales CDC streams (reference: deploy-ksql-cli.sh); retention
+and funnels are the event-analytics extension of the same GROUP BY
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cohort_retention(events: DataFrame, ts_us: Column) -> DataFrame:
+    """Weekly cohort retention matrix.
+
+    Returns (cohort_week, week_offset, n_users, cohort_size,
+    retained_permille): users whose FIRST event fell in cohort_week and
+    who were active again week_offset weeks later. Offset 0 is the
+    cohort itself (retained_permille = 1000 by construction).
+    """
+    ev = events.select(
+        "user_id", ts_us.cast("long").alias("_us")
+    ).select("user_id", F.expr(f"_us DIV {WEEK_US}").alias("week"))
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    counts = cells.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    sizes = counts.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return counts.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        "cohort_size",
+        F.expr("n_users * 1000 DIV cohort_size").alias("retained_permille"),
+    )
+
+
+def funnel_conversion(
+    events: DataFrame, ts_us: Column, steps: list[str]
+) -> DataFrame:
+    """Ordered funnel: per step, how many users reached it in sequence.
+
+    A user counts for step k iff they have events of types
+    steps[0..k] at strictly increasing times (each step's earliest
+    occurrence after the previous step's committed time — the standard
+    "windowless" funnel). Returns (step_idx, step, n_users,
+    conversion_permille) with conversion relative to step 1.
+
+    The per-step frames are per-user (node-sized) and eagerly
+    checkpointed: each feeds the next step's join AND its own count —
+    without materialization the chain re-plans every upstream step per
+    branch (the unionAll double-compute trap).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    base = events.select(
+        "user_id", "event_type", ts_us.cast("long").alias("t")
+    )
+    reached: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for step in steps:
+        cur = base.filter(F.col("event_type") == step)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(F.col("t") > F.col("_pt"))
+        frame = (
+            cur.groupBy("user_id")
+            .agg(F.min("t").alias("_pt"))
+            .localCheckpoint(eager=True)
+        )
+        reached.append(frame)
+        prev = frame
+    rows = None
+    for i, (step, frame) in enumerate(zip(steps, reached), start=1):
+        row = frame.groupBy().agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step_idx"), F.lit(step).alias("step"), "n_users"
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    first_n = reached[0].groupBy().agg(F.count(F.lit(1)).alias("first_n"))
+    return rows.crossJoin(F.broadcast(first_n)).select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.expr("n_users * 1000 DIV first_n").alias("conversion_permille"),
+    )

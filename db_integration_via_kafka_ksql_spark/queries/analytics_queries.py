@@ -1,0 +1,95 @@
+"""Product-analytics query surface (cohort retention, ordered funnel)
+with DuckDB oracles. All math is integer — epoch micros, week indexes,
+permille ratios — so parity is bit-exact; timestamps go through
+io.epoch_us_col on the Spark side and epoch_us(ts) in DuckDB (the
+encoding-robust pairing verified in tests/test_testdata_schema.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from db_integration_via_kafka_ksql_spark.io import epoch_us_col, load_table
+from db_integration_via_kafka_ksql_spark.operators import analytics as AN
+from db_integration_via_kafka_ksql_spark.registry import query
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+@query(
+    "events_cohort_retention",
+    driver=False,
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) // {AN.WEEK_US} AS week FROM events
+    ),
+    first AS (
+        SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1
+    ),
+    cells AS (
+        SELECT DISTINCT cohort_week, week - cohort_week AS week_offset,
+               ev.user_id
+        FROM ev JOIN first ON ev.user_id = first.user_id
+    ),
+    counts AS (
+        SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+        FROM cells GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cohort_week, n_users AS cohort_size
+        FROM counts WHERE week_offset = 0
+    )
+    SELECT c.cohort_week, c.week_offset, c.n_users, s.cohort_size,
+           c.n_users * 1000 // s.cohort_size AS retained_permille
+    FROM counts c JOIN sizes s ON c.cohort_week = s.cohort_week
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the event stream: cohorts by
+    first-event week, cells = users active again k weeks later, with the
+    permille retained against the cohort size."""
+    ev = load_table(spark, sf_dir, "events")
+    return AN.cohort_retention(ev, epoch_us_col(ev, "ts"))
+
+
+@query(
+    "events_funnel_conversion",
+    driver=False,
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    s1 AS (
+        SELECT user_id, min(t) AS t1 FROM base
+        WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT b.user_id, min(t) AS t2
+        FROM base b JOIN s1 ON b.user_id = s1.user_id
+        WHERE event_type = '{FUNNEL_STEPS[1]}' AND t > t1 GROUP BY 1
+    ),
+    s3 AS (
+        SELECT b.user_id, min(t) AS t3
+        FROM base b JOIN s2 ON b.user_id = s2.user_id
+        WHERE event_type = '{FUNNEL_STEPS[2]}' AND t > t2 GROUP BY 1
+    ),
+    n AS (
+        SELECT 1 AS step_idx, '{FUNNEL_STEPS[0]}' AS step,
+               CAST(count(*) AS BIGINT) AS n_users FROM s1
+        UNION ALL
+        SELECT 2, '{FUNNEL_STEPS[1]}', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, '{FUNNEL_STEPS[2]}', CAST(count(*) AS BIGINT) FROM s3
+    ),
+    n1 AS (SELECT CAST(count(*) AS BIGINT) AS first_n FROM s1)
+    SELECT step_idx, step, n_users,
+           n_users * 1000 // first_n AS conversion_permille
+    FROM n, n1
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel: per-user conditional-min
+    chaining with strict time ordering, conversion in permille of the
+    step-1 population."""
+    ev = load_table(spark, sf_dir, "events")
+    return AN.funnel_conversion(ev, epoch_us_col(ev, "ts"), FUNNEL_STEPS)

@@ -71,4 +71,5 @@ from db_integration_via_kafka_ksql_spark.queries import (  # noqa: E402,F401
     multimodal_queries,
     sketch_queries,
     retrieval_queries,
+    analytics_queries,
 )

@@ -559,3 +559,24 @@ def test_pagerank_visible_plan_is_topk_over_checkpointed_ranks(reports):
     assert (
         r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins
     ) == 0
+
+
+def test_cohort_retention_user_sized_state_pruned_scan(reports):
+    """Retention's scale contract: the events scan reads only
+    (user_id, ts), every aggregate combines map-side, and the
+    cohort-size join broadcasts (weeks-sized frame)."""
+    r = reports("events_cohort_retention")
+    assert r.has_partial_aggregate
+    assert len(r.scans["events"].read_columns) == 2
+    assert r.n_broadcast_exchanges >= 1
+    assert r.n_shuffle_exchanges <= 6
+
+
+def test_funnel_steps_materialized_once(reports):
+    """Funnel's scale contract: each per-user step frame is checkpointed
+    (its pushed event_type scan runs once, invisible here), so the
+    visible plan is only counts + union + the single-row broadcast."""
+    r = reports("events_funnel_conversion")
+    assert r.has_partial_aggregate
+    assert r.nested_loop_joins == 1  # single-row first_n broadcast
+    assert r.sort_merge_joins == 0 and r.broadcast_hash_joins == 0
