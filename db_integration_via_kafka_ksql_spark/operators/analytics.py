@@ -117,3 +117,46 @@ def funnel_conversion(
         "n_users",
         F.expr("n_users * 1000 DIV first_n").alias("conversion_permille"),
     )
+
+
+def event_transition_matrix(events: DataFrame, ts_us: Column) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences.
+
+    For every user, consecutive events (ordered by time, event_id
+    tie-break — a total order, the repo's two-pass-window discipline)
+    form (from_type, to_type) transitions; the matrix reports counts and
+    integer permille of each source type's outgoing mass. The behavioral
+    fingerprint a session-analysis pass derives before anomaly screens.
+
+    Scale shape: one user-keyed window (the LAG) whose hash partitioning
+    the transition groupBy cannot reuse (different keys) — two shuffles
+    total, both map-side combined; the from-type totals re-aggregate the
+    |types|^2-sized matrix, never the events.
+
+    Returns (from_type, to_type, n_transitions, from_total, permille).
+    """
+    from pyspark.sql.window import Window
+
+    ev = events.select(
+        "user_id", "event_id", "event_type", ts_us.cast("long").alias("t")
+    )
+    win = Window.partitionBy("user_id").orderBy("t", "event_id")
+    pairs = (
+        ev.withColumn("from_type", F.lag("event_type").over(win))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        # |types|^2 rows feeding two branches (totals + join): materialize
+        # once or the LAG window plans once per branch
+        .localCheckpoint(eager=True)
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("from_total")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        "from_total",
+        F.expr("n_transitions * 1000 DIV from_total").alias("permille"),
+    )

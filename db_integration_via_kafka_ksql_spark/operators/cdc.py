@@ -219,3 +219,49 @@ def changelog_stats(changelog: DataFrame, key_col: str = "key_id") -> DataFrame:
         ).alias("n_deletes"),
         F.max("offset").alias("max_offset"),
     )
+
+
+def scd2_history(
+    changelog: DataFrame,
+    ts_us: Column,
+    key_col: str = "key_id",
+    order_col: str = "offset",
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a changelog.
+
+    The warehouse-side consumer of the CDC stream (the reference pipes
+    its Debezium changelog into sink tables that hold only the LATEST
+    row — reference: start-sink-connector.sh upsert mode; SCD2 is the
+    standard extension that keeps every version): each non-delete event
+    opens a version valid from its own timestamp until the next event of
+    the same key (update OR delete — a delete closes the last interval
+    without emitting a row); the final open interval has valid_to_us
+    NULL and is_current true.
+
+    Exactly one key-hash shuffle: a single (key, order)-windowed LEAD
+    computes every interval end; everything else is scan-side. ``version``
+    is the changelog offset (unique, monotone per key).
+
+    Returns (key, version, valid_from_us, valid_to_us, is_current,
+    *attrs).
+    """
+    from pyspark.sql.window import Window
+
+    attrs = attrs if attrs is not None else ["event_type", "value", "props"]
+    win = Window.partitionBy(key_col).orderBy("version")
+    led = changelog.select(
+        key_col,
+        F.col(order_col).alias("version"),
+        ts_us.cast("long").alias("valid_from_us"),
+        "__deleted",
+        *attrs,
+    ).withColumn("valid_to_us", F.lead("valid_from_us").over(win))
+    return led.filter(F.col("__deleted") == "false").select(
+        key_col,
+        "version",
+        "valid_from_us",
+        "valid_to_us",
+        F.col("valid_to_us").isNull().alias("is_current"),
+        *attrs,
+    )

@@ -93,3 +93,38 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     step-1 population."""
     ev = load_table(spark, sf_dir, "events")
     return AN.funnel_conversion(ev, epoch_us_col(ev, "ts"), FUNNEL_STEPS)
+
+
+@query(
+    "events_transition_matrix",
+    driver=False,
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+    ),
+    seq AS (
+        SELECT event_type AS to_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+               ) AS from_type
+        FROM ev
+    ),
+    pairs AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT from_type, CAST(sum(n_transitions) AS BIGINT) AS from_total
+        FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type, p.n_transitions, t.from_total,
+           p.n_transitions * 1000 // t.from_total AS permille
+    FROM pairs p JOIN totals t ON p.from_type = t.from_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts + integer permille of each source type's outgoing
+    transitions, (ts, event_id)-totally-ordered."""
+    ev = load_table(spark, sf_dir, "events")
+    return AN.event_transition_matrix(ev, epoch_us_col(ev, "ts"))

@@ -371,3 +371,35 @@ def interval_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFram
     return j.groupBy("purchase_id", "user_id").agg(
         F.count("ct").cast("bigint").alias("n_clicks_10m")
     )
+
+
+@query(
+    "cdc_scd2_history",
+    driver=False,
+    oracle="""
+    WITH ch AS (
+        SELECT user_id AS key_id, event_id AS version, epoch_us(ts) AS t,
+               event_type, value, props,
+               CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END
+                 AS __deleted
+        FROM events
+    ),
+    led AS (
+        SELECT *, lead(t) OVER (
+            PARTITION BY key_id ORDER BY version
+        ) AS valid_to_us
+        FROM ch
+    )
+    SELECT key_id, version, t AS valid_from_us, valid_to_us,
+           valid_to_us IS NULL AS is_current,
+           event_type, value, props
+    FROM led WHERE __deleted = 'false'
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from the changelog: every surviving
+    version with its validity interval (deletes close intervals without
+    emitting rows), one key-hash shuffle total."""
+    ev = load_table(spark, sf_dir, "events")
+    ch = cdc.events_as_changelog(ev)
+    return cdc.scd2_history(ch, epoch_us_col(ch, "ts"))

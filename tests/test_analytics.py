@@ -81,3 +81,46 @@ def test_funnel_rejects_empty_steps(spark):
     ev = _events(spark, [(1, "view", 0.1)])
     with pytest.raises(ValueError):
         funnel_conversion(ev, F.col("us"), [])
+
+
+def test_transition_matrix_hand_example(spark):
+    from db_integration_via_kafka_ksql_spark.operators.analytics import (
+        event_transition_matrix,
+    )
+
+    rows = [
+        # user 1: view -> click -> view ; user 2: view -> view
+        (1, 1, "view", 10), (1, 2, "click", 20), (1, 3, "view", 30),
+        (2, 4, "view", 10), (2, 5, "view", 20),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, us long"
+    )
+    got = {
+        (r["from_type"], r["to_type"]): (
+            r["n_transitions"], r["from_total"], r["permille"]
+        )
+        for r in event_transition_matrix(ev, F.col("us")).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 2, 500),
+        ("view", "view"): (1, 2, 500),
+        ("click", "view"): (1, 1, 1000),
+    }
+
+
+def test_transition_matrix_tie_breaks_on_event_id(spark):
+    from db_integration_via_kafka_ksql_spark.operators.analytics import (
+        event_transition_matrix,
+    )
+
+    # identical timestamps: event_id supplies the total order
+    rows = [(1, 1, "a", 10), (1, 2, "b", 10), (1, 3, "c", 10)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, us long"
+    )
+    got = {
+        (r["from_type"], r["to_type"])
+        for r in event_transition_matrix(ev, F.col("us")).collect()
+    }
+    assert got == {("a", "b"), ("b", "c")}

@@ -227,3 +227,56 @@ def test_evolve_replay_rebuild_invariant(spark):
     }
     assert key(incremental) == key(oneshot)
     assert key(incremental) == {1: ("a2", 7.0), 2: ("b", None), 5: ("e", 9.0)}
+
+
+class TestScd2History:
+    def _log(self, spark, rows):
+        # rows: (key, offset, ts_us, event_type, deleted)
+        return spark.createDataFrame(
+            [(k, o, t, e, "true" if d else "false") for k, o, t, e, d in rows],
+            "key_id long, offset long, us long, event_type string,"
+            " __deleted string",
+        )
+
+    def test_update_delete_reinsert_intervals(self, spark):
+        from pyspark.sql import functions as F
+
+        from db_integration_via_kafka_ksql_spark.operators.cdc import (
+            scd2_history,
+        )
+
+        log = self._log(
+            spark,
+            [
+                (1, 10, 100, "a", False),   # v1: [100, 200)
+                (1, 11, 200, "b", False),   # v2: [200, 300) closed by delete
+                (1, 12, 300, "del", True),  # closes v2, emits nothing
+                (1, 13, 400, "c", False),   # v3: [400, None) current
+                (2, 20, 150, "x", False),   # single version, current
+            ],
+        )
+        got = {
+            (r["key_id"], r["version"]): (
+                r["valid_from_us"], r["valid_to_us"], r["is_current"],
+                r["event_type"],
+            )
+            for r in scd2_history(
+                log, F.col("us"), attrs=["event_type"]
+            ).collect()
+        }
+        assert got == {
+            (1, 10): (100, 200, False, "a"),
+            (1, 11): (200, 300, False, "b"),
+            (1, 13): (400, None, True, "c"),
+            (2, 20): (150, None, True, "x"),
+        }
+
+    def test_delete_only_key_emits_nothing(self, spark):
+        from pyspark.sql import functions as F
+
+        from db_integration_via_kafka_ksql_spark.operators.cdc import (
+            scd2_history,
+        )
+
+        log = self._log(spark, [(3, 30, 100, "gone", True)])
+        assert scd2_history(log, F.col("us"), attrs=["event_type"]).count() == 0

@@ -580,3 +580,28 @@ def test_funnel_steps_materialized_once(reports):
     assert r.has_partial_aggregate
     assert r.nested_loop_joins == 1  # single-row first_n broadcast
     assert r.sort_merge_joins == 0 and r.broadcast_hash_joins == 0
+
+
+def test_transition_matrix_totals_over_checkpointed_pairs(reports):
+    """The Markov matrix's scale shape: the LAG window + transition
+    groupBy run once behind the pair-frame checkpoint (it feeds totals
+    AND the join — unmaterialized, the window would plan per branch);
+    the visible plan is the |types|^2 re-aggregate plus its broadcast
+    join back."""
+    r = reports("events_transition_matrix")
+    assert r.windows == 0  # the LAG subtree is materialized, not re-planned
+    assert r.has_partial_aggregate
+    assert r.n_broadcast_exchanges >= 1
+    assert r.n_shuffle_exchanges <= 2
+
+
+def test_scd2_single_key_shuffle(reports):
+    """SCD2's scale contract: ONE key-hash exchange (the LEAD window over
+    (key, version)); interval ends, the delete filter, and is_current are
+    all scan-side around it."""
+    r = reports("cdc_scd2_history")
+    assert r.windows == 1
+    assert r.n_shuffle_exchanges == 1
+    assert (
+        r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins
+    ) == 0
