@@ -27,6 +27,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from db_integration_via_kafka_ksql_spark.functions.detmath import dlit
+
 DEC = "decimal(18,4)"
 
 
@@ -628,4 +630,78 @@ def user_inter_arrival_stats(events: DataFrame, ts_us: Column) -> DataFrame:
             "avg_gap_us",
             F.col("sum_gap_us").cast("double") / F.col("n_gaps").cast("double"),
         )
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 256,
+    quantiles_permille: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """Approximate quantiles via an equi-width histogram — deterministic
+    and cross-engine exact, unlike t-digest/GK summaries whose merge
+    order leaks into the result (the reason ``approx_order_stats`` is
+    only tolerance-gated; this one is hash-parity-gated).
+
+    One min/max pass fixes the bucket geometry (broadcast single row),
+    one partially-aggregated groupBy builds the n_buckets-row histogram,
+    and a bucket-ordered running sum picks, per requested permille, the
+    first bucket whose cumulative count covers it; the answer is that
+    bucket's UPPER edge (so approx_value >= the true quantile, off by at
+    most one bucket width — the bound asserted in tests). Bucket math is
+    a fixed-order IEEE double sequence on the broadcast bounds.
+
+    At 100 TB: the data crosses the wire once as <= n_buckets rows per
+    partition; the window runs over n_buckets rows, never over data.
+
+    Returns (q_permille, bucket, approx_value, n_total).
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    nb = n_buckets
+    bounds = df.agg(
+        F.min(value_col).alias("vmin"), F.max(value_col).alias("vmax")
+    )
+    bucket = F.expr(
+        f"CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT) "
+        f"ELSE least(CAST(floor((({value_col} - vmin) * {dlit(nb)})"
+        f" / (vmax - vmin)) AS BIGINT), {nb - 1}) END"
+    )
+    counts = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    win = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "bucket",
+        F.sum("cnt").over(win).cast("long").alias("cum"),
+        F.sum("cnt").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n_total"),
+    )
+    qs = spark.createDataFrame(
+        [(q,) for q in quantiles_permille], "q_permille int"
+    )
+    hit = (
+        qs.crossJoin(F.broadcast(cum))
+        .filter(F.col("cum") * 1000 >= F.col("q_permille") * F.col("n_total"))
+        .groupBy("q_permille")
+        .agg(F.min("bucket").alias("bucket"), F.max("n_total").alias("n_total"))
+    )
+    return hit.crossJoin(F.broadcast(bounds)).select(
+        "q_permille",
+        "bucket",
+        F.expr(
+            f"CASE WHEN vmax = vmin THEN vmax ELSE vmin +"
+            f" CAST(bucket + 1 AS DOUBLE) * (vmax - vmin) / {dlit(nb)} END"
+        ).alias("approx_value"),
+        "n_total",
     )

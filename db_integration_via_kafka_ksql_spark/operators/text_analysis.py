@@ -1832,3 +1832,65 @@ def pmi_collocations(
     return scored.orderBy(
         F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(top_k)
+
+
+def weighted_sample_per_stratum(
+    docs: DataFrame,
+    k: int,
+    weight_col: str = "n_chars",
+    seed: str = "w0",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Weighted sampling without replacement, k per stratum
+    (Efraimidis & Spirakis 2006, the exponential-race / A-ES scheme).
+
+    Each row draws a deterministic uniform u = (h+1)/2^60 from a salted
+    md5 hash and competes with priority -ln(u)/w — the k SMALLEST
+    priorities per stratum are an exact weight-proportional sample
+    without replacement. The ln comes from functions/detmath.py (basic
+    IEEE ops), the priority is floored to integer nano-units, and rank
+    order is (priority_nano, doc_id) — fully deterministic, so the
+    DuckDB oracle replays the draw bit-for-bit. Re-salting ``seed``
+    yields fresh independent samples (the statistical bias property is
+    asserted across many salts in tests).
+
+    Scale shape: identical to sample_k_per_stratum — scan-side hash +
+    priority, one per-stratum rank window, nothing global. The sampler a
+    token-budget mixture realizes when strata need length- or
+    quality-proportional draws rather than uniform ones.
+
+    Returns (id, stratum, weight, priority_nano, rnk).
+    """
+    from db_integration_via_kafka_ksql_spark.functions.detmath import det_ln_sql
+
+    h = T.hex_hash_int(
+        F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")), 15
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.col(strata_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        h.alias("_h"),
+    )
+    ln_inv_u = det_ln_sql(
+        f"(CAST({1 << 60} AS DOUBLE) / CAST(_h + 1 AS DOUBLE))", "spark"
+    )
+    pri = base.withColumn(
+        "priority_nano",
+        F.expr(
+            f"CAST(floor(1.0e9 * {ln_inv_u} / CAST(greatest(weight, 1) AS DOUBLE))"
+            " AS BIGINT)"
+        ),
+    ).drop("_h")
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col("priority_nano").asc(), F.col(id_col).asc()
+    )
+    return (
+        pri.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col, strata_col, "weight", "priority_nano",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

@@ -856,3 +856,59 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("node DIV 2").alias("entity_key"),
         "rank_scaled",
     )
+
+
+HIST_NB = 256
+HIST_QS = (500, 900, 990)
+
+
+@query(
+    "events_value_quantiles_hist",
+    driver=False,
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(value) AS vmin, max(value) AS vmax FROM events
+    ),
+    bkt AS (
+        SELECT CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT)
+                    ELSE least(CAST(floor(((value - vmin) * {HIST_NB}.0e0)
+                                          / (vmax - vmin)) AS BIGINT),
+                               {HIST_NB - 1})
+               END AS bucket
+        FROM events, bounds
+    ),
+    counts AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM bkt GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket,
+               CAST(sum(cnt) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+        FROM counts
+    ),
+    qs(q_permille) AS (VALUES (500), (900), (990)),
+    hit AS (
+        SELECT q_permille, min(bucket) AS bucket, max(n_total) AS n_total
+        FROM qs JOIN cum ON cum.cum * 1000 >= qs.q_permille * cum.n_total
+        GROUP BY 1
+    )
+    SELECT q_permille, bucket,
+           CASE WHEN vmax = vmin THEN vmax
+                ELSE vmin + CAST(bucket + 1 AS DOUBLE) * (vmax - vmin)
+                     / {HIST_NB}.0e0
+           END AS approx_value,
+           n_total
+    FROM hit, bounds
+    """,
+)
+def events_value_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width-histogram quantiles of events.value (p50/p90/p99 in
+    permille): deterministic and hash-parity-gated, the cross-engine-
+    exact counterpart of the tolerance-gated approx_order_stats sketch."""
+    ev = load_table(spark, sf_dir, "events")
+    return R.histogram_quantiles(
+        ev, "value", n_buckets=HIST_NB, quantiles_permille=HIST_QS
+    )

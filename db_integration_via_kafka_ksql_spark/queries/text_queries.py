@@ -1620,3 +1620,47 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.pmi_collocations(
         docs, min_count=PMI_MIN_COUNT, top_k=PMI_TOP_K
     )
+
+
+WSAMPLE_K = 10
+WSAMPLE_SEED = "w0"
+_WS_LN = _det_ln_sql(
+    f"(CAST({1 << 60} AS DOUBLE) / CAST(_h + 1 AS DOUBLE))", "duckdb"
+)
+
+
+@query(
+    "sample_weighted_per_source",
+    driver=False,
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+               ('0x' || substr(md5('{WSAMPLE_SEED}|'
+                   || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS _h
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, source, weight,
+               CAST(floor(1.0e9 * {_WS_LN}
+                          / CAST(greatest(weight, 1) AS DOUBLE))
+                    AS BIGINT) AS priority_nano
+        FROM h
+    )
+    SELECT doc_id, source, weight, priority_nano, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY source ORDER BY priority_nano ASC, doc_id ASC
+        ) AS rnk
+        FROM p
+    ) WHERE rnk <= {WSAMPLE_K}
+    """,
+)
+def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling without replacement (Efraimidis-
+    Spirakis exponential race), k=10 per source with n_chars weights:
+    deterministic salted-hash uniforms, det-ln priorities in integer
+    nano-units, per-stratum rank window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TA.weighted_sample_per_stratum(
+        docs, k=WSAMPLE_K, seed=WSAMPLE_SEED
+    )

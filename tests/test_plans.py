@@ -605,3 +605,14 @@ def test_scd2_single_key_shuffle(reports):
     assert (
         r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins
     ) == 0
+
+
+def test_histogram_quantiles_data_crosses_wire_once(reports):
+    """Histogram quantiles' scale contract: the value column partially
+    aggregates into <= n_buckets rows per partition before its single
+    data shuffle; bounds/quantile frames ride broadcasts and the running
+    sum windows over bucket rows, never data."""
+    r = reports("events_value_quantiles_hist")
+    assert r.has_partial_aggregate
+    assert r.n_broadcast_exchanges >= 2
+    assert len(r.scans["events"].read_columns) == 1  # value only

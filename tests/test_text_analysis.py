@@ -39,3 +39,58 @@ class TestPmiCollocations:
         got = {(r["w1"], r["w2"]) for r in rows}
         assert ("rare", "pair") not in got
         assert ("x", "y") in got
+
+
+class TestWeightedSample:
+    def _docs(self, spark, weights):
+        rows = [(i, "x" * w, "s", w) for i, w in enumerate(weights)]
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string, n_chars long"
+        )
+
+    def test_matches_python_model(self, spark):
+        import hashlib
+        import math
+
+        from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+            weighted_sample_per_stratum,
+        )
+
+        weights = [5, 50, 500, 17, 1, 99, 3, 1000]
+        docs = self._docs(spark, weights)
+        got = [
+            (r["doc_id"], r["priority_nano"], r["rnk"])
+            for r in weighted_sample_per_stratum(
+                docs, k=3, seed="w0"
+            ).orderBy("rnk").collect()
+        ]
+
+        def pri(i, w):
+            h = int(hashlib.md5(f"w0|{i}".encode()).hexdigest()[:15], 16)
+            # math.log vs det-ln differ < 3e-6 -> compare with slack below
+            return math.floor(1e9 * math.log((1 << 60) / (h + 1)) / max(w, 1))
+
+        want = sorted(
+            ((pri(i, w), i) for i, w in enumerate(weights))
+        )[:3]
+        assert [(d, r) for d, _, r in got] == [
+            (i, rnk) for rnk, (_, i) in enumerate(want, start=1)
+        ]
+        for (_, p_nano, _), (p_want, _) in zip(got, want):
+            assert abs(p_nano - p_want) <= 5000  # det-ln vs libm slack
+
+    def test_heavy_docs_win_more_often(self, spark):
+        from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+            weighted_sample_per_stratum,
+        )
+
+        # one doc carries ~half the total weight; over 40 independent
+        # salts it must win far more often than the 1/100 of uniform
+        docs = self._docs(spark, [1000] + [10] * 99)
+        wins = 0
+        for salt in range(40):
+            top = weighted_sample_per_stratum(
+                docs, k=1, seed=f"s{salt}"
+            ).collect()
+            wins += top[0]["doc_id"] == 0
+        assert wins >= 10, wins  # E[wins] ~= 20; P(<10) is negligible
