@@ -52,7 +52,13 @@ _C9 = dlit(1.0 / 9.0)
 
 
 def det_ln_sql(x: str, dialect: str) -> str:
-    """SQL text computing the deterministic ln of expression ``x`` (>= 1).
+    """SQL text computing the deterministic ln of expression ``x``.
+
+    Domain: 1 <= x < 2^63 (floor(x) must fit BIGINT for the exponent
+    extraction; above that Spark nulls the cast where DuckDB errors).
+    Every caller in this repo is structurally bounded: HLL linear
+    counting (m/V <= 2^p), BM25 idf (arg <= N+1), PMI lift (<= N),
+    weighted-sample priorities (2^60/(h+1) <= 2^60).
 
     dialect: 'spark' (use inside F.expr/selectExpr) or 'duckdb'.
     The expression references ``x`` several times; both Catalyst and
