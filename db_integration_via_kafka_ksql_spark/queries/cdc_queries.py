@@ -403,3 +403,73 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ch = cdc.events_as_changelog(ev)
     return cdc.scd2_history(ch, epoch_us_col(ch, "ts"))
+
+
+_SCD2_END_CLOSED = 1 << 62  # open-ended current version, closed for the join
+
+
+@query(
+    "cdc_scd2_point_in_time",
+    driver=False,
+    oracle=f"""
+    WITH ch AS (
+        SELECT user_id AS key_id, event_id AS version, epoch_us(ts) AS t,
+               event_type,
+               CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END
+                 AS __deleted
+        FROM events
+    ),
+    led AS (
+        SELECT *, lead(t) OVER (
+            PARTITION BY key_id ORDER BY version
+        ) AS valid_to_us
+        FROM ch
+    ),
+    hist AS (
+        SELECT key_id, version, t AS valid_from_us, valid_to_us, event_type
+        FROM led WHERE __deleted = 'false'
+    ),
+    probes AS (
+        SELECT event_id AS purchase_id, user_id AS key_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.key_id, p.t, h.version,
+           h.event_type AS type_at_time
+    FROM probes p JOIN hist h
+      ON p.key_id = h.key_id
+     AND p.t >= h.valid_from_us
+     AND p.t <= coalesce(h.valid_to_us - 1, {_SCD2_END_CLOSED})
+    """,
+)
+def cdc_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each purchase joined to the SCD2
+    version of its user valid AT purchase time — the scd2_history x
+    keyed_range_join composition (half-open [from, to) intervals closed
+    by -1 micro for the inclusive range join; the open current version
+    closes at 2^62). Exactly one row per purchase: a purchase is itself
+    a live version, so a containing interval always exists."""
+    from db_integration_via_kafka_ksql_spark.operators.rangejoin import (
+        keyed_range_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ch = cdc.events_as_changelog(ev)
+    hist = cdc.scd2_history(
+        ch, epoch_us_col(ch, "ts"), attrs=["event_type"]
+    ).select(
+        "key_id",
+        "version",
+        "valid_from_us",
+        F.coalesce(
+            F.col("valid_to_us") - 1, F.lit(_SCD2_END_CLOSED)
+        ).alias("end_closed"),
+        F.col("event_type").alias("type_at_time"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("key_id"),
+        epoch_us_col(ev, "ts").alias("t"),
+    )
+    return keyed_range_join(
+        probes, hist, ["key_id"], "t", "valid_from_us", "end_closed"
+    ).select("purchase_id", "key_id", "t", "version", "type_at_time")

@@ -280,3 +280,19 @@ class TestScd2History:
 
         log = self._log(spark, [(3, 30, 100, "gone", True)])
         assert scd2_history(log, F.col("us"), attrs=["event_type"]).count() == 0
+
+
+def test_scd2_point_in_time_one_row_per_purchase(spark, sf_dir):
+    from db_integration_via_kafka_ksql_spark.io import load_table
+    from db_integration_via_kafka_ksql_spark.registry import all_queries
+
+    df = all_queries()["cdc_scd2_point_in_time"](spark, sf_dir)
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter("event_type = 'purchase'")
+        .count()
+    )
+    rows = df.collect()
+    assert len(rows) == n_purchases  # a purchase is itself a live version
+    at_self = sum(r["version"] == r["purchase_id"] for r in rows)
+    assert at_self == n_purchases  # purchase is the newest version at its t
