@@ -111,11 +111,16 @@ def funnel_conversion(
         )
         rows = row if rows is None else rows.unionByName(row)
     first_n = reached[0].groupBy().agg(F.count(F.lit(1)).alias("first_n"))
+    # Guard the ratio: with zero users at step 1 every step is empty and
+    # the permille is 0 — under Spark 4's default ANSI mode an unguarded
+    # DIV would raise DIVIDE_BY_ZERO instead.
     return rows.crossJoin(F.broadcast(first_n)).select(
         "step_idx",
         "step",
         "n_users",
-        F.expr("n_users * 1000 DIV first_n").alias("conversion_permille"),
+        F.when(
+            F.col("first_n") > 0, F.expr("n_users * 1000 DIV first_n")
+        ).otherwise(F.lit(0).cast("long")).alias("conversion_permille"),
     )
 
 

@@ -314,9 +314,15 @@ def pagerank(
     Floor division leaks a few picoshares per step; that loss is
     deterministic and identical in the oracle.
 
-    Requirements: no dangling nodes (every node must have at least one
-    out-edge — symmetrize the graph first if needed). Nodes are BIGINT
-    ids in ``src``/``dst``.
+    Node universe = distinct(src) UNION distinct(dst); BIGINT ids. Nodes
+    with out-edges but no in-edges are kept in the rank frame at the
+    damping base term every iteration (the per-iteration aggregate is
+    left-joined back to the node universe), so their outgoing
+    contributions keep flowing — a plain ``contribs.groupBy`` would
+    silently drop them after iteration 1. Dangling nodes (in-edges
+    only) accumulate rank but redistribute nothing, the standard
+    no-redistribution variant: total mass is NOT conserved on graphs
+    with dangling nodes — symmetrize first if conservation matters.
 
     Scale shape (100 TB): the edge frame is joined per iteration on
     ``src`` against the node-sized rank frame — edges are repartitioned
@@ -335,7 +341,9 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     nodes = (
-        edges.select(F.col("src").alias("node")).distinct()
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # bounded scalar collect (one long)
@@ -346,13 +354,19 @@ def pagerank(
         contribs = edeg.join(
             ranks.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), F.expr("r DIV deg").alias("c"))
+        agg = contribs.groupBy("node").agg(
+            F.expr(
+                f"{base} + {PAGERANK_DAMP_NUM} * CAST(sum(c) AS BIGINT)"
+                f" DIV {PAGERANK_DAMP_DEN}"
+            ).alias("r")
+        )
+        # Source-only nodes receive no contributions; keep them at the
+        # base term so their own outgoing mass survives the iteration.
         ranks = (
-            contribs.groupBy("node")
-            .agg(
-                F.expr(
-                    f"{base} + {PAGERANK_DAMP_NUM} * CAST(sum(c) AS BIGINT)"
-                    f" DIV {PAGERANK_DAMP_DEN}"
-                ).alias("r")
+            nodes.join(agg, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("r"), F.lit(base).cast("long")).alias("r"),
             )
             .localCheckpoint(eager=True)
         )

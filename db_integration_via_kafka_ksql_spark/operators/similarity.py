@@ -685,21 +685,36 @@ class IvfPqIndex:
     def save(self, path: str) -> None:
         """Persist to `path`: q/cent/lists as parquet (distributed
         writes — the corpus-sized frames never pass through the
-        driver), codebook + geometry as one small json."""
+        driver), codebook + geometry as one small json.
+
+        Atomicity (the swapdir discipline, streaming/swapdir.py): all
+        artifacts are written into a staging sibling and published with
+        a single rename, so a crash mid-save leaves either the old
+        index or the new one intact — never a load()-able mix of old
+        and new frames."""
         import json
         import os
+        import shutil
+        import uuid
 
-        self.q.write.mode("overwrite").parquet(f"{path}/q")
-        self.cent.write.mode("overwrite").parquet(f"{path}/cent")
-        self.lists.write.mode("overwrite").parquet(f"{path}/lists")
-        os.makedirs(path, exist_ok=True)
-        tmp = f"{path}/meta.json.tmp"
-        with open(tmp, "w") as f:
+        from db_integration_via_kafka_ksql_spark.streaming import swapdir
+
+        swapdir._sweep_orphans(path)
+        tmp = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+        self.q.write.parquet(f"{tmp}/q")
+        self.cent.write.parquet(f"{tmp}/cent")
+        self.lists.write.parquet(f"{tmp}/lists")
+        with open(f"{tmp}/meta.json", "w") as f:
             json.dump(
                 {"dims": self.dims, "m": self.m, "codebook": self.codebook},
                 f,
             )
-        os.replace(tmp, f"{path}/meta.json")  # atomic publish
+        old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(path):
+            os.rename(path, old)
+        os.rename(tmp, path)  # atomic publish of the whole index
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
     @classmethod
     def load(cls, spark, path: str) -> "IvfPqIndex":

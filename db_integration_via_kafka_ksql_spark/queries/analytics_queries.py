@@ -83,7 +83,8 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     n1 AS (SELECT CAST(count(*) AS BIGINT) AS first_n FROM s1)
     SELECT step_idx, step, n_users,
-           n_users * 1000 // first_n AS conversion_permille
+           CASE WHEN first_n > 0 THEN n_users * 1000 // first_n
+                ELSE CAST(0 AS BIGINT) END AS conversion_permille
     FROM n, n1
     """,
 )

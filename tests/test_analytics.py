@@ -124,3 +124,20 @@ def test_transition_matrix_tie_breaks_on_event_id(spark):
         for r in event_transition_matrix(ev, F.col("us")).collect()
     }
     assert got == {("a", "b"), ("b", "c")}
+
+
+def test_funnel_zero_first_step_is_all_zero_not_divide_by_zero(spark):
+    """ADVICE round 9: if no user performs step 1, first_n is 0 and the
+    unguarded DIV raised DIVIDE_BY_ZERO under Spark 4's default ANSI
+    mode; the guarded ratio returns three zero rows instead."""
+    ev = _events(
+        spark,
+        [(1, "click", 0.1), (1, "purchase", 0.2), (2, "click", 0.3)],
+    )
+    got = {
+        r["step"]: (r["n_users"], r["conversion_permille"])
+        for r in funnel_conversion(
+            ev, F.col("us"), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == {"view": (0, 0), "click": (0, 0), "purchase": (0, 0)}

@@ -1848,3 +1848,62 @@ def test_edit_verified_pairs_rejects_scrambled_order(spark):
     }
     assert all_pairs[(1, 3)]["jaccard"] == 1.0  # PERFECT set similarity...
     assert all_pairs[(1, 3)]["edit_dist"] > 20  # ...rejected purely by order
+
+
+def test_ivf_pq_save_crash_leaves_old_index_intact(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE round 9: save() used to overwrite the q/cent/lists parquet
+    frames in place, so a crash mid-save left a load()-able mix of old
+    and new artifacts. Now everything stages into a sibling dir and one
+    rename publishes: a crash at publish time leaves the OLD index
+    byte-for-byte serveable, and the next save sweeps the orphaned
+    staging dir (the swapdir discipline)."""
+    import os
+
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    old_index = S.ivf_pq_fit(emb, dims=64, m=8, ksub=8, iters=1)
+    path = str(tmp_path / "ivfpq_atomic")
+    old_index.save(path)
+    want = sorted(
+        tuple(r)
+        for r in S.ivf_pq_serve(
+            S.IvfPqIndex.load(spark, path), [0, 1], k=3
+        ).collect()
+    )
+
+    new_index = S.ivf_pq_fit(
+        load_table(spark, sf_dir, "embeddings").limit(400),
+        dims=64, m=8, ksub=8, iters=2,
+    )
+    real_rename = os.rename
+
+    def boom(a, b):
+        raise OSError("simulated crash at publish")
+
+    monkeypatch.setattr(os, "rename", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        new_index.save(path)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # the published index is still entirely the OLD one
+    got = sorted(
+        tuple(r)
+        for r in S.ivf_pq_serve(
+            S.IvfPqIndex.load(spark, path), [0, 1], k=3
+        ).collect()
+    )
+    assert got == want
+    # a stranded staging sibling exists; the next save sweeps it and
+    # publishes the new index atomically
+    assert any("__staging_" in n for n in os.listdir(tmp_path))
+    new_index.save(path)
+    leftovers = [
+        n for n in os.listdir(tmp_path)
+        if "__staging_" in n or "__old_" in n
+    ]
+    assert leftovers == []
+    reloaded = S.IvfPqIndex.load(spark, path)
+    assert reloaded.codebook == new_index.codebook

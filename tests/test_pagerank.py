@@ -60,3 +60,60 @@ def test_more_iterations_spread_from_init(spark):
     five = {r["node"]: r["rank_scaled"] for r in pagerank(edges, 5).collect()}
     assert five[1] > five[0]  # middle node dominates
     assert one.keys() == five.keys() == {0, 1, 2}
+
+
+def _model(edge_list, iterations):
+    """Sequential python model of the exact integer iteration."""
+    from collections import defaultdict
+
+    deg: dict[int, int] = defaultdict(int)
+    nodes: set[int] = set()
+    for s, d in edge_list:
+        deg[s] += 1
+        nodes.add(s)
+        nodes.add(d)
+    init = PAGERANK_SCALE // len(nodes)
+    base = (15 * init) // 100
+    r = {v: init for v in nodes}
+    for _ in range(iterations):
+        contrib: dict[int, int] = defaultdict(int)
+        for s, d in edge_list:
+            contrib[d] += r[s] // deg[s]
+        r = {
+            v: (base + 85 * contrib[v] // 100) if v in contrib else base
+            for v in nodes
+        }
+    return r
+
+
+def test_source_only_node_keeps_rank_and_contributes(spark):
+    """ADVICE round 9: a node with out-edges but no in-edges must stay in
+    the rank frame (at the base term) and keep contributing — the old
+    contribs.groupBy rebuild dropped it after iteration 1, losing both
+    its rank row and its downstream mass. Directed graph, node 0 is
+    source-only; exact python-model equivalence."""
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 1)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    for iters in (1, 2, 4):
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank(edges, iterations=iters).collect()
+        }
+        assert got == _model(edge_list, iters)
+    # node 0 is present and pinned at the base term
+    init = PAGERANK_SCALE // 3
+    assert got[0] == (15 * init) // 100
+
+
+def test_dangling_node_accumulates_without_redistributing(spark):
+    """A dst-only (dangling) node is part of the node universe: it
+    accumulates rank, contributes nothing, and the whole frame still
+    matches the python model exactly."""
+    edge_list = [(0, 1), (1, 0), (0, 2), (1, 2)]  # node 2 dangling
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank(edges, iterations=3).collect()
+    }
+    assert got == _model(edge_list, 3)
+    assert 2 in got
