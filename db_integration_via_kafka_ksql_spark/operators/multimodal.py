@@ -341,7 +341,16 @@ def resize_images(
     import numpy as np
     import pandas as pd
 
-    dec = decode if decode is not None else _fake_decode
+    if decode is None:
+        # inline twin of _fake_decode — a local function pickles by value
+        # so the UDF closure needs no package import on executors (see
+        # image_ahash for the portability story)
+        def dec(payload: bytes) -> tuple[int, int, bytes]:
+            w = len(payload) % 64 + 1
+            return w, (len(payload) // w if w else 0), payload
+
+    else:
+        dec = decode
 
     def resize_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         # target pixel grid is the same for every image: precompute the
@@ -408,4 +417,260 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
         F.explode(
             F.expr(f"sequence(0, cast(meta.byte_len / 100 as bigint), {every_n})")
         ).alias("frame_idx"),
+    )
+
+
+AHASH_GRID = 8  # 8x8 block grid -> 64-bit hash, packed as two 32-bit halves
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("ahash_lo", LongType()),
+        StructField("ahash_hi", LongType()),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, decode=None) -> DataFrame:
+    """Perceptual average-hash (aHash) of every image payload: decode to a
+    grayscale raster, downsample to an 8x8 grid of integer block means,
+    threshold each block against the integer mean-of-means, pack the 64
+    resulting bits into two 32-bit halves (bit k = gy*8+gx; `ahash_lo`
+    holds k<32, `ahash_hi` the rest — two non-negative BIGINTs avoid the
+    sign bit entirely, and they band naturally for the hamming join).
+
+    All math is integer (block mean = sum // count, threshold =
+    sum(means) // 64, strict >), so the hash is bit-identical on any
+    partitioning AND replayable in pure SQL — the DuckDB oracle for
+    `mm_image_ahash` recomputes the whole chain from the payload bytes,
+    which makes this the repo's strongest check of the mapInPandas
+    decode path (reference parity: the reference treats media as opaque
+    payloads end-to-end; this is the Spark-side feature-extraction step
+    a training pipeline adds on top).
+
+    Blocks are pixel ranges [gy*h//8,(gy+1)*h//8) x [gx*w//8,(gx+1)*w//8);
+    rasters narrower than the grid leave some blocks empty — their mean
+    is 0 by definition (deterministic, oracle-matched). `decode` as in
+    resize_images: None = `_fake_decode` (payload bytes are the raster),
+    or `decode_image` for real BMP/PPM/PGM payloads. NULL payloads and
+    zero-pixel rasters (h = 0) hash to (0, 0).
+
+    Scale shape: pure mapInPandas over the scan — no shuffle, no driver;
+    per image the block sums are two `np.add.reduceat` passes (O(pixels)),
+    and the output is 5 small ints/row regardless of image size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    grid = AHASH_GRID
+    if decode is None:
+        # inline twin of _fake_decode: a LOCAL function pickles by VALUE,
+        # so the UDF needs no package import on executors (a module-level
+        # reference would require the package on every worker's
+        # PYTHONPATH — the driver-emulation portability gate caught this).
+        # Passing decode_image explicitly keeps the module dependency and
+        # needs addPyFile/installed-package distribution at cluster scale.
+        def dec(payload: bytes) -> tuple[int, int, bytes]:
+            w = len(payload) % 64 + 1
+            return w, (len(payload) // w if w else 0), payload
+
+    else:
+        dec = decode
+
+    def hash_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        shifts = 1 << np.arange(32, dtype=np.int64)
+        edges = np.arange(grid + 1, dtype=np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            widths = np.zeros(n, dtype=np.int64)
+            heights = np.zeros(n, dtype=np.int64)
+            los = np.zeros(n, dtype=np.int64)
+            his = np.zeros(n, dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                if payload is None:
+                    continue
+                w, h, raw = dec(bytes(payload))
+                widths[i], heights[i] = w, h
+                if w <= 0 or h <= 0:
+                    continue
+                arr = (
+                    np.frombuffer(raw[: w * h], dtype=np.uint8)
+                    .reshape(h, w)
+                    .astype(np.int64)
+                )
+                ys = (edges * h) // grid
+                xs = (edges * w) // grid
+                # empty reduceat segments return the element AT the start
+                # index, not 0 — the cnt mask below zeroes exactly those
+                rs = np.add.reduceat(arr, ys[:-1], axis=0)
+                bs = np.add.reduceat(rs, xs[:-1], axis=1)
+                cnt = np.outer(np.diff(ys), np.diff(xs))
+                means = np.where(cnt > 0, bs // np.maximum(cnt, 1), 0).ravel()
+                thr = means.sum() // (grid * grid)
+                bits = (means > thr).astype(np.int64)
+                los[i] = int(np.dot(bits[:32], shifts))
+                his[i] = int(np.dot(bits[32:], shifts))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
+                    "width": widths,
+                    "height": heights,
+                    "ahash_lo": los,
+                    "ahash_hi": his,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        hash_batch, schema=AHASH_SCHEMA
+    )
+
+
+def image_neardup_pairs(
+    media: DataFrame, max_hamming: int = 3, decode=None
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash hamming distance.
+
+    Candidates come from FOUR 16-bit bands of the 64-bit aHash (two per
+    32-bit half): by pigeonhole, any pair within hamming <= 3 differs in
+    at most 3 bands, so at least one band collides — band recall is
+    EXACT for the default radius (unlike the documented-approximate
+    16-bit simhash bands), which is what lets the DuckDB oracle verify
+    this with a brute-force all-pairs scan at test scale. xor+bit_count
+    rerank on both halves; zero-pixel rasters are excluded (an empty
+    image matches everything at hamming 0 — noise, not duplication).
+
+    Scale shape (the simhash_pairs discipline, operators/dedup.py): the
+    band frame is checkpointed once (it feeds both self-join sides — an
+    unmaterialized consumer would re-run the whole mapInPandas hash per
+    branch), candidates are an equi-join on (band_id, band_key), never
+    all-pairs; output pairs dedupe via distinct.
+    """
+    fp = (
+        image_ahash(media, decode=decode)
+        .filter((F.col("width") > 0) & (F.col("height") > 0))
+        .select("doc_id", "ahash_lo", "ahash_hi")
+    )
+    b16 = 1 << 16
+    parts = []
+    for band_id, expr in enumerate(
+        [
+            F.col("ahash_lo") % b16,
+            F.expr(f"ahash_lo DIV {b16}"),
+            F.col("ahash_hi") % b16,
+            F.expr(f"ahash_hi DIV {b16}"),
+        ]
+    ):
+        parts.append(
+            fp.select(
+                "doc_id",
+                "ahash_lo",
+                "ahash_hi",
+                F.lit(band_id).alias("band_id"),
+                expr.cast("bigint").alias("bk"),
+            )
+        )
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionByName(p)
+    bands = bands.localCheckpoint(eager=True)
+    par = media.sparkSession.sparkContext.defaultParallelism
+    a, b = bands.repartition(par).alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(
+                "cast(bit_count(a.ahash_lo ^ b.ahash_lo)"
+                " + bit_count(a.ahash_hi ^ b.ahash_hi) as bigint)"
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+PCM_SILENCE_THRESHOLD = 512  # |sample| below this counts as silence
+
+PCM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("silence_permille", LongType()),
+    ]
+)
+
+
+def audio_pcm_stats(
+    media: DataFrame, silence_threshold: int = PCM_SILENCE_THRESHOLD
+) -> DataFrame:
+    """Waveform statistics over an audio payload column interpreted as
+    raw signed 16-bit little-endian PCM (the codec-free audio contract,
+    mirroring the image ops: WAV/FLAC/MP3 decoding needs a codec library
+    not in this container; the s16le raster IS what a decoder emits, so
+    the plumbing, batch shape, and integer math are the real thing).
+
+    Per doc: sample count, sum |x| (mean energy numerator), peak |x|,
+    sum x^2 (the exact RMS numerator — BIGINT-safe: 2^31 samples x
+    (2^15)^2 < 2^62), and integer silence permille (|x| <
+    silence_threshold) — the mute/clipped-upload screens an audio
+    curation pass runs first. ALL integer, so the DuckDB oracle replays
+    the whole chain from hex-expanded payload bytes (`mm_audio_pcm_stats`)
+    — the same strongest-check discipline as image_ahash. An odd
+    trailing byte is ignored (n_samples = len DIV 2); NULL/short
+    payloads yield zero rows of stats.
+
+    Scale shape: mapInPandas over the scan, zero shuffles; the batch is
+    one numpy frombuffer + vectorized reductions, 6 small ints/row out.
+    """
+    import numpy as np
+    import pandas as pd
+
+    thr = int(silence_threshold)
+
+    def stats_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            n = len(pdf)
+            ns = np.zeros(n, dtype=np.int64)
+            sa = np.zeros(n, dtype=np.int64)
+            pk = np.zeros(n, dtype=np.int64)
+            sq = np.zeros(n, dtype=np.int64)
+            sil = np.zeros(n, dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                k = len(b) // 2
+                ns[i] = k
+                if k == 0:
+                    continue
+                x = np.frombuffer(b[: k * 2], dtype="<i2").astype(np.int64)
+                ax = np.abs(x)
+                sa[i] = ax.sum()
+                pk[i] = ax.max()
+                sq[i] = (x * x).sum()
+                sil[i] = int((ax < thr).sum()) * 1000 // k
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
+                    "n_samples": ns,
+                    "sum_abs": sa,
+                    "peak": pk,
+                    "sum_sq": sq,
+                    "silence_permille": sil,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        stats_batch, schema=PCM_SCHEMA
     )

@@ -36,6 +36,7 @@ def mm_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_byte_features",
+    driver=False,  # round-10 rotation: stable slot ceded; family keeps a driver twin
     # DuckDB recomputation of the numpy byte math: expand the UTF-8 blob
     # byte-by-byte via hex() (2 hex chars per byte), then aggregate. The
     # mean is an exact-int sum divided in float64 on both sides (IEEE
@@ -149,3 +150,140 @@ def mm_frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+# Shared CTE chain replaying the integer aHash from the payload bytes:
+# geometry (w = L%64+1, h = L//w — the _fake_decode contract), per-block
+# integer means over hex-expanded bytes, mean-of-means threshold, bits
+# packed into two 32-bit halves (bit k = gy*8+gx, lo = k<32). `hv` holds
+# one row per h>0 doc. Matches operators/multimodal.image_ahash bit for
+# bit — empty blocks (raster narrower than the 8x8 grid) mean 0, strict >
+# against the floor threshold.
+_AHASH_CTES = """
+    WITH g AS (
+      SELECT doc_id,
+             octet_length(text::BLOB)::BIGINT % 64 + 1 AS w,
+             octet_length(text::BLOB)::BIGINT
+               // (octet_length(text::BLOB)::BIGINT % 64 + 1) AS h,
+             hex(text::BLOB) AS ph
+      FROM documents
+    ), blk AS (
+      SELECT doc_id, w, h, ph, i.gy AS gy, j.gx AS gx,
+             (gy*h)//8 AS y0, ((gy+1)*h)//8 AS y1,
+             (gx*w)//8 AS x0, ((gx+1)*w)//8 AS x1
+      FROM g, LATERAL unnest(range(0,8)) AS i(gy),
+              LATERAL unnest(range(0,8)) AS j(gx)
+      WHERE h > 0
+    ), bm AS (
+      SELECT doc_id, gy, gx,
+             CASE WHEN y1 > y0 AND x1 > x0 THEN
+               (SELECT CAST(sum(('0x' || substr(ph, 2*(yy.y*w + xx.x) + 1, 2))::BIGINT)
+                       AS BIGINT)
+                FROM unnest(range(y0, y1)) AS yy(y),
+                     unnest(range(x0, x1)) AS xx(x))
+               // ((y1 - y0) * (x1 - x0))
+             ELSE CAST(0 AS BIGINT) END AS bmean
+      FROM blk
+    ), thr AS (
+      SELECT doc_id, sum(bmean) // 64 AS thr FROM bm GROUP BY 1
+    ), hv AS (
+      SELECT b.doc_id,
+             CAST(sum(CASE WHEN b.gy*8 + b.gx < 32 AND b.bmean > t.thr
+                           THEN (CAST(1 AS BIGINT) << (b.gy*8 + b.gx))
+                           ELSE 0 END) AS BIGINT) AS ahash_lo,
+             CAST(sum(CASE WHEN b.gy*8 + b.gx >= 32 AND b.bmean > t.thr
+                           THEN (CAST(1 AS BIGINT) << (b.gy*8 + b.gx - 32))
+                           ELSE 0 END) AS BIGINT) AS ahash_hi
+      FROM bm b JOIN thr t USING (doc_id) GROUP BY 1
+    )
+"""
+
+
+@query(
+    "mm_image_ahash",
+    # round-10 rotation: promoted into the external driver window
+    oracle=_AHASH_CTES
+    + """
+    SELECT g.doc_id, CAST(g.w AS BIGINT) AS width, CAST(g.h AS BIGINT) AS height,
+           coalesce(hv.ahash_lo, CAST(0 AS BIGINT)) AS ahash_lo,
+           coalesce(hv.ahash_hi, CAST(0 AS BIGINT)) AS ahash_hi
+    FROM g LEFT JOIN hv USING (doc_id)
+    """,
+)
+def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash per payload: the full mapInPandas decode ->
+    block-mean -> threshold -> bit-pack chain, value-checked bit for bit
+    against a pure-SQL replay of the same integer math (the payload bytes
+    are ASCII text, so DuckDB reaches them via hex())."""
+    media = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    return M.image_ahash(media)
+
+
+@query(
+    "mm_image_neardup_pairs",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    # Oracle verifies RESULTS, not the candidate strategy: brute-force
+    # all-pairs hamming over the replayed hashes. The Spark side's 4x16-bit
+    # banding has EXACT recall at hamming<=3 (pigeonhole), so the two
+    # enumerations must agree row-for-row.
+    oracle=_AHASH_CTES
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.ahash_lo, b.ahash_lo))
+                + bit_count(xor(a.ahash_hi, b.ahash_hi)) AS BIGINT) AS hamming
+    FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ahash_lo, b.ahash_lo))
+          + bit_count(xor(a.ahash_hi, b.ahash_hi)) <= 3
+    """,
+)
+def mm_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate image pairs (hamming <= 3 on the 64-bit
+    aHash) via exact-recall 16-bit banding — the multimodal counterpart
+    of simhash_pairs, oracle-checked against brute force."""
+    media = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    return M.image_neardup_pairs(media, max_hamming=3)
+
+
+@query(
+    "mm_audio_pcm_stats",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    # DuckDB replays the s16le interpretation from hex-expanded bytes:
+    # sample k = byte(2k) + 256*byte(2k+1), signed via the 32768 fold —
+    # identical integer math to the numpy int16 view.
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, hex(text::BLOB) AS ph,
+             octet_length(text::BLOB)::BIGINT // 2 AS n_samples
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             ('0x' || substr(ph, 4*i.k + 1, 2))::BIGINT
+             + 256 * ('0x' || substr(ph, 4*i.k + 3, 2))::BIGINT AS u
+      FROM g, LATERAL unnest(range(0, n_samples)) AS i(k)
+    ), v AS (
+      SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x FROM s
+    ), agg AS (
+      SELECT doc_id,
+             CAST(sum(abs(x)) AS BIGINT) AS sum_abs,
+             CAST(max(abs(x)) AS BIGINT) AS peak,
+             CAST(sum(x * x) AS BIGINT) AS sum_sq,
+             CAST(count(*) FILTER (abs(x) < 512) AS BIGINT) AS n_silent
+      FROM v GROUP BY 1
+    )
+    SELECT g.doc_id, g.n_samples,
+           coalesce(a.sum_abs, 0) AS sum_abs,
+           coalesce(a.peak, 0) AS peak,
+           coalesce(a.sum_sq, 0) AS sum_sq,
+           CASE WHEN g.n_samples > 0
+                THEN coalesce(a.n_silent, 0) * 1000 // g.n_samples
+                ELSE CAST(0 AS BIGINT) END AS silence_permille
+    FROM g LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def mm_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality waveform screen: payloads as raw s16le PCM ->
+    integer energy / peak / silence-permille stats via mapInPandas,
+    value-checked bit for bit against the pure-SQL replay (the audio
+    counterpart of mm_image_ahash)."""
+    media = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    return M.audio_pcm_stats(media)

@@ -186,3 +186,136 @@ def test_resize_runs_on_genuinely_decoded_rasters(spark):
     assert bytes(out[1]["resized"]) == nn_reference(grad)  # PPM == BMP image
     assert (out[2]["src_width"], out[2]["src_height"]) == (3, 2)
     assert bytes(out[2]["resized"]) == nn_reference(PIXELS)
+
+
+def _ahash_model(raw: bytes, w: int, h: int):
+    """Sequential reference of the integer aHash (block mean, floor
+    threshold, strict >, bit k = gy*8+gx split into 32-bit halves)."""
+    means = []
+    for gy in range(8):
+        for gx in range(8):
+            y0, y1 = gy * h // 8, (gy + 1) * h // 8
+            x0, x1 = gx * w // 8, (gx + 1) * w // 8
+            cnt = (y1 - y0) * (x1 - x0)
+            if cnt <= 0:
+                means.append(0)
+                continue
+            s = sum(
+                raw[y * w + x] for y in range(y0, y1) for x in range(x0, x1)
+            )
+            means.append(s // cnt)
+    thr = sum(means) // 64
+    bits = [1 if m > thr else 0 for m in means]
+    lo = sum(b << k for k, b in enumerate(bits[:32]))
+    hi = sum(b << k for k, b in enumerate(bits[32:]))
+    return lo, hi
+
+
+def test_image_ahash_matches_model_on_fake_decode(spark):
+    """mapInPandas aHash vs the sequential model over raw-byte rasters of
+    several geometries (including w < 8: empty grid blocks) + NULL
+    payload and sub-width payload conventions."""
+    payloads = [
+        (0, bytes(range(256)) * 2),          # L=512: w=1 -> 8x1 grid use
+        (1, bytes([7] * 71)),                # w=8,h=8 uniform: hash (0, 0)
+        (2, bytes([(i * 37) % 256 for i in range(500)])),
+        (3, None),                           # NULL -> (0, 0, 0, 0)
+        (4, b"xy"),                          # L=2: w=3 > L -> h=0
+    ]
+    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in M.image_ahash(media).collect()}
+    for did, p in payloads:
+        r = got[did]
+        if p is None:
+            assert tuple(r)[1:] == (0, 0, 0, 0)
+            continue
+        w = len(p) % 64 + 1
+        h = len(p) // w
+        assert (r["width"], r["height"]) == (w, h)
+        if h == 0:
+            assert (r["ahash_lo"], r["ahash_hi"]) == (0, 0)
+            continue
+        assert (r["ahash_lo"], r["ahash_hi"]) == _ahash_model(p[: w * h], w, h)
+    # full-grid uniform raster: no block exceeds the mean -> zero hash
+    assert (got[1]["ahash_lo"], got[1]["ahash_hi"]) == (0, 0)
+
+
+def test_image_ahash_real_decode_and_neardup_pairs(spark):
+    """aHash over genuinely decoded BMP rasters: a gradient image, its
+    EXACT copy, a one-pixel perturbation, and an inverted image. The
+    copy pairs at hamming 0, the perturbation within the radius, the
+    inverted image far outside it — and the banded pair join returns
+    exactly the brute-force pairs (pigeonhole recall at <= 3)."""
+    side = 16
+    grad = [
+        [((x * 16) % 256,) * 3 for x in range(side)] for _ in range(side)
+    ]
+    pert = [row[:] for row in grad]
+    pert[3][3] = (255, 255, 255)
+    inv = [[(255 - px[0],) * 3 for px in row] for row in grad]
+    media = spark.createDataFrame(
+        [
+            (0, make_bmp(grad)),
+            (1, make_bmp(grad)),
+            (2, make_bmp(pert)),
+            (3, make_bmp(inv)),
+        ],
+        "doc_id long, payload binary",
+    )
+    hashes = {
+        r["doc_id"]: (r["ahash_lo"], r["ahash_hi"])
+        for r in M.image_ahash(media, decode=M.decode_image).collect()
+    }
+    assert hashes[0] == hashes[1]
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    assert ham(hashes[0], hashes[2]) <= 3
+    assert ham(hashes[0], hashes[3]) > 3
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in M.image_neardup_pairs(
+            media, max_hamming=3, decode=M.decode_image
+        ).collect()
+    }
+    brute = {
+        (a, b): ham(hashes[a], hashes[b])
+        for a in hashes
+        for b in hashes
+        if a < b and ham(hashes[a], hashes[b]) <= 3
+    }
+    assert pairs == brute
+    assert pairs[(0, 1)] == 0 and (0, 2) in pairs and (0, 3) not in pairs
+
+
+def test_audio_pcm_stats_known_waveforms(spark):
+    """Hand-built s16le payloads: a constant tone, a +/- square wave with
+    a clipped peak, pure silence, an odd trailing byte, and NULL."""
+    import struct
+
+    def pcm(samples):
+        return b"".join(struct.pack("<h", s) for s in samples)
+
+    payloads = [
+        (0, pcm([1000] * 4)),                       # constant tone
+        (1, pcm([-32768, 32767, 0, -100])),         # clipped peak + near-silence
+        (2, pcm([0, 1, -1, 511, -511])),            # all below the 512 threshold
+        (3, pcm([5000]) + b"\x07"),                 # odd trailing byte ignored
+        (4, None),
+        (5, b""),
+    ]
+    media = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r["doc_id"]: tuple(r)[1:] for r in M.audio_pcm_stats(media).collect()}
+    assert got[0] == (4, 4000, 1000, 4 * 1000 * 1000, 0)
+    assert got[1] == (
+        4,
+        32768 + 32767 + 0 + 100,
+        32768,
+        32768**2 + 32767**2 + 100**2,
+        500,  # 0 and -100 are silent -> 2/4
+    )
+    assert got[2] == (5, 1024, 511, 1 + 1 + 511**2 + 511**2, 1000)
+    assert got[3] == (1, 5000, 5000, 25_000_000, 0)
+    assert got[4] == (0, 0, 0, 0, 0)
+    assert got[5] == (0, 0, 0, 0, 0)
