@@ -242,6 +242,7 @@ def semi_join_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> Da
 
 @query(
     "anti_join_customers_without_orders",
+    driver=False,  # round-10 rotation: stable slot ceded; family keeps a driver twin
     # scoped to *open* orders so the result is non-empty at sf0.01 (every
     # customer has some order there; an all-orders anti-join returns 0 rows
     # and would hash-match trivially) — NOT EXISTS form preserved.
@@ -436,6 +437,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "pivot_status_by_segment",
+    driver=False,  # round-10 rotation: stable slot ceded; family keeps a driver twin
     oracle="""
     SELECT c_mktsegment,
            CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS n_open,
@@ -747,7 +749,7 @@ PAGERANK_TOP_K = 20
 
 @query(
     "graph_pagerank_topk",
-    driver=False,
+    # round-10 rotation: promoted into the external driver window
     oracle="""
     WITH pe AS (
         SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -911,4 +913,160 @@ def events_value_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return R.histogram_quantiles(
         ev, "value", n_buckets=HIST_NB, quantiles_permille=HIST_QS
+    )
+
+
+KNN_GRAPH_K = 5
+
+
+@query(
+    "graph_supplier_knn_triangles",
+    # round-10 rotation: promoted into the external driver window
+    # Oracle counts triangles INDEPENDENTLY of the operator's degree-ordered
+    # orientation: per-node wedge closure over the symmetric adjacency
+    # (a1.nbr < a2.nbr, closing edge present) — a different enumeration
+    # that must agree exactly, not a replay of the Spark plan.
+    oracle=f"""
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    pairs AS (
+      SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT) AS shared
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s GROUP BY 1, 2
+    ),
+    dir AS (
+      SELECT sa AS s, sb AS nbr, shared FROM pairs
+      UNION ALL SELECT sb, sa, shared FROM pairs
+    ),
+    kept AS (
+      SELECT s, nbr FROM (
+        SELECT s, nbr, row_number() OVER (
+          PARTITION BY s ORDER BY shared DESC, nbr ASC) AS rk
+        FROM dir) t WHERE rk <= {KNN_GRAPH_K}
+    ),
+    adj AS (
+      SELECT DISTINCT * FROM (
+        SELECT s, nbr FROM kept UNION ALL SELECT nbr, s FROM kept) u
+    ),
+    tri AS (
+      SELECT a1.s AS node, CAST(count(*) AS BIGINT) AS nt
+      FROM adj a1
+      JOIN adj a2 ON a1.s = a2.s AND a1.nbr < a2.nbr
+      JOIN adj e ON e.s = a1.nbr AND e.nbr = a2.nbr
+      GROUP BY 1
+    ),
+    deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY 1)
+    SELECT d.node, d.degree,
+           coalesce(t.nt, 0) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN 2 * coalesce(t.nt, 0) * 1000 // (d.degree * (d.degree - 1))
+                ELSE CAST(0 AS BIGINT) END AS clustering_permille
+    FROM deg d LEFT JOIN tri t USING (node)
+    """,
+)
+def graph_supplier_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph construction + triangle census: build the top-k
+    strongest-partner graph over suppliers (edge weight = shared distinct
+    parts from lineitem — the scale-invariant kNN sparsifier; a fixed
+    weight threshold degenerates to a complete graph as SF grows), then
+    per-node triangle counts and local clustering coefficients via the
+    degree-ordered oriented wedge join (operators/graph.triangle_stats).
+    The kNN-graph -> community-structure shape of an embedding-cluster
+    QA pass, on relational data so the oracle is exact."""
+    from pyspark.sql.window import Window
+
+    from db_integration_via_kafka_ksql_spark.operators import graph as G
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    # the part self-join is the expensive subtree and feeds BOTH union
+    # branches below — materialize once (the unionAll double-compute trap)
+    pairs = (
+        ps.alias("a")
+        .join(
+            ps.alias("b"),
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .localCheckpoint(eager=True)
+    )
+    dirs = pairs.select(
+        F.col("sa").alias("s"), F.col("sb").alias("nbr"), "shared"
+    ).unionByName(
+        pairs.select(F.col("sb").alias("s"), F.col("sa").alias("nbr"), "shared")
+    )
+    w = Window.partitionBy("s").orderBy(F.col("shared").desc(), F.col("nbr").asc())
+    kept = (
+        dirs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KNN_GRAPH_K)
+        .select("s", "nbr")
+        .localCheckpoint(eager=True)  # feeds both symmetrize branches
+    )
+    edges = (
+        kept.unionByName(
+            kept.select(F.col("nbr").alias("s"), F.col("s").alias("nbr"))
+        )
+        .distinct()
+        .select(F.col("s").alias("src"), F.col("nbr").alias("dst"))
+        .localCheckpoint(eager=True)  # feeds deg + orientation in triangle_stats
+    )
+    return G.triangle_stats(edges)
+
+
+def _zorder_oracle() -> str:
+    """DuckDB replay of the Morton key derivation (operators/layout.py):
+    identical fixed-order bucket math (dlit exponent literals) and the
+    same DIV/%/* interleave spelled with DuckDB's `//`."""
+    from db_integration_via_kafka_ksql_spark.functions.detmath import dlit
+
+    bits, n = 16, 1 << 16
+
+    def bucket(col, lo, hi):
+        return (
+            f"CASE WHEN {hi} = {lo} THEN CAST(0 AS BIGINT) "
+            f"ELSE least(CAST(floor((CAST({col} AS DOUBLE) - {lo}) * {dlit(n)}"
+            f" / ({hi} - {lo})) AS BIGINT), {n - 1}) END"
+        )
+
+    terms = " + ".join(
+        f"(({b} // {1 << k}) % 2) * {1 << (k * 2 + j)}"
+        for k in range(bits)
+        for j, b in enumerate(("zb_user_id", "zb_value"))
+    )
+    return f"""
+    WITH bounds AS (
+      SELECT min(CAST(user_id AS DOUBLE)) AS u_min,
+             max(CAST(user_id AS DOUBLE)) AS u_max,
+             min(CAST(value AS DOUBLE)) AS v_min,
+             max(CAST(value AS DOUBLE)) AS v_max
+      FROM events
+    ), b AS (
+      SELECT event_id,
+             {bucket("user_id", "u_min", "u_max")} AS zb_user_id,
+             {bucket("value", "v_min", "v_max")} AS zb_value
+      FROM events, bounds
+    )
+    SELECT event_id, zb_user_id, zb_value, CAST({terms} AS BIGINT) AS zval
+    FROM b
+    """
+
+
+@query(
+    "events_zorder_keys",
+    # round-10 rotation: promoted into the external driver window
+    oracle=_zorder_oracle(),
+)
+def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering keys over (user_id, value): the
+    multi-dimensional layout key a 100 TB table writes sorted by so
+    parquet min/max stats prune scans on BOTH columns
+    (operators/layout.zorder_key — Delta/Iceberg ZORDER BY semantics,
+    derived with engine-portable integer bit interleave so the oracle
+    replays it exactly)."""
+    from db_integration_via_kafka_ksql_spark.operators import layout as L
+
+    ev = load_table(spark, sf_dir, "events")
+    return L.zorder_key(ev, ["user_id", "value"]).select(
+        "event_id", "zb_user_id", "zb_value", "zval"
     )

@@ -32,6 +32,7 @@ def _sw_hits(lang: str) -> str:
 
 @query(
     "text_token_stats",
+    driver=False,  # round-10 rotation: stable slot ceded; family keeps a driver twin
     oracle=f"""
     SELECT doc_id,
            CAST(len({_W}) AS BIGINT) AS n_tokens,
@@ -86,6 +87,7 @@ _PRED_CASE = T.predicted_lang_case({l: f"sc_{l}" for l in T.LANG_PRIORITY})
 
 @query(
     "text_language_confusion",
+    driver=False,  # round-10 rotation: stable slot ceded; family keeps a driver twin
     oracle=f"""
     SELECT lang, pred_lang, count(*) AS n_docs
     FROM (
@@ -194,6 +196,7 @@ CURATION_MIN_QUALITY = 0.75
 
 @query(
     "corpus_curation_stats",
+    driver=False,  # round-10 rotation: stable slot ceded; family keeps a driver twin
     # the full curation pass in SQL: same quality expression as
     # text_quality_scores, threshold filter, keep-one per md5(text)
     # (min doc_id wins), then per-source token accounting.
@@ -1587,7 +1590,7 @@ _PMI_LN = _det_ln_sql(_PMI_LIFT, "duckdb")
 
 @query(
     "text_pmi_collocations",
-    driver=False,
+    # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
     bg AS (
@@ -1664,3 +1667,56 @@ def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.weighted_sample_per_stratum(
         docs, k=WSAMPLE_K, seed=WSAMPLE_SEED
     )
+
+
+@query(
+    "corpus_version_diff",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    # deterministic crawl-refresh simulation (same derivation both sides):
+    # %7 docs dropped, %5 docs re-crawled with edited text, %11 docs
+    # re-appear under new ids — every change leg exercised on real text.
+    oracle="""
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 7 != 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
+    ),
+    o AS (SELECT doc_id AS k, md5(text) AS old_fp FROM old),
+    n AS (SELECT doc_id AS k, md5(text) AS new_fp FROM new)
+    SELECT coalesce(o.k, n.k) AS doc_id,
+           CASE WHEN o.k IS NULL THEN 'added'
+                WHEN n.k IS NULL THEN 'removed'
+                WHEN old_fp != new_fp THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           old_fp, new_fp
+    FROM o FULL OUTER JOIN n ON o.k = n.k
+    """,
+)
+def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash snapshot diff between a corpus and its next crawl
+    refresh (operators/versioning.snapshot_diff): added / removed /
+    changed / unchanged per doc — the incremental-reprocessing work list
+    (only added+changed re-enter curation/embedding at 100 TB). The
+    refresh is derived deterministically from the corpus so the oracle
+    replays both snapshots exactly."""
+    from db_integration_via_kafka_ksql_spark.operators import versioning as V
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return V.snapshot_diff(docs, new)

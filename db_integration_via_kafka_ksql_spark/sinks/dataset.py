@@ -66,6 +66,10 @@ def zorder_key(
     Note: the numeric-bin cut points come from `df.stat.approxQuantile`,
     an eager ACTION on `df` — pass a materialized/checkpointed frame, not
     an expensive unsaved pipeline, or it will recompute."""
+    from db_integration_via_kafka_ksql_spark.operators.layout import (
+        morton_interleave,
+    )
+
     if not cols:
         raise ValueError("zorder cols must be non-empty")
     nd = len(cols)
@@ -73,17 +77,9 @@ def zorder_key(
         raise ValueError("ndims * bits_per_dim must fit a signed long")
     bins = 1 << bits_per_dim
     dim_bins = [_dim_bin(df, c, bins) for c in cols]
-    z = F.lit(0).cast("bigint")
-    for bit in range(bits_per_dim):
-        for j, q in enumerate(dim_bins):
-            z = z + F.call_function(
-                "shiftleft",
-                F.call_function("getbit", q.cast("bigint"), F.lit(bit)).cast(
-                    "bigint"
-                ),
-                F.lit(bit * nd + j),
-            )
-    return z
+    # the bit interleave is the shared Morton kernel (operators/layout.py
+    # — see its docstring for the quantile-vs-equi-width binning split)
+    return morton_interleave(dim_bins, bits_per_dim)
 
 
 def write_dataset(

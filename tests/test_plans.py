@@ -616,3 +616,53 @@ def test_histogram_quantiles_data_crosses_wire_once(reports):
     assert r.has_partial_aggregate
     assert r.n_broadcast_exchanges >= 2
     assert len(r.scans["events"].read_columns) == 1  # value only
+
+
+def test_image_ahash_is_scan_only(reports):
+    # the perceptual hash is pure mapInPandas over the scan: zero
+    # exchanges, and the scan reads only (doc_id, text) for the payload
+    r = reports("mm_image_ahash")
+    assert r.n_exchanges == 0
+    assert len(r.scans["documents"].read_columns) <= 2
+
+
+def test_image_neardup_band_join_bounded(reports):
+    # the band frame is checkpointed (no corpus scan in the visible plan
+    # — the mapInPandas hash runs ONCE, not per join side); the candidate
+    # join + distinct keeps a bounded shuffle budget
+    r = reports("mm_image_neardup_pairs")
+    assert r.scans == {}
+    assert r.n_shuffle_exchanges <= 3
+    assert r.nested_loop_joins == 0  # banded equi-join, never all-pairs
+
+
+def test_knn_triangle_plan_truncated_and_equi_joined(reports):
+    # kNN edges and the oriented frame are checkpointed: the visible plan
+    # is graph-sized (no lineitem scan) and every join is an equi-join
+    r = reports("graph_supplier_knn_triangles")
+    assert r.scans == {}
+    assert r.nested_loop_joins == 0
+
+
+def test_zorder_key_is_scan_side(reports):
+    # one tiny bounds aggregate (single row, broadcast back via the
+    # deliberate single-row NLJ cross join — the lm_fluency pattern);
+    # the bucket + interleave math is scan-side column arithmetic
+    r = reports("events_zorder_keys")
+    assert r.n_shuffle_exchanges == 1  # only the bounds aggregate
+    assert r.nested_loop_joins <= 1  # the single-row broadcast join
+    assert "events" in r.scans
+
+
+def test_audio_pcm_stats_is_scan_only(reports):
+    r = reports("mm_audio_pcm_stats")
+    assert r.n_exchanges == 0
+    assert len(r.scans["documents"].read_columns) <= 2
+
+
+def test_version_diff_single_alignment_join(reports):
+    # fingerprints are scan-side; the diff is one key-aligned join — no
+    # nested loops, and both scans read only (doc_id, text)
+    r = reports("corpus_version_diff")
+    assert r.nested_loop_joins == 0
+    assert len(r.scans["documents"].read_columns) <= 2
