@@ -92,6 +92,13 @@ HEADLINE = [
     "sketch_hll_distinct_users",
     "sketch_kmv_source_token_overlap",
     "text_bm25_topk",
+    # round 10 additions: the perceptual-hash image pipeline (scan-side
+    # mapInPandas hash + banded hamming pair join), the kNN-graph
+    # triangle census, and the Morton layout-key derivation
+    "mm_image_ahash",
+    "mm_image_neardup_pairs",
+    "graph_supplier_knn_triangles",
+    "events_zorder_keys",
 ]
 
 

@@ -18,7 +18,7 @@ FUNNEL_STEPS = ["view", "click", "purchase"]
 
 @query(
     "events_cohort_retention",
-    driver=False,
+    # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH ev AS (
         SELECT user_id, epoch_us(ts) // {AN.WEEK_US} AS week FROM events
@@ -54,7 +54,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_funnel_conversion",
-    driver=False,
+    # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH base AS (
         SELECT user_id, event_type, epoch_us(ts) AS t FROM events
@@ -98,7 +98,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_transition_matrix",
-    driver=False,
+    # round-10 rotation: promoted into the external driver window
     oracle="""
     WITH ev AS (
         SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events

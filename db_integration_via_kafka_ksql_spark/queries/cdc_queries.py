@@ -93,6 +93,7 @@ def cdc_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cdc_changelog_stats",
+    driver=False,  # round-10 rotation: stable slot ceded; family keeps a driver twin
     oracle=f"""
     SELECT key_id,
            CAST(count(*) AS BIGINT) AS n_versions,
@@ -143,6 +144,7 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sessionize_events_batch",
+    driver=False,  # round-10 rotation: stable slot ceded; family keeps a driver twin
     oracle="""
     WITH ordered AS (
         SELECT user_id,

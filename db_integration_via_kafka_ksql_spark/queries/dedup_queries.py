@@ -35,6 +35,7 @@ DIMS = 64
 
 @query(
     "dedup_exact",
+    driver=False,  # round-10 rotation: stable slot ceded; family keeps a driver twin
     oracle="""
     SELECT md5(text) AS text_hash,
            min(doc_id) AS keep_doc,
@@ -178,6 +179,7 @@ _SIMHASH = _simhash_sql(f"list_distinct({_W})")
 
 @query(
     "dedup_simhash_pairs",
+    driver=False,  # round-10 rotation: stable slot ceded; family keeps a driver twin
     oracle=f"""
     WITH fp AS (
         SELECT doc_id, CAST({_SIMHASH} AS BIGINT) AS simhash FROM documents
@@ -277,6 +279,7 @@ _PROBES = "[bucket" + "".join(
 
 @query(
     "dedup_embedding_pairs_lsh_mp",
+    driver=False,  # round-10 rotation: stable slot ceded; family keeps a driver twin
     oracle=f"""
     WITH q0 AS (
         SELECT vec_id, {_QUANTIZE} AS q,

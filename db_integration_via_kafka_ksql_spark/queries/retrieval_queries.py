@@ -29,7 +29,7 @@ _QVALUES = ", ".join(f"({qid}, '{t}')" for qid, text in BM25_QUERIES
 
 @query(
     "text_bm25_topk",
-    driver=False,
+    # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH terms AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

@@ -100,6 +100,7 @@ _QPROBES = "[bucket" + "".join(
 
 @query(
     "sim_lsh_topk_mp",
+    driver=False,  # round-10 rotation: stable slot ceded; family keeps a driver twin
     oracle=f"""
     WITH q0 AS (SELECT vec_id, {_QUANTIZE} AS q FROM embeddings),
     q AS (

@@ -40,7 +40,7 @@ CMS_PROBES = 20
 
 @query(
     "sketch_hll_distinct_users",
-    driver=False,
+    # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH h AS (
         SELECT event_type,
@@ -106,7 +106,7 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sketch_kmv_source_token_overlap",
-    driver=False,
+    # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH toks AS (
         SELECT DISTINCT source, {_H60.format(v="tok")} AS h
@@ -180,7 +180,7 @@ def sketch_kmv_source_token_overlap(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "sketch_cms_token_counts",
-    driver=False,
+    # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH toks AS (
         SELECT unnest(string_split(text, ' ')) AS tok FROM documents
