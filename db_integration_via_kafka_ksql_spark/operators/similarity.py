@@ -951,3 +951,53 @@ def ivf_pq_topk(
         embeddings, dims=dims, m=m, ksub=ksub, iters=iters, seed=seed
     )
     return ivf_pq_serve(index, query_ids, k=k, nprobe=nprobe, refine=refine)
+
+
+def ivf_pq_distortion(index: "IvfPqIndex") -> DataFrame:
+    """Per-list quantization distortion report — the index-quality
+    diagnostic that decides PQ geometry (raise ksub/m where reconstruction
+    error concentrates) and flags degenerate coarse lists before an index
+    ships (FAISS's imbalance/quantization-error checks).
+
+    Per vector, the distortion is sum over subspaces of min_j
+    ||res_s - C_s[j]||^2 — the encoder picks the argmin codeword, so the
+    min IS the encoded reconstruction error; no join against the encoded
+    lists is needed. Pure scan-side integer math over literal codewords
+    (the _pq_codes_expr pattern), then one map-side-combined groupBy to
+    (list_id, n_vectors, total_err, max_err, avg_err).
+
+    Requires a freshly FITTED index: corpus_res is fit-time scratch and
+    deliberately not persisted by save() — a loaded index serves, it
+    doesn't re-diagnose.
+    """
+    if index.corpus_res is None:
+        raise ValueError(
+            "distortion needs a freshly fitted index: corpus_res is "
+            "fit-time scratch and not part of the persisted serving state"
+        )
+    dsub = index.dims // index.m
+    per_s = [
+        "array_min(array("
+        + ", ".join(_pq_sub_dist2("res", s, dsub, w) for w in words)
+        + "))"
+        for s, words in enumerate(index.codebook)
+    ]
+    err = " + ".join(per_s)
+    return (
+        index.corpus_res.select(
+            "list_id", F.expr(f"CAST({err} AS BIGINT)").alias("err")
+        )
+        .groupBy("list_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("err").cast("bigint").alias("total_err"),
+            F.max("err").cast("bigint").alias("max_err"),
+        )
+        .select(
+            "list_id",
+            "n_vectors",
+            "total_err",
+            "max_err",
+            F.expr("total_err DIV n_vectors").alias("avg_err"),
+        )
+    )

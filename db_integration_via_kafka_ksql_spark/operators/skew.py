@@ -75,3 +75,48 @@ def salted_distinct_count(
     return per_salt.groupBy(*key_cols).agg(
         F.sum("__d").alias(f"n_distinct_{value_col}")
     )
+
+
+def skew_key_report(
+    df: DataFrame, key_col: str, top_k: int = 20
+) -> DataFrame:
+    """Key-skew diagnostics: the report a planner reads BEFORE choosing a
+    shuffle strategy (broadcast the dim? salt these keys? let AQE split?).
+    For the top_k heaviest keys: count, integer share of all rows in
+    permille, cumulative share, and rank — 'the top 3 user_ids carry 41%
+    of events' is the number that decides whether salted_topk_per_key
+    (above) is worth its second aggregation pass.
+
+    Exactness: shares are integer permille against the exact total
+    (single-row broadcast), ORDER is total (count DESC, key ASC), so the
+    report is engine-replayable.
+
+    Scale shape: one map-side-combined count per key, a TakeOrdered
+    top_k (no global sort), the cumulative window over top_k rows only,
+    and the total as a broadcast scalar. The per-key count frame — NOT
+    the raw rows — is the largest thing that moves.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = (
+        Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return top.withColumn("cum", F.sum("cnt").over(w)).select(
+        F.col("key").cast("string").alias("key"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.expr("cnt * 1000 DIV total").alias("share_permille"),
+        F.expr("cum * 1000 DIV total").alias("cum_share_permille"),
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("key").asc())
+        ).cast("bigint").alias("rank"),
+    )

@@ -1894,3 +1894,68 @@ def weighted_sample_per_stratum(
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+CURRICULUM_BUCKETS = 10
+
+
+def curriculum_order(
+    docs: DataFrame,
+    salt: str = "curriculum-v1",
+    n_buckets: int = CURRICULUM_BUCKETS,
+) -> DataFrame:
+    """Curriculum training order: quality-decile buckets consumed
+    easy-first (highest decile = bucket 0), deterministically shuffled
+    WITHIN each bucket (salted md5 over doc_id — re-salting draws an
+    independent shuffle, the weighted-sampling convention).
+
+    The global position is NOT a global sort: positions are computed
+    per-bucket (a partitioned row_number window), and each bucket's
+    offset is the prefix-sum of bucket sizes — an n_buckets-row frame
+    joined back by broadcast. At 100 TB that is one partitioned window
+    over the corpus plus 10 rows of driver-free bookkeeping, where the
+    naive `row_number() OVER (ORDER BY ...)` ships every row through a
+    single task. The oracle replays the decile/shuffle/offset math
+    exactly (the quality expression is the fixed-order IEEE recipe of
+    quality_scores).
+
+    Returns (doc_id, bucket, pos_in_bucket, global_pos).
+    """
+    from pyspark.sql.window import Window
+
+    scored = quality_scores(docs).select("doc_id", "quality")
+    # decile from the [0,1] score; easy-first: high quality -> bucket 0
+    bucket = F.least(
+        F.floor(F.col("quality") * F.lit(float(n_buckets))).cast("bigint"),
+        F.lit(n_buckets - 1),
+    )
+    shuffled = scored.select(
+        "doc_id",
+        (F.lit(n_buckets - 1) - bucket).cast("bigint").alias("bucket"),
+        T.hex_hash_int(
+            F.concat(F.lit(salt + "|"), F.col("doc_id").cast("string"))
+        ).alias("shuffle_key"),
+    )
+    wpos = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    positioned = shuffled.withColumn(
+        "pos_in_bucket", (F.row_number().over(wpos) - 1).cast("bigint")
+    ).localCheckpoint(eager=True)  # feeds sizes AND the final join
+    sizes = positioned.groupBy("bucket").agg(F.count(F.lit(1)).alias("sz"))
+    woff = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = sizes.select(
+        "bucket",
+        F.coalesce(F.sum("sz").over(woff), F.lit(0)).cast("bigint").alias("off"),
+    )
+    return (
+        positioned.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "bucket",
+            "pos_in_bucket",
+            (F.col("off") + F.col("pos_in_bucket")).cast("bigint")
+            .alias("global_pos"),
+        )
+    )

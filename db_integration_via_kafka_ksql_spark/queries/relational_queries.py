@@ -1070,3 +1070,43 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.zorder_key(ev, ["user_id", "value"]).select(
         "event_id", "zb_user_id", "zb_value", "zval"
     )
+
+
+SKEW_REPORT_TOP_K = 20
+
+
+@query(
+    "skew_user_activity_report",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+    -- tie-break on the RAW numeric key: the operator sorts before its
+    -- string cast ('10' < '4' as strings would reorder ties)
+    top AS (
+        SELECT k, cnt FROM counts
+        ORDER BY cnt DESC, k ASC LIMIT {SKEW_REPORT_TOP_K}
+    )
+    SELECT CAST(k AS VARCHAR) AS key, cnt,
+           cnt * 1000 // total AS share_permille,
+           CAST(sum(cnt) OVER (
+               ORDER BY cnt DESC, k ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) * 1000 // total AS cum_share_permille,
+           CAST(row_number() OVER (ORDER BY cnt DESC, k ASC) AS BIGINT)
+             AS rank
+    FROM top, t
+    """,
+)
+def skew_user_activity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics over the event stream (operators/skew.
+    skew_key_report): the heaviest user_ids with exact integer shares
+    and cumulative concentration — the report that decides whether the
+    salted twins (skew_salted_*) are worth their second pass."""
+    from db_integration_via_kafka_ksql_spark.operators import skew as SKW
+
+    ev = load_table(spark, sf_dir, "events")
+    return SKW.skew_key_report(ev, "user_id", top_k=SKEW_REPORT_TOP_K)

@@ -310,14 +310,13 @@ PQ_SEED = 5
 PQ_REFINE = 8
 
 
-def _ivf_pq_oracle(
-    dims: int, nprobe: int, m: int, ksub: int, iters: int, seed: int, refine: int
-) -> str:
-    """Full sequential replay of the IVF-PQ pipeline: coarse assign →
-    residuals → per-subspace Lloyd's (seeded by md5 order, exact integer
-    floor-mean, empty codeword keeps its previous value) → encode → ADC
-    scores (coarse term + LUT sum) → exact refine — every stage integer,
-    so the hash compare proves the distributed pipeline bit-matches."""
+def _ivf_pq_fit_ctes(
+    dims: int, m: int, ksub: int, iters: int, seed: int
+) -> tuple[list[str], str]:
+    """The FIT half of the IVF-PQ replay (coarse assign → residuals →
+    per-subspace Lloyd's → encode), shared by the top-k oracle and the
+    distortion oracle. Returns (cte list ending at codes/pb{iters},
+    the d2sub distance fragment)."""
     dsub = dims // m
     sum_cols = ", ".join(f"sum(q[{i + 1}]) AS s{i}" for i in range(dims))
     cent_list = ", ".join(
@@ -402,6 +401,20 @@ def _ivf_pq_oracle(
                 FROM sub JOIN pb{iters} p ON p.s = sub.s
             ) WHERE rn = 1
         )""",
+    ]
+    return ctes, d2sub
+
+
+def _ivf_pq_oracle(
+    dims: int, nprobe: int, m: int, ksub: int, iters: int, seed: int, refine: int
+) -> str:
+    """Full sequential replay of the IVF-PQ pipeline: fit
+    (_ivf_pq_fit_ctes) → ADC scores (coarse term + LUT sum) → exact
+    refine — every stage integer, so the hash compare proves the
+    distributed pipeline bit-matches."""
+    dsub = dims // m
+    ctes, d2sub = _ivf_pq_fit_ctes(dims, m, ksub, iters, seed)
+    ctes += [
         f"""probes AS (
             SELECT vec_id AS query_id, q AS qq, c_label AS probe_list,
                    CAST(list_sum([q[i] * c[i]
@@ -477,3 +490,58 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=PQ_SEED,
         refine=PQ_REFINE,
     )
+
+
+def _ivf_pq_distortion_oracle(
+    dims: int, m: int, ksub: int, iters: int, seed: int
+) -> str:
+    """Distortion replay: the shared fit CTEs, then per (vector, subspace)
+    the MIN squared distance to the final codebook (the encoder's argmin
+    IS the reconstruction error), summed per vector and rolled up per
+    coarse list."""
+    ctes, d2sub = _ivf_pq_fit_ctes(dims, m, ksub, iters, seed)
+    ctes += [
+        f"""derr AS (
+            SELECT neighbor_id, s, min(d2) AS d2min FROM (
+                SELECT sub.neighbor_id, sub.s, {d2sub} AS d2
+                FROM sub JOIN pb{iters} p ON p.s = sub.s
+            ) GROUP BY 1, 2
+        )""",
+        """doc_err AS (
+            SELECT neighbor_id, CAST(sum(d2min) AS BIGINT) AS err
+            FROM derr GROUP BY 1
+        )""",
+    ]
+    joined = ",\n".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT c.list_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(err) AS BIGINT) AS total_err,
+           CAST(max(err) AS BIGINT) AS max_err,
+           CAST(sum(err) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_err
+    FROM doc_err d JOIN corpus c USING (neighbor_id)
+    GROUP BY 1
+    """
+
+
+@query(
+    "sim_ivf_pq_distortion",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=_ivf_pq_distortion_oracle(DIMS, PQ_M, PQ_KSUB, PQ_ITERS, PQ_SEED),
+)
+def sim_ivf_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality diagnostics for the IVF-PQ fit (operators/similarity.
+    ivf_pq_distortion): per coarse list, vector count and exact integer
+    reconstruction error (total/max/avg) — the report that tunes PQ
+    geometry before an index ships. The oracle replays the full fit chain
+    and recomputes the encoder's argmin error per subspace."""
+    index = S.ivf_pq_fit(
+        load_table(spark, sf_dir, "embeddings"),
+        dims=DIMS,
+        m=PQ_M,
+        ksub=PQ_KSUB,
+        iters=PQ_ITERS,
+        seed=PQ_SEED,
+    )
+    return S.ivf_pq_distortion(index)

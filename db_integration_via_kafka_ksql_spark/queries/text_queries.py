@@ -1720,3 +1720,64 @@ def corpus_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return V.snapshot_diff(docs, new)
+
+
+CURRICULUM_SALT = "curriculum-v1"
+
+
+@query(
+    "text_curriculum_order",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    # replay: quality deciles (fixed-order IEEE recipe), easy-first bucket
+    # flip, salted-md5 within-bucket shuffle, prefix-sum bucket offsets —
+    # the oracle uses a partitioned row_number + the same 10-row offset
+    # frame, NOT a global sort, mirroring the operator's scale shape.
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, {_QUALITY_EXPR} AS quality
+        FROM (
+            SELECT doc_id,
+                   len({_W}) AS n_tok,
+                   len({_DW}) AS n_dis,
+                   {_STOP_SUM} AS stop_hits,
+                   length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+                   length(text) AS n_chars
+            FROM documents
+        )
+    ),
+    b AS (
+        SELECT doc_id,
+               9 - least(CAST(floor(quality * 10.0e0) AS BIGINT), 9) AS bucket,
+               ('0x' || substr(md5('{CURRICULUM_SALT}|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 AS shuffle_key
+        FROM scored
+    ),
+    p AS (
+        SELECT doc_id, bucket,
+               CAST(row_number() OVER (
+                   PARTITION BY bucket ORDER BY shuffle_key, doc_id
+               ) - 1 AS BIGINT) AS pos_in_bucket
+        FROM b
+    ),
+    sizes AS (SELECT bucket, count(*) AS sz FROM p GROUP BY 1),
+    offsets AS (
+        SELECT bucket,
+               CAST(coalesce(sum(sz) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS off
+        FROM sizes
+    )
+    SELECT p.doc_id, p.bucket, p.pos_in_bucket,
+           o.off + p.pos_in_bucket AS global_pos
+    FROM p JOIN offsets o USING (bucket)
+    """,
+)
+def text_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (text_analysis.curriculum_order):
+    quality-decile buckets consumed easy-first, salted-md5 shuffle within
+    each bucket, global positions from broadcast prefix-sum offsets —
+    never a global sort."""
+    return TA.curriculum_order(
+        load_table(spark, sf_dir, "documents"), salt=CURRICULUM_SALT
+    )

@@ -1907,3 +1907,29 @@ def test_ivf_pq_save_crash_leaves_old_index_intact(
     assert leftovers == []
     reloaded = S.IvfPqIndex.load(spark, path)
     assert reloaded.codebook == new_index.codebook
+
+
+def test_ivf_pq_distortion_semantics(spark, sf_dir):
+    """More codewords -> never-worse reconstruction: total distortion with
+    ksub=16 must be <= ksub=2 on the same corpus; per-list vector counts
+    must partition the corpus; a LOADED index (no fit scratch) refuses."""
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    small = S.ivf_pq_fit(emb, dims=64, m=8, ksub=2, iters=1)
+    big = S.ivf_pq_fit(emb, dims=64, m=8, ksub=16, iters=1)
+    d_small = S.ivf_pq_distortion(small).collect()
+    d_big = S.ivf_pq_distortion(big).collect()
+    assert sum(r["n_vectors"] for r in d_small) == 300
+    assert sum(r["n_vectors"] for r in d_big) == 300
+    assert sum(r["total_err"] for r in d_big) <= sum(
+        r["total_err"] for r in d_small
+    )
+    for r in d_small + d_big:
+        assert r["max_err"] >= r["avg_err"] >= 0
+    loaded = S.IvfPqIndex(
+        q=small.q, cent=small.cent, corpus_res=None,
+        codebook=small.codebook, lists=small.lists, dims=64, m=8,
+    )
+    with pytest.raises(ValueError, match="fit-time scratch"):
+        S.ivf_pq_distortion(loaded)

@@ -666,3 +666,21 @@ def test_version_diff_single_alignment_join(reports):
     r = reports("corpus_version_diff")
     assert r.nested_loop_joins == 0
     assert len(r.scans["documents"].read_columns) <= 2
+
+
+def test_curriculum_no_global_sort(reports):
+    # the positioned frame is checkpointed once (it feeds the size frame
+    # AND the final join), so the visible plan has no corpus scan; the
+    # only global window runs over the 10-row offsets frame, and the
+    # offset join rides a broadcast — a global corpus row_number (one
+    # single-task sort) would show as a Window over the scan instead
+    r = reports("text_curriculum_order")
+    assert r.nested_loop_joins == 0
+    assert r.scans == {}
+    assert r.n_broadcast_exchanges >= 1
+
+
+def test_skew_report_is_topk_not_global_sort(reports):
+    r = reports("skew_user_activity_report")
+    assert r.take_ordered  # top-k via TakeOrderedAndProject
+    assert len(r.scans["events"].read_columns) == 1  # user_id only

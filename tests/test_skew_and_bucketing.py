@@ -97,3 +97,34 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_skew_key_report_exact_shares(spark):
+    from db_integration_via_kafka_ksql_spark.operators.skew import (
+        skew_key_report,
+    )
+
+    rows = [(1,)] * 50 + [(2,)] * 30 + [(3,)] * 15 + [(4,)] * 3 + [(5,)] * 2
+    df = spark.createDataFrame(rows, "user_id long")
+    got = {
+        r["rank"]: (r["key"], r["cnt"], r["share_permille"], r["cum_share_permille"])
+        for r in skew_key_report(df, "user_id", top_k=3).collect()
+    }
+    assert got == {
+        1: ("1", 50, 500, 500),
+        2: ("2", 30, 300, 800),
+        3: ("3", 15, 150, 950),
+    }
+
+
+def test_skew_key_report_tie_breaks_on_raw_key(spark):
+    from db_integration_via_kafka_ksql_spark.operators.skew import (
+        skew_key_report,
+    )
+
+    # numeric tie-break: 4 before 10 (string order would flip them)
+    rows = [(10,)] * 5 + [(4,)] * 5 + [(7,)] * 9
+    df = spark.createDataFrame(rows, "user_id long")
+    got = [r["key"] for r in skew_key_report(df, "user_id", top_k=3)
+           .orderBy("rank").collect()]
+    assert got == ["7", "4", "10"]

@@ -94,3 +94,37 @@ class TestWeightedSample:
             ).collect()
             wins += top[0]["doc_id"] == 0
         assert wins >= 10, wins  # E[wins] ~= 20; P(<10) is negligible
+
+
+def test_curriculum_order_shape_and_determinism(spark):
+    """Easy-first bucket order, dense global positions, salt independence
+    (same salt = identical order, new salt = different within-bucket
+    order but identical bucket membership)."""
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        curriculum_order,
+    )
+
+    rows = [
+        # high-quality docs: long, diverse
+        (i, " ".join(f"tok{i}w{j}" for j in range(60))) for i in range(4)
+    ] + [
+        # low-quality docs: short, repetitive
+        (10 + i, "the the the the the") for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: tuple(r)[1:] for r in curriculum_order(docs).collect()}
+    b = {r["doc_id"]: tuple(r)[1:] for r in curriculum_order(docs).collect()}
+    assert a == b  # same salt -> bit-identical order
+    # dense, unique global positions
+    assert sorted(v[2] for v in a.values()) == list(range(len(rows)))
+    # every high-quality doc precedes every low-quality doc (easy first)
+    hi = {v[2] for k, v in a.items() if k < 4}
+    lo = {v[2] for k, v in a.items() if k >= 10}
+    assert max(hi) < min(lo)
+    # a different salt keeps bucket membership, reshuffles within
+    c = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in curriculum_order(docs, salt="curriculum-v2").collect()
+    }
+    assert {k: v[0] for k, v in a.items()} == {k: v[0] for k, v in c.items()}
+    assert any(a[k][1] != c[k][1] for k in a)
