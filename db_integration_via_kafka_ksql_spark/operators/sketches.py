@@ -316,3 +316,96 @@ def cms_estimate(
     return joined.groupBy(*probe_cols).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cms_estimate")
     )
+
+
+# --- log-bucketed quantile histogram (DDSketch shape; Masson et al.,
+# "DDSketch: a fast and fully-mergeable quantile sketch", VLDB 2019) ----
+
+LOGHIST_GAMMA = 1.02          # relative accuracy ~1% (alpha = (g-1)/(g+1))
+LOGHIST_SCALE = 1_000_000     # fixed-point prescale: det_ln needs x >= 1
+
+
+def _loghist_bucket_sql(value_sql: str, dialect: str) -> str:
+    """Bucket index of a positive value: ceil(ln(w) / ln(gamma)) over the
+    fixed-point prescale w = floor(v * 1e6) (det_ln's domain is x >= 1;
+    the prescale shifts every bucket boundary identically, preserving
+    the relative-accuracy guarantee down to 1e-6 absolute). ln(gamma) is
+    ONE python-computed literal embedded in both dialects, and ln(w) is
+    the deterministic arctanh-series ln — the whole index is therefore
+    bit-identical across engines. Non-positive values clamp to w = 1
+    (bucket 0): this corpus has none; a signed variant mirrors the
+    buckets."""
+    import math
+
+    from db_integration_via_kafka_ksql_spark.functions.detmath import (
+        det_ln_sql, dlit,
+    )
+
+    lng = dlit(math.log(LOGHIST_GAMMA))
+    w = (
+        f"greatest(CAST(floor(CAST({value_sql} AS DOUBLE)"
+        f" * {dlit(LOGHIST_SCALE)}) AS BIGINT), CAST(1 AS BIGINT))"
+    )
+    return f"CAST(ceil({det_ln_sql(w, dialect)} / {lng}) AS BIGINT)"
+
+
+def loghist_sketch(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Mergeable log-bucketed histogram: (group..., bucket, cnt).
+
+    THE production histogram shape (DDSketch/HDR): bucket boundaries are
+    powers of gamma, so state is O(log(range)/log(gamma)) rows per group
+    no matter how many events flow through, merge is plain count
+    addition (the streaming twin exploits this), and any quantile
+    reconstructs within a gamma factor. Unlike the equi-width
+    `histogram_quantiles` (relational.py), no bounds pass is needed —
+    the geometry is fixed a priori, which is what makes it streamable.
+
+    One map-side-combined groupBy; bucket math is scan-side."""
+    b = F.expr(_loghist_bucket_sql(value_col, "spark"))
+    return (
+        df.select(*group_cols, b.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def loghist_quantiles(
+    buckets: DataFrame,
+    group_cols: list[str],
+    quantiles_permille: tuple[int, ...] = (500, 900, 990),
+) -> DataFrame:
+    """Quantile probe over a (group..., bucket, cnt) histogram frame:
+    for each requested permille, the first bucket whose running count
+    covers it. All-integer output (group, q_permille, bucket, cum,
+    n_total) — hash-exact; the value reconstruction gamma^bucket / scale
+    is engine-transcendental and lives in tests as a tolerance check.
+
+    The window runs over bucket rows (sketch-sized), never raw data."""
+    from pyspark.sql.window import Window
+
+    spark = buckets.sparkSession
+    totals = buckets.groupBy(*group_cols).agg(
+        F.sum("cnt").cast("long").alias("n_total")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = buckets.withColumn("cum", F.sum("cnt").over(w).cast("long"))
+    qs = spark.createDataFrame(
+        [(int(q),) for q in quantiles_permille], "q_permille long"
+    )
+    j = (
+        cum.join(F.broadcast(totals), list(group_cols))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 1000 >= F.col("q_permille") * F.col("n_total"))
+    )
+    pick = Window.partitionBy(*group_cols, "q_permille").orderBy("bucket")
+    return (
+        j.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(*group_cols, "q_permille", "bucket", "cum", "n_total")
+    )

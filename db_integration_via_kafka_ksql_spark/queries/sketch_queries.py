@@ -231,3 +231,68 @@ def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.cms_estimate(
         counters, probes, "token", depth=CMS_DEPTH, width=CMS_WIDTH
     )
+
+
+LOGHIST_QS = (500, 900, 990)
+
+
+def _loghist_oracle() -> str:
+    from db_integration_via_kafka_ksql_spark.operators.sketches import (
+        _loghist_bucket_sql,
+    )
+
+    bucket = _loghist_bucket_sql("value", "duckdb")
+    qs = ", ".join(str(q) for q in LOGHIST_QS)
+    return f"""
+    WITH b AS (
+        SELECT event_type, {bucket} AS bucket FROM events
+    ),
+    h AS (
+        SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM b GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_total
+        FROM h GROUP BY 1
+    ),
+    c AS (
+        SELECT event_type, bucket,
+               CAST(sum(cnt) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM h
+    ),
+    q AS (SELECT unnest([{qs}]) AS q_permille),
+    covered AS (
+        SELECT c.event_type, q.q_permille, c.bucket, c.cum, t.n_total,
+               row_number() OVER (
+                   PARTITION BY c.event_type, q.q_permille ORDER BY c.bucket
+               ) AS rn
+        FROM c JOIN t USING (event_type) CROSS JOIN q
+        WHERE c.cum * 1000 >= q.q_permille * t.n_total
+    )
+    SELECT event_type, CAST(q_permille AS BIGINT) AS q_permille,
+           bucket, cum, n_total
+    FROM covered WHERE rn = 1
+    """
+
+
+@query(
+    "sketch_loghist_value_quantiles",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=_loghist_oracle(),
+)
+def sketch_loghist_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value quantiles from a log-bucketed (DDSketch-shape)
+    histogram (operators/sketches.loghist_sketch): fixed a-priori bucket
+    geometry — no bounds pass, state O(log range) per group, counts
+    merge by addition (the streamable property) — with the bucket index
+    built on the deterministic arctanh-series ln so the oracle replays
+    it bit for bit. The mergeable twin of the equi-width
+    events_value_quantiles_hist."""
+    from db_integration_via_kafka_ksql_spark.operators import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    h = SK.loghist_sketch(ev, ["event_type"], "value")
+    return SK.loghist_quantiles(h, ["event_type"], LOGHIST_QS)

@@ -146,3 +146,55 @@ def test_cms_error_is_one_sided_and_bounded(spark, sf_dir):
         assert r["cms_estimate"] >= r["exact_cnt"]  # one-sided by construction
         # standard CMS bound: overshoot <= e*N/width w.h.p.; allow 3x slack
         assert r["cms_estimate"] - r["exact_cnt"] <= 3 * math.e * n_total / 1024
+
+
+def test_loghist_accuracy_within_gamma(spark):
+    """Reconstructed quantile values (gamma^bucket / scale) land within a
+    gamma factor of numpy's exact percentile (plus the 1e-6 fixed-point
+    prescale quantization)."""
+    import numpy as np
+
+    from db_integration_via_kafka_ksql_spark.operators.sketches import (
+        LOGHIST_GAMMA, LOGHIST_SCALE, loghist_quantiles, loghist_sketch,
+    )
+
+    vals = [0.01 * (i % 97 + 1) + 0.5 * (i % 13) for i in range(2000)]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], "event_type string, value double"
+    )
+    h = loghist_sketch(df, ["event_type"], "value")
+    got = {
+        r["q_permille"]: r["bucket"]
+        for r in loghist_quantiles(h, ["event_type"], (500, 900, 990)).collect()
+    }
+    for q, b in got.items():
+        approx = LOGHIST_GAMMA ** b / LOGHIST_SCALE
+        exact = float(np.percentile(np.array(vals), q / 10, method="lower"))
+        assert exact / LOGHIST_GAMMA - 2e-6 <= approx <= exact * LOGHIST_GAMMA**2 + 2e-6, (
+            q, approx, exact,
+        )
+
+
+def test_loghist_merge_is_additive(spark):
+    """The streamability property: sketching two halves and summing the
+    counts equals sketching the whole — plain addition, no state beyond
+    the bucket counts."""
+    from db_integration_via_kafka_ksql_spark.operators.sketches import (
+        loghist_sketch,
+    )
+
+    rows = [("a", 0.01 * (i + 1)) for i in range(500)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    whole = {
+        (r["event_type"], r["bucket"]): r["cnt"]
+        for r in loghist_sketch(df, ["event_type"], "value").collect()
+    }
+    h1 = loghist_sketch(df.limit(250), ["event_type"], "value").collect()
+    h2 = loghist_sketch(
+        df.subtract(df.limit(250)), ["event_type"], "value"
+    ).collect()
+    merged: dict = {}
+    for r in list(h1) + list(h2):
+        k = (r["event_type"], r["bucket"])
+        merged[k] = merged.get(k, 0) + r["cnt"]
+    assert merged == whole
