@@ -197,6 +197,33 @@ def main() -> None:
     ).collect()[0]
     temp_note = f"temperature(0.5) repeat factors {temp.lo:.2f}..{temp.hi:.2f}"
 
+    # 6b. curriculum order: quality-decile buckets consumed easy-first,
+    # deterministically shuffled within each bucket; global positions
+    # from broadcast prefix-sum offsets (never a global sort) — the
+    # column a curriculum-aware loader sorts its shards by
+    curric = TA.curriculum_order(mixed.select("doc_id", "text"))
+    mixed = mixed.join(
+        curric.select("doc_id", F.col("global_pos").alias("curriculum_pos")),
+        "doc_id",
+    )
+
+    # 6c. dataset-card diff: what this build did to the raw corpus
+    # (removed = cut/dedup/mix-dropped docs; the incremental-reprocessing
+    # work list when the next crawl lands)
+    from db_integration_via_kafka_ksql_spark.operators import versioning as V
+
+    diff = {
+        r["change_type"]: r["n"]
+        for r in V.snapshot_diff_summary(
+            docs.select("doc_id", "text"),
+            mixed.select("doc_id", "text").distinct(),
+        ).collect()
+    }
+    diff_note = (
+        f"version diff vs raw corpus: {diff.get('unchanged', 0):,} kept, "
+        f"{diff.get('removed', 0):,} removed, {diff.get('changed', 0):,} changed"
+    )
+
     # 7. sequence packing per (epoch, source) shard
     packed = TA.pack_sequences(
         mixed, capacity=PACK_CAPACITY, shard_cols=("epoch", "source")
@@ -208,8 +235,11 @@ def main() -> None:
 
     # 8. ship as hive-partitioned parquet; prove the pruned read path
     out = os.path.join(tempfile.mkdtemp(prefix="training_set_"), "corpus")
+    # z-order the files within each hive partition on (doc_id,
+    # curriculum_pos) so BOTH id-lookups and curriculum-range reads prune
     write_dataset(
-        corpus, out, partition_cols=("epoch", "source"), sort_cols=("doc_id",)
+        corpus, out, partition_cols=("epoch", "source"),
+        zorder_cols=("doc_id", "curriculum_pos"),
     )
     epoch0 = read_dataset(spark, out).filter("epoch = 0")
     n_epoch0 = epoch0.count()
@@ -227,6 +257,7 @@ def main() -> None:
         print(f"  {stage:<{width}}  {n:>7,}")
     print(f"  dataset: {out}")
     print(f"  {temp_note}")
+    print(f"  {diff_note}")
     print(
         f"  epoch 0 reads {n_epoch0:,} docs in {n_seqs:,} packed"
         f" {PACK_CAPACITY}-token sequences (partition-pruned scan),"

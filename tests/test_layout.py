@@ -140,3 +140,66 @@ def test_zorder_degenerate_constant_column(spark):
     df = spark.createDataFrame([(i, 7, i) for i in range(5)], "id long, x long, y long")
     got = zorder_key(df, ["x", "y"]).collect()
     assert all(r["zb_x"] == 0 for r in got)  # vmax == vmin -> bucket 0
+
+
+def test_morton_key_is_bijective_and_monotone_model():
+    """Property (pure python model of the same bit math): the interleave
+    is a bijection on bucket pairs, and restricting either coordinate
+    to a power-of-two aligned block keeps z-values in a contiguous-ish
+    range (the locality invariant the partition test observes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def model(bx, by, bits=16):
+        z = 0
+        for k in range(bits):
+            z |= ((bx >> k) & 1) << (2 * k)
+            z |= ((by >> k) & 1) << (2 * k + 1)
+        return z
+
+    def unmodel(z, bits=16):
+        bx = by = 0
+        for k in range(bits):
+            bx |= ((z >> (2 * k)) & 1) << k
+            by |= ((z >> (2 * k + 1)) & 1) << k
+        return bx, by
+
+    @given(
+        st.integers(min_value=0, max_value=65535),
+        st.integers(min_value=0, max_value=65535),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(bx, by):
+        z = model(bx, by)
+        assert 0 <= z < 1 << 32
+        assert unmodel(z) == (bx, by)  # bijective
+
+    check()
+
+
+def test_morton_spark_matches_model_sample(spark):
+    from pyspark.sql import functions as F
+
+    from db_integration_via_kafka_ksql_spark.operators.layout import (
+        morton_interleave,
+    )
+
+    def model(bx, by, bits=16):
+        z = 0
+        for k in range(bits):
+            z |= ((bx >> k) & 1) << (2 * k)
+            z |= ((by >> k) & 1) << (2 * k + 1)
+        return z
+
+    cases = [(0, 0), (65535, 65535), (1, 0), (0, 1), (43690, 21845),
+             (12345, 54321), (65535, 0), (255, 65280)]
+    df = spark.createDataFrame(cases, "bx long, by long")
+    got = {
+        (r["bx"], r["by"]): r["z"]
+        for r in df.select(
+            "bx", "by",
+            morton_interleave([F.col("bx"), F.col("by")], 16).alias("z"),
+        ).collect()
+    }
+    for (bx, by), z in got.items():
+        assert z == model(bx, by)
