@@ -132,3 +132,117 @@ def commit_epoch(
     writer.parquet(staging)
     os.rename(staging, dest)
     return True
+
+
+_COMPACT_INTENT = "_compact_intent.json"
+_COMPACT_STAGING = "__compact_staging_"
+_COMPACT_TRASH = "__compact_trash_"
+
+
+def list_epochs(dataset_path: str, batch_col: str) -> list[int]:
+    """Committed epoch ids, ascending."""
+    _require_local_path(dataset_path)
+    if not os.path.isdir(dataset_path):
+        return []
+    out = []
+    for name in os.listdir(dataset_path):
+        if name.startswith(f"{batch_col}="):
+            try:
+                out.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def compact_epochs(spark, dataset_path: str, batch_col: str, upto: int) -> dict:
+    """Merge the DATA of every committed epoch <= `upto` into the single
+    newest data-bearing partition at or below it, leaving each older epoch as an EMPTY
+    committed partition — the epochdir analogue of Kafka log compaction
+    (reference: TOMBSTONE_HANDLING_GUIDE.md's compaction story), and the
+    small-files maintenance a long-running stream needs: thousands of
+    per-trigger partitions become one scan-friendly file set while BOTH
+    epochdir contracts survive:
+
+    - replay safety: the old epoch dirs (and their `{batch_col}=e` names)
+      remain, so `epoch_committed` still answers True and a checkpoint
+      replay of a compacted epoch stays a no-op;
+    - reader identity: parquet readers ignore the now-file-less old
+      partitions, and the merged partition holds exactly the union of
+      the compacted rows (epoch provenance collapses to `upto` — compact
+      only datasets whose consumers treat epochs as provenance, e.g.
+      fact outputs, NOT latest-before state dirs).
+
+    Maintenance-window contract: run while no reader is scanning the
+    dataset (between the staging publish and the old-epoch stripping a
+    concurrent reader could double-count). Crash-RESUMABLE, not atomic:
+    an intent file records the staged merge; re-running compact_epochs
+    (any `upto`) first completes an interrupted one — every step below
+    is idempotent.
+
+    Returns {"compacted_epochs": n, "rows": m}.
+    """
+    import json
+
+    _require_local_path(dataset_path)
+    intent_path = os.path.join(dataset_path, _COMPACT_INTENT)
+
+    def _has_data(e: int) -> bool:
+        d = partition_dir(dataset_path, batch_col, e)
+        return any(n.endswith(".parquet") for n in os.listdir(d))
+
+    def _strip(e: int) -> None:
+        # drop the data files; keep the dir (the commit marker) and the
+        # _SUCCESS convention so the partition still reads as committed
+        d = partition_dir(dataset_path, batch_col, e)
+        if not os.path.isdir(d):
+            return
+        for name in os.listdir(d):
+            if name != "_SUCCESS":
+                p = os.path.join(d, name)
+                (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+
+    def _finish(intent: dict) -> None:
+        staging = intent["staging"]
+        dest = partition_dir(dataset_path, batch_col, intent["upto"])
+        trash = intent["trash"]
+        if os.path.isdir(staging):
+            if os.path.isdir(dest):
+                os.rename(dest, trash)
+            os.rename(staging, dest)
+        for e in intent["strip"]:
+            _strip(e)
+        if os.path.isdir(trash):
+            shutil.rmtree(trash)
+        os.remove(intent_path)
+
+    if os.path.isfile(intent_path):
+        with open(intent_path) as f:
+            _finish(json.load(f))  # complete the interrupted run first
+
+    epochs = [e for e in list_epochs(dataset_path, batch_col) if e <= upto]
+    with_data = [e for e in epochs if _has_data(e)]
+    if len(with_data) <= 1:
+        return {"compacted_epochs": 0, "rows": 0}
+    # merge INTO the newest data-bearing committed epoch — never fabricate
+    # a partition for an epoch that was never committed (that would turn
+    # a genuine replay of it into a skip)
+    target = max(with_data)
+    combined = spark.read.parquet(
+        *[partition_dir(dataset_path, batch_col, e) for e in with_data]
+    )
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{dataset_path}{_COMPACT_STAGING}{tag}"
+    combined.write.mode("overwrite").parquet(staging)
+    rows = spark.read.parquet(staging).count()
+    intent = {
+        "upto": target,
+        "staging": staging,
+        "trash": f"{dataset_path}{_COMPACT_TRASH}{tag}",
+        "strip": [e for e in with_data if e != target],
+    }
+    tmp = intent_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(intent, f)
+    os.replace(tmp, intent_path)  # the point of no return: intent is durable
+    _finish(intent)
+    return {"compacted_epochs": len(with_data), "rows": rows}
