@@ -1959,3 +1959,52 @@ def curriculum_order(
             .alias("global_pos"),
         )
     )
+
+
+def quality_drift_by_source(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Per-source quality-distribution drift: L1 distance (in permille,
+    0..2000) between each source's quality-decile histogram and the
+    corpus-wide one — the data-quality monitor that catches a feed going
+    bad (a crawler regression shifts its quality mass) BEFORE the mixture
+    planner happily samples from it. All-integer shares so the report is
+    engine-exact.
+
+    Scale shape: one corpus scan -> (source, bucket) counts (map-side
+    combined); everything after operates on |sources| x n_buckets rows —
+    the global histogram re-aggregates the per-source counts (no second
+    scan) and rides a broadcast onto the sources-x-buckets grid.
+
+    Returns (source, n_docs, drift_permille).
+    """
+    scored = quality_scores(docs, keep_cols=("source",)).select(
+        "source",
+        F.least(
+            F.floor(F.col("quality") * F.lit(float(n_buckets))).cast("bigint"),
+            F.lit(n_buckets - 1),
+        ).alias("bucket"),
+    )
+    sb = (
+        scored.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds totals, global hist, and grid
+    )
+    totals = sb.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
+    ghist = sb.groupBy("bucket").agg(F.sum("cnt").alias("gcnt"))
+    gtotal = ghist.agg(F.sum("gcnt").alias("gtotal"))
+    grid = (
+        totals.crossJoin(F.broadcast(ghist))
+        .crossJoin(F.broadcast(gtotal))
+        .join(sb, ["source", "bucket"], "left")
+        .select(
+            "source",
+            "n_docs",
+            F.expr(
+                "abs(coalesce(cnt, 0) * 1000 DIV n_docs"
+                " - gcnt * 1000 DIV gtotal)"
+            ).alias("d"),
+        )
+    )
+    return grid.groupBy("source").agg(
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("d").cast("bigint").alias("drift_permille"),
+    )

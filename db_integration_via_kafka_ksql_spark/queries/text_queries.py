@@ -1781,3 +1781,47 @@ def text_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.curriculum_order(
         load_table(spark, sf_dir, "documents"), salt=CURRICULUM_SALT
     )
+
+
+@query(
+    "quality_drift_by_source",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               least(CAST(floor(({_QUALITY_EXPR}) * 10.0e0) AS BIGINT), 9)
+                 AS bucket
+        FROM (
+            SELECT doc_id, source,
+                   len({_W}) AS n_tok,
+                   len({_DW}) AS n_dis,
+                   {_STOP_SUM} AS stop_hits,
+                   length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+                   length(text) AS n_chars
+            FROM documents
+        )
+    ),
+    sb AS (
+        SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM scored GROUP BY 1, 2
+    ),
+    totals AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM sb GROUP BY 1),
+    ghist AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS gcnt FROM sb GROUP BY 1),
+    gt AS (SELECT CAST(sum(gcnt) AS BIGINT) AS gtotal FROM ghist),
+    grid AS (
+        SELECT t.source, t.n_docs,
+               abs(coalesce(s.cnt, 0) * 1000 // t.n_docs
+                   - g.gcnt * 1000 // gt.gtotal) AS d
+        FROM totals t CROSS JOIN ghist g CROSS JOIN gt
+        LEFT JOIN sb s ON s.source = t.source AND s.bucket = g.bucket
+    )
+    SELECT source, max(n_docs) AS n_docs,
+           CAST(sum(d) AS BIGINT) AS drift_permille
+    FROM grid GROUP BY 1
+    """,
+)
+def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-distribution drift per source vs the corpus (L1 on decile
+    histograms, integer permille) — the feed-health monitor that runs
+    before mixture planning (text_analysis.quality_drift_by_source)."""
+    return TA.quality_drift_by_source(load_table(spark, sf_dir, "documents"))

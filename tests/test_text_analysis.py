@@ -128,3 +128,29 @@ def test_curriculum_order_shape_and_determinism(spark):
     }
     assert {k: v[0] for k, v in a.items()} == {k: v[0] for k, v in c.items()}
     assert any(a[k][1] != c[k][1] for k in a)
+
+
+def test_quality_drift_identical_sources_zero(spark):
+    """Two sources with identical doc sets drift ~0 from the corpus; a
+    source of pure low-quality docs drifts far more; drift is bounded by
+    2000 permille (total variation x2)."""
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        quality_drift_by_source,
+    )
+
+    good = [" ".join(f"w{i}x{j}" for j in range(60)) for i in range(6)]
+    bad = ["the the the the the"] * 6
+    rows = (
+        [(i, t, "a") for i, t in enumerate(good)]
+        + [(100 + i, t, "b") for i, t in enumerate(good)]
+        + [(200 + i, t, "junk") for i, t in enumerate(bad)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r["source"]: (r["n_docs"], r["drift_permille"])
+        for r in quality_drift_by_source(docs).collect()
+    }
+    assert got["a"] == got["b"]
+    assert got["junk"][1] > got["a"][1]
+    assert all(0 <= v[1] <= 2000 for v in got.values())
+    assert got["a"][0] == 6 and got["junk"][0] == 6
