@@ -1961,6 +1961,24 @@ def curriculum_order(
     )
 
 
+def quality_bucket_counts(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Per-(source, quality-decile) doc counts — the shared first stage of
+    the batch drift monitor below and the streaming at-arrival twin
+    (streaming/drift.py): one corpus scan, map-side-combined."""
+    return (
+        quality_scores(docs, keep_cols=("source",))
+        .select(
+            "source",
+            F.least(
+                F.floor(F.col("quality") * F.lit(float(n_buckets))).cast("bigint"),
+                F.lit(n_buckets - 1),
+            ).alias("bucket"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def quality_drift_by_source(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
     """Per-source quality-distribution drift: L1 distance (in permille,
     0..2000) between each source's quality-decile histogram and the
@@ -1976,18 +1994,9 @@ def quality_drift_by_source(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
 
     Returns (source, n_docs, drift_permille).
     """
-    scored = quality_scores(docs, keep_cols=("source",)).select(
-        "source",
-        F.least(
-            F.floor(F.col("quality") * F.lit(float(n_buckets))).cast("bigint"),
-            F.lit(n_buckets - 1),
-        ).alias("bucket"),
-    )
-    sb = (
-        scored.groupBy("source", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)  # feeds totals, global hist, and grid
-    )
+    sb = quality_bucket_counts(docs, n_buckets).localCheckpoint(
+        eager=True
+    )  # feeds totals, the global hist, and the grid
     totals = sb.groupBy("source").agg(F.sum("cnt").alias("n_docs"))
     ghist = sb.groupBy("bucket").agg(F.sum("cnt").alias("gcnt"))
     gtotal = ghist.agg(F.sum("gcnt").alias("gtotal"))
