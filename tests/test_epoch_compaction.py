@@ -108,3 +108,51 @@ def test_single_data_epoch_is_noop(spark, tmp_path):
         "compacted_epochs": 0, "rows": 0,
     }
     assert _all_rows(spark, path) == [(1, "a")]
+
+
+def test_compaction_composes_with_streaming_transitions(spark, tmp_path):
+    """Compact a REAL streaming stage's output mid-stream: the cumulative
+    matrix is identical before and after, later epochs keep appending,
+    and a crash-replay of a compacted epoch stays a no-op."""
+    from db_integration_via_kafka_ksql_spark.streaming.transitions import (
+        StreamingTransitions,
+    )
+
+    st = StreamingTransitions(
+        spark,
+        output_path=str(tmp_path / "out"),
+        state_path=str(tmp_path / "state"),
+        trigger_seconds=0,
+    )
+    schema = "user_id long, event_id long, event_type string, us long"
+    batches = [
+        [(1, 1, "view", 10), (1, 2, "click", 20)],
+        [(1, 3, "buy", 30), (2, 4, "view", 5)],
+        [(2, 5, "click", 15)],
+    ]
+    for e, rows in enumerate(batches):
+        st.process_batch(spark.createDataFrame(rows, schema), e)
+    before = {
+        (r["from_type"], r["to_type"]): r["n"] for r in st.matrix().collect()
+    }
+    stats = epochdir.compact_epochs(
+        spark, str(tmp_path / "out"), "epoch", upto=1
+    )
+    assert stats["compacted_epochs"] == 2
+    after = {
+        (r["from_type"], r["to_type"]): r["n"] for r in st.matrix().collect()
+    }
+    assert after == before
+    # a replay of a compacted epoch is skipped (the marker survived)
+    st.process_batch(spark.createDataFrame(batches[0], schema), 0)
+    assert {
+        (r["from_type"], r["to_type"]): r["n"] for r in st.matrix().collect()
+    } == before
+    # the stream keeps going
+    st.process_batch(
+        spark.createDataFrame([(1, 6, "view", 40)], schema), 3
+    )
+    final = {
+        (r["from_type"], r["to_type"]): r["n"] for r in st.matrix().collect()
+    }
+    assert final[("buy", "view")] == 1
