@@ -607,3 +607,141 @@ def edit_verified_pairs(
     if max_dist is not None:
         out = out.filter(F.col("edit_dist") <= max_dist)
     return out
+
+
+def allpairs_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact shingle-set-Jaccard pairs via AllPairs prefix filtering
+    (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW 2007) — the threshold-exact scale path beside ngram_jaccard_pairs'
+    df_cap heuristic.
+
+    Same semantics as ngram_jaccard_pairs (distinct word-n-gram sets,
+    Jaccard >= t) but candidate generation indexes only each doc's PREFIX
+    in a global rarest-first shingle order instead of every shingle:
+
+    - t = threshold_num/threshold_den (a rational, so every prefix length
+      and the final threshold test stay integer-exact — no float ceil).
+    - Global order: (document frequency ASC, shingle ASC). Rare shingles
+      sort first, so prefixes are built from the least-colliding keys.
+      The order is applied per-doc with a doc-partitioned row_number —
+      there is NO global rank assignment (a vocab-wide single-partition
+      sort would be the actual bottleneck at 100 TB); any shared total
+      order works for the prefix-filter lemma, including (df, shingle)
+      itself.
+    - Prefix length p(d) = |d| - ceil(t*|d|) + 1: a pair with
+      Jaccard >= t under the size filter t*|a| <= |b| <= |a|/t must
+      overlap by >= ceil(t*max(|a|,|b|)) shingles, and two sets whose
+      overlap is >= alpha MUST share an element within their
+      (sz - alpha + 1)-prefixes in any common total order — so joining
+      prefix-to-prefix loses nothing (the oracle is the EXHAUSTIVE
+      inverted index, which proves exactness, not just precision).
+    - Verification is exact: array_intersect of the full sorted shingle
+      arrays per surviving candidate; the threshold test is the integer
+      cross-multiplication inter*den >= num*(sza+szb-inter).
+
+    Scale shape: one corpus scan -> shingle index (checkpointed once; it
+    feeds the df counts, the prefix index, and the per-doc full arrays);
+    df join is a uniform equi-join on the shingle; the candidate join is
+    prefix x prefix (output ~ sum over prefix shingles of df_prefix(g)^2,
+    a strict subset of the full inverted-index join); candidate pairs are
+    deduplicated BEFORE the two array joins, so verification cost tracks
+    the candidate count, not the collision count.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= t.
+    """
+    from pyspark.sql import Window
+
+    num, den = threshold_num, threshold_den
+    sh = _spread(docs).select(
+        "doc_id",
+        F.split(F.col(text_col), " ").alias("_ws"),
+        F.col(text_col).alias("_t"),
+    ).select(
+        "doc_id",
+        F.array_distinct(T.shingles_of_words("_ws", "_t", n)).alias("sh"),
+    )
+    inv = sh.select(
+        "doc_id",
+        F.size("sh").cast("bigint").alias("sz"),
+        F.explode("sh").alias("g"),
+    )
+    dfreq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # one checkpoint: widx feeds the prefix index AND the full-set arrays
+    widx = (
+        inv.join(dfreq, "g")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("g").asc()
+                )
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # p = sz - ceil(t*sz) + 1, all-integer (DIV, not IEEE /)
+    pfx = widx.filter(
+        F.expr(f"pos <= sz - ((sz * {num} + {den - 1}) DIV {den}) + 1")
+    ).select("doc_id", "sz", "g")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    pa, pb = pfx.repartition(par, "g").alias("a"), pfx.alias("b")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size filter: jaccard <= min/max, so cross-size pairs outside
+            # the t ratio can never pass — and the prefix lengths are only
+            # safe GIVEN this filter (required overlap >= ceil(t*max))
+            & (F.col("a.sz") * den >= num * F.col("b.sz"))
+            & (F.col("b.sz") * den >= num * F.col("a.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sets = widx.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("g")).alias("toks"),
+        F.max("sz").alias("sz"),
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        F.col("sz").alias("sza"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        F.col("sz").alias("szb"),
+    )
+    scored = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).cast("bigint").alias("inter"),
+            "sza",
+            "szb",
+        )
+    )
+    return (
+        scored.filter(
+            F.col("inter") * den >= num * (F.col("sza") + F.col("szb") - F.col("inter"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -659,3 +659,43 @@ def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefilter_jaccard=EDIT_PREFILTER_JACCARD,
         max_dist=EDIT_MAX_DIST,
     )
+
+
+ALLPAIRS_NUM = 1
+ALLPAIRS_DEN = 2
+
+
+@query(
+    "dedup_allpairs_jaccard",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, list_distinct({_SH3}) AS sh FROM documents),
+    inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM sh)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+             AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE inter * {ALLPAIRS_DEN} >= {ALLPAIRS_NUM} * (sa.sz + sb.sz - inter)
+    """,
+)
+def dedup_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs prefix-filtered shingle-Jaccard pairs (Bayardo et al. 2007,
+    operators/dedup.allpairs_jaccard_pairs). The oracle is the EXHAUSTIVE
+    inverted-index join — every pair sharing >= 1 shingle — so a parity
+    match proves the prefix filter is lossless at the threshold, not just
+    that both sides agree on some pruned subset."""
+    return D.allpairs_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        n=NGRAM_N,
+        threshold_num=ALLPAIRS_NUM,
+        threshold_den=ALLPAIRS_DEN,
+    )

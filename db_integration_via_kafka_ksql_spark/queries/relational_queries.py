@@ -1110,3 +1110,69 @@ def skew_user_activity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return SKW.skew_key_report(ev, "user_id", top_k=SKEW_REPORT_TOP_K)
+
+
+@query(
+    "validate_orders_constraints",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle="""
+    WITH base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b_comp,
+               CAST(count(o_orderkey) - count(DISTINCT o_orderkey)
+                    AS BIGINT) AS b_uni,
+               CAST(sum(CASE WHEN NOT coalesce(
+                        o_orderstatus IN ('O', 'F', 'P'), false)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS b_dom,
+               CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, false)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS b_pos
+        FROM orders
+    ),
+    refc AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o.o_custkey IS NOT NULL
+                             AND c.c_custkey IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS b
+        FROM orders o
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey
+    ),
+    rep AS (
+        SELECT 'custkey_complete' AS c, n AS n_rows, b_comp AS n_bad FROM base
+        UNION ALL SELECT 'status_domain', n, b_dom FROM base
+        UNION ALL SELECT 'positive_price', n, b_pos FROM base
+        UNION ALL SELECT 'orderkey_unique', n, b_uni FROM base
+        UNION ALL SELECT 'custkey_resolves', n, b FROM refc
+    )
+    SELECT c AS "constraint", n_rows, n_bad,
+           CASE WHEN n_rows = 0 THEN 1000
+                ELSE (n_rows - n_bad) * 1000 // n_rows END AS metric_permille,
+           CASE WHEN (CASE WHEN n_rows = 0 THEN 1000
+                      ELSE (n_rows - n_bad) * 1000 // n_rows END) >= 1000
+                THEN 'pass' ELSE 'fail' END AS status
+    FROM rep
+    """,
+)
+def validate_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative expectation suite over the orders feed
+    (operators/validation.check_constraints): completeness, key
+    uniqueness, domain conformance, a row predicate, and referential
+    integrity against customer — the ingest gate a warehouse runs before
+    anything downstream trusts the CDC-landed table."""
+    from db_integration_via_kafka_ksql_spark.operators import validation as VAL
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return VAL.check_constraints(
+        orders,
+        [
+            VAL.completeness("custkey_complete", "o_custkey"),
+            VAL.in_set("status_domain", "o_orderstatus", ("O", "F", "P")),
+            VAL.predicate("positive_price", "o_totalprice > 0"),
+            VAL.uniqueness("orderkey_unique", "o_orderkey"),
+            VAL.referential(
+                "custkey_resolves", "o_custkey", customer, "c_custkey"
+            ),
+        ],
+    )

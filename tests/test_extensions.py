@@ -54,6 +54,52 @@ def test_ngram_jaccard_short_doc_whole_text_shingle(docs):
     assert not any(5 in p for p in ids)
 
 
+def test_allpairs_equals_full_inverted_index(docs, spark, sf_dir):
+    """Exactness of the prefix filter: AllPairs output == the exhaustive
+    inverted-index join filtered at the same threshold — on the toy docs
+    AND the real sf corpus (ngram_jaccard_pairs with df_cap=None IS the
+    exhaustive join, so equality proves no candidate was lost)."""
+    for frame in (docs, load_table(spark, sf_dir, "documents")):
+        full = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.ngram_jaccard_pairs(frame, n=3, threshold=0.5).collect()
+        }
+        ap = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in D.allpairs_jaccard_pairs(
+                frame, n=3, threshold_num=1, threshold_den=2
+            ).collect()
+        }
+        assert ap == full and ap  # equal, and the gate isn't vacuous
+
+
+def test_allpairs_threshold_boundary_kept_exact(spark):
+    # jaccard exactly == t must be KEPT: the integer cross-multiplication
+    # inter*den >= num*union has no float round-off at the boundary
+    rows = [(1, "w1 w2"), (2, "w1 w2 w3 w4")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = D.allpairs_jaccard_pairs(df, n=1, threshold_num=1, threshold_den=2)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    assert got == {(1, 2): 0.5}
+
+
+def test_allpairs_prefix_index_strictly_smaller(spark, sf_dir):
+    # the point of the prefix filter: the candidate join indexes only
+    # |d| - ceil(t|d|) + 1 shingles per doc, ~half the full index at t=1/2
+    frame = load_table(spark, sf_dir, "documents")
+    sh = frame.selectExpr(
+        "size(array_distinct(CASE WHEN size(split(text, ' ')) < 3 THEN array(text) "
+        "ELSE transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', slice(split(text, ' '), i, 3))) END)) AS sz"
+    )
+    stats = sh.selectExpr(
+        "sum(sz) AS full_rows",
+        "sum(sz - ((sz * 1 + 1) DIV 2) + 1) AS prefix_rows",
+    ).first()
+    assert stats["prefix_rows"] < stats["full_rows"]
+    assert stats["prefix_rows"] <= stats["full_rows"] // 2 + sh.count()
+
+
 def test_simhash_exact_dup_zero_hamming(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]

@@ -684,3 +684,33 @@ def test_skew_report_is_topk_not_global_sort(reports):
     r = reports("skew_user_activity_report")
     assert r.take_ordered  # top-k via TakeOrderedAndProject
     assert len(r.scans["events"].read_columns) == 1  # user_id only
+
+
+def test_allpairs_prefix_join_behind_checkpoint_no_nlj(reports):
+    """AllPairs' scale contract: the shingle index (explode -> df join ->
+    per-doc position window) is checkpointed ONCE and feeds all four
+    consumers — the two prefix join sides and the two full-set array
+    frames — so the visible plan has no window, no second index build,
+    and exactly three equi-joins (prefix x prefix candidates + the two
+    verification array joins); candidate dedup combines map-side; no
+    nested-loop anywhere."""
+    r = reports("dedup_allpairs_jaccard")
+    assert r.nested_loop_joins == 0
+    assert r.windows == 0  # the (df, g) position window ran pre-checkpoint
+    assert (r.broadcast_hash_joins + r.sort_merge_joins) == 3
+    assert r.has_partial_aggregate
+    assert r.n_shuffle_exchanges == 4  # repartition(g) + pair dedup + 2 set aggs
+
+
+def test_validation_suite_one_join_no_nlj(reports):
+    """Constraint suite's scale contract: all row-level + uniqueness
+    expectations ride ONE aggregation over the orders scan (partial agg,
+    the multi-distinct Expand included); the only join in the whole
+    report is the referential probe against the deduplicated customer
+    keys — never a nested loop, and no window anywhere."""
+    r = reports("validate_orders_constraints")
+    assert r.nested_loop_joins == 0
+    assert r.windows == 0
+    assert (r.broadcast_hash_joins + r.sort_merge_joins) == 1
+    assert r.has_partial_aggregate
+    assert r.n_shuffle_exchanges == 4
