@@ -1001,3 +1001,70 @@ def ivf_pq_distortion(index: "IvfPqIndex") -> DataFrame:
             F.expr("total_err DIV n_vectors").alias("avg_err"),
         )
     )
+
+
+def cosine_contamination(
+    corpus: DataFrame, bench: DataFrame, threshold_pct: int = 40
+) -> DataFrame:
+    """Semantic benchmark decontamination: flag every corpus vector whose
+    quantized cosine against ANY benchmark vector reaches the threshold —
+    the embedding-space complement of the n-gram/Bloom decontaminators in
+    text_analysis (those catch verbatim leakage; this catches paraphrased
+    and re-worded eval items that share no surface n-grams).
+
+    Inputs are (vec_id, embedding) frames. Returns one row per
+    contaminated corpus vector with its STRONGEST benchmark match:
+    (vec_id, bench_id, qdot) — qdot argmax, ties to the smaller bench_id
+    via struct-max, so the report is fully deterministic.
+
+    Scale shape: benchmark suites are small by nature (10^3..10^5 rows),
+    so the bench side quantizes and BROADCASTS — the corpus is touched in
+    ONE scan-side pass (join + threshold filter + per-vector struct-max
+    argmax, partially aggregated), no shuffle of corpus payloads, no
+    pair materialization beyond rows that already pass the threshold.
+    The cosine test is the exact-integer qdot against IEEE sqrt of exact
+    norms (bit-identical cross-engine). If the benchmark ever outgrows
+    broadcast, the LSH-bucketed pair generator (embedding_dup_pairs) is
+    the drop-in candidate stage — same final filter and argmax.
+    """
+    t = threshold_pct / 100
+    c = _quantized(corpus).withColumn("nc", V.qnorm2("q"))
+    b = (
+        _quantized(bench)
+        .withColumn("nb", V.qnorm2("q"))
+        .select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("q").alias("qb"),
+            "nb",
+        )
+    )
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        c.repartition(par)
+        .join(F.broadcast(b))
+        .select(
+            "vec_id",
+            "bench_id",
+            F.expr(
+                "aggregate(zip_with(q, qb, (x, y) -> x * y), "
+                "cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("qdot"),
+            "nc",
+            "nb",
+        )
+        .filter(
+            (F.col("qdot") > 0)
+            & F.expr(
+                f"CAST(qdot AS DOUBLE) >= {t} * "
+                f"sqrt(CAST(nc AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))"
+            )
+        )
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("qdot"), (-F.col("bench_id")).alias("nbid"))).alias("m")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("m.nbid")).cast("bigint").alias("bench_id"),
+        F.col("m.qdot").alias("qdot"),
+    )

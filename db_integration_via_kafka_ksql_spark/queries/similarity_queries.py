@@ -8,6 +8,7 @@ is fully deterministic in both engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from db_integration_via_kafka_ksql_spark.functions.vector import (
     lsh_bucket_sql_duckdb,
@@ -545,3 +546,54 @@ def sim_ivf_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=PQ_SEED,
     )
     return S.ivf_pq_distortion(index)
+
+
+SEMDECON_BENCH_MOD = 20
+SEMDECON_THRESHOLD_PCT = 40
+
+
+@query(
+    "decontam_semantic_cosine",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QUANTIZE} AS q FROM embeddings),
+    c AS (SELECT vec_id, q,
+                 CAST(list_sum([q[i] * q[i] for i in generate_series(1, {DIMS})])
+                      AS BIGINT) AS nc
+          FROM q WHERE vec_id % {SEMDECON_BENCH_MOD} <> 0),
+    b AS (SELECT vec_id AS bench_id, q,
+                 CAST(list_sum([q[i] * q[i] for i in generate_series(1, {DIMS})])
+                      AS BIGINT) AS nb
+          FROM q WHERE vec_id % {SEMDECON_BENCH_MOD} = 0),
+    s AS (
+        SELECT c.vec_id, b.bench_id,
+               CAST(list_sum([c.q[i] * b.q[i] for i in generate_series(1, {DIMS})])
+                    AS BIGINT) AS qdot,
+               c.nc, b.nb
+        FROM c CROSS JOIN b
+    ),
+    hits AS (
+        SELECT vec_id, bench_id, qdot,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY qdot DESC, bench_id ASC
+               ) AS rn
+        FROM s
+        WHERE qdot > 0 AND CAST(qdot AS DOUBLE) >=
+              {SEMDECON_THRESHOLD_PCT / 100} * sqrt(CAST(nc AS DOUBLE))
+                                             * sqrt(CAST(nb AS DOUBLE))
+    )
+    SELECT vec_id, bench_id, qdot FROM hits WHERE rn = 1
+    """,
+)
+def decontam_semantic_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (similarity.cosine_contamination): corpus vectors within the cosine
+    threshold of any benchmark vector, reported with their strongest
+    match — the paraphrase-leakage complement of the n-gram/Bloom
+    decontaminators. Benchmark = every {mod}th vec_id; corpus = the rest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % SEMDECON_BENCH_MOD != 0)
+    bench = emb.filter(F.col("vec_id") % SEMDECON_BENCH_MOD == 0)
+    return S.cosine_contamination(
+        corpus, bench, threshold_pct=SEMDECON_THRESHOLD_PCT
+    )

@@ -235,6 +235,49 @@ def test_token_pieces_ceil_semantics(spark):
     assert row["n_tokens"] == 3
 
 
+def test_cosine_contamination_planted_and_ties(spark):
+    """Planted geometry: corpus vec 1 equals bench 10 (cosine 1), corpus 2
+    is orthogonal to every bench vector, corpus 3 ties two bench vectors
+    exactly -> the smaller bench_id must win deterministically."""
+    import db_integration_via_kafka_ksql_spark.operators.similarity as S
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (64 - len(xs))
+
+    corpus = spark.createDataFrame(
+        [(1, v(1, 0)), (2, v(0, 0, 1)), (3, v(1, 1))],
+        ["vec_id", "embedding"],
+    )
+    bench = spark.createDataFrame(
+        [(10, v(1, 0)), (11, v(0, 1)), (12, v(3, -3))],
+        ["vec_id", "embedding"],
+    )
+    out = {
+        r["vec_id"]: (r["bench_id"], r["qdot"])
+        for r in S.cosine_contamination(corpus, bench, threshold_pct=60).collect()
+    }
+    # vec 1: qdot vs bench10 = 1024*1024; vs bench12 = 3*1024*1024 is the
+    # argmax -> bench 12 wins on score, not on id
+    assert out[1][0] == 12
+    # vec 2 orthogonal to all bench -> absent
+    assert 2 not in out
+    # vec 3 (1,1): bench12 (3,-3) is orthogonal (qdot 0, filtered); qdot
+    # vs 10 and 11 are both 1024*1024 and cosines equal (~0.707 >= 0.6);
+    # the EXACT tie must resolve to the smaller bench_id
+    assert out[3][0] == 10
+    assert out[3][1] == 1024 * 1024
+
+
+def test_cosine_contamination_empty_bench(spark):
+    import db_integration_via_kafka_ksql_spark.operators.similarity as S
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0] * 64)], ["vec_id", "embedding"]
+    )
+    bench = corpus.filter("vec_id < 0")
+    assert S.cosine_contamination(corpus, bench).count() == 0
+
+
 def test_pandas_udf_topk_equals_expression_topk(spark, sf_dir):
     """The Arrow/numpy ANN path returns exactly the expression path's
     result (same quantization, same tie-break)."""

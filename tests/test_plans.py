@@ -714,3 +714,19 @@ def test_validation_suite_one_join_no_nlj(reports):
     assert (r.broadcast_hash_joins + r.sort_merge_joins) == 1
     assert r.has_partial_aggregate
     assert r.n_shuffle_exchanges == 4
+
+
+def test_semantic_decontam_bench_broadcast_single_corpus_pass(reports):
+    """Semantic decontamination's scale contract: the benchmark side is
+    BROADCAST (corpus payloads never shuffle for the join) and the
+    argmax is a partially-aggregated struct-max groupBy — one corpus
+    pass, one key shuffle of already-filtered hit rows, no window, no
+    nested loop (the broadcast join is the annotated whole-bench
+    candidate stage, equi-keyed on nothing by design: every corpus row
+    meets the broadcast bench list exactly once)."""
+    r = reports("decontam_semantic_cosine")
+    assert r.n_broadcast_exchanges >= 1
+    assert r.windows == 0
+    assert r.sort_merge_joins == 0
+    assert r.has_partial_aggregate
+    assert r.n_shuffle_exchanges == 2  # repartition(par) + argmax groupBy
