@@ -99,6 +99,13 @@ HEADLINE = [
     "mm_image_neardup_pairs",
     "graph_supplier_knn_triangles",
     "events_zorder_keys",
+    # round 10 (session 2) additions: the threshold-exact set-similarity
+    # join (prefix-filtered candidates vs the df_cap twin above), the
+    # single-pass constraint suite, and gear-hash content-defined
+    # chunking (mapInPandas rolling hash + chunk-dedup groupBy)
+    "dedup_allpairs_jaccard",
+    "validate_orders_constraints",
+    "mm_cdc_chunk_dedup",
 ]
 
 

@@ -674,3 +674,161 @@ def audio_pcm_stats(
     return media.select("doc_id", "payload").mapInPandas(
         stats_batch, schema=PCM_SCHEMA
     )
+
+
+CDC_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("offset", LongType()),
+        StructField("length", LongType()),
+        StructField("chunk_md5", StringType()),
+    ]
+)
+
+
+def content_defined_chunks(
+    media: DataFrame,
+    min_size: int = 48,
+    mask_bits: int = 6,
+    max_size: int = 512,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Content-defined chunking of binary payloads (gear-hash rolling
+    boundaries, the FastCDC family) — the storage-side dedup primitive
+    fixed-size chunking can't be: inserting bytes at the front of a
+    payload shifts every fixed-size block, but gear boundaries
+    resynchronize within ~a window, so the unchanged tail re-emits the
+    SAME chunk hashes and dedups against the old version.
+
+    Chunking contract (the sequential test model mirrors it byte by
+    byte):
+    - gear[b] = first 16 md5 hex chars of b"gear{b}" as uint64 — a
+      deterministic table, no RNG;
+    - h_i = (h_{i-1} << 1) + gear[payload_i] (mod 2^64), computed over
+      the WHOLE payload with no reset at cuts (the shift decays a byte's
+      influence to zero after 64 positions — that bounded window is the
+      resynchronization property);
+    - position i (1-based end offset) is a candidate cut iff
+      h_i & (2^mask_bits - 1) == 0 — expected chunk ~2^mask_bits bytes;
+    - cuts: the first candidate at least min_size past the previous cut
+      wins; a chunk reaching max_size is force-cut; the final remainder
+      (possibly < min_size) is always emitted; empty/NULL payloads emit
+      no chunks.
+
+    Scale shape: pure mapInPandas over the scan — payload bytes never
+    shuffle and never visit the driver; the rolling hash is 64 vector
+    adds per Arrow batch (numpy uint64, one term per window position),
+    candidate segmentation walks only the ~n/2^mask_bits candidate
+    positions. Output is (doc_id, chunk_idx, offset, length, chunk_md5):
+    ~payload_bytes/2^mask_bits rows, each a fixed-width tuple keyed by a
+    uniform hash — the downstream dedup groupBy shuffles chunk TUPLES,
+    not payload bytes.
+
+    Reference: none (no binary surface in the reference); the algorithm
+    is the public gear-hash CDC design (Xia et al., FastCDC, USENIX ATC
+    2016), implemented from the paper's idea, not its code.
+    """
+    if not (0 < min_size <= max_size):
+        raise ValueError("need 0 < min_size <= max_size")
+    mask = (1 << mask_bits) - 1
+
+    def chunk_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # everything the closure needs is built HERE: module-level
+        # helpers would pickle by reference to a package the driver's
+        # scratch-cwd workers can't import
+        import hashlib
+        from bisect import bisect_left
+
+        import numpy as np
+        import pandas as pd
+
+        gear = np.array(
+            [
+                int(hashlib.md5(f"gear{b}".encode()).hexdigest()[:16], 16)
+                for b in range(256)
+            ],
+            dtype=np.uint64,
+        )
+
+        def cut_points(payload: bytes) -> list[int]:
+            n = len(payload)
+            g = gear[np.frombuffer(payload, dtype=np.uint8)]
+            h = np.zeros(n, dtype=np.uint64)
+            for k in range(min(64, n)):
+                h[k:] += g[: n - k] << np.uint64(k)
+            cand = (np.nonzero((h & np.uint64(mask)) == 0)[0] + 1).tolist()
+            cuts: list[int] = []
+            last = 0
+            while n - last > 0:
+                i = bisect_left(cand, last + min_size)
+                nxt = cand[i] if i < len(cand) else None
+                if nxt is not None and nxt - last <= max_size:
+                    cuts.append(nxt)
+                    last = nxt
+                elif n - last > max_size:
+                    cuts.append(last + max_size)
+                    last += max_size
+                else:
+                    cuts.append(n)
+                    break
+            return cuts
+
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            offs: list[int] = []
+            lens: list[int] = []
+            md5s: list[str] = []
+            for pid, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                payload = bytes(payload)
+                last = 0
+                for ci, cut in enumerate(cut_points(payload)):
+                    ids.append(int(pid))
+                    idxs.append(ci)
+                    offs.append(last)
+                    lens.append(cut - last)
+                    md5s.append(hashlib.md5(payload[last:cut]).hexdigest())
+                    last = cut
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "offset": pd.Series(offs, dtype="int64"),
+                    "length": pd.Series(lens, dtype="int64"),
+                    "chunk_md5": pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return media.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    ).mapInPandas(chunk_batches, CDC_CHUNK_SCHEMA)
+
+
+def cdc_chunk_dedup_report(chunks: DataFrame) -> DataFrame:
+    """Chunk-level dedup accounting over `content_defined_chunks` output:
+    one row per chunk content seen more than once — (chunk_md5,
+    chunk_bytes, n_copies, saved_bytes) with saved = (copies-1)*bytes,
+    the bytes a content-addressed store would NOT write twice.
+
+    One map-side-combined groupBy on the uniform chunk hash; payload
+    bytes are long gone by this point."""
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.first("length").alias("chunk_bytes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "chunk_md5",
+            "chunk_bytes",
+            "n_copies",
+            ((F.col("n_copies") - 1) * F.col("chunk_bytes"))
+            .cast("bigint")
+            .alias("saved_bytes"),
+        )
+    )

@@ -2017,3 +2017,47 @@ def quality_drift_by_source(docs: DataFrame, n_buckets: int = 10) -> DataFrame:
         F.max("n_docs").cast("bigint").alias("n_docs"),
         F.sum("d").cast("bigint").alias("drift_permille"),
     )
+
+
+def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned BPE merge table as a single JSON artifact —
+    the tokenizer is a training ARTIFACT (fit once on a corpus snapshot,
+    served everywhere), so it gets the same crash-safe publish as
+    IvfPqIndex.save: write to a staging sibling, then one os.rename —
+    a reader never observes a half-written vocabulary, and a crash
+    mid-save leaves any existing artifact untouched.
+
+    Format: {"format": "bpe-merges-v1", "n_merges": N,
+    "merges": [[a, b], ...]} — rank IS the list position, exactly what
+    bpe_encode consumes."""
+    import json
+    import os
+    import uuid
+
+    tmp = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "format": "bpe-merges-v1",
+                "n_merges": len(merges),
+                "merges": [[a, b] for a, b in merges],
+            },
+            f,
+        )
+    os.replace(tmp, path)  # atomic; overwrites a previous artifact
+
+
+def load_bpe(path: str) -> list[tuple[str, str]]:
+    """Load a merge table saved by save_bpe; the round trip is
+    bit-identical (list order is rank order). Refuses unknown formats
+    loudly instead of mis-tokenizing quietly."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        meta = json.load(f)
+    if meta.get("format") != "bpe-merges-v1":
+        raise ValueError(f"not a bpe-merges-v1 artifact: {path}")
+    merges = [(a, b) for a, b in meta["merges"]]
+    if len(merges) != meta.get("n_merges"):
+        raise ValueError(f"truncated merge table in {path}")
+    return merges

@@ -48,7 +48,11 @@ class Constraint:
     column: str | None = None
     values: tuple[str, ...] = ()
     predicate: str | None = None
-    ref: DataFrame | None = None
+    # a DataFrame, or a zero-arg callable returning one — the callable
+    # form re-resolves at every check_constraints call, which is what a
+    # LIVE reference (a CDC-maintained dim state store, whose parquet
+    # file listing is snapshotted per-DataFrame) needs under streaming
+    ref: object | None = None
     ref_column: str | None = None
     min_permille: int = 1000
 
@@ -74,7 +78,7 @@ def predicate(name: str, sql: str, min_permille: int = 1000) -> Constraint:
 def referential(
     name: str,
     column: str,
-    ref: DataFrame,
+    ref,  # DataFrame or () -> DataFrame (live reference; see Constraint.ref)
     ref_column: str,
     min_permille: int = 1000,
 ) -> Constraint:
@@ -141,7 +145,8 @@ def check_constraints(df: DataFrame, checks: list[Constraint]) -> DataFrame:
             ).select("constraint", "n_rows", "n_bad")
         )
     for c in refs:
-        keys = c.ref.select(
+        ref_df = c.ref() if callable(c.ref) else c.ref
+        keys = ref_df.select(
             F.col(c.ref_column).alias("_rk"), F.lit(1).alias("_present")
         ).dropDuplicates(["_rk"])
         joined = df.join(keys, F.col(c.column) == F.col("_rk"), "left")

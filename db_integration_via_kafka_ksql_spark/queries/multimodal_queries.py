@@ -287,3 +287,18 @@ def mm_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart of mm_image_ahash)."""
     media = M.attach_payload(load_table(spark, sf_dir, "documents"))
     return M.audio_pcm_stats(media)
+
+
+@query("mm_cdc_chunk_dedup", driver=False)
+# rows-only: the gear rolling hash is a sequential byte recurrence — not
+# SQL-expressible; correctness is equivalence-gated against a sequential
+# byte-at-a-time python model plus the shift-resynchronization property
+# (tests/test_content_chunking.py), the repo's BPE/perceptron discipline.
+def mm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk dedup accounting over the corpus payloads
+    (multimodal.content_defined_chunks -> cdc_chunk_dedup_report): the
+    bytes a content-addressed store saves when near-identical binary
+    payloads share gear-boundary chunks. Output: (chunk_md5, chunk_bytes,
+    n_copies, saved_bytes), duplicated chunks only."""
+    media = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    return M.cdc_chunk_dedup_report(M.content_defined_chunks(media))

@@ -2022,3 +2022,44 @@ def test_ivf_pq_distortion_semantics(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="fit-time scratch"):
         S.ivf_pq_distortion(loaded)
+
+
+def test_bpe_save_load_round_trip_and_serve(spark, sf_dir, tmp_path):
+    """Tokenizer persistence: train -> save -> load -> encode is
+    bit-identical to encoding with the in-memory merges; the artifact
+    refuses foreign/truncated files instead of mis-tokenizing."""
+    import json
+
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        bpe_encode,
+        bpe_train,
+        load_bpe,
+        save_bpe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    merges = bpe_train(docs, n_merges=6)
+    art = str(tmp_path / "vocab.json")
+    save_bpe(merges, art)
+    loaded = load_bpe(art)
+    assert loaded == merges
+    mem = {r["doc_id"]: r["pieces"] for r in bpe_encode(docs, merges).collect()}
+    srv = {r["doc_id"]: r["pieces"] for r in bpe_encode(docs, loaded).collect()}
+    assert srv == mem
+    # overwrite is atomic-replace: a second save with fewer merges wins
+    save_bpe(merges[:2], art)
+    assert load_bpe(art) == merges[:2]
+    # foreign format refused
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        json.dump({"format": "something-else"}, f)
+    with pytest.raises(ValueError, match="bpe-merges-v1"):
+        load_bpe(bad)
+    # truncated table refused
+    trunc = str(tmp_path / "trunc.json")
+    with open(trunc, "w") as f:
+        json.dump({"format": "bpe-merges-v1", "n_merges": 9, "merges": [["a", "b"]]}, f)
+    with pytest.raises(ValueError, match="truncated"):
+        load_bpe(trunc)
+    # no staging debris left behind
+    assert not [p for p in tmp_path.iterdir() if "__staging_" in p.name]

@@ -185,3 +185,51 @@ def test_live_stream_end_to_end(spark, tmp_path, ref):
     got = _epoch_out(st, 0)
     assert got["status_domain"]["n_bad"] == 1
     assert got["fk_resolves"]["status"] == "fail"
+
+
+def test_referential_against_live_cdc_dim_state(spark, tmp_path):
+    """Composition: the referential check reads a CDC-maintained dimension
+    LIVE (callable ref -> ParquetStateStore.read() re-resolved per epoch).
+    An orphan fact in epoch 0 stops being an orphan once the dim row
+    arrives; a dim DELETE re-orphans subsequent facts — validation as a
+    continuous consumer of the CDC state, not a frozen snapshot."""
+    from db_integration_via_kafka_ksql_spark.streaming.state import ParquetStateStore
+
+    store = ParquetStateStore(
+        spark,
+        str(tmp_path / "dim"),
+        key_cols=["pk"],
+        order_cols=["off"],
+        n_buckets=2,
+    )
+
+    def dim_batch(rows):
+        return spark.createDataFrame(rows, "pk long, off long, __deleted string")
+
+    store.apply_batch(dim_batch([(10, 0, "false"), (11, 1, "false")]))
+
+    st = StreamingValidation(
+        spark,
+        checks=[
+            V.completeness("fk_complete", "fk"),
+            V.referential("fk_resolves", "fk", store.read, "pk"),
+        ],
+        output_path=str(tmp_path / "out"),
+        state_path=str(tmp_path / "state"),
+        trigger_seconds=0,
+    )
+    # epoch 0: fk 99 not yet a dim key -> orphan
+    st.process_batch(_df(spark, [(10, "O", 1.0), (99, "O", 2.0)]), 0)
+    assert _epoch_out(st, 0)["fk_resolves"]["n_bad"] == 1
+    # dim catches up: pk 99 INSERTed; same fact values now resolve
+    store.apply_batch(dim_batch([(99, 2, "false")]))
+    st.process_batch(_df(spark, [(99, "O", 3.0)]), 1)
+    got1 = _epoch_out(st, 1)["fk_resolves"]
+    assert got1["n_bad"] == 0
+    assert got1["cum_n_bad"] == 1  # epoch-0 orphan stays in the ledger
+    # dim DELETE for pk 10 -> new facts against 10 are orphans again
+    store.apply_batch(dim_batch([(10, 3, "true")]))
+    st.process_batch(_df(spark, [(10, "O", 4.0)]), 2)
+    got2 = _epoch_out(st, 2)["fk_resolves"]
+    assert got2["n_bad"] == 1
+    assert got2["cum_n_bad"] == 2
