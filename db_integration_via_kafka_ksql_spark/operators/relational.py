@@ -705,3 +705,68 @@ def histogram_quantiles(
         ).alias("approx_value"),
         "n_total",
     )
+
+
+def bloom_prune(
+    fact: DataFrame,
+    dim_keys: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Pre-shuffle semi-filter for a big-big equi-join: build a Bloom
+    filter of the dim side's join keys and drop fact rows that cannot
+    match BEFORE the join shuffle moves them.
+
+    No false negatives (every matching fact row survives — the join
+    result is exactly the plain join's), only false positives (a few
+    non-matching rows ride along and die in the join itself). The win is
+    the shuffle: at a selective dim, most fact bytes never leave the
+    scan stage. This is the explicit, plan-pinned form of what AQE's
+    runtime bloom-filter injection does opportunistically — explicit
+    because a pipeline author sizing a 100 TB join wants the prune
+    guaranteed, not heuristic.
+
+    Sizing: n_bits must track |dim keys| (~10 bits/key for ~1% false
+    positives). The bitset is built distributed (map-side bit_or) but
+    densified on the DRIVER and shipped as a one-row broadcast frame —
+    fine to ~10^8 keys (~120 MB); beyond that, partition the dim and OR
+    per-partition filters, or fall back to AQE's injected filter.
+
+    Type-exactness: the probe hashes the RAW column value (xxhash64 is
+    type-sensitive) — fact_key and dim_key must be the same type, and the
+    guard below refuses mismatches instead of silently pruning everything.
+    """
+    from db_integration_via_kafka_ksql_spark.functions import bloom as B
+
+    ft = dict(fact.dtypes)[fact_key]
+    dt = dict(dim_keys.dtypes)[dim_key]
+    if ft != dt:
+        raise ValueError(
+            f"bloom_prune key types differ: fact.{fact_key} is {ft}, "
+            f"dim.{dim_key} is {dt} — xxhash64 is type-sensitive, cast first"
+        )
+    p = B.BloomParams(n_bits=n_bits, n_hashes=n_hashes)
+    words = B.build_bloom(dim_keys.select(F.col(dim_key)), dim_key, p)
+    bf = B.bloom_frame(fact.sparkSession, words, p)
+    return (
+        fact.crossJoin(F.broadcast(bf))
+        .filter(B.might_contain(F.col("bf"), F.col(fact_key), p))
+        .drop("bf")
+    )
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """`bloom_prune` composed with the actual inner equi-join — result
+    rows are EXACTLY the plain join's (the oracle states the join with
+    no bloom anywhere; parity proves the no-false-negative property)."""
+    pruned = bloom_prune(fact, dim.select(dim_key), fact_key, dim_key, n_bits, n_hashes)
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])

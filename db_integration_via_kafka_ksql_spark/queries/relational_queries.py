@@ -1176,3 +1176,44 @@ def validate_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ],
     )
+
+
+@query(
+    "join_bloom_pruned_urgent_qty",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle="""
+    SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                AS DOUBLE) AS sum_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def join_bloom_pruned_urgent_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned big-big join (relational.bloom_pruned_join): lineitem
+    against URGENT orders, with a Bloom filter of the selective dim's
+    keys dropping non-matching fact rows BEFORE the join shuffle. The
+    oracle is the PLAIN join — parity proves the prune loses nothing
+    (no false negatives), which is the operator's whole contract."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    joined = R.bloom_pruned_join(lineitem, urgent, "l_orderkey", "o_orderkey")
+    return (
+        joined.groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("ym")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )

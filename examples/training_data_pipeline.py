@@ -2,7 +2,10 @@
 composed into the pipeline a pre-training data team actually runs, over
 the driver's own testdata.
 
-  1. scan      documents (+ embeddings for near-dup clustering)
+  1. scan      documents (+ embeddings for near-dup clustering),
+               then the declarative ingest gate (completeness /
+               uniqueness / consistency expectations) — fail fast,
+               don't curate a broken feed
   2. cut       quality score + Gopher-style repetition filters +
                substring-level duplicate-span coverage
   3. scrub     PII redaction (text is replaced by its redacted form)
@@ -64,6 +67,25 @@ def main() -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     stages.append(("scanned", docs.count()))
+
+    # 1b. ingest gate: the declarative constraint suite runs BEFORE any
+    # curation math trusts the feed — a failed expectation here is a
+    # pipeline stop, not a silently skewed corpus
+    from db_integration_via_kafka_ksql_spark.operators import validation as VAL
+
+    gate = VAL.check_constraints(
+        docs,
+        [
+            VAL.completeness("text_present", "text"),
+            VAL.completeness("source_present", "source"),
+            VAL.uniqueness("doc_id_unique", "doc_id"),
+            VAL.predicate("n_chars_consistent", "n_chars = length(text)"),
+        ],
+    ).collect()
+    failed = [r["constraint"] for r in gate if r["status"] != "pass"]
+    if failed:
+        raise SystemExit(f"ingest gate failed: {failed}")
+    stages.append(("ingest constraints passed", len(gate)))
 
     # 2. quality + repetition cuts (both scan-side / uniform-shuffle ops)
     ok_quality = TA.quality_scores(docs, keep_cols=("source", "text")).filter(

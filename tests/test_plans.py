@@ -730,3 +730,20 @@ def test_semantic_decontam_bench_broadcast_single_corpus_pass(reports):
     assert r.sort_merge_joins == 0
     assert r.has_partial_aggregate
     assert r.n_shuffle_exchanges == 2  # repartition(par) + argmax groupBy
+
+
+def test_bloom_pruned_join_filters_before_join(reports):
+    """Bloom-pruned join's scale contract: the fact scan reads only the
+    join key + measure (projection pruning), the Bloom probe (getbit
+    fold over the single-row broadcast bitset — the annotated NLJ) sits
+    on the scan side BELOW the actual equi-join, the dim filter is
+    pushed to the orders scan, and the rollup partially aggregates with
+    one shuffle."""
+    r = reports("join_bloom_pruned_urgent_qty")
+    assert "getbit" in r.plan_text  # the probe survived into the plan
+    assert r.nested_loop_joins == 1  # the bitset ship, annotated
+    assert r.broadcast_hash_joins + r.sort_merge_joins == 1  # ONE real join
+    assert len(r.scans["lineitem"].read_columns) == 2  # l_orderkey, l_quantity
+    assert any("o_orderpriority" in f for f in r.scans["orders"].pushed_filters)
+    assert r.has_partial_aggregate
+    assert r.n_shuffle_exchanges == 1
