@@ -89,9 +89,24 @@ def bm25_topk(
     the unique query terms). Output: (query_id, doc_id, score_micro,
     rnk), rnk 1..top_k ordered by (score desc, doc_id asc).
     """
+    post = postings(docs).localCheckpoint(eager=True)
+    return bm25_from_postings(post, queries, top_k=top_k)
+
+
+def bm25_from_postings(
+    post: DataFrame,
+    queries: list[tuple[int, str]],
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 scoring over an EXISTING postings frame (doc_id, term, tf,
+    dl) — the serve half of bm25_topk, split out so an incrementally
+    maintained index (streaming/retrievalindex.py) serves through the
+    exact code path the batch oracle gates. Corpus constants (df, N,
+    avgdl) are derived from the postings themselves, so a prefix-exact
+    index yields prefix-exact scores."""
     from pyspark.sql.window import Window
 
-    post = postings(docs).localCheckpoint(eager=True)
+    spark = post.sparkSession
     df_frame = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     consts = post.groupBy().agg(
         F.countDistinct("doc_id").alias("n_docs"),
@@ -122,6 +137,65 @@ def bm25_topk(
     )
     win = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= top_k)
+    )
+
+
+def hybrid_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: list[tuple[int, str]],
+    cand_k: int = 25,
+    top_k: int = 5,
+) -> DataFrame:
+    """Hybrid lexical->semantic retrieval: BM25 generates cand_k
+    candidates per query (cheap, inverted-index), then the candidates —
+    and ONLY the candidates — are re-ranked by quantized embedding
+    cosine against the query's own vector (query_id == vec_id, the
+    repo's aligned id space). The standard two-stage serving shape:
+    the expensive dense scorer touches cand_k rows per query instead of
+    the corpus.
+
+    Scale shape: the candidate frame is |queries| x cand_k rows — it
+    BROADCASTS into the corpus-embedding scan (an equi-join on vec_id
+    prunes the embedding table to candidates; nothing corpus-sized
+    shuffles), and the query vectors ride a second broadcast. Rerank
+    score is the exact integer qdot; final order (qdot desc,
+    score_micro desc, doc_id asc) is total, so the cut is deterministic.
+
+    Output: (query_id, doc_id, score_micro, qdot, rnk), rnk 1..top_k.
+    """
+    from pyspark.sql.window import Window
+
+    from db_integration_via_kafka_ksql_spark.functions import vector as V
+
+    cands = bm25_topk(spark, docs, queries, top_k=cand_k).select(
+        "query_id", "doc_id", "score_micro"
+    )
+    qz = embeddings.select("vec_id", V.quantize("embedding").alias("q"))
+    qids = sorted({qid for qid, _ in queries})
+    qvec = qz.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    scored = (
+        qz.join(F.broadcast(cands), qz["vec_id"] == cands["doc_id"])
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "score_micro",
+            F.expr(
+                "aggregate(zip_with(q, qq, (x, y) -> x * y), "
+                "cast(0 as bigint), (acc, v) -> acc + v)"
+            ).alias("qdot"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("score_micro").desc(), F.col("doc_id").asc()
     )
     return (
         scored.withColumn("rnk", F.row_number().over(win))

@@ -27,11 +27,13 @@ _QVALUES = ", ".join(f"({qid}, '{t}')" for qid, text in BM25_QUERIES
                      for t in sorted(set(text.split(" "))))
 
 
-@query(
-    "text_bm25_topk",
-    # round-10 rotation: promoted into the external driver window
-    oracle=f"""
-    WITH terms AS (
+
+def _bm25_ctes() -> str:
+    """The full BM25 replay as a reusable CTE chain ending in
+    `ranked(query_id, doc_id, score_micro, rnk)` — shared verbatim by the
+    text_bm25_topk oracle and the hybrid-rerank oracle, so the two can
+    never drift apart."""
+    return f"""terms AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ),
     tf AS (
@@ -66,13 +68,22 @@ _QVALUES = ", ".join(f"({qid}, '{t}')" for qid, text in BM25_QUERIES
     s2 AS (
         SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS score_micro
         FROM scored GROUP BY 1, 2
-    )
-    SELECT query_id, doc_id, score_micro, rnk FROM (
+    ),
+    ranked AS (
         SELECT *, CAST(row_number() OVER (
             PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC
         ) AS INTEGER) AS rnk
         FROM s2
-    ) WHERE rnk <= {BM25_TOP_K}
+    )"""
+
+
+@query(
+    "text_bm25_topk",
+    # round-10 rotation: promoted into the external driver window
+    oracle=f"""
+    WITH {_bm25_ctes()}
+    SELECT query_id, doc_id, score_micro, rnk FROM ranked
+    WHERE rnk <= {BM25_TOP_K}
     """,
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,3 +93,58 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units before the per-doc sum, rank-pruned per query."""
     docs = load_table(spark, sf_dir, "documents")
     return R.bm25_topk(spark, docs, BM25_QUERIES, top_k=BM25_TOP_K)
+
+
+HYBRID_CAND_K = 25
+HYBRID_TOP_K = 5
+_QIDS_SQL = ", ".join(str(qid) for qid, _ in BM25_QUERIES)
+_QUANT = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))"
+)
+_HYBRID_QDOT = (
+    "CAST(list_sum([dv.q[i] * qv.q[i] for i in generate_series(1, 64)]) AS BIGINT)"
+)
+
+
+@query(
+    "text_hybrid_bm25_cosine_topk",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=f"""
+    WITH {{ctes}},
+    cand AS (
+        SELECT query_id, doc_id, score_micro FROM ranked
+        WHERE rnk <= {HYBRID_CAND_K}
+    ),
+    dv AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+    qv AS (SELECT vec_id, {_QUANT} AS q FROM embeddings
+           WHERE vec_id IN ({_QIDS_SQL})),
+    rr AS (
+        SELECT c.query_id, c.doc_id, c.score_micro, {_HYBRID_QDOT} AS qdot
+        FROM cand c
+        JOIN dv ON dv.vec_id = c.doc_id
+        JOIN qv ON qv.vec_id = c.query_id
+    )
+    SELECT query_id, doc_id, score_micro, qdot, rnk FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY qdot DESC, score_micro DESC, doc_id ASC
+        ) AS INTEGER) AS rnk
+        FROM rr
+    ) WHERE rnk <= {HYBRID_TOP_K}
+    """.replace("{ctes}", _bm25_ctes()),
+)
+def text_hybrid_bm25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval (retrieval.hybrid_topk): BM25 generates
+    {cand_k} lexical candidates per query, the dense scorer re-ranks ONLY
+    those by exact quantized cosine against the query's own embedding
+    (query_id == vec_id) — the serving shape where the expensive scorer
+    never touches the corpus. Oracle replays the shared BM25 CTE chain
+    plus the candidate-pruned qdot rerank."""
+    return R.hybrid_topk(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        BM25_QUERIES,
+        cand_k=HYBRID_CAND_K,
+        top_k=HYBRID_TOP_K,
+    )

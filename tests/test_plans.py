@@ -747,3 +747,17 @@ def test_bloom_pruned_join_filters_before_join(reports):
     assert any("o_orderpriority" in f for f in r.scans["orders"].pushed_filters)
     assert r.has_partial_aggregate
     assert r.n_shuffle_exchanges == 1
+
+
+def test_hybrid_rerank_candidates_broadcast_two_windows(reports):
+    """Hybrid retrieval's scale contract: the dense stage joins the
+    corpus-embedding scan against BROADCAST candidates (nothing
+    corpus-sized shuffles for the rerank — the only NLJ is BM25's
+    annotated single-row constants ship), and exactly two rank windows
+    exist: the BM25 candidate prune and the cosine rerank."""
+    r = reports("text_hybrid_bm25_cosine_topk")
+    assert r.windows == 2
+    assert r.nested_loop_joins == 1  # bm25 consts, annotated
+    assert r.n_broadcast_exchanges >= 3  # qterms, df, candidates, qvec
+    assert r.sort_merge_joins == 0
+    assert r.has_partial_aggregate

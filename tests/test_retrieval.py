@@ -74,3 +74,37 @@ def test_query_with_no_matching_terms_returns_empty(spark):
     docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
     rows = R.bm25_topk(spark, docs, [(0, "zebra unicorn")], top_k=5).collect()
     assert rows == []
+
+
+def test_hybrid_is_reranked_subset_of_bm25_candidates(spark, sf_dir):
+    """The dense stage may only REORDER lexical candidates, never invent
+    documents; ranks are 1..top_k and the order key is total."""
+    from db_integration_via_kafka_ksql_spark.io import load_table
+    from db_integration_via_kafka_ksql_spark.operators import retrieval as R
+    from db_integration_via_kafka_ksql_spark.queries.retrieval_queries import (
+        BM25_QUERIES,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = {
+        (r["query_id"], r["doc_id"])
+        for r in R.bm25_topk(spark, docs, BM25_QUERIES, top_k=25).collect()
+    }
+    hyb = R.hybrid_topk(spark, docs, emb, BM25_QUERIES, cand_k=25, top_k=5).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in hyb} <= cand
+    by_q: dict[int, list] = {}
+    for r in sorted(hyb, key=lambda r: (r["query_id"], r["rnk"])):
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        keys = [(-r["qdot"], -r["score_micro"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys), qid
+    # the dense stage actually reorders: some query's top doc differs
+    # from its BM25 top doc (if it never did, the rerank would be inert)
+    bm1 = {
+        r["query_id"]: r["doc_id"]
+        for r in R.bm25_topk(spark, docs, BM25_QUERIES, top_k=1).collect()
+    }
+    hy1 = {r["query_id"]: r["doc_id"] for r in hyb if r["rnk"] == 1}
+    assert any(bm1[q] != hy1[q] for q in hy1)

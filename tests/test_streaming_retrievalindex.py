@@ -1,0 +1,117 @@
+"""Incremental inverted index (streaming/retrievalindex.py): per-epoch
+serve == batch BM25 over the arrived prefix, replay safety, idle epochs,
+and a live stream."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from db_integration_via_kafka_ksql_spark.operators import retrieval as R
+from db_integration_via_kafka_ksql_spark.streaming.retrievalindex import (
+    StreamingPostings,
+)
+
+SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+BATCHES = [
+    [(0, "hash join hash join scan"), (1, "stream window agg window")],
+    [(2, "hash scan sort"), (3, "vector sort the fast sort")],
+    [(4, "join stream join")],
+]
+QUERIES = [(0, "hash join"), (1, "sort stream")]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _st(spark, tmp_path, **kw):
+    return StreamingPostings(
+        spark, index_path=str(tmp_path / "idx"), trigger_seconds=0, **kw
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_serve_matches_batch_bm25_per_epoch(spark, tmp_path):
+    st = _st(spark, tmp_path)
+    prefix: list = []
+    for e, rows in enumerate(BATCHES):
+        st.process_batch(_df(spark, rows), e)
+        prefix += rows
+        want = R.bm25_topk(spark, _df(spark, prefix), QUERIES, top_k=10)
+        assert _rows(st.serve(QUERIES, top_k=10)) == _rows(want), f"epoch {e}"
+        # the index is exactly the batch postings over the prefix
+        assert _rows(st.index()) == _rows(R.postings(_df(spark, prefix)))
+
+
+def test_replay_skips_committed_epoch(spark, tmp_path):
+    st = _st(spark, tmp_path)
+    st.process_batch(_df(spark, BATCHES[0]), 0)
+    before = _rows(st.index())
+    st.process_batch(_df(spark, BATCHES[0]), 0)  # replay: no duplication
+    assert _rows(st.index()) == before
+    # half-committed epoch (partition removed) recommits identically
+    shutil.rmtree(str(tmp_path / "idx" / "epoch=0"))
+    st.process_batch(_df(spark, BATCHES[0]), 0)
+    assert _rows(st.index()) == before
+    # fresh instance serves the same index
+    st2 = _st(spark, tmp_path)
+    assert _rows(st2.index()) == before
+
+
+def test_idle_epoch_and_empty_index(spark, tmp_path):
+    st = _st(spark, tmp_path)
+    assert st.index().count() == 0  # pre-ingest serve surface exists
+    st.process_batch(_df(spark, []), 0)
+    assert os.path.isdir(str(tmp_path / "idx" / "epoch=0"))
+    st.process_batch(_df(spark, BATCHES[0]), 1)
+    assert st.index().count() == R.postings(_df(spark, BATCHES[0])).count()
+
+
+def test_start_requires_checkpoint(spark, tmp_path):
+    src = str(tmp_path / "x")
+    os.makedirs(src, exist_ok=True)
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        _st(spark, tmp_path).start(
+            spark.readStream.schema(SCHEMA).parquet(src)
+        )
+
+
+def test_live_stream_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "feed")
+    os.makedirs(src, exist_ok=True)
+    rows = BATCHES[0]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        ),
+        f"{src}/b0.parquet",
+    )
+    st = _st(spark, tmp_path, checkpoint_dir=str(tmp_path / "ckpt"))
+    q = st.start(spark.readStream.schema(SCHEMA).parquet(src))
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if os.path.isdir(str(tmp_path / "idx" / "epoch=0")):
+                break
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = R.bm25_topk(spark, _df(spark, rows), QUERIES, top_k=10)
+    assert _rows(st.serve(QUERIES, top_k=10)) == _rows(want)
