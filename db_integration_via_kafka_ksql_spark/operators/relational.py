@@ -770,3 +770,91 @@ def bloom_pruned_join(
     no bloom anywhere; parity proves the no-false-negative property)."""
     pruned = bloom_prune(fact, dim.select(dim_key), fact_key, dim_key, n_bits, n_hashes)
     return pruned.join(dim, pruned[fact_key] == dim[dim_key])
+
+
+def exact_value_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs_permille: Sequence[int] = (250, 500, 750, 900),
+    n_buckets: int = 64,
+) -> DataFrame:
+    """EXACT order-statistic quantiles without a global sort — the exact
+    twin of `histogram_quantiles` (one bucket of error) and the
+    log-bucket sketch (relative error): when the answer must be a real
+    data value at the precise rank, this is the operator.
+
+    Selection rule: quantile q/1000 = the MINIMUM value whose cumulative
+    count cum satisfies cum * 1000 >= q * n (all-integer — no float
+    rank math), i.e. the lower order statistic at ceil(q*n/1000).
+
+    Scale shape (the curriculum_order discipline — never `row_number()
+    OVER (ORDER BY value)` through one task):
+    - collapse rows to the DISTINCT-VALUE count frame (map-side
+      combined; |values| << |rows| for measurement columns);
+    - equi-width value bucket from a single-row broadcast (min, max) —
+      the zorder bounds ship, an annotated broadcast-NLJ;
+    - cumulative counts = a BUCKET-partitioned running window plus an
+      n_buckets-row prefix-sum of bucket totals joined back by
+      broadcast;
+    - each requested q is one conditional MIN in a single final
+      aggregate — adding quantiles adds expressions, not passes.
+
+    Returns (q_permille, value), one row per requested quantile; empty
+    input returns no rows. Values pass through unmodified (selection,
+    not interpolation), so the output is bit-exact cross-engine.
+    """
+    if not qs_permille or any(not (0 < q <= 1000) for q in qs_permille):
+        raise ValueError("qs_permille must be in (0, 1000]")
+    base = df.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
+    bounds = base.agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    vc = (
+        base.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "v",
+            "c",
+            "n",
+            F.expr(
+                f"CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT) ELSE "
+                f"least(CAST(floor((v - vmin) / (vmax - vmin) "
+                f"* {float(n_buckets)}) AS BIGINT), {n_buckets - 1}) END"
+            ).alias("bucket"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = vc.withColumn("cum_in", F.sum("c").over(wcum)).localCheckpoint(
+        eager=True
+    )  # feeds bucket sizes AND the final selection
+    sizes = cum_in.groupBy("bucket").agg(F.sum("c").alias("sz"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = sizes.select(
+        "bucket",
+        F.coalesce(F.sum("sz").over(woff), F.lit(0)).cast("bigint").alias("off"),
+    )
+    cum = cum_in.join(F.broadcast(offsets), "bucket").select(
+        "v", "n", (F.col("off") + F.col("cum_in")).cast("bigint").alias("cum")
+    )
+    aggs = [
+        F.min(F.when(F.col("cum") * 1000 >= q * F.col("n"), F.col("v"))).alias(
+            f"_q{q}"
+        )
+        for q in qs_permille
+    ]
+    one = cum.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({q} AS BIGINT), _q{q}" for q in qs_permille
+    )
+    return one.selectExpr(
+        f"stack({len(qs_permille)}, {stack}) AS (q_permille, value)"
+    ).filter(F.col("value").isNotNull())

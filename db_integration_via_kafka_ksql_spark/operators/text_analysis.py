@@ -2061,3 +2061,45 @@ def load_bpe(path: str) -> list[tuple[str, str]]:
     if len(merges) != meta.get("n_merges"):
         raise ValueError(f"truncated merge table in {path}")
     return merges
+
+
+def quality_calibrated(docs: DataFrame) -> DataFrame:
+    """Per-source quality calibration: map each doc's raw quality score
+    to its PERCENTILE WITHIN ITS SOURCE (integer permille). Sources are
+    systematically miscalibrated — a mediocre doc from a clean source
+    outscores a good doc from a noisy one on the raw scale — so any
+    cross-source cut or mixture built on raw quality silently reweights
+    sources. Calibrated, "top 20%" means top 20% OF EACH SOURCE.
+
+    cal = (rownum - 1) * 1000 DIV (n_src - 1) over (quality ASC, doc_id
+    ASC) — all-integer, ties ordered by doc_id (deterministic, not
+    midranked; documented contract), single-doc sources sit at 500.
+
+    Scale shape: one corpus scan -> ONE source-partitioned window
+    (row_number) sharing its exchange with the per-source count (the
+    inter-arrival-stats discipline); no joins, no global ordering.
+
+    Returns (doc_id, source, q_raw_permille, q_cal_permille).
+    """
+    from pyspark.sql.window import Window
+
+    scored = quality_scores(docs, keep_cols=("source",)).select(
+        "doc_id", "source", "quality"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc()
+    )
+    wn = Window.partitionBy("source")
+    return scored.withColumn(
+        "rn", F.row_number().over(w).cast("bigint")
+    ).withColumn(
+        "n_src", F.count(F.lit(1)).over(wn).cast("bigint")
+    ).select(
+        "doc_id",
+        "source",
+        F.floor(F.col("quality") * 1000).cast("bigint").alias("q_raw_permille"),
+        F.expr(
+            "CASE WHEN n_src <= 1 THEN CAST(500 AS BIGINT) "
+            "ELSE (rn - 1) * 1000 DIV (n_src - 1) END"
+        ).alias("q_cal_permille"),
+    )

@@ -1217,3 +1217,35 @@ def join_bloom_pruned_urgent_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_qty"),
         )
     )
+
+
+EXACT_QS = (250, 500, 750, 900)
+
+
+@query(
+    "events_value_exact_quantiles",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=f"""
+    WITH base AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+    vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
+    cum AS (
+        SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM vc
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+    SELECT CAST(qs.q AS BIGINT) AS q_permille, min(cum.v) AS value
+    FROM (VALUES {", ".join(f"({q})" for q in EXACT_QS)}) qs(q)
+    JOIN nn ON true
+    JOIN cum ON cum.cum * 1000 >= qs.q * nn.n
+    GROUP BY 1
+    """,
+)
+def events_value_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-statistic quantiles of events.value
+    (relational.exact_value_quantiles): the precise-rank twin of the
+    equi-width histogram and log-bucket sketches — distinct-value
+    counts, bucket-partitioned running sums + broadcast prefix offsets
+    (never a one-task global sort), all-integer rank selection, values
+    passed through untouched (bit-exact cross-engine)."""
+    return R.exact_value_quantiles(
+        load_table(spark, sf_dir, "events"), "value", EXACT_QS
+    )

@@ -1825,3 +1825,44 @@ def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     histograms, integer permille) — the feed-health monitor that runs
     before mixture planning (text_analysis.quality_drift_by_source)."""
     return TA.quality_drift_by_source(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_quality_calibrated",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source, ({_QUALITY_EXPR}) AS quality
+        FROM (
+            SELECT doc_id, source,
+                   len({_W}) AS n_tok,
+                   len({_DW}) AS n_dis,
+                   {_STOP_SUM} AS stop_hits,
+                   length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+                   length(text) AS n_chars
+            FROM documents
+        )
+    ),
+    r AS (
+        SELECT doc_id, source, quality,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY quality ASC, doc_id ASC
+               ) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        FROM scored
+    )
+    SELECT doc_id, source,
+           CAST(floor(quality * 1000) AS BIGINT) AS q_raw_permille,
+           CAST(CASE WHEN n_src <= 1 THEN 500
+                ELSE (rn - 1) * 1000 // (n_src - 1) END AS BIGINT)
+             AS q_cal_permille
+    FROM r
+    """,
+)
+def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality percentile calibration
+    (text_analysis.quality_calibrated): raw quality mapped to its
+    within-source permille rank, so cross-source cuts and mixture
+    planning stop inheriting each source's score miscalibration. One
+    source-partitioned window, deterministic doc_id tie order."""
+    return TA.quality_calibrated(load_table(spark, sf_dir, "documents"))

@@ -2063,3 +2063,40 @@ def test_bpe_save_load_round_trip_and_serve(spark, sf_dir, tmp_path):
         load_bpe(trunc)
     # no staging debris left behind
     assert not [p for p in tmp_path.iterdir() if "__staging_" in p.name]
+
+
+def test_quality_calibrated_percentiles_and_edges(spark):
+    """Calibration semantics on a hand-built corpus: within-source
+    permille ranks, doc_id tie order, the single-doc-source midpoint,
+    and the calibration property itself — a source's top doc is 1000
+    regardless of its raw scale."""
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        quality_calibrated,
+        quality_scores,
+    )
+
+    rows = [
+        # srcA: three docs of clearly increasing quality
+        (1, "x " * 2, "srcA"),
+        (2, "the quick brown fox jumps over a lazy dog near the riverbank", "srcA"),
+        (3, "many distinct informative words compose this rather long and varied document text", "srcA"),
+        # srcB: single doc -> midpoint
+        (4, "lonely", "srcB"),
+        # srcC: two identical docs -> tie broken by doc_id
+        (5, "same words here", "srcC"),
+        (6, "same words here", "srcC"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["doc_id"]: r for r in quality_calibrated(docs).collect()}
+    q = {
+        r["doc_id"]: r["quality"]
+        for r in quality_scores(docs, keep_cols=("source",)).collect()
+    }
+    order = sorted([1, 2, 3], key=lambda d: (q[d], d))
+    want = {order[0]: 0, order[1]: 500, order[2]: 1000}
+    for d, cal in want.items():
+        assert got[d]["q_cal_permille"] == cal, d
+    assert got[4]["q_cal_permille"] == 500
+    assert (got[5]["q_cal_permille"], got[6]["q_cal_permille"]) == (0, 1000)
+    for d, r in got.items():
+        assert r["q_raw_permille"] == int(q[d] * 1000)

@@ -720,13 +720,14 @@ def test_semantic_decontam_bench_broadcast_single_corpus_pass(reports):
     """Semantic decontamination's scale contract: the benchmark side is
     BROADCAST (corpus payloads never shuffle for the join) and the
     argmax is a partially-aggregated struct-max groupBy — one corpus
-    pass, one key shuffle of already-filtered hit rows, no window, no
-    nested loop (the broadcast join is the annotated whole-bench
-    candidate stage, equi-keyed on nothing by design: every corpus row
-    meets the broadcast bench list exactly once)."""
+    pass, one key shuffle of already-filtered hit rows, no window. The
+    single nested-loop IS the design (annotated in NLJ_NOTES): the
+    scoring pass is equi-keyed on nothing, every corpus row meets the
+    broadcast bench list exactly once — same shape as sim_brute_topk."""
     r = reports("decontam_semantic_cosine")
     assert r.n_broadcast_exchanges >= 1
     assert r.windows == 0
+    assert r.nested_loop_joins == 1
     assert r.sort_merge_joins == 0
     assert r.has_partial_aggregate
     assert r.n_shuffle_exchanges == 2  # repartition(par) + argmax groupBy
@@ -761,3 +762,28 @@ def test_hybrid_rerank_candidates_broadcast_two_windows(reports):
     assert r.n_broadcast_exchanges >= 3  # qterms, df, candidates, qvec
     assert r.sort_merge_joins == 0
     assert r.has_partial_aggregate
+
+
+def test_exact_quantiles_checkpointed_cumsum_small_windows(reports):
+    """Exact quantiles' scale contract: the distinct-value cumulative
+    sum (bucket-partitioned window + single-row bounds ship) runs once
+    behind the checkpoint; the visible plan is bucket totals -> the
+    n_buckets-row prefix-sum window -> broadcast offsets join -> ONE
+    final conditional-min aggregate. Never a corpus-wide single-task
+    sort."""
+    r = reports("events_value_exact_quantiles")
+    assert r.windows == 1  # the n_buckets-row offset window only
+    assert r.nested_loop_joins == 0
+    assert r.broadcast_hash_joins + r.sort_merge_joins == 1  # offsets join
+    assert r.has_partial_aggregate
+
+
+def test_quality_calibration_single_source_exchange(reports):
+    """Calibration's scale contract: ONE source-keyed shuffle shared by
+    the rank window and the per-source count window; no joins; the
+    documents scan reads only (doc_id, text, source)."""
+    r = reports("text_quality_calibrated")
+    assert r.n_shuffle_exchanges == 1
+    assert r.windows == 2
+    assert r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins == 0
+    assert len(r.scans["documents"].read_columns) == 3

@@ -58,3 +58,38 @@ def test_bloom_prune_no_false_negatives_and_prunes(spark):
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
     with pytest.raises(ValueError, match="type"):
         R.bloom_prune(fact, dim.select(F.col("pk").cast("int")), "fk", "pk")
+
+
+def test_exact_value_quantiles_matches_sorted_selection(spark):
+    """The selection rule (min v with cum*1000 >= q*n) against a plain
+    sorted list, with heavy ties, a constant column, and empty input."""
+    import math
+
+    import pytest
+
+    from db_integration_via_kafka_ksql_spark.operators.relational import (
+        exact_value_quantiles,
+    )
+
+    vals = [5.0] * 10 + [1.0, 2.0, 2.0, 3.0, 9.0, 7.5, 7.5, 7.5] + [-2.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["value"])
+    qs = (1, 250, 500, 750, 900, 1000)
+    got = {
+        r["q_permille"]: r["value"]
+        for r in exact_value_quantiles(df, "value", qs).collect()
+    }
+    s = sorted(vals)
+    want = {q: s[math.ceil(q * len(s) / 1000) - 1] for q in qs}
+    assert got == want
+    # constant column: every quantile is the constant
+    const = spark.createDataFrame([(4.2,)] * 7, ["value"])
+    gc = {
+        r["q_permille"]: r["value"]
+        for r in exact_value_quantiles(const, "value", (500, 1000)).collect()
+    }
+    assert gc == {500: 4.2, 1000: 4.2}
+    # empty input -> no rows; bad q refused
+    empty = spark.createDataFrame([], "value double")
+    assert exact_value_quantiles(empty, "value", (500,)).count() == 0
+    with pytest.raises(ValueError, match="qs_permille"):
+        exact_value_quantiles(df, "value", (0,))
