@@ -126,14 +126,23 @@ def calibration_probe(spark) -> float:
     only a judge re-bench could refute — the bench ran on a loaded host
     and nothing in the artifact said so. The probe makes host noise
     legible inside the artifact itself."""
-    t0 = time.perf_counter()
-    spark.range(4_000_000).selectExpr("sum(id) as s").write.format(
-        "noop"
-    ).mode("overwrite").save()
-    return round(time.perf_counter() - t0, 4)
+    best = None
+    for _ in range(2):  # best-of-2: one-off scheduler hiccups are not load
+        t0 = time.perf_counter()
+        spark.range(4_000_000).selectExpr("sum(id) as s").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 4)
 
 
-LOAD_DRIFT_RATIO = 1.5
+# 2.5, not 1.5: an idle host's probes already drift ~1.7x from JVM
+# heap/GC state alone (measured r10: 0.17 start vs 0.29 mid-loop, both
+# directions seen), while real external load — the r7 phantom this guard
+# exists for — shows 3-7x. 1.5 fired false on two consecutive idle runs
+# and dropped every per-query value from the compact line.
+LOAD_DRIFT_RATIO = 2.5
 
 
 def load_suspect(probes: dict) -> bool:
@@ -677,7 +686,10 @@ def replay_throughput(spark, n_events: int, n_keys: int) -> tuple[float, dict]:
 # summary line, hard-capped well inside that window, and the full report
 # (per-query reps, cc, replay, aggview, propagation latency, errors)
 # is written to BENCH_DETAIL.json next to this script.
-STDOUT_BUDGET = 1500
+# 1900: the driver tails 2,000 chars of stdout; at 42 headline queries the
+# per-query map costs ~1,600 chars, and dropping it wholesale (the old
+# 1,500 cap) is strictly worse than using the real window minus margin.
+STDOUT_BUDGET = 1900
 
 
 def compact_report(report: dict) -> dict:
@@ -748,6 +760,11 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id) as s").write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm the PROBE's own shape too (4M-range sum): the first probe
+    # otherwise pays executor-thread/memory ramp-up and reads as "load"
+    # (observed: start 0.47 vs end 0.21 on an idle host -> false
+    # load_suspect, per-query values dropped from the compact line)
+    calibration_probe(spark)
     try:
         # touch the parquet read path (footer parsing, vectorized reader
         # codegen) on the smallest table so the first timed query doesn't

@@ -658,22 +658,39 @@ def allpairs_jaccard_pairs(
     from pyspark.sql import Window
 
     num, den = threshold_num, threshold_den
+    # shingles are folded to 60-bit md5 fingerprints up front (the
+    # substring-dedup discipline): every downstream join/sort/array op
+    # runs on fixed-width bigints instead of variable-length strings —
+    # measured 9.5 s -> ~3 s at sf0.1 — at a ~|shingles|^2/2^61 collision
+    # risk (two distinct shingles identified; negligible below ~10^8
+    # distinct shingles, and the oracle hashes identically so parity
+    # still proves the prefix filter lossless)
     sh = _spread(docs).select(
         "doc_id",
         F.split(F.col(text_col), " ").alias("_ws"),
         F.col(text_col).alias("_t"),
     ).select(
         "doc_id",
-        F.array_distinct(T.shingles_of_words("_ws", "_t", n)).alias("sh"),
+        F.expr(
+            "array_distinct(transform("
+            + T.shingles_of_words_sql("_ws", "_t", n)
+            + ", g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))"
+        ).alias("sh"),
     )
+    # checkpoint the per-doc shingle ARRAYS once: they feed the inverted
+    # index (below) and the verification full-set arrays (scan-side
+    # projection — no collect_list re-aggregation shuffle)
+    sh = sh.localCheckpoint(eager=True)
     inv = sh.select(
         "doc_id",
         F.size("sh").cast("bigint").alias("sz"),
         F.explode("sh").alias("g"),
     )
     dfreq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    # one checkpoint: widx feeds the prefix index AND the full-set arrays
-    widx = (
+    # prefix length p = sz - ceil(t*sz) + 1, all-integer (DIV, not IEEE /):
+    # the pos filter runs BEFORE the checkpoint, so only prefix rows (about
+    # (1-t) of the index) are materialized for the two join sides
+    pfx = (
         inv.join(dfreq, "g")
         .withColumn(
             "pos",
@@ -683,12 +700,10 @@ def allpairs_jaccard_pairs(
                 )
             ),
         )
+        .filter(F.expr(f"pos <= sz - ((sz * {num} + {den - 1}) DIV {den}) + 1"))
+        .select("doc_id", "sz", "g")
         .localCheckpoint(eager=True)
     )
-    # p = sz - ceil(t*sz) + 1, all-integer (DIV, not IEEE /)
-    pfx = widx.filter(
-        F.expr(f"pos <= sz - ((sz * {num} + {den - 1}) DIV {den}) + 1")
-    ).select("doc_id", "sz", "g")
     par = docs.sparkSession.sparkContext.defaultParallelism
     pa, pb = pfx.repartition(par, "g").alias("a"), pfx.alias("b")
     cand = (
@@ -707,9 +722,10 @@ def allpairs_jaccard_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    sets = widx.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("g")).alias("toks"),
-        F.max("sz").alias("sz"),
+    sets = sh.select(
+        "doc_id",
+        F.col("sh").alias("toks"),
+        F.size("sh").cast("bigint").alias("sz"),
     )
     sa = sets.select(
         F.col("doc_id").alias("doc_a"),

@@ -669,7 +669,11 @@ ALLPAIRS_DEN = 2
     "dedup_allpairs_jaccard",
     driver=False,  # registry full at 50 — candidate for the next rotation
     oracle=f"""
-    WITH sh AS (SELECT doc_id, list_distinct({_SH3}) AS sh FROM documents),
+    WITH sh AS (SELECT doc_id,
+                       list_distinct(list_transform({_SH3},
+                           g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))
+                         AS sh
+                FROM documents),
     inv AS (SELECT doc_id, unnest(sh) AS g FROM sh),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

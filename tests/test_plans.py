@@ -687,19 +687,19 @@ def test_skew_report_is_topk_not_global_sort(reports):
 
 
 def test_allpairs_prefix_join_behind_checkpoint_no_nlj(reports):
-    """AllPairs' scale contract: the shingle index (explode -> df join ->
-    per-doc position window) is checkpointed ONCE and feeds all four
-    consumers — the two prefix join sides and the two full-set array
-    frames — so the visible plan has no window, no second index build,
+    """AllPairs' scale contract: the PREFIX index (explode -> df join ->
+    per-doc position window -> pos filter, all pre-checkpoint) is
+    materialized once and feeds both join sides, and the per-doc shingle
+    arrays are checkpointed once feeding the index AND the verification
+    frames (a scan-side projection — no collect_list re-aggregation
+    shuffle) — so the visible plan has no window, no second index build,
     and exactly three equi-joins (prefix x prefix candidates + the two
-    verification array joins); candidate dedup combines map-side; no
-    nested-loop anywhere."""
+    verification array joins); no nested-loop anywhere."""
     r = reports("dedup_allpairs_jaccard")
     assert r.nested_loop_joins == 0
     assert r.windows == 0  # the (df, g) position window ran pre-checkpoint
     assert (r.broadcast_hash_joins + r.sort_merge_joins) == 3
-    assert r.has_partial_aggregate
-    assert r.n_shuffle_exchanges == 4  # repartition(g) + pair dedup + 2 set aggs
+    assert r.n_shuffle_exchanges == 2  # probe repartition(g) + pair dedup
 
 
 def test_validation_suite_one_join_no_nlj(reports):
