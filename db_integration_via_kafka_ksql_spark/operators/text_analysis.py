@@ -2103,3 +2103,67 @@ def quality_calibrated(docs: DataFrame) -> DataFrame:
             "ELSE (rn - 1) * 1000 DIV (n_src - 1) END"
         ).alias("q_cal_permille"),
     )
+
+
+def quality_neighbor_smoothing(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    threshold_pct: int = 40,
+    n_planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Neighbor-quality smoothing over the similarity graph: for every
+    doc with at least one embedding near-neighbor (multi-probe LSH pairs
+    at the cosine threshold, doc_id == vec_id), report its own quality
+    next to the integer mean of its neighbors' — the label-propagation
+    signal curation uses to catch docs whose OWN score is unreliable
+    (spam that reads clean, good docs with odd surface stats): a large
+    |delta| says the doc disagrees with its semantic neighborhood.
+
+    Scale shape: neighbors come from the LSH-bucketed pair generator
+    (embedding_dup_pairs multiprobe — never all-pairs), symmetrized with
+    one unionByName; quality is the one-scan fixed-order recipe; the
+    rollup is a map-side-combined groupBy on doc_id plus one join back
+    to the doc-sized quality frame. All-integer permille means
+    (sum DIV n), so the report is engine-exact.
+
+    Returns (doc_id, q_own_permille, n_neighbors, q_nbr_mean_permille,
+    delta_permille); docs with no neighbor under the threshold emit no
+    row (no neighborhood, no signal — deliberately not 0-filled).
+    """
+    from db_integration_via_kafka_ksql_spark.operators import dedup as DD
+
+    pairs = DD.embedding_dup_pairs(
+        embeddings,
+        threshold_pct=threshold_pct,
+        n_planes=n_planes,
+        dims=dims,
+        brute_force=False,
+        multiprobe=True,
+    )
+    edges = pairs.select(
+        F.col("vec_a").alias("doc_id"), F.col("vec_b").alias("nbr")
+    ).unionByName(
+        pairs.select(F.col("vec_b").alias("doc_id"), F.col("vec_a").alias("nbr"))
+    )
+    q = quality_scores(docs).select(
+        "doc_id", F.floor(F.col("quality") * 1000).cast("bigint").alias("qp")
+    )
+    nbr = (
+        edges.join(
+            q.select(F.col("doc_id").alias("nbr"), F.col("qp").alias("nq")),
+            "nbr",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+            F.sum("nq").cast("bigint").alias("nsum"),
+        )
+    )
+    return nbr.join(q, "doc_id").select(
+        "doc_id",
+        F.col("qp").alias("q_own_permille"),
+        "n_neighbors",
+        F.expr("nsum DIV n_neighbors").cast("bigint").alias("q_nbr_mean_permille"),
+        F.expr("nsum DIV n_neighbors - qp").cast("bigint").alias("delta_permille"),
+    )

@@ -703,3 +703,71 @@ def dedup_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold_num=ALLPAIRS_NUM,
         threshold_den=ALLPAIRS_DEN,
     )
+
+
+@query(
+    "quality_neighbor_smoothing",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=f"""
+    WITH q0 AS (
+        SELECT vec_id, {_QUANTIZE} AS q,
+               CAST(list_sum([x * x for x in {_QUANTIZE}]) AS BIGINT) AS n2
+        FROM embeddings
+    ),
+    qb AS (
+        SELECT vec_id, q, n2,
+               {lsh_bucket_sql_duckdb('q', EMB_LSH_PLANES, DIMS)} AS bucket
+        FROM q0
+    ),
+    qp AS (SELECT vec_id, q, n2, unnest({_PROBES}) AS probe FROM qb),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM qp a JOIN qb b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_QDOT} > 0 AND
+              CAST({_QDOT} AS DOUBLE) >= {EMB_THRESHOLD_PCT / 100}
+                * sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))
+    ),
+    edges AS (
+        SELECT vec_a AS doc_id, vec_b AS nbr FROM pairs
+        UNION ALL SELECT vec_b, vec_a FROM pairs
+    ),
+    qual AS (
+        SELECT doc_id,
+               CAST(floor(({_QUALITY_EXPR}) * 1000) AS BIGINT) AS qp
+        FROM (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   len({_DW}) AS n_dis,
+                   {_STOP_SUM} AS stop_hits,
+                   length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+                   length(text) AS n_chars
+            FROM documents
+        )
+    ),
+    nbr AS (
+        SELECT e.doc_id,
+               CAST(count(*) AS BIGINT) AS n_neighbors,
+               CAST(sum(nq.qp) AS BIGINT) AS nsum
+        FROM edges e JOIN qual nq ON nq.doc_id = e.nbr
+        GROUP BY 1
+    )
+    SELECT nbr.doc_id,
+           qual.qp AS q_own_permille,
+           n_neighbors,
+           nsum // n_neighbors AS q_nbr_mean_permille,
+           nsum // n_neighbors - qual.qp AS delta_permille
+    FROM nbr JOIN qual ON qual.doc_id = nbr.doc_id
+    """,
+)
+def quality_neighbor_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-quality smoothing over the multi-probe LSH similarity
+    graph (text_analysis.quality_neighbor_smoothing): each connected
+    doc's own quality vs the integer mean of its semantic neighbors' —
+    the label-propagation disagreement signal for curation."""
+    return TA.quality_neighbor_smoothing(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        threshold_pct=EMB_THRESHOLD_PCT,
+        n_planes=EMB_LSH_PLANES,
+        dims=DIMS,
+    )

@@ -2100,3 +2100,54 @@ def test_quality_calibrated_percentiles_and_edges(spark):
     assert (got[5]["q_cal_permille"], got[6]["q_cal_permille"]) == (0, 1000)
     for d, r in got.items():
         assert r["q_raw_permille"] == int(q[d] * 1000)
+
+
+def test_quality_neighbor_smoothing_planted_graph(spark):
+    """Three mutually-near vectors form each other's neighborhoods; the
+    orthogonal fourth emits no row; means are integer DIV of the actual
+    neighbor qualities."""
+    from db_integration_via_kafka_ksql_spark.operators.text_analysis import (
+        quality_neighbor_smoothing,
+        quality_scores,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over a lazy dog by the river",
+        2: "x y " * 6,
+        3: "many varied informative distinct tokens compose this document",
+        4: "z " * 20,
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+
+    def v(*xs):
+        return [float(x) for x in xs] + [0.0] * (64 - len(xs))
+
+    emb = spark.createDataFrame(
+        [
+            (1, v(1.0, 0.01)),
+            (2, v(1.0, -0.01)),
+            (3, v(0.99, 0.0)),
+            (4, v(0.0, 0.0, 1.0)),
+        ],
+        ["vec_id", "embedding"],
+    )
+    qp = {
+        r["doc_id"]: int(r["quality"] * 1000)
+        for r in quality_scores(docs).collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in quality_neighbor_smoothing(
+            docs, emb, threshold_pct=90
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    for d in (1, 2, 3):
+        nbrs = [n for n in (1, 2, 3) if n != d]
+        mean = sum(qp[n] for n in nbrs) // 2
+        assert got[d]["n_neighbors"] == 2, d
+        assert got[d]["q_own_permille"] == qp[d], d
+        assert got[d]["q_nbr_mean_permille"] == mean, d
+        assert got[d]["delta_permille"] == mean - qp[d], d

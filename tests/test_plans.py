@@ -787,3 +787,16 @@ def test_quality_calibration_single_source_exchange(reports):
     assert r.windows == 2
     assert r.broadcast_hash_joins + r.sort_merge_joins + r.nested_loop_joins == 0
     assert len(r.scans["documents"].read_columns) == 3
+
+
+def test_neighbor_smoothing_lsh_pairs_no_nlj(reports):
+    """Neighbor smoothing's scale contract: the neighborhood comes from
+    the LSH-bucketed pair generator (equi-joins only — never all-pairs),
+    quality joins are broadcast-sized at fixture scale, the rollup is
+    one partially-aggregated doc_id shuffle, no window."""
+    r = reports("quality_neighbor_smoothing")
+    assert r.nested_loop_joins == 0
+    assert r.sort_merge_joins == 0
+    assert r.windows == 0
+    assert r.has_partial_aggregate
+    assert r.n_shuffle_exchanges == 1  # the doc_id rollup

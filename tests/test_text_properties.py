@@ -399,3 +399,43 @@ def test_lm_fluency_ranks_incoherent_text_below_corpus_like(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r["doc_id"]: r["avg_ppm"] for r in TA.lm_fluency_scores(df).collect()}
     assert got[100] < got[1]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=_corpus,
+    tnum=st.sampled_from([(1, 3), (1, 2), (2, 3), (9, 10)]),
+)
+def test_allpairs_prefix_filter_lossless_model(spark, texts, tnum):
+    """AllPairs == python set-Jaccard ground truth for EVERY corpus and
+    threshold — the prefix filter, size filter, fingerprinting, and
+    integer threshold test may never lose (or invent) a pair."""
+    import hashlib
+
+    from db_integration_via_kafka_ksql_spark.operators import dedup as D
+
+    num, den = tnum
+    df = _docs_df(spark, texts)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.allpairs_jaccard_pairs(
+            df, n=3, threshold_num=num, threshold_den=den
+        ).collect()
+    }
+
+    def fp(words, text):
+        grams = _grams(words, 3, text)
+        return {
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams
+        }
+
+    sets = {i: fp(t.split(" "), t) for i, t in enumerate(texts)}
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter * den >= num * union:
+                    want.add((a, b))
+    assert got == want
