@@ -115,3 +115,23 @@ def test_live_stream_end_to_end(spark, tmp_path):
         q.stop()
     want = R.bm25_topk(spark, _df(spark, rows), QUERIES, top_k=10)
     assert _rows(st.serve(QUERIES, top_k=10)) == _rows(want)
+
+
+def test_epoch_compaction_preserves_index_and_serve(spark, tmp_path):
+    """compact_epochs composition: merging the per-trigger postings
+    partitions (the small-files maintenance a long-running index stream
+    needs) must change neither the cumulative index nor a single served
+    score — and a checkpoint replay of a compacted epoch stays a no-op."""
+    from db_integration_via_kafka_ksql_spark.streaming import epochdir
+
+    st = _st(spark, tmp_path)
+    for e, rows in enumerate(BATCHES):
+        st.process_batch(_df(spark, rows), e)
+    idx_before = _rows(st.index())
+    serve_before = _rows(st.serve(QUERIES, top_k=10))
+    epochdir.compact_epochs(spark, str(tmp_path / "idx"), "epoch", upto=1)
+    assert _rows(st.index()) == idx_before
+    assert _rows(st.serve(QUERIES, top_k=10)) == serve_before
+    # replay of a compacted (now file-less but committed) epoch: no-op
+    st.process_batch(_df(spark, BATCHES[0]), 0)
+    assert _rows(st.index()) == idx_before
