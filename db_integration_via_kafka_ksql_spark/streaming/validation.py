@@ -14,8 +14,9 @@ Constraint support is exactly the ADDITIVE families: a batch's
 `cumulative state after epoch e == check_constraints over everything
 arrived` holds by construction. `uniqueness` is refused at build time:
 distinct-ness is not additive over batches — cross-batch duplicates
-need the keyed state store (that's IncrementalAggView / ParquetStateStore
-territory, with per-key rows), not a counter.
+need keyed state, not a counter: `streaming/keyaudit.py`'s
+StreamingKeyAudit is that stage (one witness row per distinct key,
+reconciling exactly with this suite's batch `uniqueness` counter).
 
 State & exactly-once: cumulative counters and scored outputs both
 publish through `epochdir.commit_epoch`, outputs first (the
@@ -71,7 +72,8 @@ class StreamingValidation:
             raise ValueError(
                 "uniqueness is not additive across micro-batches — "
                 f"cross-batch distinct-ness needs keyed state, not a "
-                f"counter (refused: {bad})"
+                f"counter: use streaming.keyaudit.StreamingKeyAudit "
+                f"(refused: {bad})"
             )
 
     # -- state ------------------------------------------------------------
