@@ -148,6 +148,30 @@ class Engine:
 
         return profile_table(self.spark.table(name), cols, approx=approx)
 
+    def validate_table(self, name: str, checks: list) -> DataFrame:
+        """Constraint-suite report for a registered table (M2 companion,
+        the DESCRIBE-quality counterpart to analyze_table): every
+        expectation in `checks` (operators/validation.Constraint — see
+        completeness/uniqueness/in_set/predicate/referential builders)
+        evaluated in one aggregation pass plus one join per referential
+        check. Returns the per-constraint report frame."""
+        from db_integration_via_kafka_ksql_spark.operators.validation import (
+            check_constraints,
+        )
+
+        return check_constraints(self.spark.table(name), checks)
+
+    def assert_valid(self, name: str, checks: list) -> list[dict]:
+        """validate_table, hard-gated: raises ValueError naming every
+        failed constraint (the ingest-gate shape — a broken feed stops
+        the pipeline instead of silently skewing what's downstream).
+        Returns the report rows as dicts when everything passes."""
+        rows = [r.asDict() for r in self.validate_table(name, checks).collect()]
+        failed = [r["constraint"] for r in rows if r["status"] != "pass"]
+        if failed:
+            raise ValueError(f"table {name!r} failed constraints: {failed}")
+        return rows
+
     def terminate(self, query_name: str) -> bool:
         """ksqlDB `TERMINATE <query-id>`: stop the named continuous query.
         Returns True if a query was stopped, False if none matched —

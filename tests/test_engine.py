@@ -193,3 +193,27 @@ def test_analyze_table_profiles_registered_table(spark, sf_dir):
     assert prof["r_regionkey"]["n_rows"] == 5
     assert prof["r_regionkey"]["n_distinct"] == 5
     assert prof["r_name"]["n_null"] == 0
+
+
+def test_validate_table_and_assert_valid_gate(spark, sf_dir):
+    from db_integration_via_kafka_ksql_spark.engine import Engine
+    from db_integration_via_kafka_ksql_spark.operators import validation as VAL
+
+    eng = Engine(spark)
+    eng.register_tables(sf_dir)
+    checks = [
+        VAL.completeness("custkey_complete", "o_custkey"),
+        VAL.uniqueness("orderkey_unique", "o_orderkey"),
+        VAL.in_set("status_domain", "o_orderstatus", ("O", "F", "P")),
+    ]
+    rows = eng.assert_valid("orders", checks)
+    assert {r["constraint"] for r in rows} == {
+        "custkey_complete", "orderkey_unique", "status_domain"
+    }
+    assert all(r["status"] == "pass" for r in rows)
+    # a constraint the data cannot meet -> the gate raises and names it
+    bad = checks + [VAL.in_set("impossible_domain", "o_orderstatus", ("X",))]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="impossible_domain"):
+        eng.assert_valid("orders", bad)
