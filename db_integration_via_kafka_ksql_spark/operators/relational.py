@@ -858,3 +858,91 @@ def exact_value_quantiles(
     return one.selectExpr(
         f"stack({len(qs_permille)}, {stack}) AS (q_permille, value)"
     ).filter(F.col("value").isNotNull())
+
+
+def exact_value_quantiles_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs_permille: Sequence[int] = (500, 900),
+    n_buckets: int = 64,
+) -> DataFrame:
+    """`exact_value_quantiles`, per group — exact order statistics for
+    every group key in one pass (per-type latency percentiles, per-source
+    length medians), same selection rule: quantile q/1000 of a group =
+    the minimum value whose within-group cumulative count cum satisfies
+    cum * 1000 >= q * n_group.
+
+    Scale shape mirrors the global operator with the group key prepended
+    everywhere: distinct (group, value) counts; equi-width value bucket
+    from the GROUP's own (min, max) — a per-group bounds frame joined
+    back on the group key (dimension-sized, no single-row crossJoin
+    needed here); cumulative counts = a (group, bucket)-partitioned
+    running window plus a group-partitioned prefix-sum over the
+    |groups| x n_buckets bucket totals; one final conditional-min
+    aggregate PER GROUP. Skew note: a hot group's distinct values spread
+    over n_buckets window partitions — the window never sees more than
+    one group-bucket at a time.
+
+    Returns (group, q_permille, value); groups with only NULL values
+    emit nothing."""
+    if not qs_permille or any(not (0 < q <= 1000) for q in qs_permille):
+        raise ValueError("qs_permille must be in (0, 1000]")
+    base = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).filter(F.col("v").isNotNull() & F.col("grp").isNotNull())
+    bounds = base.groupBy("grp").agg(
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    vc = (
+        base.groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .join(bounds, "grp")
+        .select(
+            "grp",
+            "v",
+            "c",
+            "n",
+            F.expr(
+                f"CASE WHEN vmax = vmin THEN CAST(0 AS BIGINT) ELSE "
+                f"least(CAST(floor((v - vmin) / (vmax - vmin) "
+                f"* {float(n_buckets)}) AS BIGINT), {n_buckets - 1}) END"
+            ).alias("bucket"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("grp", "bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = vc.withColumn("cum_in", F.sum("c").over(wcum)).localCheckpoint(
+        eager=True
+    )
+    sizes = cum_in.groupBy("grp", "bucket").agg(F.sum("c").alias("sz"))
+    woff = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = sizes.select(
+        "grp",
+        "bucket",
+        F.coalesce(F.sum("sz").over(woff), F.lit(0)).cast("bigint").alias("off"),
+    )
+    cum = cum_in.join(offsets, ["grp", "bucket"]).select(
+        "grp", "v", "n", (F.col("off") + F.col("cum_in")).cast("bigint").alias("cum")
+    )
+    aggs = [
+        F.min(F.when(F.col("cum") * 1000 >= q * F.col("n"), F.col("v"))).alias(
+            f"_q{q}"
+        )
+        for q in qs_permille
+    ]
+    one = cum.groupBy("grp").agg(*aggs)
+    stack = ", ".join(f"CAST({q} AS BIGINT), _q{q}" for q in qs_permille)
+    return one.selectExpr(
+        f"grp AS {group_col}",
+        f"stack({len(qs_permille)}, {stack}) AS (q_permille, value)",
+    ).filter(F.col("value").isNotNull())

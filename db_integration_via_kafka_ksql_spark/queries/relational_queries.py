@@ -1249,3 +1249,40 @@ def events_value_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.exact_value_quantiles(
         load_table(spark, sf_dir, "events"), "value", EXACT_QS
     )
+
+
+GROUPED_QS = (500, 900)
+
+
+@query(
+    "events_type_value_quantiles",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type AS grp, value AS v FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    vc AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1, 2),
+    cum AS (
+        SELECT grp, v,
+               CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum
+        FROM vc
+    ),
+    nn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY 1)
+    SELECT cum.grp AS event_type, CAST(qs.q AS BIGINT) AS q_permille,
+           min(cum.v) AS value
+    FROM (VALUES {", ".join(f"({q})" for q in GROUPED_QS)}) qs(q)
+    JOIN nn ON true
+    JOIN cum ON cum.grp = nn.grp AND cum.cum * 1000 >= qs.q * nn.n
+    GROUP BY 1, 2
+    """,
+)
+def events_type_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact value quantiles
+    (relational.exact_value_quantiles_by_group): the grouped twin of the
+    global exact-quantile selection — per-group bounds join, (group,
+    bucket)-partitioned running sums, group-partitioned prefix offsets,
+    one conditional-min aggregate per group."""
+    return R.exact_value_quantiles_by_group(
+        load_table(spark, sf_dir, "events"), "event_type", "value", GROUPED_QS
+    )

@@ -800,3 +800,17 @@ def test_neighbor_smoothing_lsh_pairs_no_nlj(reports):
     assert r.windows == 0
     assert r.has_partial_aggregate
     assert r.n_shuffle_exchanges == 1  # the doc_id rollup
+
+
+def test_grouped_exact_quantiles_no_nlj_small_windows(reports):
+    """Grouped exact quantiles: the (group, bucket) cumulative sum runs
+    behind the checkpoint; visibly only the |groups| x n_buckets offset
+    window, the offsets equi-join, and partially-aggregated groupBys —
+    no nested loop (the bounds ship is a per-group JOIN here, not a
+    single-row crossJoin), no corpus-wide sort."""
+    r = reports("events_type_value_quantiles")
+    assert r.nested_loop_joins == 0
+    assert r.windows == 1
+    assert r.broadcast_hash_joins + r.sort_merge_joins == 1
+    assert r.has_partial_aggregate
+    assert r.n_shuffle_exchanges == 3

@@ -93,3 +93,31 @@ def test_exact_value_quantiles_matches_sorted_selection(spark):
     assert exact_value_quantiles(empty, "value", (500,)).count() == 0
     with pytest.raises(ValueError, match="qs_permille"):
         exact_value_quantiles(df, "value", (0,))
+
+
+def test_grouped_exact_quantiles_match_per_group_sorted_selection(spark):
+    import math
+
+    from db_integration_via_kafka_ksql_spark.operators.relational import (
+        exact_value_quantiles_by_group,
+    )
+
+    data = {
+        "a": [5.0, 1.0, 2.0, 2.0, 9.0],
+        "b": [7.5] * 4,            # constant group
+        "c": [3.0],                # single row
+    }
+    rows = [(g, v) for g, vs in data.items() for v in vs]
+    rows += [("d", None), (None, 1.0)]  # NULL value / NULL group ignored
+    df = spark.createDataFrame(rows, "grp string, value double")
+    qs = (250, 500, 1000)
+    got = {
+        (r["grp"], r["q_permille"]): r["value"]
+        for r in exact_value_quantiles_by_group(df, "grp", "value", qs).collect()
+    }
+    want = {}
+    for g, vs in data.items():
+        s = sorted(vs)
+        for q in qs:
+            want[(g, q)] = s[math.ceil(q * len(s) / 1000) - 1]
+    assert got == want  # group d (all NULL) and the NULL group are absent
