@@ -679,6 +679,87 @@ def replay_throughput(spark, n_events: int, n_keys: int) -> tuple[float, dict]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def state_write_amplification(spark) -> dict:
+    """Bytes rewritten per micro-batch trigger at two state sizes
+    (r10 VERDICT #1 'done' criterion). With the incremental
+    touched-bucket merge, per-trigger write volume is
+    |touched buckets| x bucket size — independent of TOTAL state size
+    when buckets are sized constant (n_buckets scales with keys, the
+    deployment rule). The two rows therefore land near-equal despite the
+    10x state gap; `full_rewrite_bytes` (== state size) is what the old
+    O(|state|) path moved every 2 s trigger."""
+    from pyspark.sql import functions as F
+
+    from db_integration_via_kafka_ksql_spark.streaming.state import (
+        ParquetStateStore,
+    )
+
+    out = {}
+    batch_keys = 50
+    for label, n_keys, n_buckets in (
+        ("100k_keys", 100_000, 64),
+        ("1m_keys", 1_000_000, 640),
+    ):
+        tmp = tempfile.mkdtemp(prefix="bench_wamp_")
+        try:
+            store = ParquetStateStore(
+                spark,
+                f"{tmp}/state",
+                key_cols=["key_id"],
+                order_cols=["offset"],
+                n_buckets=n_buckets,
+            )
+            base = spark.range(n_keys, numPartitions=32).select(
+                F.col("id").alias("key_id"),
+                F.col("id").alias("offset"),
+                F.concat(F.lit("payload_"), F.col("id") % 997).alias("payload"),
+                F.lit("false").alias("__deleted"),
+            )
+            store.rebuild(base)
+
+            def files(path):
+                return {
+                    os.path.relpath(os.path.join(r, f), path): (
+                        os.stat(os.path.join(r, f)).st_ino,
+                        os.path.getsize(os.path.join(r, f)),
+                    )
+                    for r, _, fs in os.walk(path)
+                    for f in fs
+                }
+
+            before = files(store.path)
+            state_bytes = sum(sz for _, sz in before.values())
+            batch = spark.range(batch_keys).select(
+                (F.col("id") * 997 % n_keys).alias("key_id"),
+                (F.col("id") + n_keys + 1).alias("offset"),
+                F.lit("updated").alias("payload"),
+                F.lit("false").alias("__deleted"),
+            )
+            t0 = time.perf_counter()
+            store.apply_batch(batch)
+            dt = time.perf_counter() - t0
+            after = files(store.path)
+            # a hard-linked carry-over keeps its inode; only genuinely new
+            # files count as written bytes
+            written = sum(
+                sz
+                for rel, (ino, sz) in after.items()
+                if before.get(rel, (None, None))[0] != ino
+            )
+            out[label] = {
+                "n_keys": n_keys,
+                "n_buckets": n_buckets,
+                "batch_keys": batch_keys,
+                "full_rewrite_bytes": state_bytes,
+                "bytes_written_per_trigger": written,
+                "write_fraction": round(written / max(state_bytes, 1), 4),
+                "trigger_sec": round(dt, 3),
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 # The per-round driver captures only the LAST ~2,000 characters of bench
 # stdout and json.loads them; round 6's single fat line (~3.2 KB once
 # per-rep timings were added) was clipped mid-JSON and BENCH_r06.json
@@ -889,6 +970,12 @@ def main() -> None:
         substrdedup = None
         errors["__substrdedup__"] = repr(e)[:500]
 
+    try:
+        write_amp = state_write_amplification(spark)
+    except Exception as e:
+        write_amp = None
+        errors["__state_write_amplification__"] = repr(e)[:500]
+
     total = round(sum(v for v in timings.values() if v is not None), 4)
     n_timed = sum(1 for v in timings.values() if v is not None)
     report = {
@@ -908,6 +995,7 @@ def main() -> None:
         "aggview": aggview,
         "substrdedup": substrdedup,
         "aggview_minmax": aggview_mm,
+        "state_write_amplification": write_amp,
         "calibration": calibration,
         "load_drift_ratio": LOAD_DRIFT_RATIO,
         "ivf_pq_split": pq_split,

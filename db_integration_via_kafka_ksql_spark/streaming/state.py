@@ -93,6 +93,59 @@ class ParquetStateStore:
             cond = cond & (F.col(k) == lits[k])
         return df.filter(cond).drop(self._BUCKET)
 
+    def _swap_buckets(self, merged: DataFrame, touched: list[int]) -> None:
+        """Publish a new state version that differs from the current one
+        only in ``touched`` bucket dirs, writing O(touched) bytes.
+
+        The merged frame (which must contain only rows hashing into
+        ``touched``) is written partitioned-by-bucket to a staging dir;
+        a next-version top dir is then assembled from hard links to the
+        untouched bucket files (O(1) bytes each) plus the freshly staged
+        touched dirs, and published with the same two-rename swap as
+        `_write_atomic` — readers still only ever see a complete state
+        version. A touched bucket whose keys were all deleted simply has
+        no staged dir and is dropped from the next version."""
+        with_bucket = merged.withColumn(
+            self._BUCKET, self._bucket_of(*[F.col(c) for c in self.key_cols])
+        )
+        staging = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
+        with_bucket.repartition(
+            max(len(touched), 1), F.col(self._BUCKET)
+        ).write.mode("overwrite").partitionBy(self._BUCKET).parquet(staging)
+        tmp = f"{self.path}__next_{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        touched_dirs = {f"{self._BUCKET}={b}" for b in touched}
+        for entry in os.listdir(self.path):
+            src = os.path.join(self.path, entry)
+            if entry in touched_dirs:
+                continue  # superseded by the staged version (or emptied)
+            if os.path.isdir(src):
+                dst = os.path.join(tmp, entry)
+                os.makedirs(dst)
+                for name in os.listdir(src):
+                    os.link(os.path.join(src, name), os.path.join(dst, name))
+            else:
+                os.link(src, os.path.join(tmp, entry))  # _SUCCESS etc.
+        staged_any = False
+        for entry in os.listdir(staging):
+            if entry.startswith(f"{self._BUCKET}="):
+                os.rename(os.path.join(staging, entry), os.path.join(tmp, entry))
+                staged_any = True
+        shutil.rmtree(staging)
+        has_data = staged_any or any(
+            e.startswith(f"{self._BUCKET}=") for e in os.listdir(tmp)
+        )
+        if not has_data:
+            # every bucket emptied: a partition-dir-less tree would lose
+            # its schema — fall back to the flat empty-write path
+            shutil.rmtree(tmp)
+            self._write_atomic(merged)
+            return
+        old = f"{self.path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)
+
     def _write_atomic(self, df: DataFrame) -> None:
         tmp = f"{self.path}__staging_{uuid.uuid4().hex[:8]}"
         # one directory per key-hash bucket (a 100M-key state splits into
@@ -120,11 +173,71 @@ class ParquetStateStore:
     def apply_batch(self, changelog_batch: DataFrame) -> None:
         """Merge one (possibly multi-version-per-key) changelog batch:
         compact the batch, then upsert/delete against current state —
-        ST1 semantics; idempotent for replays of the same batch."""
+        ST1 semantics; idempotent for replays of the same batch.
+
+        Incremental at scale: only the bucket dirs the batch's keys hash
+        into are read, merged, and rewritten (`_swap_buckets`); untouched
+        bucket files carry over as hard links, byte-identical. Per-trigger
+        cost is O(|touched buckets|), not O(|state|) — at the reference's
+        100M-key regime (TOMBSTONE_HANDLING_GUIDE.md:96-101,315-326) a
+        3k-row micro-batch rewrites at most 3k/100M of the state, where a
+        full rewrite would move 100-200 GB every 2 s trigger. The touched
+        bucket-id collect is bounded by n_buckets (ints, not keys). A
+        batch that widens the schema (evolve=True additive DDL, or a type
+        promotion through the union) must retouch every file footer, so
+        those rare batches fall back to the full rewrite."""
         compacted = cdc.compact_latest(
             changelog_batch, key_cols=self.key_cols, order_cols=self.order_cols
         )
-        if self.exists():
+        if not self.exists():
+            merged = cdc.soft_delete_filter(compacted, deleted_col=self.deleted_col)
+            self._write_atomic(merged.localCheckpoint())
+            return
+        # bounded collect: <= n_buckets distinct small ints
+        touched = sorted(
+            r[0]
+            for r in compacted.select(
+                self._bucket_of(*[F.col(c) for c in self.key_cols]).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return  # empty batch: state version unchanged
+        state_df = self.spark.read.parquet(self.path)
+        state_types = {
+            f.name: f.dataType
+            for f in state_df.schema.fields
+            if f.name != self._BUCKET
+        }
+        if self.evolve and not set(compacted.columns) <= set(state_types):
+            # additive schema change: every existing file needs the new
+            # column in its footer — full rewrite (rare: one DDL event)
+            merged = cdc.apply_changelog(
+                self.read(),
+                compacted,
+                key_cols=self.key_cols,
+                order_cols=self.order_cols,
+                deleted_col=self.deleted_col,
+                evolve=True,
+            )
+            self._write_atomic(merged.localCheckpoint())
+            return
+        affected = state_df.filter(
+            F.col(self._BUCKET).isin([int(b) for b in touched])
+        ).drop(self._BUCKET)
+        merged = cdc.apply_changelog(
+            affected,
+            compacted,
+            key_cols=self.key_cols,
+            order_cols=self.order_cols,
+            deleted_col=self.deleted_col,
+            evolve=self.evolve,
+        )
+        merged_types = {f.name: f.dataType for f in merged.schema.fields}
+        if merged_types != state_types:
+            # the union widened a type: mixed footers across bucket files
+            # would make reads schema-ambiguous — full rewrite
             merged = cdc.apply_changelog(
                 self.read(),
                 compacted,
@@ -133,11 +246,9 @@ class ParquetStateStore:
                 deleted_col=self.deleted_col,
                 evolve=self.evolve,
             )
-        else:
-            merged = cdc.soft_delete_filter(compacted, deleted_col=self.deleted_col)
-        # localCheckpoint cuts the lineage (and detaches from the old files
-        # so the atomic swap can delete them safely)
-        self._write_atomic(merged.localCheckpoint())
+            self._write_atomic(merged.localCheckpoint())
+            return
+        self._swap_buckets(merged, touched)
 
     def rebuild(self, full_changelog: DataFrame) -> None:
         """State recovery by full replay (ST5): one batch compaction over
