@@ -532,14 +532,19 @@ def image_neardup_pairs(
 ) -> DataFrame:
     """Near-duplicate image pairs by perceptual-hash hamming distance.
 
-    Candidates come from FOUR 16-bit bands of the 64-bit aHash (two per
-    32-bit half): by pigeonhole, any pair within hamming <= 3 differs in
-    at most 3 bands, so at least one band collides — band recall is
-    EXACT for the default radius (unlike the documented-approximate
-    16-bit simhash bands), which is what lets the DuckDB oracle verify
-    this with a brute-force all-pairs scan at test scale. xor+bit_count
-    rerank on both halves; zero-pixel rasters are excluded (an empty
-    image matches everything at hamming 0 — noise, not duplication).
+    Candidates come from ``max_hamming + 1`` equal-split bands of the
+    64-bit aHash (default radius 3 -> four 16-bit bands, two per 32-bit
+    half): by pigeonhole, a pair within hamming h differs in at most h
+    bands, so with h+1 bands at least one collides — band recall is
+    EXACT for ANY radius (unlike the documented-approximate 16-bit
+    simhash bands), which is what lets the DuckDB oracle verify this
+    with a brute-force all-pairs scan at test scale. Deriving the band
+    count from the radius (rather than a fixed 4) keeps that guarantee
+    when callers widen max_hamming past 3; wider radii trade it for
+    shorter bands = more candidates, the standard LSH dial.
+    xor+bit_count rerank on both halves; zero-pixel rasters are excluded
+    (an empty image matches everything at hamming 0 — noise, not
+    duplication).
 
     Scale shape (the simhash_pairs discipline, operators/dedup.py): the
     band frame is checkpointed once (it feeds both self-join sides — an
@@ -547,21 +552,39 @@ def image_neardup_pairs(
     branch), candidates are an equi-join on (band_id, band_key), never
     all-pairs; output pairs dedupe via distinct.
     """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if max_hamming >= 16:
+        # 17+ bands of a 64-bit hash are <= 3 bits wide: nearly every
+        # pair collides on some band and the join degenerates toward
+        # all-pairs — refuse rather than silently explode
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {max_hamming + 1} bands of "
+            "a 64-bit hash; bands this narrow make banding pointless"
+        )
     fp = (
         image_ahash(media, decode=decode)
         .filter((F.col("width") > 0) & (F.col("height") > 0))
         .select("doc_id", "ahash_lo", "ahash_hi")
     )
-    b16 = 1 << 16
+    n_bands = max_hamming + 1
+    # the full 64-bit pattern: hi in bits 32-63 (sign bit included — the
+    # bitwise band extraction below uses UNSIGNED shifts, so a negative
+    # bigint representation is harmless)
+    full = "(shiftleft(ahash_hi, 32) | ahash_lo)"
+    band_exprs = []
+    for band_id in range(n_bands):
+        start = band_id * 64 // n_bands
+        width = (band_id + 1) * 64 // n_bands - start
+        if width >= 64:
+            band_exprs.append(F.expr(full))
+        else:
+            mask = (1 << width) - 1
+            band_exprs.append(
+                F.expr(f"shiftrightunsigned({full}, {start}) & {mask}")
+            )
     parts = []
-    for band_id, expr in enumerate(
-        [
-            F.col("ahash_lo") % b16,
-            F.expr(f"ahash_lo DIV {b16}"),
-            F.col("ahash_hi") % b16,
-            F.expr(f"ahash_hi DIV {b16}"),
-        ]
-    ):
+    for band_id, expr in enumerate(band_exprs):
         parts.append(
             fp.select(
                 "doc_id",

@@ -689,9 +689,12 @@ class IvfPqIndex:
 
         Atomicity (the swapdir discipline, streaming/swapdir.py): all
         artifacts are written into a staging sibling and published with
-        a single rename, so a crash mid-save leaves either the old
-        index or the new one intact — never a load()-able mix of old
-        and new frames."""
+        a single rename, so a load() never observes a mix of old and
+        new frames. A crash in the narrow window between the two renames
+        leaves the last good index under a `__old_*` name rather than at
+        `path`; the next save() or load() restores it via
+        swapdir.recover before doing anything else, so no committed
+        index version is ever lost."""
         import json
         import os
         import shutil
@@ -720,9 +723,13 @@ class IvfPqIndex:
     def load(cls, spark, path: str) -> "IvfPqIndex":
         """Reopen a saved index for serving. The parquet frames read
         lazily (partition-pruned scans per serve call); only the
-        codebook json touches the driver."""
+        codebook json touches the driver. Recovers a save() that
+        crashed between its publish renames (see save)."""
         import json
 
+        from db_integration_via_kafka_ksql_spark.streaming import swapdir
+
+        swapdir.recover(path)
         with open(f"{path}/meta.json") as f:
             meta = json.load(f)
         return cls(

@@ -93,6 +93,9 @@ def _bad_expr(c: Constraint) -> Column:
     if c.kind == "completeness":
         return F.col(c.column).isNull()
     if c.kind == "in_set":
+        if not c.values:
+            # empty domain: no value conforms (and `IN ()` isn't SQL)
+            return F.lit(True)
         lits = ", ".join("'" + v.replace("'", "''") + "'" for v in c.values)
         # NULL is a domain violation too: conformance is on the row
         return ~F.expr(f"coalesce({c.column} IN ({lits}), false)")
@@ -107,8 +110,16 @@ def check_constraints(df: DataFrame, checks: list[Constraint]) -> DataFrame:
 
     metric_permille = good rows per thousand (integer DIV — exact);
     status = 'pass' iff metric_permille >= the constraint's min bar.
-    Empty input passes every constraint vacuously at metric 1000.
+    Empty input passes every constraint vacuously at metric 1000; an
+    empty `checks` list yields an empty (typed) report, so generated
+    suites compose without a special case.
     """
+    if not checks:
+        return df.sparkSession.createDataFrame(
+            [],
+            "constraint string, n_rows bigint, n_bad bigint, "
+            "metric_permille bigint, status string",
+        )
     row_level = [c for c in checks if c.kind in ("completeness", "in_set", "predicate")]
     unique = [c for c in checks if c.kind == "uniqueness"]
     refs = [c for c in checks if c.kind == "referential"]

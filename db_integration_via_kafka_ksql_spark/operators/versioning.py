@@ -10,8 +10,10 @@ cards ("v2 = v1 - 3.1M removed + 12.4M added").
 
 Semantics: rows align on a key column; content identity is the md5 of
 the fingerprint columns (concat_ws with a US unit separator so column
-boundaries can't alias: ('ab','c') != ('a','bc')). change_type is one of
-added / removed / changed / unchanged.
+boundaries can't alias: ('ab','c') != ('a','bc'); each column carries a
+0/1 null-indicator prefix so NULL != '' and a NULL column can't collapse
+out of the concatenation — ('a',NULL,'b') != ('a','b')). change_type is
+one of added / removed / changed / unchanged.
 
 Scale shape: fingerprints are scan-side column math; the diff is ONE
 full-outer sort-merge/hash join on the key (each side shuffles once —
@@ -28,7 +30,18 @@ _SEP = "\x1f"  # unit separator: unambiguous multi-column fingerprints
 
 
 def _fingerprint(cols: tuple[str, ...]):
-    return F.md5(F.concat_ws(_SEP, *[F.col(c).cast("string") for c in cols]))
+    # concat_ws SKIPS null args, so a bare cast would conflate NULL with
+    # '' and let a NULL column collapse out entirely (('a',NULL,'b') ==
+    # ('a','b')). A 0/1 null-indicator prefix per column is collision-free
+    # without needing an in-band sentinel the data could contain.
+    parts = [
+        F.concat(
+            F.when(F.col(c).isNull(), F.lit("0")).otherwise(F.lit("1")),
+            F.coalesce(F.col(c).cast("string"), F.lit("")),
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat_ws(_SEP, *parts))
 
 
 def snapshot_diff(

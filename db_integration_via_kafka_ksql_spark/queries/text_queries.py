@@ -1684,8 +1684,8 @@ def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0
     ),
-    o AS (SELECT doc_id AS k, md5(text) AS old_fp FROM old),
-    n AS (SELECT doc_id AS k, md5(text) AS new_fp FROM new)
+    o AS (SELECT doc_id AS k, md5('1' || text) AS old_fp FROM old),
+    n AS (SELECT doc_id AS k, md5('1' || text) AS new_fp FROM new)
     SELECT coalesce(o.k, n.k) AS doc_id,
            CASE WHEN o.k IS NULL THEN 'added'
                 WHEN n.k IS NULL THEN 'removed'

@@ -12,11 +12,13 @@ Contract parity with the reference sink (start-sink-connector.sh:57-87):
   instead of killing the pipeline
 
 SCALE NOTE: this sink drains the (already per-key compacted) micro-batch
-through the driver via toLocalIterator — correct for a single-writer
-target like sqlite, and bounded by #unique-keys-per-batch, not raw event
-volume. The 1000-executor path is sinks/jdbc.py (stage + server-side
-MERGE); this class exists so the full pipeline contract is testable in
-this container.
+through the driver via toLocalIterator — BOTH the upsert rows and the
+tombstoned delete keys stream in batch_size chunks (one partition
+resident at a time), so driver memory is bounded per chunk even for a
+mass-delete batch. Correct for a single-writer target like sqlite. The
+1000-executor path is sinks/jdbc.py (stage + server-side MERGE); this
+class exists so the full pipeline contract is testable in this
+container.
 """
 
 from __future__ import annotations
@@ -95,10 +97,23 @@ class DbApiSink:
                     data,
                 )
             del_sql = ddl.delete_sql(self.table, list(self.key_cols), self.dialect)
-            key_rows = [tuple(r) for r in delete_keys.select(*self.key_cols).collect()]
-            if key_rows:
+            # deletes stream through the driver in batch_size chunks like
+            # the upserts (toLocalIterator holds ONE partition at a time),
+            # never an unbounded collect; a mass-delete batch is bounded
+            # by driver memory per chunk, not per batch
+            key_iter = (
+                tuple(r)
+                for r in delete_keys.select(*self.key_cols).toLocalIterator()
+            )
+            while True:
+                key_rows = list(itertools.islice(key_iter, self.batch_size))
+                if not key_rows:
+                    break
                 self._with_retry(
-                    lambda: (con.cursor().executemany(del_sql, key_rows), con.commit()),
+                    lambda kr=key_rows: (
+                        con.cursor().executemany(del_sql, kr),
+                        con.commit(),
+                    ),
                     "delete",
                     key_rows,
                 )

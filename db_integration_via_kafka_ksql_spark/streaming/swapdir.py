@@ -10,9 +10,11 @@ directory whose marker disagrees with its contents. A crash between the
 two renames leaves either the old dir or the new dir, never a mix; dirs
 orphaned by a crash (`{path}__old_*` / `{path}__staging_*`) are inert
 (fresh uuid suffixes keep them out of every later swap's way) and are
-swept at the START of the next `swap_write` of the same path — before
-new staging begins, so a second crash can strand at most one generation
-of orphans, never an accumulating pile.
+handled at the START of the next `swap_write` (or `recover`) of the same
+path: if the crash struck inside the rename window — leaving nothing at
+`path` — the newest `__old_*` is RESTORED as the live dir, the rest are
+swept. A second crash strands at most one generation of orphans and no
+committed version is ever lost.
 """
 
 from __future__ import annotations
@@ -41,20 +43,39 @@ def read_epoch(path: str) -> int | None:
 
 
 def _sweep_orphans(path: str) -> None:
-    """Remove `{path}__old_*` / `{path}__staging_*` siblings stranded by
-    a crash between swap_write's renames. Safe at any point: the live dir
-    is exactly `path`, never a suffixed sibling, and a concurrent writer
-    is excluded by the callers' contract (one foreachBatch owner per
-    state path)."""
+    """Clean up siblings stranded by a crash between swap_write's two
+    renames, RESTORING before sweeping: if `path` itself is missing, the
+    crash struck inside the rename window and the newest `{path}__old_*`
+    is the last published version — rename it back first (deleting it
+    would destroy the only surviving copy). `__staging_*` dirs are always
+    either incomplete or published-superseded, so they just go. Safe at
+    any point: the live dir is exactly `path`, never a suffixed sibling,
+    and a concurrent writer is excluded by the callers' contract (one
+    foreachBatch owner per state path)."""
     parent = os.path.dirname(path) or "."
     base = os.path.basename(path)
     if not os.path.isdir(parent):
         return
+    olds = []
     for name in os.listdir(parent):
-        if name.startswith(f"{base}__old_") or name.startswith(
-            f"{base}__staging_"
-        ):
-            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+        full = os.path.join(parent, name)
+        if name.startswith(f"{base}__staging_"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith(f"{base}__old_"):
+            olds.append(full)
+    if olds and not os.path.isdir(path):
+        newest = max(olds, key=lambda p: os.stat(p).st_mtime)
+        os.rename(newest, path)
+        olds.remove(newest)
+    for full in olds:
+        shutil.rmtree(full, ignore_errors=True)
+
+
+def recover(path: str) -> None:
+    """Public recovery hook for read paths (e.g. reopening a saved index
+    after a crash): restores `path` from a stranded `__old_*` survivor if
+    the last swap crashed between its renames, and sweeps the rest."""
+    _sweep_orphans(path)
 
 
 def swap_write(df: DataFrame, path: str, epoch_id: int) -> None:

@@ -1985,9 +1985,9 @@ def test_ivf_pq_save_crash_leaves_old_index_intact(
         ).collect()
     )
     assert got == want
-    # a stranded staging sibling exists; the next save sweeps it and
-    # publishes the new index atomically
-    assert any("__staging_" in n for n in os.listdir(tmp_path))
+    # load() already swept the stranded staging sibling (recover runs on
+    # every reopen); the next save publishes the new index atomically
+    assert not any("__staging_" in n for n in os.listdir(tmp_path))
     new_index.save(path)
     leftovers = [
         n for n in os.listdir(tmp_path)
@@ -2151,3 +2151,57 @@ def test_quality_neighbor_smoothing_planted_graph(spark):
         assert got[d]["q_own_permille"] == qp[d], d
         assert got[d]["q_nbr_mean_permille"] == mean, d
         assert got[d]["delta_permille"] == mean - qp[d], d
+
+
+def test_ivf_pq_load_recovers_from_rename_window_crash(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE round 10: a crash BETWEEN save()'s two publish renames
+    leaves the committed index under `__old_*` and nothing at `path`;
+    load() (and the next save) must restore that survivor, not let the
+    orphan sweep destroy the only copy."""
+    import os
+
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    old_index = S.ivf_pq_fit(emb, dims=64, m=8, ksub=8, iters=1)
+    path = str(tmp_path / "ivfpq_window")
+    old_index.save(path)
+    want = sorted(
+        tuple(r)
+        for r in S.ivf_pq_serve(
+            S.IvfPqIndex.load(spark, path), [0, 1], k=3
+        ).collect()
+    )
+
+    new_index = S.ivf_pq_fit(emb.limit(200), dims=64, m=8, ksub=8, iters=1)
+    real_rename = os.rename
+    calls = []
+
+    def crash_on_second(a, b):
+        calls.append((a, b))
+        if len(calls) == 1:
+            return real_rename(a, b)  # path -> __old_ succeeds
+        raise OSError("simulated crash inside the rename window")
+
+    monkeypatch.setattr(os, "rename", crash_on_second)
+    with pytest.raises(OSError, match="rename window"):
+        new_index.save(path)
+    monkeypatch.setattr(os, "rename", real_rename)
+    assert not os.path.isdir(path)  # nothing live: the window crash shape
+
+    # load() restores the last committed index and serves it unchanged
+    got = sorted(
+        tuple(r)
+        for r in S.ivf_pq_serve(
+            S.IvfPqIndex.load(spark, path), [0, 1], k=3
+        ).collect()
+    )
+    assert got == want
+    # and a later save still publishes cleanly with no orphans left
+    new_index.save(path)
+    assert not any(
+        "__old_" in n or "__staging_" in n for n in os.listdir(tmp_path)
+    )
+    assert S.IvfPqIndex.load(spark, path).codebook == new_index.codebook

@@ -319,3 +319,61 @@ def test_audio_pcm_stats_known_waveforms(spark):
     assert got[3] == (1, 5000, 5000, 25_000_000, 0)
     assert got[4] == (0, 0, 0, 0, 0)
     assert got[5] == (0, 0, 0, 0, 0)
+
+
+def test_neardup_bands_derive_from_radius(spark):
+    """max_hamming > 3 must keep pigeonhole-exact recall: the band count
+    is derived (h+1 bands), so a radius-6 search still returns EXACTLY
+    the brute-force pairs, where the old fixed 4x16 layout silently lost
+    any pair differing in all four bands."""
+    side = 16  # 8x8 aHash blocks of 2x2 pixels each
+    base = [[((x * 16) % 256,) * 3 for x in range(side)] for _ in range(side)]
+    rasters = [base]
+    # raster k whitens k whole blocks in the dark half of the gradient:
+    # each flips ~one hash bit, spreading pair distances across 1..8
+    for k in range(1, 9):
+        img = [row[:] for row in base]
+        for b in range(k):
+            by, bx = 2 * (b % 8), 2 * (b // 8)
+            for dy in range(2):
+                for dx in range(2):
+                    img[by + dy][bx + dx] = (255, 255, 255)
+        rasters.append(img)
+    media = spark.createDataFrame(
+        [(i, make_bmp(r)) for i, r in enumerate(rasters)],
+        "doc_id long, payload binary",
+    )
+    hashes = {
+        r["doc_id"]: (r["ahash_lo"], r["ahash_hi"])
+        for r in M.image_ahash(media, decode=M.decode_image).collect()
+    }
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    for radius in (0, 5, 6):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in M.image_neardup_pairs(
+                media, max_hamming=radius, decode=M.decode_image
+            ).collect()
+        }
+        brute = {
+            (a, b): ham(hashes[a], hashes[b])
+            for a in hashes
+            for b in hashes
+            if a < b and ham(hashes[a], hashes[b]) <= radius
+        }
+        assert pairs == brute, radius
+    # sanity: the fixture actually exercises the widened radius
+    assert any(3 < h <= 6 for h in (
+        ham(hashes[a], hashes[b]) for a in hashes for b in hashes if a < b
+    ))
+
+
+def test_neardup_refuses_degenerate_radius(spark):
+    media = spark.createDataFrame([(0, b"")], "doc_id long, payload binary")
+    with pytest.raises(ValueError, match="bands"):
+        M.image_neardup_pairs(media, max_hamming=16)
+    with pytest.raises(ValueError, match=">= 0"):
+        M.image_neardup_pairs(media, max_hamming=-1)

@@ -254,3 +254,32 @@ def test_mssql_merge_rejects_duplicate_source_keys():
     sql = ddl.staged_merge_sql("t", "t__stage", ["id", "x"], ["id"], "mssql")
     with pytest.raises(ValueError, match="duplicate source key"):
         t.merge_stage(sql, [{"id": 1, "x": "a"}, {"id": 1, "x": "b"}])
+
+
+def test_dbapi_mass_delete_chunks_through_driver(spark, tmp_path):
+    """Deletes stream in batch_size chunks like upserts (ADVICE r10:
+    the old path collect()ed every tombstoned key at once): a delete
+    set spanning many chunks is fully applied, each chunk its own
+    retried statement."""
+    db = str(tmp_path / "massdel.db")
+    sink = DbApiSink(
+        connect=_connect_factory("sqlite", db),
+        table="movies_sink",
+        key_cols=["id"],
+        dialect="sqlite",
+        batch_size=7,  # force multiple delete chunks
+    )
+    n = 100
+    sink.write_batch(
+        _df(spark, [(i, f"t{i}", "false") for i in range(n)]),
+        spark.createDataFrame([], "id int"),
+    )
+    assert len(sink.read_all()) == n
+    keep = {0, 13, 99}
+    sink.write_batch(
+        spark.createDataFrame([], "id int, title string, __deleted string"),
+        spark.createDataFrame(
+            [(i,) for i in range(n) if i not in keep], ["id"]
+        ),
+    )
+    assert sorted(r[0] for r in sink.read_all()) == sorted(keep)

@@ -105,3 +105,20 @@ def test_in_set_escapes_quotes(spark):
         df, [VAL.in_set("quoted", "status", ("o'k",))]
     ).collect()
     assert rep[0]["n_bad"] == 0 and rep[0]["status"] == "pass"
+
+
+def test_empty_checks_list_yields_empty_typed_report(spark):
+    df = spark.createDataFrame([(1, None, "ok", 1.0)], SCHEMA)
+    rep = VAL.check_constraints(df, [])
+    assert rep.count() == 0
+    assert [f.name for f in rep.schema.fields] == [
+        "constraint", "n_rows", "n_bad", "metric_permille", "status",
+    ]
+
+
+def test_in_set_empty_domain_marks_every_row_bad(spark):
+    # an empty allowed set means no value conforms — and must not emit
+    # the invalid `IN ()` SQL fragment
+    df = spark.createDataFrame([(1, None, "a", 1.0), (2, None, None, 2.0)], SCHEMA)
+    rep = VAL.check_constraints(df, [VAL.in_set("none", "status", ())]).collect()
+    assert rep[0]["n_bad"] == 2 and rep[0]["status"] == "fail"

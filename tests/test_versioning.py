@@ -42,3 +42,22 @@ def test_null_fingerprint_column_stable(spark):
     new = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
     got = {r["doc_id"]: r["change_type"] for r in snapshot_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "unchanged"}
+
+
+def test_null_vs_empty_reported_as_changed(spark):
+    # the null-indicator prefix keeps NULL != '' in the fingerprint
+    old = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    got = snapshot_diff(old, new).collect()
+    assert got[0]["change_type"] == "changed"
+
+
+def test_null_column_shift_reported_as_changed(spark):
+    # concat_ws skips NULLs, so without the indicator ('a',NULL,'b') and
+    # ('a','b',NULL) would hash identically — a NULL transition between
+    # columns must be reported as changed
+    schema = "doc_id long, a string, b string, c string"
+    old = spark.createDataFrame([(1, "a", None, "b")], schema)
+    new = spark.createDataFrame([(1, "a", "b", None)], schema)
+    got = snapshot_diff(old, new, fingerprint_cols=("a", "b", "c")).collect()
+    assert got[0]["change_type"] == "changed"
