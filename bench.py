@@ -63,13 +63,13 @@ HEADLINE = [
     "dedup_embedding_pairs_lsh_mp",
     "sim_lsh_topk_mp",
     "sim_ivf_topk",
-    # includes the per-subspace codebook FIT (2 Lloyd iterations over the
-    # exploded residual frame — ~20 tiny driver-coordinated jobs), not
-    # just the serve path: the full pipeline is the oracle-gated contract.
-    # At bench scale the fit's per-job scheduling overhead dominates the
-    # row (same legibility story as cc_stress's rounds count); in
-    # production the codebook is fit once and reused across queries.
-    "sim_ivf_pq_topk",
+    # IVF-PQ is benched as TWO rows via ivf_pq_split (sim_ivf_pq_fit /
+    # sim_ivf_pq_serve), not as the combined sim_ivf_pq_topk query: the
+    # codebook FIT (2 Lloyd iterations of tiny driver-coordinated jobs)
+    # is a once-per-corpus cost that dominated the combined row at bench
+    # scale (~85-87%) and made every cross-round serve comparison need a
+    # manual explanation. The oracle-gated combined query remains the
+    # correctness contract in the registry.
     "text_fingerprints",
     "text_repetition_scores",
     "decontam_ngram_overlap",
@@ -919,8 +919,15 @@ def main() -> None:
 
     try:
         pq_split = ivf_pq_split(spark, sf_dir)
+        # the two headline rows for IVF-PQ (see HEADLINE comment): fit is
+        # once-per-corpus, serve is what a production query batch pays
+        timings["sim_ivf_pq_fit"] = pq_split["sim_ivf_pq_fit_sec"]
+        timings["sim_ivf_pq_serve"] = pq_split["sim_ivf_pq_serve_sec"]
+        rep_timings["sim_ivf_pq_serve"] = pq_split["serve_reps"]
     except Exception as e:
         pq_split = None
+        timings["sim_ivf_pq_fit"] = None
+        timings["sim_ivf_pq_serve"] = None
         errors["__ivf_pq_split__"] = repr(e)[:500]
 
     try:

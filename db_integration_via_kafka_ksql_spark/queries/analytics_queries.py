@@ -18,6 +18,7 @@ FUNNEL_STEPS = ["view", "click", "purchase"]
 
 @query(
     "events_cohort_retention",
+    driver=False,  # round-12 rotation: stable veteran slot ceded to events_type_value_quantiles
     # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH ev AS (
@@ -54,6 +55,7 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_funnel_conversion",
+    driver=False,  # round-12 rotation: stable veteran slot ceded to cdc_scd2_history
     # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH base AS (

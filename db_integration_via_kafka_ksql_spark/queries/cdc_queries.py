@@ -377,7 +377,7 @@ def interval_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "cdc_scd2_history",
-    driver=False,
+    # round-12 rotation: promoted into the driver window
     oracle="""
     WITH ch AS (
         SELECT user_id AS key_id, event_id AS version, epoch_us(ts) AS t,

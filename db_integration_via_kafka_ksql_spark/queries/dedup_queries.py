@@ -116,6 +116,7 @@ def _minhash_oracle(k: int, bands: int, threshold: float) -> str:
 
 @query(
     "dedup_minhash_lsh",
+    driver=False,  # round-12 rotation: stable veteran slot ceded to dedup_allpairs_jaccard
     oracle=_minhash_oracle(MINHASH_K, MINHASH_BANDS, MINHASH_THRESHOLD),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,7 +668,7 @@ ALLPAIRS_DEN = 2
 
 @query(
     "dedup_allpairs_jaccard",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-12 rotation: promoted into the driver window
     oracle=f"""
     WITH sh AS (SELECT doc_id,
                        list_distinct(list_transform({_SH3},
@@ -707,7 +708,7 @@ def dedup_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quality_neighbor_smoothing",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-12 rotation: promoted into the driver window
     oracle=f"""
     WITH q0 AS (
         SELECT vec_id, {_QUANTIZE} AS q,

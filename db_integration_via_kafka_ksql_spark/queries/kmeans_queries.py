@@ -133,6 +133,7 @@ pf AS (
 
 @query(
     "kmeans_cluster_sizes",
+    driver=False,  # round-12 rotation: stable veteran slot ceded to corpus_version_diff
     # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH {_kmeans_chain()}
@@ -171,6 +172,7 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "semdedup_survivors",
+    driver=False,  # round-12 rotation: stable veteran slot ceded to sample_weighted_per_source
     # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH {_kmeans_chain()},

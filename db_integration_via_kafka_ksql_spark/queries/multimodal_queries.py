@@ -246,7 +246,7 @@ def mm_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_audio_pcm_stats",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-12 rotation: promoted into the driver window
     # DuckDB replays the s16le interpretation from hex-expanded bytes:
     # sample k = byte(2k) + 256*byte(2k+1), signed via the 32768 fold —
     # identical integer math to the numpy int16 view.

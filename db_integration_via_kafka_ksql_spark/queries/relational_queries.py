@@ -749,6 +749,7 @@ PAGERANK_TOP_K = 20
 
 @query(
     "graph_pagerank_topk",
+    driver=False,  # round-12 rotation: stable veteran slot ceded to quality_neighbor_smoothing
     # round-10 rotation: promoted into the external driver window
     oracle="""
     WITH pe AS (
@@ -1114,7 +1115,7 @@ def skew_user_activity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "validate_orders_constraints",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-12 rotation: promoted into the driver window
     oracle="""
     WITH base AS (
         SELECT CAST(count(*) AS BIGINT) AS n,
@@ -1180,7 +1181,7 @@ def validate_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_bloom_pruned_urgent_qty",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-12 rotation: promoted into the driver window
     oracle="""
     SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
            CAST(count(*) AS BIGINT) AS n_items,
@@ -1224,7 +1225,7 @@ EXACT_QS = (250, 500, 750, 900)
 
 @query(
     "events_value_exact_quantiles",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-12 rotation: promoted into the driver window
     oracle=f"""
     WITH base AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
     vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1),
@@ -1256,7 +1257,7 @@ GROUPED_QS = (500, 900)
 
 @query(
     "events_type_value_quantiles",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-12 rotation: promoted into the driver window
     oracle=f"""
     WITH base AS (
         SELECT event_type AS grp, value AS v FROM events

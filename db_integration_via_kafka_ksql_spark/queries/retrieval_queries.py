@@ -108,7 +108,7 @@ _HYBRID_QDOT = (
 
 @query(
     "text_hybrid_bm25_cosine_topk",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-12 rotation: promoted into the driver window
     oracle=f"""
     WITH {{ctes}},
     cand AS (

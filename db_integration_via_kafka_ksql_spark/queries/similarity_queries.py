@@ -554,7 +554,7 @@ SEMDECON_THRESHOLD_PCT = 40
 
 @query(
     "decontam_semantic_cosine",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-12 rotation: promoted into the driver window
     oracle=f"""
     WITH q AS (SELECT vec_id, {_QUANTIZE} AS q FROM embeddings),
     c AS (SELECT vec_id, q,

@@ -180,6 +180,7 @@ def sketch_kmv_source_token_overlap(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "sketch_cms_token_counts",
+    driver=False,  # round-12 rotation: stable veteran slot ceded to events_value_exact_quantiles
     # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH toks AS (

@@ -53,6 +53,7 @@ _STOP_SUM = " + ".join(_sw_hits(lang) for lang in T.STOPWORDS)
 
 @query(
     "text_quality_scores",
+    driver=False,  # round-12 rotation: stable veteran slot ceded to text_quality_calibrated
     oracle=f"""
     SELECT doc_id,
            CAST(n_tok AS BIGINT) AS n_tokens,
@@ -354,6 +355,7 @@ DECONTAM_N = 5
 
 @query(
     "decontam_ngram_overlap",
+    driver=False,  # round-12 rotation: stable veteran slot ceded to decontam_semantic_cosine
     oracle=f"""
     WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
     d AS (SELECT doc_id, list_distinct({_sh(DECONTAM_N)}) AS grams FROM ws),
@@ -577,7 +579,7 @@ def text_duplicate_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_cut_span_removal",
-    driver=False,  # aux: the applied form of the driver-slotted cut spans
+    # round-12 rotation: promoted into the driver window
     oracle=f"""
     WITH {_DUPSUB_CTES},
     tok AS (
@@ -710,6 +712,7 @@ _PII_I = TA.PII_PATTERNS["ipv4"]
 
 @query(
     "pii_scrub_contacts",
+    driver=False,  # round-12 rotation: stable veteran slot ceded to mm_audio_pcm_stats
     # the contact blob is built deterministically FROM the driver's own
     # customer table (the testdata contains no literal PII), so the driver
     # row exercises real match+redact work with per-row-varying content.
@@ -1034,6 +1037,7 @@ MIX_BUDGET_TOKENS = 15_000
 
 @query(
     "mixture_token_budget",
+    driver=False,  # round-12 rotation: stable veteran slot ceded to join_bloom_pruned_urgent_qty
     # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH avail AS (
@@ -1417,6 +1421,7 @@ NOVELTY_N = 3
 
 @query(
     "text_ngram_novelty",
+    driver=False,  # round-12 rotation: stable veteran slot ceded to text_cut_span_removal
     # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH sh AS (
@@ -1512,6 +1517,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_winnowing_overlap_pairs",
+    driver=False,  # round-12 rotation: stable veteran slot ceded to validate_orders_constraints
     # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH {_WINNOW_CTES},
@@ -1590,6 +1596,7 @@ _PMI_LN = _det_ln_sql(_PMI_LIFT, "duckdb")
 
 @query(
     "text_pmi_collocations",
+    driver=False,  # round-12 rotation: stable veteran slot ceded to text_hybrid_bm25_cosine_topk
     # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
@@ -1634,7 +1641,7 @@ _WS_LN = _det_ln_sql(
 
 @query(
     "sample_weighted_per_source",
-    driver=False,
+    # round-12 rotation: promoted into the driver window
     oracle=f"""
     WITH h AS (
         SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
@@ -1671,7 +1678,7 @@ def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_version_diff",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-12 rotation: promoted into the driver window
     # deterministic crawl-refresh simulation (same derivation both sides):
     # %7 docs dropped, %5 docs re-crawled with edited text, %11 docs
     # re-appear under new ids — every change leg exercised on real text.
@@ -1829,7 +1836,7 @@ def quality_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_quality_calibrated",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-12 rotation: promoted into the driver window
     oracle=f"""
     WITH scored AS (
         SELECT doc_id, source, ({_QUALITY_EXPR}) AS quality
