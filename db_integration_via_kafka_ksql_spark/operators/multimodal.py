@@ -214,24 +214,134 @@ def _decode_pnm(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, gray.tobytes()
 
 
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
+    """Reverse the PNG per-scanline filters (spec §6: None/Sub/Up/
+    Average/Paeth). Sub/Average/Paeth carry an intra-row sequential
+    dependency, so rows reconstruct byte-at-a-time — fine for the
+    metadata-scale rasters this native decoder exists for; a production
+    cluster swaps decode_image for a codec library wholesale."""
+    out = bytearray(h * stride)
+    prev = bytearray(stride)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if ftype == 0:  # None
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG unknown filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return bytes(out)
+
+
+# PNG color type -> samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Non-interlaced 8-bit PNG (gray / RGB / gray+alpha / RGBA) →
+    (w, h, grayscale raster) using only stdlib zlib: chunk walk with CRC
+    check, concatenated-IDAT inflate, per-scanline unfilter, then the
+    same integer BT.601 luma as the BMP/PNM paths (alpha is ignored —
+    hashing keys on color content). Palette (type 3), 16-bit, and Adam7
+    interlace stay out of scope with explicit errors."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pos = 8  # signature already sniffed
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("PNG truncated inside a chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if w <= 0 or h <= 0:
+        raise ValueError(f"PNG invalid dims {w}x{h}")
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG nonstandard compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported (8 only)")
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG color type {color} not supported (palette needs PLTE "
+            "handling; gray/RGB/gray+alpha/RGBA decode natively)"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG inflated size disagrees with IHDR geometry")
+    flat = _png_unfilter(raw, h, stride, bpp=ch)
+    raster = np.frombuffer(flat, dtype=np.uint8).reshape(h, w, ch)
+    if color == 0:
+        gray = raster[..., 0]
+    elif color == 4:  # gray + alpha: luma IS the gray sample
+        gray = raster[..., 0]
+    else:  # RGB / RGBA
+        gray = _luma(raster[..., :3])
+    return w, h, gray.tobytes()
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload to (width, height, grayscale raster bytes,
     row-major top-down, 1 byte/px).
 
-    Codec-free formats decode NATIVELY (numpy only, deterministic
-    integer BT.601 luma): BMP (BI_RGB 24/32-bit) and binary PPM/PGM.
-    Compressed formats (JPEG/PNG) remain the documented stub — their
-    codecs (PIL/libjpeg) are not in this container; on a real cluster
-    swap the NotImplementedError branch for
-    `PIL.Image.open(io.BytesIO(payload))`."""
+    Codec-free formats decode NATIVELY (stdlib + numpy, deterministic
+    integer BT.601 luma): BMP (BI_RGB 24/32-bit), binary PPM/PGM, and
+    non-interlaced 8-bit PNG (gray/RGB/gray+alpha/RGBA — zlib inflate +
+    per-scanline unfilter). JPEG remains the documented stub — its codec
+    (PIL/libjpeg) is not in this container; on a real cluster swap the
+    NotImplementedError branch for `PIL.Image.open(io.BytesIO(payload))`."""
     fmt = sniff_media_format(payload)
     if fmt == "bmp":
         return _decode_bmp(payload)
     if fmt == "pnm":
         return _decode_pnm(payload)
+    if fmt == "png":
+        return _decode_png(payload)
     raise NotImplementedError(
         f"decoding {fmt or 'unrecognized'} payloads requires a codec "
-        "library (PIL/libjpeg, not in this container); BMP/PPM/PGM "
+        "library (PIL/libjpeg, not in this container); BMP/PPM/PGM/PNG "
         "decode natively, or use _fake_decode for deterministic testing"
     )
 

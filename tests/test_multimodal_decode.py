@@ -131,7 +131,9 @@ def test_pnm_maxval_rescaled_and_invalid_rejected():
 
 
 def test_compressed_formats_stay_explicit_stub():
-    with pytest.raises(NotImplementedError):
+    # PNG decodes natively since round 12 (see the PNG section below);
+    # a garbage body behind the PNG signature is malformed, not a stub
+    with pytest.raises(ValueError):
         M.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
@@ -377,3 +379,160 @@ def test_neardup_refuses_degenerate_radius(spark):
         M.image_neardup_pairs(media, max_hamming=16)
     with pytest.raises(ValueError, match=">= 0"):
         M.image_neardup_pairs(media, max_hamming=-1)
+
+
+# ---------------------------------------------------------------- PNG --
+import zlib
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_line(line, prev, bpp, ftype):
+    """Forward PNG filter (the encoder side) — independent python model
+    of the decoder's unfilter."""
+    out = bytearray(line)
+    if ftype == 0:
+        pass
+    elif ftype == 1:
+        for x in range(len(line) - 1, bpp - 1, -1):
+            out[x] = (line[x] - line[x - bpp]) & 0xFF
+    elif ftype == 2:
+        for x in range(len(line)):
+            out[x] = (line[x] - prev[x]) & 0xFF
+    elif ftype == 3:
+        for x in range(len(line)):
+            a = line[x - bpp] if x >= bpp else 0
+            out[x] = (line[x] - ((a + prev[x]) >> 1)) & 0xFF
+    elif ftype == 4:
+        for x in range(len(line)):
+            a = line[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out[x] = (line[x] - pred) & 0xFF
+    return bytes(out)
+
+
+def make_png(raster, color_type, filters=None, interlace=0, depth=8):
+    """Minimal PNG encoder: `raster` is an h x w x ch numpy array
+    (uint8); `filters` picks the per-row filter type (default cycles
+    0..4 so every filter is exercised)."""
+    import struct
+
+    h, w, ch = raster.shape
+    stride = w * ch
+    body = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        ftype = (filters[y] if filters else y % 5)
+        line = raster[y].tobytes()
+        body.append(ftype)
+        body += _png_filter_line(line, prev, ch, ftype)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _test_raster(h, w, ch, seed=3):
+    # deterministic, hits high-frequency patterns so every filter's
+    # reconstruction path carries non-trivial values
+    vals = np.arange(h * w * ch, dtype=np.int64)
+    return ((vals * 151 + seed * 7919) % 256).astype(np.uint8).reshape(
+        h, w, ch
+    )
+
+
+def test_png_roundtrip_every_filter_and_color_type():
+    for color_type, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        raster = _test_raster(10, 7, ch)
+        w, h, gray = M.decode_image(make_png(raster, color_type))
+        assert (w, h) == (7, 10)
+        got = np.frombuffer(gray, dtype=np.uint8).reshape(10, 7)
+        if color_type in (0, 4):
+            want = raster[..., 0]
+        else:
+            px = raster[..., :3].astype(np.int64)
+            want = (
+                (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2])
+                // 1000
+            ).astype(np.uint8)
+        assert np.array_equal(got, want), color_type
+
+
+def test_png_paeth_filter_roundtrip():
+    # every row Paeth-filtered: the trickiest predictor reconstructs
+    # bit-exactly, including the first row (b=c=0) and first pixel (a=0)
+    raster = _test_raster(9, 11, 3, seed=8)
+    payload = make_png(raster, 2, filters=[4] * 9)
+    w, h, gray = M.decode_image(payload)
+    px = raster.astype(np.int64)
+    want = (
+        (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+    ).astype(np.uint8)
+    assert np.array_equal(
+        np.frombuffer(gray, dtype=np.uint8).reshape(9, 11), want
+    )
+
+
+def test_png_rejects_unsupported_shapes():
+    raster = _test_raster(4, 4, 3)
+    with pytest.raises(NotImplementedError, match="interlace"):
+        M.decode_image(make_png(raster, 2, interlace=1))
+    with pytest.raises(NotImplementedError, match="8 only"):
+        M.decode_image(make_png(raster, 2, depth=16))
+    bad = bytearray(make_png(raster, 2))
+    bad[-20] ^= 0xFF  # corrupt inside IDAT: CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_image(bytes(bad))
+
+
+def test_png_ahash_matches_bmp_twin(spark):
+    """The same raster through PNG and BMP must produce bit-identical
+    aHashes (both decode to the same luma raster), and the banded
+    near-dup join pairs them at hamming 0."""
+    side = 16
+    rgb = [
+        [((x * 16) % 256, (y * 7) % 256, (x * y) % 256) for x in range(side)]
+        for y in range(side)
+    ]
+    raster = np.array(rgb, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (0, make_bmp(rgb)),
+            (1, make_png(raster, 2)),           # RGB PNG, cycling filters
+            # RGBA twin: opaque alpha channel must not affect the luma
+            (2, make_png(
+                np.dstack([raster, np.full((side, side, 1), 255, np.uint8)]),
+                6,
+            )),
+        ],
+        "doc_id long, payload binary",
+    )
+    hashes = {
+        r["doc_id"]: (r["ahash_lo"], r["ahash_hi"])
+        for r in M.image_ahash(media, decode=M.decode_image).collect()
+    }
+    assert hashes[0] == hashes[1] == hashes[2]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in M.image_neardup_pairs(
+            media, max_hamming=0, decode=M.decode_image
+        ).collect()
+    }
+    assert pairs == {(0, 1): 0, (0, 2): 0, (1, 2): 0}
