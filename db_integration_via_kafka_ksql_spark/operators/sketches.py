@@ -409,3 +409,43 @@ def loghist_quantiles(
         .filter(F.col("rn") == 1)
         .select(*group_cols, "q_permille", "bucket", "cum", "n_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# guaranteed heavy hitters (the Misra-Gries support threshold)
+# ---------------------------------------------------------------------------
+
+def heavy_hitters_exact(
+    items: DataFrame, item_col: str = "item", k: int = 20
+) -> DataFrame:
+    """Items GUARANTEED to clear the Misra-Gries support threshold:
+    every item whose exact count exceeds n/(k+1) — by pigeonhole at most
+    k items qualify, which is precisely the set a k-counter MG/
+    SpaceSaving summary is guaranteed to retain (Misra & Gries 1982;
+    Agarwal et al., Mergeable Summaries, PODS'12). This is the BATCH
+    ground truth the streaming bounded-state twin
+    (streaming/heavyhitters.py) is contract-tested against.
+
+    The threshold compare is the integer cross-multiplication
+    ``cnt * (k+1) > n_total`` — no division, engine-exact.
+
+    Scale shape: one map-side-combined count shuffle reduces the corpus
+    to its dictionary; the grand total rides a single-row broadcast
+    (annotated NLJ) and the filter leaves <= k rows. No window, no sort
+    (callers order the k-row result if they care).
+
+    Output: (item, cnt, n_total).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = (
+        items.groupBy(F.col(item_col).alias("item"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)  # feeds the total AND the filter
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * (k + 1) > F.col("n_total"))
+        .select("item", "cnt", "n_total")
+    )

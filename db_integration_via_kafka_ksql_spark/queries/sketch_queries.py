@@ -297,3 +297,38 @@ def sketch_loghist_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFram
     ev = load_table(spark, sf_dir, "events")
     h = SK.loghist_sketch(ev, ["event_type"], "value")
     return SK.loghist_quantiles(h, ["event_type"], LOGHIST_QS)
+
+
+MG_K = 20
+
+
+@query(
+    "sketch_mg_heavy_tokens",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    # exact integer replay: counts, single-row total, and the Misra-Gries
+    # support threshold as a cross-multiplication (cnt*(k+1) > n) — no
+    # division anywhere
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ),
+    c AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY item
+    ),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+    SELECT item, cnt, n_total
+    FROM c, n
+    WHERE cnt * {MG_K + 1} > n_total
+    """,
+)
+def sketch_mg_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guaranteed heavy hitters over the document token stream
+    (operators/sketches.heavy_hitters_exact): every token whose count
+    clears the Misra-Gries n/(k+1) support threshold — the batch ground
+    truth for the k-counter streaming MG state
+    (streaming/heavyhitters.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("item")
+    )
+    return SK.heavy_hitters_exact(toks, "item", k=MG_K)

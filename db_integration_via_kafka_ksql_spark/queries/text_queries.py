@@ -1873,3 +1873,4 @@ def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     planning stop inheriting each source's score miscalibration. One
     source-partitioned window, deterministic doc_id tie order."""
     return TA.quality_calibrated(load_table(spark, sf_dir, "documents"))
+

@@ -814,3 +814,16 @@ def test_grouped_exact_quantiles_no_nlj_small_windows(reports):
     assert r.broadcast_hash_joins + r.sort_merge_joins == 1
     assert r.has_partial_aggregate
     assert r.n_shuffle_exchanges == 3
+
+
+def test_mg_heavy_hitters_filter_stays_post_agg(reports):
+    """heavy_hitters_exact: one map-side-combined count shuffle (over
+    the checkpointed counts — the corpus scan ran once at checkpoint
+    time), the grand total as a single-row broadcast NLJ, and no window
+    or sort anywhere: the support compare is a plain filter on the
+    <= k surviving rows."""
+    r = reports("sketch_mg_heavy_tokens")
+    assert r.windows == 0
+    assert not r.take_ordered
+    assert r.nested_loop_joins  # the annotated single-row total broadcast
+    assert r.n_shuffle_exchanges <= 1
