@@ -201,3 +201,50 @@ def hybrid_topk(
         scored.withColumn("rnk", F.row_number().over(win))
         .filter(F.col("rnk") <= top_k)
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame], rrf_k: int = 60, top_k: int = 5
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    fuse any number of per-query ranked lists by summing 1/(rrf_k + rnk)
+    across the lists each document appears in — the standard
+    score-free alternative to hybrid_topk's weighted rerank (no
+    cross-system score calibration needed; rank position is the only
+    signal, which is why rrf_k=60 is the near-universal default).
+
+    Exactness: each contribution is the INTEGER 1e9 DIV (rrf_k + rnk) —
+    nano-units, no division of doubles — so the fused score is a plain
+    BIGINT sum and the DuckDB oracle replays it exactly. Final order
+    (rrf_nano DESC, doc_id ASC) is total.
+
+    Inputs are (query_id, doc_id, rnk) frames, rnk 1-based; each ranker
+    emits its own bounded top-R list (the fusion operates on
+    |queries| x R rows per list, never corpus-sized frames — the
+    rankers themselves are the scale paths).
+
+    Output: (query_id, doc_id, rrf_nano, n_lists, rnk), rnk 1..top_k.
+    """
+    from pyspark.sql.window import Window
+
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    unioned = ranked[0].select("query_id", "doc_id", "rnk")
+    for r in ranked[1:]:
+        unioned = unioned.unionByName(r.select("query_id", "doc_id", "rnk"))
+    contrib = unioned.withColumn(
+        "_c",
+        F.expr(f"CAST(1000000000 AS BIGINT) DIV ({int(rrf_k)} + rnk)"),
+    )
+    fused = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("_c").cast("bigint").alias("rrf_nano"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lists"),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_nano").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rnk") <= top_k)
+        .select("query_id", "doc_id", "rrf_nano", "n_lists", "rnk")
+    )

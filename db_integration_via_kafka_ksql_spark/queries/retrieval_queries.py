@@ -9,6 +9,7 @@ the distributed retrieval end to end.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from db_integration_via_kafka_ksql_spark.functions.detmath import dlit
 from db_integration_via_kafka_ksql_spark.io import load_table
@@ -148,3 +149,73 @@ def text_hybrid_bm25_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand_k=HYBRID_CAND_K,
         top_k=HYBRID_TOP_K,
     )
+
+
+RRF_R = 25       # each ranker contributes its top-R list
+RRF_K = 60       # the near-universal RRF constant
+RRF_TOP_K = 5
+
+
+@query(
+    "text_rrf_fusion_topk",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    # replay: both ranked lists (the shared BM25 CTE chain + the brute
+    # cosine ranking), then pure-integer fusion — each contribution is
+    # 1e9 // (60 + rnk), summed as BIGINT; no score calibration, no
+    # doubles, total (rrf_nano DESC, doc_id ASC) order
+    oracle=f"""
+    WITH {{ctes}},
+    lex AS (
+        SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {RRF_R}
+    ),
+    qv0 AS (SELECT vec_id, {_QUANT} AS q FROM embeddings),
+    ds AS (
+        SELECT qs.vec_id AS query_id, c.vec_id AS doc_id,
+               CAST(list_sum([c.q[i] * qs.q[i]
+                              for i in generate_series(1, 64)]) AS BIGINT)
+                   AS qdot
+        FROM qv0 qs JOIN qv0 c
+          ON qs.vec_id IN ({_QIDS_SQL}) AND c.vec_id <> qs.vec_id
+    ),
+    dense AS (
+        SELECT query_id, doc_id, rnk FROM (
+            SELECT query_id, doc_id, CAST(row_number() OVER (
+                PARTITION BY query_id ORDER BY qdot DESC, doc_id ASC
+            ) AS INTEGER) AS rnk
+            FROM ds
+        ) WHERE rnk <= {RRF_R}
+    ),
+    u AS (SELECT * FROM lex UNION ALL SELECT * FROM dense),
+    f AS (
+        SELECT query_id, doc_id,
+               CAST(sum(1000000000 // ({RRF_K} + rnk)) AS BIGINT) AS rrf_nano,
+               CAST(count(*) AS BIGINT) AS n_lists
+        FROM u GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_nano, n_lists, rnk FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_nano DESC, doc_id ASC
+        ) AS INTEGER) AS rnk
+        FROM f
+    ) WHERE rnk <= {RRF_TOP_K}
+    """.replace("{ctes}", _bm25_ctes()),
+)
+def text_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical and dense rankers
+    (retrieval.rrf_fuse): BM25 top-{R} and brute-cosine top-{R} lists
+    fused by integer 1e9//(60+rnk) contributions — the calibration-free
+    hybrid (vs text_hybrid_bm25_cosine_topk's cascade, which needs the
+    dense score to rerank). The brute cosine list is the oracle-exact
+    stand-in for the IVF scale path."""
+    from db_integration_via_kafka_ksql_spark.operators import similarity as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = R.bm25_topk(spark, docs, BM25_QUERIES, top_k=RRF_R).select(
+        "query_id", "doc_id", "rnk"
+    )
+    qids = [qid for qid, _ in BM25_QUERIES]
+    dense = S.brute_topk(emb, qids, k=RRF_R).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rnk"
+    )
+    return R.rrf_fuse([lex, dense], rrf_k=RRF_K, top_k=RRF_TOP_K)

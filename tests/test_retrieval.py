@@ -108,3 +108,33 @@ def test_hybrid_is_reranked_subset_of_bm25_candidates(spark, sf_dir):
     }
     hy1 = {r["query_id"]: r["doc_id"] for r in hyb if r["rnk"] == 1}
     assert any(bm1[q] != hy1[q] for q in hy1)
+
+
+def test_rrf_fuse_semantics(spark):
+    """RRF hand-check: doc B (rank 2 + rank 1) outfuses doc A (rank 1 in
+    one list only): 1e9//62 + 1e9//61 > 1e9//61; ties break on doc_id;
+    n_lists counts the contributing rankers; empty input refused."""
+    import pytest
+
+    from db_integration_via_kafka_ksql_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id int, doc_id long, rnk int",
+    )
+    dense = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2)], "query_id int, doc_id long, rnk int"
+    )
+    got = {
+        r["doc_id"]: (r["rrf_nano"], r["n_lists"], r["rnk"])
+        for r in rrf_fuse([lex, dense], rrf_k=60, top_k=4).collect()
+    }
+    b = 10**9
+    assert got[20] == (b // 62 + b // 61, 2, 1)   # fused beats singles
+    assert got[10] == (b // 61, 1, 2)
+    assert got[40] == (b // 62, 1, 3)
+    assert got[30] == (b // 63, 1, 4)
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
