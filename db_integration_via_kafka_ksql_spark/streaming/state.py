@@ -93,6 +93,17 @@ class ParquetStateStore:
             cond = cond & (F.col(k) == lits[k])
         return df.filter(cond).drop(self._BUCKET)
 
+    @staticmethod
+    def _carry(src: str, dst: str) -> None:
+        """Carry an untouched file into the next state version: hard link
+        (O(1) bytes) where the filesystem supports it, byte copy where it
+        doesn't (object-store-backed mounts) — still correct, just loses
+        the O(1) carry-over."""
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+
     def _swap_buckets(self, merged: DataFrame, touched: list[int]) -> None:
         """Publish a new state version that differs from the current one
         only in ``touched`` bucket dirs, writing O(touched) bytes.
@@ -123,9 +134,9 @@ class ParquetStateStore:
                 dst = os.path.join(tmp, entry)
                 os.makedirs(dst)
                 for name in os.listdir(src):
-                    os.link(os.path.join(src, name), os.path.join(dst, name))
+                    self._carry(os.path.join(src, name), os.path.join(dst, name))
             else:
-                os.link(src, os.path.join(tmp, entry))  # _SUCCESS etc.
+                self._carry(src, os.path.join(tmp, entry))  # _SUCCESS etc.
         staged_any = False
         for entry in os.listdir(staging):
             if entry.startswith(f"{self._BUCKET}="):

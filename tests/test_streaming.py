@@ -621,3 +621,34 @@ def test_apply_batch_delete_drops_only_touched_bucket(spark, tmp_path):
     assert store.lookup(id=5).count() == 0
     survivor = next(i for i in ids if i not in victims)
     assert store.lookup(id=survivor).count() == 1
+
+
+def test_swap_buckets_copy_fallback_when_hardlinks_unsupported(
+    spark, tmp_path, monkeypatch
+):
+    """Filesystems without hard links (object-store mounts) fall back to
+    byte copies for untouched-bucket carry-over — results identical,
+    only the O(1)-bytes property is lost."""
+    import os as _os
+
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), key_cols=["id"], order_cols=["offset"],
+        n_buckets=8,
+    )
+    schema = "id long, payload string, __deleted string, offset long"
+    store.apply_batch(
+        spark.createDataFrame(
+            [(i, f"p{i}", "false", i) for i in range(1, 101)], schema
+        )
+    )
+
+    def no_link(src, dst):
+        raise OSError("hard links not supported here")
+
+    monkeypatch.setattr(_os, "link", no_link)
+    store.apply_batch(
+        spark.createDataFrame([(42, "p42b", "false", 1000)], schema)
+    )
+    snap = {r["id"]: r["payload"] for r in store.read().collect()}
+    assert snap[42] == "p42b" and len(snap) == 100 and snap[7] == "p7"
+    assert store.lookup(id=42).collect()[0]["payload"] == "p42b"

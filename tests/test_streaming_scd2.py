@@ -203,3 +203,24 @@ def test_live_stream_end_to_end(spark, tmp_path):
         q.stop()
         q.awaitTermination(30)
     assert _got(st) == _want(spark, rows)
+
+
+def test_closed_epoch_compaction_composition(spark, tmp_path):
+    """compact_epochs over the append-only CLOSED-version output (epochs
+    are provenance there — the open snapshot is latest-before state and
+    must NOT be compacted): history() is row-identical after compaction,
+    a replay of a compacted epoch stays a no-op, and later batches
+    continue the prefix."""
+    from db_integration_via_kafka_ksql_spark.streaming import epochdir
+
+    st = _st(spark, tmp_path)
+    st.process_batch(_df(spark, BATCHES[0]), 0)
+    st.process_batch(_df(spark, BATCHES[1]), 1)
+    before = _got(st)
+    stats = epochdir.compact_epochs(spark, st.output_path, "epoch", upto=1)
+    assert stats["compacted_epochs"] >= 1
+    assert _got(st) == before
+    st.process_batch(_df(spark, BATCHES[1]), 1)  # replay: still a no-op
+    assert _got(st) == before
+    st.process_batch(_df(spark, BATCHES[2]), 2)
+    assert _got(st) == _want(spark, [r for b in BATCHES for r in b])
