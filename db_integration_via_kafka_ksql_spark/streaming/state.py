@@ -295,6 +295,28 @@ class ParquetStateStore:
             self._write_atomic(kept.localCheckpoint())
         return dropped
 
+    def rescale_buckets(self, new_n_buckets: int) -> None:
+        """Maintenance rebuild to a new bucket count — the operational
+        knob behind the incremental apply_batch: per-trigger write volume
+        is |touched buckets| x bucket size, so a growing state keeps its
+        buckets at a constant target size by rescaling (the deployment
+        rule the bench's state_write_amplification section demonstrates:
+        100k keys / 64 buckets and 1m / 640 write the same bytes per
+        trigger). n_buckets is part of the on-disk identity (lookup
+        constant-folds pmod(hash, n)), so this is BY DESIGN a full
+        rewrite — one range of maintenance downtime per decade of
+        growth, published with the same atomic swap as every write.
+        Safe against a crash at any point: the old layout stays live
+        until the single publish rename."""
+        if new_n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+        if not self.exists():
+            self.n_buckets = new_n_buckets
+            return
+        current = self.read().localCheckpoint()
+        self.n_buckets = new_n_buckets
+        self._write_atomic(current)
+
     def destroy(self) -> None:
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)

@@ -652,3 +652,36 @@ def test_swap_buckets_copy_fallback_when_hardlinks_unsupported(
     snap = {r["id"]: r["payload"] for r in store.read().collect()}
     assert snap[42] == "p42b" and len(snap) == 100 and snap[7] == "p7"
     assert store.lookup(id=42).collect()[0]["payload"] == "p42b"
+
+
+def test_rescale_buckets_preserves_state_and_pruned_lookup(spark, tmp_path):
+    """rescale_buckets is the maintenance rebuild that keeps bucket size
+    constant as state grows: contents identical, the bucket layout moves
+    to the new count, and point lookups keep pruning (now against the
+    new n)."""
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), key_cols=["id"], order_cols=["offset"],
+        n_buckets=4,
+    )
+    schema = "id long, payload string, __deleted string, offset long"
+    store.apply_batch(
+        spark.createDataFrame(
+            [(i, f"p{i}", "false", i) for i in range(1, 101)], schema
+        )
+    )
+    before = {r["id"]: r["payload"] for r in store.read().collect()}
+    store.rescale_buckets(16)
+    assert {r["id"]: r["payload"] for r in store.read().collect()} == before
+    dirs = {
+        n for n in __import__("os").listdir(store.path)
+        if n.startswith(store._BUCKET)
+    }
+    assert len(dirs) == 16
+    assert store.lookup(id=42).collect()[0]["payload"] == "p42"
+    # incremental writes continue against the new layout
+    store.apply_batch(
+        spark.createDataFrame([(42, "p42b", "false", 1000)], schema)
+    )
+    assert store.lookup(id=42).collect()[0]["payload"] == "p42b"
+    with __import__("pytest").raises(ValueError, match="n_buckets"):
+        store.rescale_buckets(0)
