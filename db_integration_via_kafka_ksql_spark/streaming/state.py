@@ -204,6 +204,23 @@ class ParquetStateStore:
             merged = cdc.soft_delete_filter(compacted, deleted_col=self.deleted_col)
             self._write_atomic(merged.localCheckpoint())
             return
+        state_df = self.spark.read.parquet(self.path)
+        state_types = {
+            f.name: f.dataType
+            for f in state_df.schema.fields
+            if f.name != self._BUCKET
+        }
+        # murmur3 is TYPE-sensitive (hash(42 int) != hash(42 long)), so a
+        # batch whose key arrived narrower than the stored column would
+        # compute the WRONG touched-bucket set and miss the state row's
+        # bucket entirely — cast batch keys to the stored key types first
+        # (the same rule `lookup` applies to its literals)
+        batch_types = {f.name: f.dataType for f in compacted.schema.fields}
+        for k in self.key_cols:
+            if k in state_types and batch_types[k] != state_types[k]:
+                compacted = compacted.withColumn(
+                    k, F.col(k).cast(state_types[k])
+                )
         # bounded collect: <= n_buckets distinct small ints
         touched = sorted(
             r[0]
@@ -215,12 +232,6 @@ class ParquetStateStore:
         )
         if not touched:
             return  # empty batch: state version unchanged
-        state_df = self.spark.read.parquet(self.path)
-        state_types = {
-            f.name: f.dataType
-            for f in state_df.schema.fields
-            if f.name != self._BUCKET
-        }
         if self.evolve and not set(compacted.columns) <= set(state_types):
             # additive schema change: every existing file needs the new
             # column in its footer — full rewrite (rare: one DDL event)

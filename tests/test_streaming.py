@@ -685,3 +685,30 @@ def test_rescale_buckets_preserves_state_and_pruned_lookup(spark, tmp_path):
     assert store.lookup(id=42).collect()[0]["payload"] == "p42b"
     with __import__("pytest").raises(ValueError, match="n_buckets"):
         store.rescale_buckets(0)
+
+
+def test_apply_batch_narrow_key_type_still_hits_right_bucket(spark, tmp_path):
+    """murmur3 is type-sensitive: a batch whose key column arrives as INT
+    against a LONG-keyed state must still compute the stored-type bucket
+    (regression guard for the incremental path — the wrong touched set
+    would leave the old version stranded in an untouched bucket)."""
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), key_cols=["id"], order_cols=["offset"],
+        n_buckets=8,
+    )
+    store.apply_batch(
+        spark.createDataFrame(
+            [(i, f"p{i}", "false", i) for i in range(1, 51)],
+            "id long, payload string, __deleted string, offset long",
+        )
+    )
+    store.apply_batch(
+        spark.createDataFrame(
+            [(42, "p42b", "false", 1000)],
+            "id int, payload string, __deleted string, offset int",
+        )
+    )
+    rows = store.read().filter("id = 42").collect()
+    assert len(rows) == 1 and rows[0]["payload"] == "p42b"
+    assert store.read().count() == 50
+    assert store.lookup(id=42).collect()[0]["payload"] == "p42b"
