@@ -416,7 +416,10 @@ def loghist_quantiles(
 # ---------------------------------------------------------------------------
 
 def heavy_hitters_exact(
-    items: DataFrame, item_col: str = "item", k: int = 20
+    items: DataFrame,
+    item_col: str = "item",
+    k: int = 20,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Items GUARANTEED to clear the Misra-Gries support threshold:
     every item whose exact count exceeds n/(k+1) — by pigeonhole at most
@@ -429,6 +432,12 @@ def heavy_hitters_exact(
     The threshold compare is the integer cross-multiplication
     ``cnt * (k+1) > n_total`` — no division, engine-exact.
 
+    ``weight_col`` generalizes to WEIGHTED heavy hitters (Agarwal et
+    al.'s weighted MG): `cnt` becomes the integer weight sum and the
+    threshold is total_weight/(k+1) — e.g. which sources dominate a
+    token budget, not just a row count. Weights must be non-negative
+    integers (the exactness convention).
+
     Scale shape: one map-side-combined count shuffle reduces the corpus
     to its dictionary; the grand total rides a single-row broadcast
     (annotated NLJ) and the filter leaves <= k rows. No window, no sort
@@ -438,9 +447,12 @@ def heavy_hitters_exact(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    measure = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
+    )
     counts = (
         items.groupBy(F.col(item_col).alias("item"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .agg(measure.cast("bigint").alias("cnt"))
         .localCheckpoint(eager=True)  # feeds the total AND the filter
     )
     total = counts.agg(F.sum("cnt").cast("bigint").alias("n_total"))

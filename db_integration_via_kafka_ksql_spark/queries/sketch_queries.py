@@ -332,3 +332,36 @@ def sketch_mg_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.col("text"), " ")).alias("item")
     )
     return SK.heavy_hitters_exact(toks, "item", k=MG_K)
+
+
+MG_SRC_K = 18
+
+
+@query(
+    "sketch_mg_heavy_sources",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    # weighted MG support: the measure is an integer weight SUM
+    # (n_chars), threshold total_weight/(k+1) as a cross-multiplication
+    oracle=f"""
+    WITH c AS (
+        SELECT source AS item, CAST(sum(n_chars) AS BIGINT) AS cnt
+        FROM documents GROUP BY source
+    ),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c)
+    SELECT item, cnt, n_total
+    FROM c, n
+    WHERE cnt * {MG_SRC_K + 1} > n_total
+    """,
+)
+def sketch_mg_heavy_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED heavy hitters: which sources dominate the corpus by
+    character mass (weight_col form of heavy_hitters_exact) — the
+    mixture-planning question 'is any source past its fair share',
+    answered by the same MG support threshold over weight sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SK.heavy_hitters_exact(
+        docs.select(F.col("source"), F.col("n_chars")),
+        "source",
+        k=MG_SRC_K,
+        weight_col="n_chars",
+    )

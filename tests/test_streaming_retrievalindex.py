@@ -135,3 +135,33 @@ def test_epoch_compaction_preserves_index_and_serve(spark, tmp_path):
     # replay of a compacted (now file-less but committed) epoch: no-op
     st.process_batch(_df(spark, BATCHES[0]), 0)
     assert _rows(st.index()) == idx_before
+
+
+def test_streaming_hybrid_rrf_serve_matches_batch(spark, tmp_path):
+    """Composition: the incremental index's BM25 list fused with a dense
+    ranked list through rrf_fuse equals the same fusion over a batch
+    index of the arrived prefix — the streaming half of hybrid serving
+    (the dense list is ranker-agnostic: RRF only consumes ranks, so a
+    fixed external ANN list stands in)."""
+    st = _st(spark, tmp_path)
+    # an external dense ranked list (query_id, doc_id, rnk), as an ANN
+    # stage would emit it
+    dense = spark.createDataFrame(
+        [(0, 2, 1), (0, 0, 2), (1, 3, 1), (1, 4, 2)],
+        "query_id int, doc_id long, rnk int",
+    )
+    prefix: list = []
+    for e, rows in enumerate(BATCHES):
+        st.process_batch(_df(spark, rows), e)
+        prefix += rows
+        lex_stream = st.serve(QUERIES, top_k=10).select(
+            "query_id", "doc_id", "rnk"
+        )
+        lex_batch = R.bm25_topk(
+            spark, _df(spark, prefix), QUERIES, top_k=10
+        ).select("query_id", "doc_id", "rnk")
+        got = _rows(R.rrf_fuse([lex_stream, dense], top_k=5))
+        want = _rows(R.rrf_fuse([lex_batch, dense], top_k=5))
+        assert got == want, f"epoch {e}"
+        # fused output carries contributions from BOTH rankers
+        assert any(t[3] == 2 for t in got)
