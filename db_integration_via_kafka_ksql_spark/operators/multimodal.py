@@ -259,6 +259,11 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
 # PNG color type -> samples per pixel (bit depth 8 only)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
+# refuse IHDRs claiming more pixels than this BEFORE inflating (256 Mpx
+# = a 256 MB gray raster): the decoder exists for metadata-scale
+# rasters, and an attacker-controlled IHDR must not size the allocation
+_PNG_MAX_PIXELS = 1 << 28
+
 
 def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     """Non-interlaced 8-bit PNG (gray / RGB / gray+alpha / RGBA) →
@@ -277,9 +282,12 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     idat = bytearray()
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack_from(">I4s", payload, pos)
-        data = payload[pos + 8 : pos + 8 + length]
-        if len(data) != length:
+        # bound the WHOLE chunk (data + 4-byte CRC) before slicing: a
+        # payload truncated inside the trailing CRC must fail the
+        # ValueError contract, not struct.error
+        if pos + 12 + length > len(payload):
             raise ValueError("PNG truncated inside a chunk")
+        data = payload[pos + 8 : pos + 8 + length]
         crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
@@ -307,9 +315,27 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
             "handling; gray/RGB/gray+alpha/RGBA decode natively)"
         )
     ch = _PNG_CHANNELS[color]
+    if w * h > _PNG_MAX_PIXELS:
+        raise ValueError(
+            f"PNG dims {w}x{h} exceed the decode pixel cap "
+            f"({_PNG_MAX_PIXELS}): refusing before inflating"
+        )
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (1 + stride):
+    expected = h * (1 + stride)
+    # bounded inflate: a crafted deflate stream can expand ~1000x past
+    # the geometry the IHDR claims — cap output at the geometry-derived
+    # size and probe ONE extra byte instead of materializing the bomb
+    dec = zlib.decompressobj()
+    try:
+        raw = dec.decompress(bytes(idat), expected)
+        extra = (
+            dec.decompress(dec.unconsumed_tail, 1)
+            if dec.unconsumed_tail
+            else b""
+        )
+    except zlib.error as exc:
+        raise ValueError(f"PNG zlib stream corrupt: {exc}") from None
+    if extra or len(raw) != expected:
         raise ValueError("PNG inflated size disagrees with IHDR geometry")
     flat = _png_unfilter(raw, h, stride, bpp=ch)
     raster = np.frombuffer(flat, dtype=np.uint8).reshape(h, w, ch)

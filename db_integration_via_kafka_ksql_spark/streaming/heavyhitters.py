@@ -53,6 +53,13 @@ class StreamingHeavyHitters:
     state_path: str           # directory holding counters.json
     item_col: str = "item"
     k: int = 20
+    # weight_col generalizes to WEIGHTED heavy hitters (Agarwal et al.
+    # PODS'12 §3 — a weight-w arrival is w collapsed unit arrivals, so
+    # every MG bound carries over with n_total = total weight): e.g.
+    # which sources dominate a TOKEN budget rather than a row count.
+    # Weights must be non-negative integers (the exactness convention),
+    # mirroring operators/sketches.heavy_hitters_exact.
+    weight_col: str | None = None
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_heavy_hitters"
@@ -123,9 +130,21 @@ class StreamingHeavyHitters:
         if epoch_id <= state["epoch"]:
             return  # replay of an applied epoch: counts already merged
         if not batch_df.isEmpty():
+            # the item is grouped AS STRING: state keys round-trip
+            # through json (which stringifies every dict key), so a
+            # numeric item column would otherwise split its count
+            # between the native-typed batch key (int 1) and the
+            # reloaded string key ('1') — and json.dump would then emit
+            # duplicate '1' keys whose last-wins reload DROPS counts,
+            # breaking the est<=true undercount bound
+            measure = (
+                F.count(F.lit(1))
+                if self.weight_col is None
+                else F.sum(F.col(self.weight_col))
+            )
             counts = batch_df.groupBy(
-                F.col(self.item_col).alias("item")
-            ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+                F.col(self.item_col).cast("string").alias("item")
+            ).agg(measure.cast("bigint").alias("cnt"))
             counts = counts.localCheckpoint(eager=True)  # total + top share it
             n_batch = counts.agg(F.sum("cnt")).collect()[0][0] or 0
             # bounded collect: k+1 rows, never the batch dictionary

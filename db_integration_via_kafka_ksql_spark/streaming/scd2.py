@@ -162,12 +162,14 @@ class StreamingScd2:
             return  # fully committed replay
         attrs = self._attrs()
         if batch_df.isEmpty():
-            if not done_out:
-                empty = self.spark.createDataFrame([], self._closed_schema())
-                epochdir.commit_epoch(
-                    empty, self.output_path, self.batch_col, epoch_id
-                )
-            return  # idle: snapshot unchanged, latest-before read skips gaps
+            # idle: commit NOTHING on either side. A quiet stream fires
+            # a trigger every 2 s, so committing an empty output epoch
+            # per idle trigger would grow unbounded epoch=N dirs (and
+            # degrade partition discovery over days of idleness);
+            # replaying an idle epoch is free and deterministic, and
+            # both the latest-before state read and the closed-history
+            # union already skip gaps in the epoch sequence.
+            return
         ev = batch_df.select(
             self.key_col,
             F.col(self.order_col).cast("long").alias("version"),

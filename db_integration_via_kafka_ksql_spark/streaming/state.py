@@ -19,15 +19,53 @@ from __future__ import annotations
 import os
 import shutil
 import uuid
+import warnings
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from db_integration_via_kafka_ksql_spark.operators import cdc
+from db_integration_via_kafka_ksql_spark.streaming import swapdir
+
+# key-cast safety: a batch key may be CAST UP to the stored type within
+# its numeric family (int batch -> long state is lossless); the reverse
+# is a silent wrap (long 2^33 -> int collides with 2^33-2^32) and is a
+# schema change the store refuses (COVERAGE.md S5: type changes stay
+# hard errors)
+_INT_WIDTH = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+_FLOAT_WIDTH = {"float": 1, "double": 2}
+
+
+def _safe_key_upcast(batch_type, state_type) -> bool:
+    b, s = batch_type.typeName(), state_type.typeName()
+    for family in (_INT_WIDTH, _FLOAT_WIDTH):
+        if b in family and s in family:
+            return family[b] <= family[s]
+    return False
 
 
 class ParquetStateStore:
-    """Keyed latest-state table backed by a parquet directory."""
+    """Keyed latest-state table backed by a parquet directory.
+
+    Crash safety: every publish is the swapdir two-rename swap (stage,
+    rename live -> __old_*, rename staged -> live, drop __old_*), and
+    every entry point (`exists`/`read`/`lookup`, hence `apply_batch`)
+    first runs swapdir recovery — if a crash struck inside the rename
+    window and left nothing at `path`, the newest `__old_*` survivor IS
+    the last published version and is restored before anything else
+    looks at the directory; stale `__old_*` (crash after publish,
+    before cleanup) and `__staging_*`/`__next_*` scratch dirs are swept.
+    Without the restore, `exists()` would return False after such a
+    crash and the next apply_batch would silently reinitialize the
+    entire state from one micro-batch.
+
+    Growth rule: per-trigger write volume is |touched buckets| x mean
+    bucket size, so a growing state keeps bucket size roughly constant
+    by growing n_buckets (`rescale_buckets`, a deliberate full-rewrite
+    maintenance job). `apply_batch` emits a RuntimeWarning when the
+    mean bucket size exceeds `target_bucket_bytes` so the rescale runs
+    before write amplification creeps back up.
+    """
 
     def __init__(
         self,
@@ -38,6 +76,7 @@ class ParquetStateStore:
         deleted_col: str = "__deleted",
         n_buckets: int = 16,
         evolve: bool = False,
+        target_bucket_bytes: int = 128 << 20,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -49,15 +88,24 @@ class ParquetStateStore:
         # TABLE ADD COLUMN) merge into existing state: old rows read NULL
         # for the added columns (operators/cdc.align_columns)
         self.evolve = evolve
+        self.target_bucket_bytes = target_bucket_bytes
+        self._rescale_advised = False
 
     _BUCKET = "__bucket"
 
+    def _recover(self) -> None:
+        """Restore-then-sweep crash recovery (see class docstring);
+        idempotent and O(listdir parent) when there is nothing to do."""
+        swapdir.recover(self.path, extra_prefixes=("__next_",))
+
     def exists(self) -> bool:
+        self._recover()
         return os.path.isdir(self.path) and bool(os.listdir(self.path))
 
     def read(self) -> DataFrame:
         """Pull-query surface: the current materialized state (the
         physical bucket column stays internal)."""
+        self._recover()
         return self.spark.read.parquet(self.path).drop(self._BUCKET)
 
     def _bucket_of(self, *key_exprs) -> Column:
@@ -79,6 +127,7 @@ class ParquetStateStore:
         missing = [k for k in self.key_cols if k not in key_values]
         if missing:
             raise ValueError(f"lookup requires all key cols; missing {missing}")
+        self._recover()
         df = self.spark.read.parquet(self.path)
         # murmur3 is TYPE-sensitive: hash(42 as int) != hash(42 as long),
         # so each literal must probe as exactly the stored column's type
@@ -213,14 +262,43 @@ class ParquetStateStore:
         # murmur3 is TYPE-sensitive (hash(42 int) != hash(42 long)), so a
         # batch whose key arrived narrower than the stored column would
         # compute the WRONG touched-bucket set and miss the state row's
-        # bucket entirely — cast batch keys to the stored key types first
-        # (the same rule `lookup` applies to its literals)
+        # bucket entirely — cast batch keys UP to the stored key types
+        # (the same rule `lookup` applies to its literals). The opposite
+        # direction — batch key WIDER than stored — is refused: casting
+        # down silently wraps overflowing key values into the wrong
+        # key/bucket; a widened key is a schema change and needs a
+        # rebuild (the store's type-change stance, COVERAGE.md S5).
         batch_types = {f.name: f.dataType for f in compacted.schema.fields}
         for k in self.key_cols:
             if k in state_types and batch_types[k] != state_types[k]:
+                if not _safe_key_upcast(batch_types[k], state_types[k]):
+                    raise ValueError(
+                        f"apply_batch: key column {k!r} arrived as "
+                        f"{batch_types[k].simpleString()} but the state "
+                        f"stores {state_types[k].simpleString()}; a "
+                        "widening/type-changing key is a schema change — "
+                        "rebuild the store instead of merging"
+                    )
                 compacted = compacted.withColumn(
                     k, F.col(k).cast(state_types[k])
                 )
+        if not self._has_bucket_dirs():
+            # a delete-all left the state as one flat empty file (no
+            # __bucket= partition dirs — see _write_atomic's empty-write
+            # branch); _swap_buckets would hard-link that root data file
+            # into every future version next to real partition dirs,
+            # breaking the hive-partitioned layout contract forever —
+            # full rewrite restores the partitioned layout
+            merged = cdc.apply_changelog(
+                self.read(),
+                compacted,
+                key_cols=self.key_cols,
+                order_cols=self.order_cols,
+                deleted_col=self.deleted_col,
+                evolve=self.evolve,
+            )
+            self._write_atomic(merged.localCheckpoint())
+            return
         # bounded collect: <= n_buckets distinct small ints
         touched = sorted(
             r[0]
@@ -271,6 +349,53 @@ class ParquetStateStore:
             self._write_atomic(merged.localCheckpoint())
             return
         self._swap_buckets(merged, touched)
+        self._advise_rescale()
+
+    def _has_bucket_dirs(self) -> bool:
+        return any(
+            e.startswith(f"{self._BUCKET}=") for e in os.listdir(self.path)
+        )
+
+    def mean_bucket_bytes(self) -> int:
+        """Mean on-disk bytes per bucket dir (local stat walk, no Spark
+        job) — the quantity the growth rule holds constant."""
+        total = 0
+        for root, _dirs, files in os.walk(self.path):
+            for name in files:
+                if name.endswith(".parquet"):
+                    total += os.stat(os.path.join(root, name)).st_size
+        return total // max(self.n_buckets, 1)
+
+    def _advise_rescale(self) -> None:
+        """Warn (once per instance) when mean bucket size exceeds the
+        target: per-trigger write volume is |touched| x bucket size, so
+        oversized buckets silently re-grow the write amplification the
+        incremental apply_batch exists to avoid. The operator responds
+        with `rescale_buckets(recommended_buckets())` in a maintenance
+        window."""
+        if self._rescale_advised:
+            return
+        mean = self.mean_bucket_bytes()
+        if mean > self.target_bucket_bytes:
+            self._rescale_advised = True
+            warnings.warn(
+                f"ParquetStateStore at {self.path}: mean bucket size "
+                f"{mean} bytes exceeds target {self.target_bucket_bytes}; "
+                f"schedule rescale_buckets({self.recommended_buckets()}) "
+                "to keep per-trigger write volume bounded",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
+    def recommended_buckets(self) -> int:
+        """Smallest power-of-two bucket count that brings the mean
+        bucket back under target (power of two keeps pmod rebucketing
+        splits even)."""
+        n = self.n_buckets
+        total = self.mean_bucket_bytes() * max(self.n_buckets, 1)
+        while total > n * self.target_bucket_bytes:
+            n *= 2
+        return n
 
     def rebuild(self, full_changelog: DataFrame) -> None:
         """State recovery by full replay (ST5): one batch compaction over
@@ -329,5 +454,8 @@ class ParquetStateStore:
         self._write_atomic(current)
 
     def destroy(self) -> None:
+        # restore-then-remove: sweeping orphans FIRST means a stranded
+        # __old_* can't resurrect a destroyed store at the next recover
+        self._recover()
         if os.path.isdir(self.path):
             shutil.rmtree(self.path)

@@ -42,13 +42,19 @@ def read_epoch(path: str) -> int | None:
         return json.load(f)["epoch"]
 
 
-def _sweep_orphans(path: str) -> None:
+def _sweep_orphans(path: str, extra_prefixes: tuple[str, ...] = ()) -> None:
     """Clean up siblings stranded by a crash between swap_write's two
     renames, RESTORING before sweeping: if `path` itself is missing, the
     crash struck inside the rename window and the newest `{path}__old_*`
     is the last published version — rename it back first (deleting it
     would destroy the only surviving copy). `__staging_*` dirs are always
-    either incomplete or published-superseded, so they just go. Safe at
+    either incomplete or published-superseded, so they just go; callers
+    with additional scratch-sibling naming schemes (ParquetStateStore's
+    assembled `__next_*` version dirs) pass those via ``extra_prefixes``
+    and they are swept the same way — a `__next_*` is by construction
+    never the live version (it only becomes live by being renamed TO
+    `path`), so after a crash it is always safe to drop: the restored
+    `__old_*` plus an idempotent batch replay reproduce it. Safe at
     any point: the live dir is exactly `path`, never a suffixed sibling,
     and a concurrent writer is excluded by the callers' contract (one
     foreachBatch owner per state path)."""
@@ -56,10 +62,13 @@ def _sweep_orphans(path: str) -> None:
     base = os.path.basename(path)
     if not os.path.isdir(parent):
         return
+    sweep_prefixes = tuple(
+        f"{base}{suffix}" for suffix in ("__staging_",) + extra_prefixes
+    )
     olds = []
     for name in os.listdir(parent):
         full = os.path.join(parent, name)
-        if name.startswith(f"{base}__staging_"):
+        if name.startswith(sweep_prefixes):
             shutil.rmtree(full, ignore_errors=True)
         elif name.startswith(f"{base}__old_"):
             olds.append(full)
@@ -71,11 +80,11 @@ def _sweep_orphans(path: str) -> None:
         shutil.rmtree(full, ignore_errors=True)
 
 
-def recover(path: str) -> None:
+def recover(path: str, extra_prefixes: tuple[str, ...] = ()) -> None:
     """Public recovery hook for read paths (e.g. reopening a saved index
     after a crash): restores `path` from a stranded `__old_*` survivor if
     the last swap crashed between its renames, and sweeps the rest."""
-    _sweep_orphans(path)
+    _sweep_orphans(path, extra_prefixes)
 
 
 def swap_write(df: DataFrame, path: str, epoch_id: int) -> None:

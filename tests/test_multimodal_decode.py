@@ -536,3 +536,57 @@ def test_png_ahash_matches_bmp_twin(spark):
         ).collect()
     }
     assert pairs == {(0, 1): 0, (0, 2): 0, (1, 2): 0}
+
+
+def test_png_hardening_against_crafted_payloads():
+    """ADVICE r12: (a) an IHDR claiming huge dims must refuse BEFORE
+    allocating/inflating; (b) a deflate stream expanding past the IHDR
+    geometry is a decompression bomb — detected via bounded inflate,
+    never materialized; (c) truncation inside a chunk's trailing CRC is
+    the ValueError contract, not struct.error."""
+    import struct
+
+    # (a) tiny payload, giant claimed dims: ValueError before inflate
+    ihdr = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0)
+    bomb_hdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="pixel cap"):
+        M.decode_image(bomb_hdr)
+
+    # (b) plausible dims, but the stream inflates far past the geometry
+    raster = _test_raster(4, 4, 3)
+    good = make_png(raster, 2, filters=[0] * 4)
+    oversized = zlib.compress(b"\x00" * (1 << 20))  # 1 MB of zeros, tiny wire
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", oversized)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="geometry"):
+        M.decode_image(bomb)
+
+    # (c) truncate inside the IEND CRC: ValueError, not struct.error
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_image(good[:-2])
+
+    # (d) truncated zlib stream (stream shorter than geometry)
+    idat_full = zlib.compress(
+        b"".join(b"\x00" + raster[y].tobytes() for y in range(4))
+    )
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", idat_full[: len(idat_full) // 2])
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        M.decode_image(short)
+
+    # and the hardened path still decodes a clean payload identically
+    w, h, gray = M.decode_image(good)
+    assert (w, h) == (4, 4)

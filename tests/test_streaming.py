@@ -712,3 +712,286 @@ def test_apply_batch_narrow_key_type_still_hits_right_bucket(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["payload"] == "p42b"
     assert store.read().count() == 50
     assert store.lookup(id=42).collect()[0]["payload"] == "p42b"
+
+
+# ---------------------------------------------------------------------------
+# crash recovery across the state store's two-rename swap (r12 VERDICT #1)
+# ---------------------------------------------------------------------------
+
+def _md5_snapshot(path):
+    """{relpath: md5} for every file under a state dir (content only —
+    recovery restores the same files, inodes may legitimately move)."""
+    import hashlib
+    import os
+
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for name in files:
+            p = os.path.join(root, name)
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, path)] = hashlib.md5(f.read()).hexdigest()
+    return out
+
+
+def _crash_store(spark, tmp_path, n_buckets=4):
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), key_cols=["id"], order_cols=["offset"],
+        n_buckets=n_buckets,
+    )
+    schema = "id long, payload string, __deleted string, offset long"
+    store.apply_batch(
+        spark.createDataFrame(
+            [(i, f"p{i}", "false", i) for i in range(1, 41)], schema
+        )
+    )
+    return store, schema
+
+
+def test_crash_between_swap_renames_restores_full_state(
+    spark, tmp_path, monkeypatch
+):
+    """Window 1: a crash AFTER `rename(path, __old_*)` but BEFORE
+    `rename(__next_*, path)` strands the only published state at
+    `__old_*`. The next entry (exists/read/apply_batch) must RESTORE it
+    byte-identical — without recovery, exists() returns False and the
+    next apply_batch silently replaces the whole CDC state with one
+    micro-batch (silent total state loss)."""
+    import os as _os
+
+    store, schema = _crash_store(spark, tmp_path)
+    before = _md5_snapshot(store.path)
+
+    real_rename = _os.rename
+
+    def crash_between(src, dst):
+        if src == store.path:
+            real_rename(src, dst)  # live -> __old_* happened ...
+            raise RuntimeError("simulated crash between the two renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", crash_between)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.apply_batch(
+            spark.createDataFrame([(7, "p7b", "false", 1000)], schema)
+        )
+    monkeypatch.undo()
+    assert not __import__("os").path.isdir(store.path)  # the crash state
+
+    # next trigger: exists() must see the restored pre-crash state
+    assert store.exists()
+    assert _md5_snapshot(store.path) == before
+    assert {r["id"]: r["payload"] for r in store.read().collect()}[7] == "p7"
+    # no orphan siblings survive recovery
+    parent = __import__("os").path.dirname(store.path)
+    orphans = [
+        n for n in __import__("os").listdir(parent)
+        if n.startswith(__import__("os").path.basename(store.path) + "__")
+    ]
+    assert orphans == [], orphans
+    # the replayed batch (idempotent) now lands on the full state
+    store.apply_batch(
+        spark.createDataFrame([(7, "p7b", "false", 1000)], schema)
+    )
+    snap = {r["id"]: r["payload"] for r in store.read().collect()}
+    assert snap[7] == "p7b" and len(snap) == 40 and snap[13] == "p13"
+
+
+def test_crash_after_publish_sweeps_stale_old_copy(
+    spark, tmp_path, monkeypatch
+):
+    """Window 2: a crash AFTER the publish rename but BEFORE
+    `rmtree(__old_*)` leaks a full stale state copy. The next entry
+    sweeps it (never restoring over the live dir) and the applied batch
+    is visible."""
+    import os as _os
+    import shutil as _shutil
+
+    store, schema = _crash_store(spark, tmp_path)
+
+    real_rmtree = _shutil.rmtree
+
+    def crash_on_old(path, *a, **kw):
+        if "__old_" in str(path):
+            raise RuntimeError("simulated crash before old-copy cleanup")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(_shutil, "rmtree", crash_on_old)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.apply_batch(
+            spark.createDataFrame([(7, "p7b", "false", 1000)], schema)
+        )
+    monkeypatch.undo()
+
+    parent = _os.path.dirname(store.path)
+    base = _os.path.basename(store.path)
+    assert any(n.startswith(base + "__old_") for n in _os.listdir(parent))
+    # live dir won, batch applied; next entry sweeps the stale copy
+    assert store.exists()
+    snap = {r["id"]: r["payload"] for r in store.read().collect()}
+    assert snap[7] == "p7b" and len(snap) == 40
+    assert not any(n.startswith(base + "__") for n in _os.listdir(parent))
+
+
+def test_crash_between_renames_in_full_rewrite_path(
+    spark, tmp_path, monkeypatch
+):
+    """The same window-1 crash through _write_atomic (rebuild / schema
+    evolution take this path) must also restore, not lose, the state."""
+    import os as _os
+
+    store, schema = _crash_store(spark, tmp_path)
+    before = _md5_snapshot(store.path)
+
+    real_rename = _os.rename
+
+    def crash_between(src, dst):
+        if src == store.path:
+            real_rename(src, dst)
+            raise RuntimeError("simulated crash between the two renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", crash_between)
+    full_log = spark.createDataFrame(
+        [(i, f"q{i}", "false", 100 + i) for i in range(1, 41)], schema
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.rebuild(full_log)
+    monkeypatch.undo()
+
+    assert store.exists()
+    assert _md5_snapshot(store.path) == before
+    store.rebuild(full_log)  # replay succeeds
+    assert store.read().filter("payload = 'q7'").count() == 1
+
+
+def test_destroy_does_not_resurrect_from_orphans(
+    spark, tmp_path, monkeypatch
+):
+    """destroy() after a window-1 crash must remove BOTH the restored
+    live dir and every orphan — a later exists() stays False."""
+    import os as _os
+
+    store, schema = _crash_store(spark, tmp_path)
+    real_rename = _os.rename
+
+    def crash_between(src, dst):
+        if src == store.path:
+            real_rename(src, dst)
+            raise RuntimeError("simulated crash")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", crash_between)
+    with pytest.raises(RuntimeError):
+        store.apply_batch(
+            spark.createDataFrame([(7, "p7b", "false", 1000)], schema)
+        )
+    monkeypatch.undo()
+    store.destroy()
+    assert not store.exists()
+    parent = _os.path.dirname(store.path)
+    base = _os.path.basename(store.path)
+    assert not any(n.startswith(base) for n in _os.listdir(parent))
+
+
+def test_apply_batch_refuses_widening_key_type(spark, tmp_path):
+    """A batch whose key arrives WIDER than the stored column is a
+    schema change: casting down would silently wrap overflowing keys
+    into the wrong key/bucket, so apply_batch refuses (the narrowing
+    direction still merges — covered by
+    test_apply_batch_narrow_key_type_still_hits_right_bucket)."""
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), key_cols=["id"], order_cols=["offset"],
+        n_buckets=4,
+    )
+    store.apply_batch(
+        spark.createDataFrame(
+            [(i, f"p{i}", "false", i) for i in range(1, 11)],
+            "id int, payload string, __deleted string, offset long",
+        )
+    )
+    wide = spark.createDataFrame(
+        [(2**33, "overflow", "false", 1000)],
+        "id long, payload string, __deleted string, offset long",
+    )
+    with pytest.raises(ValueError, match="schema change"):
+        store.apply_batch(wide)
+    # the state is untouched by the refused batch
+    assert store.read().count() == 10
+
+
+def test_reinsert_after_delete_all_restores_partitioned_layout(
+    spark, tmp_path
+):
+    """After a delete-all (flat empty-file layout) a reinsert must
+    restore a clean hive-partitioned tree: no root-level data file may
+    be carried alongside __bucket= dirs (ADVICE r12: the stale flat
+    part file was hard-linked into every future version forever)."""
+    import os as _os
+
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), key_cols=["id"], order_cols=["offset"],
+        n_buckets=4,
+    )
+    schema = "id long, payload string, __deleted string, offset long"
+    store.apply_batch(
+        spark.createDataFrame([(i, f"p{i}", "false", i) for i in (1, 2)], schema)
+    )
+    store.apply_batch(
+        spark.createDataFrame(
+            [(i, None, "true", 10 + i) for i in (1, 2)], schema
+        )
+    )
+    assert store.read().count() == 0
+    store.apply_batch(
+        spark.createDataFrame([(3, "back", "false", 100)], schema)
+    )
+    root_parquet = [
+        n for n in _os.listdir(store.path) if n.endswith(".parquet")
+    ]
+    assert root_parquet == [], root_parquet
+    assert any(
+        n.startswith(store._BUCKET + "=") for n in _os.listdir(store.path)
+    )
+    # and future incremental swaps never re-import a flat file
+    store.apply_batch(
+        spark.createDataFrame([(4, "more", "false", 101)], schema)
+    )
+    root_parquet = [
+        n for n in _os.listdir(store.path) if n.endswith(".parquet")
+    ]
+    assert root_parquet == [], root_parquet
+    assert {r["id"] for r in store.read().collect()} == {3, 4}
+
+
+def test_rescale_advisory_fires_once_when_buckets_oversized(
+    spark, tmp_path
+):
+    """The growth-rule guard: when mean bucket size exceeds the target,
+    apply_batch warns (once) naming a recommended power-of-two bucket
+    count that brings buckets back under target."""
+    import warnings as _warnings
+
+    store = ParquetStateStore(
+        spark, str(tmp_path / "s"), key_cols=["id"], order_cols=["offset"],
+        n_buckets=2, target_bucket_bytes=64,  # any real file exceeds this
+    )
+    schema = "id long, payload string, __deleted string, offset long"
+    store.apply_batch(
+        spark.createDataFrame(
+            [(i, f"p{i}", "false", i) for i in range(1, 21)], schema
+        )
+    )
+    with pytest.warns(RuntimeWarning, match="rescale_buckets"):
+        store.apply_batch(
+            spark.createDataFrame([(1, "p1b", "false", 100)], schema)
+        )
+    rec = store.recommended_buckets()
+    assert rec > store.n_buckets and rec % 2 == 0
+    total = store.mean_bucket_bytes() * store.n_buckets
+    assert total <= rec * store.target_bucket_bytes
+    # once-per-instance: the next trigger does not re-warn
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)
+        store.apply_batch(
+            spark.createDataFrame([(2, "p2b", "false", 101)], schema)
+        )

@@ -163,3 +163,97 @@ def test_live_stream_end_to_end(spark, tmp_path):
         q.stop()
         q.awaitTermination(30)
     _check_guarantees(hh, Counter(items))
+
+
+def test_numeric_item_column_keeps_bounds(spark, tmp_path):
+    """ADVICE r12 (medium): a numeric item column must not split its
+    count between the native-typed batch key (int 1) and the reloaded
+    json string key ('1') — items group as strings, so the undercount
+    bound and support guarantee hold across the state round-trip."""
+    hh = StreamingHeavyHitters(
+        spark, state_path=str(tmp_path / "hh"), k=3, trigger_seconds=0
+    )
+    batches = [[1] * 3 + [2], [1] + [3] * 2, [1] * 4]
+    true: Counter = Counter()
+    for e, items in enumerate(batches):
+        df = spark.createDataFrame([(i,) for i in items], "item int")
+        hh.process_batch(df, e)
+        true.update(str(i) for i in items)
+        _check_guarantees(hh, true)
+    est = {r["item"]: r["est_cnt"] for r in hh.counters().collect()}
+    # true count of '1' is 8 across three epochs; est must be close and
+    # NEVER below true - bound (the pre-fix behavior reported 1 with
+    # bound 0)
+    assert est["1"] <= 8 and 8 - est["1"] <= hh.error_bound()
+    assert "1" in {r["item"] for r in hh.guaranteed_heavy().collect()}
+
+
+WEIGHTED_BATCHES = [
+    # (source, tokens): 'web' dominates the token budget, not row count
+    [("web", 500), ("wiki", 60), ("code", 40)] + [(f"s{i}", 5) for i in range(20)],
+    [("web", 300), ("code", 250), ("wiki", 30)] + [(f"t{i}", 8) for i in range(25)],
+    [("books", 400), ("web", 100)] + [(f"u{i}", 3) for i in range(30)],
+]
+
+
+def _check_weighted_guarantees(hh, true_w: Counter):
+    n = sum(true_w.values())
+    est = {r["item"]: r["est_cnt"] for r in hh.counters().collect()}
+    assert len(est) <= hh.k
+    bound = hh.error_bound()
+    assert bound <= n // (hh.k + 1)
+    for item, e in est.items():
+        true = true_w.get(item, 0)
+        assert e <= true, (item, e, true)
+        assert true - e <= bound, (item, e, true, bound)
+    for item, true in true_w.items():
+        if true * (hh.k + 1) > n:
+            assert item in est, (item, true, n)
+        if item not in est:
+            assert true <= bound, (item, true, bound)
+    for r in hh.guaranteed_heavy().collect():
+        assert true_w[r["item"]] * (hh.k + 1) > n
+
+
+def test_weighted_prefix_guarantees_every_epoch(spark, tmp_path):
+    """Weighted MG (VERDICT r12 #5): per-epoch undercount/bound/support
+    guarantees against the exact WEIGHTED prefix — n_total is total
+    weight, so the question answered is which sources dominate the
+    token budget, mirroring heavy_hitters_exact(weight_col=...)."""
+    hh = StreamingHeavyHitters(
+        spark, state_path=str(tmp_path / "hh"), item_col="source",
+        weight_col="tokens", k=4, trigger_seconds=0,
+    )
+    true_w: Counter = Counter()
+    for e, rows in enumerate(WEIGHTED_BATCHES):
+        df = spark.createDataFrame(rows, "source string, tokens long")
+        hh.process_batch(df, e)
+        for s, w in rows:
+            true_w[s] += w
+        _check_weighted_guarantees(hh, true_w)
+    heavy = {r["item"] for r in hh.guaranteed_heavy().collect()}
+    assert "web" in heavy  # 900 of 2156 tokens: provably over n/5
+
+
+def test_weighted_streaming_matches_batch_support_set(spark, tmp_path):
+    """Streaming weighted counters contain the batch operator's
+    guaranteed set over the same prefix (same k, same weights)."""
+    hh = StreamingHeavyHitters(
+        spark, state_path=str(tmp_path / "hh"), item_col="source",
+        weight_col="tokens", k=4, trigger_seconds=0,
+    )
+    allrows = []
+    for e, rows in enumerate(WEIGHTED_BATCHES):
+        hh.process_batch(
+            spark.createDataFrame(rows, "source string, tokens long"), e
+        )
+        allrows += rows
+    exact = {
+        r["item"]
+        for r in heavy_hitters_exact(
+            spark.createDataFrame(allrows, "source string, tokens long"),
+            "source", k=4, weight_col="tokens",
+        ).collect()
+    }
+    est = {r["item"] for r in hh.counters().collect()}
+    assert exact <= est

@@ -158,12 +158,18 @@ def test_replay_both_interleavings(spark, tmp_path):
 
 
 def test_idle_epoch_keeps_history(spark, tmp_path):
+    """Idle triggers commit NOTHING (ADVICE r12: one empty epoch dir
+    per 2 s trigger grows unbounded on a quiet stream) — history is
+    unchanged, replays of the idle epoch stay no-ops, and the next
+    data-bearing epoch picks up across the gap."""
     st = _st(spark, tmp_path)
     st.process_batch(_df(spark, BATCHES[0]), 0)
-    st.process_batch(_df(spark, []), 1)
-    assert os.path.isdir(str(tmp_path / "out" / "epoch=1"))
+    epochs_before = set(os.listdir(str(tmp_path / "out")))
+    for idle_epoch in (1, 2, 1):  # two idle triggers + an idle replay
+        st.process_batch(_df(spark, []), idle_epoch)
+    assert set(os.listdir(str(tmp_path / "out"))) == epochs_before
     assert _got(st) == _want(spark, BATCHES[0])
-    st.process_batch(_df(spark, BATCHES[1]), 2)
+    st.process_batch(_df(spark, BATCHES[1]), 3)
     assert _got(st) == _want(spark, BATCHES[0] + BATCHES[1])
 
 
