@@ -184,6 +184,7 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "asof_join_events",
+    driver=False,  # round-13 rotation: stable veteran slot ceded to cdc_scd2_point_in_time
     # DuckDB's native ASOF JOIN is the oracle for our union-sort-window
     # formulation (operators/asof.py)
     oracle="""
@@ -412,7 +413,7 @@ _SCD2_END_CLOSED = 1 << 62  # open-ended current version, closed for the join
 
 @query(
     "cdc_scd2_point_in_time",
-    driver=False,
+    # round-13 rotation: promoted into the driver window
     oracle=f"""
     WITH ch AS (
         SELECT user_id AS key_id, event_id AS version, epoch_us(ts) AS t,

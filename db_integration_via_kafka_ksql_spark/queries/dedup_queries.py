@@ -502,7 +502,7 @@ CONTAINMENT_THRESHOLD = 0.8
 
 @query(
     "dedup_ngram_containment",
-    driver=False,  # aux: asymmetric (quote/excerpt) twin of the Jaccard path
+    # round-13 rotation: promoted into the driver window
     oracle=f"""
     WITH sh AS (SELECT doc_id, list_distinct({_SH3}) AS sh FROM documents),
     inv0 AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -630,7 +630,7 @@ EDIT_MAX_DIST = 20
 
 @query(
     "dedup_edit_verified",
-    driver=False,  # aux: exact-verification refinement of the minhash family
+    # round-13 rotation: promoted into the driver window
     oracle=f"""
     WITH {{ctes}}
     SELECT s.doc_a, s.doc_b,

@@ -154,7 +154,7 @@ def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "semdedup_pairs",
-    driver=False,
+    # round-13 rotation: promoted into the driver window
     oracle=f"""
     WITH {_kmeans_chain()},
     {_PAIRS_CTE}

@@ -221,7 +221,7 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_image_neardup_pairs",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-13 rotation: promoted into the driver window
     # Oracle verifies RESULTS, not the candidate strategy: brute-force
     # all-pairs hamming over the replayed hashes. The Spark side's 4x16-bit
     # banding has EXACT recall at hamming<=3 (pigeonhole), so the two

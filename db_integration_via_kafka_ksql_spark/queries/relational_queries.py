@@ -62,6 +62,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_shipping_priority",
+    driver=False,  # round-13 rotation: stable veteran slot ceded to events_value_quantiles_hist
     oracle=f"""
     SELECT l_orderkey,
            {_msum(_REV, "revenue")},
@@ -122,6 +123,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "star_sales_by_region_segment",
+    driver=False,  # round-13 rotation: stable veteran slot ceded to skew_user_activity_report
     oracle=f"""
     SELECT r_name,
            c_mktsegment,
@@ -616,6 +618,7 @@ def skew_salted_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "skew_salted_distinct_parts",
+    driver=False,  # round-13 rotation: stable veteran slot ceded to text_curriculum_order
     # promoted to the driver window round 9; salted distinct decomposition
     oracle="""
     SELECT l_suppkey,
@@ -652,6 +655,7 @@ _ANOM_Z = (
 
 @query(
     "events_hourly_anomalies",
+    driver=False,  # round-13 rotation: stable veteran slot ceded to quality_drift_by_source
     # promoted to the driver window round 9 (hourly-counts family slot)
     oracle=f"""
     WITH hourly AS (
@@ -867,7 +871,7 @@ HIST_QS = (500, 900, 990)
 
 @query(
     "events_value_quantiles_hist",
-    driver=False,
+    # round-13 rotation: promoted into the driver window
     oracle=f"""
     WITH bounds AS (
         SELECT min(value) AS vmin, max(value) AS vmax FROM events
@@ -1078,7 +1082,7 @@ SKEW_REPORT_TOP_K = 20
 
 @query(
     "skew_user_activity_report",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-13 rotation: promoted into the driver window
     oracle=f"""
     WITH counts AS (
         SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt

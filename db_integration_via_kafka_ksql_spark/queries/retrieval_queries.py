@@ -80,6 +80,7 @@ def _bm25_ctes() -> str:
 
 @query(
     "text_bm25_topk",
+    driver=False,  # round-13 rotation: stable veteran slot ceded to text_rrf_fusion_topk
     # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH {_bm25_ctes()}
@@ -158,7 +159,7 @@ RRF_TOP_K = 5
 
 @query(
     "text_rrf_fusion_topk",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-13 rotation: promoted into the driver window
     # replay: both ranked lists (the shared BM25 CTE chain + the brute
     # cosine ranking), then pure-integer fusion — each contribution is
     # 1e9 // (60 + rnk), summed as BIGINT; no score calibration, no

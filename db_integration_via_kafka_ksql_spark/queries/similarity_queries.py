@@ -254,6 +254,7 @@ HARDNEG_DUP_PCT = 40
 
 @query(
     "sim_hard_negatives",
+    driver=False,  # round-13 rotation: stable veteran slot ceded to mm_image_neardup_pairs
     # promoted to the driver window round 9 (contrastive mining)
     oracle=f"""
     WITH q0 AS (SELECT vec_id, {_QUANTIZE} AS q FROM embeddings),

@@ -40,6 +40,7 @@ CMS_PROBES = 20
 
 @query(
     "sketch_hll_distinct_users",
+    driver=False,  # round-13 rotation: stable veteran slot ceded to sketch_mg_heavy_sources
     # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH h AS (
@@ -281,7 +282,7 @@ def _loghist_oracle() -> str:
 
 @query(
     "sketch_loghist_value_quantiles",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-13 rotation: promoted into the driver window
     oracle=_loghist_oracle(),
 )
 def sketch_loghist_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,7 +305,7 @@ MG_K = 20
 
 @query(
     "sketch_mg_heavy_tokens",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-13 rotation: promoted into the driver window
     # exact integer replay: counts, single-row total, and the Misra-Gries
     # support threshold as a cross-multiplication (cnt*(k+1) > n) — no
     # division anywhere
@@ -339,7 +340,7 @@ MG_SRC_K = 18
 
 @query(
     "sketch_mg_heavy_sources",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-13 rotation: promoted into the driver window
     # weighted MG support: the measure is an integer weight SUM
     # (n_chars), threshold total_weight/(k+1) as a cross-multiplication
     oracle=f"""

@@ -241,6 +241,7 @@ def corpus_curation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_keep_best_quality",
+    driver=False,  # round-13 rotation: stable veteran slot ceded to dedup_edit_verified
     # promoted to the driver window round 9 (retention policy)
     oracle=f"""
     WITH scored AS (
@@ -623,7 +624,7 @@ def text_cut_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_lm_fluency",
-    driver=False,  # aux: the CCNet-style LM quality signal
+    # round-13 rotation: promoted into the driver window
     oracle=f"""
     WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     toks AS (SELECT doc_id, unnest(w) AS w1 FROM base),
@@ -677,6 +678,7 @@ PACK_CAPACITY = 256
 
 @query(
     "seq_packing_offsets",
+    driver=False,  # round-13 rotation: stable veteran slot ceded to text_lm_fluency
     oracle=f"""
     SELECT source, doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -959,6 +961,7 @@ _QUALITY_BY_SOURCE = f"""
 
 @query(
     "quality_cutoffs_per_source",
+    driver=False,  # round-13 rotation: stable veteran slot ceded to sketch_loghist_value_quantiles
     # promoted to the driver window round 9
     oracle=f"""
     WITH q AS ({_QUALITY_BY_SOURCE}),
@@ -1280,6 +1283,7 @@ BPE_TOP_K = 20
 
 @query(
     "vocab_top_merge_pairs",
+    driver=False,  # round-13 rotation: stable veteran slot ceded to sketch_mg_heavy_tokens
     # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH w AS (
@@ -1317,6 +1321,7 @@ OVERLAP_N = 5
 
 @query(
     "source_overlap_shared_grams",
+    driver=False,  # round-13 rotation: stable veteran slot ceded to dedup_ngram_containment
     # promoted to the driver window round 9 (contamination matrix)
     oracle=f"""
     WITH w AS (
@@ -1498,6 +1503,7 @@ _WINNOW_CTES = f"""sh AS (
 
 @query(
     "text_winnowing_fingerprints",
+    driver=False,  # round-13 rotation: stable veteran slot ceded to semdedup_pairs
     # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH {_WINNOW_CTES}
@@ -1734,7 +1740,7 @@ CURRICULUM_SALT = "curriculum-v1"
 
 @query(
     "text_curriculum_order",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-13 rotation: promoted into the driver window
     # replay: quality deciles (fixed-order IEEE recipe), easy-first bucket
     # flip, salted-md5 within-bucket shuffle, prefix-sum bucket offsets —
     # the oracle uses a partitioned row_number + the same 10-row offset
@@ -1792,7 +1798,7 @@ def text_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quality_drift_by_source",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-13 rotation: promoted into the driver window
     oracle=f"""
     WITH scored AS (
         SELECT source,
