@@ -2,10 +2,13 @@
 Arrow-batched Pandas-UDF feature extraction.
 
 Contract (build spec): image/audio/video are `binary` columns with typed
-metadata. The actual codecs (PIL/ffmpeg/...) are NOT in this container, so
-`decode_image` is a clearly-marked stub (NotImplementedError) with a
-deterministic fake used by tests — but the Spark-side plumbing is real:
-schema, partitioning, `mapInPandas` signature, Arrow batch shape.
+metadata. Codec libraries (PIL/ffmpeg/...) are NOT in this container, so
+`decode_image` decodes the codec-free/stdlib-decodable formats NATIVELY
+(BMP, PPM/PGM, PNG via zlib, baseline-sequential JPEG via a pure
+Huffman+integer-IDCT path) and gates the rest (progressive JPEG, video)
+behind clearly-marked NotImplementedError branches with a deterministic
+fake used by tests — the Spark-side plumbing is real either way: schema,
+partitioning, `mapInPandas` signature, Arrow batch shape.
 
 Scale notes:
 - Payloads stay opaque bytes end-to-end; Spark never deserializes them
@@ -348,16 +351,326 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, gray.tobytes()
 
 
+# --------------------------------------------------------------- JPEG --
+# Baseline sequential JPEG (ITU-T T.81), decoded with stdlib + numpy.
+# The decoder exists to feed the GRAYSCALE hash path, and JFIF chroma is
+# irrelevant to it: the Y component of a JFIF YCbCr image IS the BT.601
+# luma the other decoders compute, so only Y blocks are inverse-DCT'd —
+# Cb/Cr blocks are entropy-decoded (the bitstream interleaves them, so
+# they must be consumed to stay in sync) and then dropped.
+
+# zigzag scan order: stream position -> (row*8 + col) in the 8x8 block
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# fixed-point 1-D IDCT basis, B[u][x] = c(u)/2 * cos((2x+1)u*pi/16)
+# scaled by 2^13 and HARDCODED as integer literals so the decode is
+# bit-identical on every host (no libm in the hot path); two separable
+# passes accumulate in int64 at scale 2^26, one final rounding shift
+_JPEG_IDCT_BASIS = (
+    (2896, 2896, 2896, 2896, 2896, 2896, 2896, 2896),
+    (4017, 3406, 2276, 799, -799, -2276, -3406, -4017),
+    (3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784),
+    (3406, -799, -4017, -2276, 2276, 4017, 799, -3406),
+    (2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896),
+    (2276, -4017, 799, 3406, -3406, -799, 4017, -2276),
+    (1567, -3784, 3784, -1567, -1567, 3784, -3784, 1567),
+    (799, -2276, 3406, -4017, 4017, -3406, 2276, -799),
+)
+
+
+class _JpegBits:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at any real marker (0xFF followed by non-zero)."""
+
+    def __init__(self, payload: bytes, pos: int) -> None:
+        self.payload = payload
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.payload[self.pos]
+        if b == 0xFF:
+            nxt = self.payload[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed 0xFF data byte
+            else:
+                raise ValueError("JPEG entropy stream ran into a marker")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        val = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return val
+
+    def align_to_marker(self) -> int:
+        """Byte-align and consume one marker (returns its second byte) —
+        the RSTn discipline."""
+        self.acc = 0
+        self.nbits = 0
+        while self.payload[self.pos] == 0xFF and (
+            self.payload[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1  # fill bytes before a marker are legal
+        if self.payload[self.pos] != 0xFF:
+            raise ValueError("JPEG expected a restart marker")
+        m = self.payload[self.pos + 1]
+        self.pos += 2
+        return m
+
+
+def _jpeg_build_huffman(counts: bytes, symbols: bytes) -> dict:
+    """Canonical Huffman per T.81 Annex C: {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_read_symbol(bits: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG invalid Huffman code")
+
+
+def _jpeg_extend(value: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a `size`-bit magnitude to its signed
+    coefficient."""
+    if size == 0:
+        return 0
+    return value if value >= (1 << (size - 1)) else value - (1 << size) + 1
+
+
+def _jpeg_decode_block(bits, dc_table, ac_table, pred: int):
+    """One 8x8 block of zigzag coefficients (python ints); returns
+    (coeffs list[64], new DC predictor)."""
+    size = _jpeg_read_symbol(bits, dc_table)
+    diff = _jpeg_extend(bits.read(size), size) if size else 0
+    pred += diff
+    coeffs = [0] * 64
+    coeffs[0] = pred
+    k = 1
+    while k < 64:
+        rs = _jpeg_read_symbol(bits, ac_table)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("JPEG AC run past end of block")
+        coeffs[k] = _jpeg_extend(bits.read(size), size)
+        k += 1
+    return coeffs, pred
+
+
+def _jpeg_idct_blocks(blocks) -> "object":
+    """Integer separable IDCT over an (n, 8, 8) int64 coefficient array
+    (already dequantized, natural order) -> (n, 8, 8) uint8 pixels.
+    Fixed accumulation order (explicit u-loop, elementwise numpy) keeps
+    the result bit-identical everywhere."""
+    import numpy as np
+
+    B = np.array(_JPEG_IDCT_BASIS, dtype=np.int64)
+    # rows pass: tmp[n, x, v] = sum_u B[u, x] * F[n, u, v]   (scale 2^13)
+    tmp = np.zeros_like(blocks)
+    for u in range(8):
+        tmp += B[u][None, :, None] * blocks[:, u, :][:, None, :]
+    # cols pass: out[n, x, y] = sum_v B[v, y] * tmp[n, x, v] (scale 2^26)
+    out = np.zeros_like(blocks)
+    for v in range(8):
+        out += B[v][None, None, :] * tmp[:, :, v][:, :, None]
+    pixels = ((out + (1 << 25)) >> 26) + 128  # level shift
+    return np.clip(pixels, 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
+    """Baseline sequential JPEG -> (w, h, grayscale raster): marker walk,
+    canonical Huffman entropy decode (with byte unstuffing and RSTn
+    restarts), Y-only dequantize + hardcoded fixed-point integer IDCT.
+    Progressive (SOF2), arithmetic coding, 12-bit precision, and
+    multi-scan sequential files stay out of scope with explicit errors."""
+    import struct
+
+    import numpy as np
+
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    restart_interval = 0
+    frame = None
+    pos = 2  # past SOI (sniffed)
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker stream desynchronized")
+        marker = payload[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG reached EOI without a scan")
+        seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        if pos + 2 + seglen > len(payload):
+            raise ValueError("JPEG truncated inside a segment")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                qtables[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                counts = body[i + 1 : i + 17]
+                n = sum(counts)
+                symbols = body[i + 17 : i + 17 + n]
+                huff[(tc, th)] = _jpeg_build_huffman(counts, symbols)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended Huffman
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG (8 only)")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = (w, h, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0xFF{marker:02X} (lossless/arithmetic) "
+                "not supported"
+            )
+        elif marker == 0xDA:  # SOS: entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            w, h, comps = frame
+            if w <= 0 or h <= 0:
+                raise ValueError(f"JPEG invalid dims {w}x{h}")
+            if w * h > _PNG_MAX_PIXELS:
+                raise ValueError(
+                    f"JPEG dims {w}x{h} exceed the decode pixel cap"
+                )
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan sequential JPEG not supported (every "
+                    "component must appear in the one scan)"
+                )
+            scan = {}
+            for s in range(ns):
+                cs, tt = body[1 + 2 * s], body[2 + 2 * s]
+                scan[cs] = (tt >> 4, tt & 0x0F)
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if comps[0]["h"] != hmax or comps[0]["v"] != vmax:
+                raise NotImplementedError(
+                    "JPEG luma must carry the max sampling factors"
+                )
+            if ns == 1:
+                # non-interleaved single-component scan: MCU = one block
+                mcus_x = (w + 7) // 8
+                mcus_y = (h + 7) // 8
+                hmax = vmax = comps[0]["h"] = comps[0]["v"] = 1
+            else:
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            bits = _JpegBits(payload, pos + 2 + seglen)
+            preds = {c["id"]: 0 for c in comps}
+            y_id = comps[0]["id"]
+            h1, v1 = comps[0]["h"], comps[0]["v"]
+            y_blocks: list[list[int]] = []
+            n_mcus = mcus_x * mcus_y
+            for m in range(n_mcus):
+                if restart_interval and m and m % restart_interval == 0:
+                    rst = bits.align_to_marker()
+                    if not 0xD0 <= rst <= 0xD7:
+                        raise ValueError("JPEG missing restart marker")
+                    preds = {c["id"]: 0 for c in comps}
+                for comp in comps:
+                    dc_t = huff.get((0, scan[comp["id"]][0]))
+                    ac_t = huff.get((1, scan[comp["id"]][1]))
+                    if dc_t is None or ac_t is None:
+                        raise ValueError("JPEG scan references missing DHT")
+                    for _ in range(comp["h"] * comp["v"]):
+                        coeffs, preds[comp["id"]] = _jpeg_decode_block(
+                            bits, dc_t, ac_t, preds[comp["id"]]
+                        )
+                        if comp["id"] == y_id:
+                            y_blocks.append(coeffs)
+            # dequantize Y + invert zigzag into natural order, all blocks
+            q = qtables.get(comps[0]["tq"])
+            if q is None:
+                raise ValueError("JPEG scan references missing DQT")
+            zz = np.array(_JPEG_ZIGZAG, dtype=np.int64)
+            flat = np.array(y_blocks, dtype=np.int64) * np.array(
+                q, dtype=np.int64
+            )
+            natural = np.zeros_like(flat)
+            natural[:, zz] = flat
+            pixels = _jpeg_idct_blocks(natural.reshape(-1, 8, 8))
+            # assemble: Y blocks arrive per MCU as a v1-tall, h1-wide tile
+            out = np.zeros((mcus_y * v1 * 8, mcus_x * h1 * 8), dtype=np.uint8)
+            i = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for by in range(v1):
+                        for bx in range(h1):
+                            out[
+                                (my * v1 + by) * 8 : (my * v1 + by) * 8 + 8,
+                                (mx * h1 + bx) * 8 : (mx * h1 + bx) * 8 + 8,
+                            ] = pixels[i]
+                            i += 1
+            return w, h, out[:h, :w].tobytes()
+        pos += 2 + seglen
+    raise ValueError("JPEG truncated: no scan found")
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload to (width, height, grayscale raster bytes,
     row-major top-down, 1 byte/px).
 
     Codec-free formats decode NATIVELY (stdlib + numpy, deterministic
-    integer BT.601 luma): BMP (BI_RGB 24/32-bit), binary PPM/PGM, and
-    non-interlaced 8-bit PNG (gray/RGB/gray+alpha/RGBA — zlib inflate +
-    per-scanline unfilter). JPEG remains the documented stub — its codec
-    (PIL/libjpeg) is not in this container; on a real cluster swap the
-    NotImplementedError branch for `PIL.Image.open(io.BytesIO(payload))`."""
+    integer math throughout): BMP (BI_RGB 24/32-bit), binary PPM/PGM,
+    non-interlaced 8-bit PNG (zlib inflate + per-scanline unfilter), and
+    baseline sequential JPEG (canonical Huffman + hardcoded fixed-point
+    integer IDCT; the JFIF Y channel IS the BT.601 luma the RGB paths
+    compute, so chroma is consumed but never reconstructed). Progressive
+    JPEG stays gated with an explicit error — on a cluster with PIL/
+    libjpeg available, swap that branch for
+    `PIL.Image.open(io.BytesIO(payload))`."""
     fmt = sniff_media_format(payload)
     if fmt == "bmp":
         return _decode_bmp(payload)
@@ -365,9 +678,11 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return _decode_pnm(payload)
     if fmt == "png":
         return _decode_png(payload)
+    if fmt == "jpeg":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
         f"decoding {fmt or 'unrecognized'} payloads requires a codec "
-        "library (PIL/libjpeg, not in this container); BMP/PPM/PGM/PNG "
+        "library (not in this container); BMP/PPM/PGM/PNG/baseline-JPEG "
         "decode natively, or use _fake_decode for deterministic testing"
     )
 

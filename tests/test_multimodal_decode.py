@@ -131,11 +131,11 @@ def test_pnm_maxval_rescaled_and_invalid_rejected():
 
 
 def test_compressed_formats_stay_explicit_stub():
-    # PNG decodes natively since round 12 (see the PNG section below);
-    # a garbage body behind the PNG signature is malformed, not a stub
+    # PNG (round 12) and baseline JPEG (round 13) decode natively; a
+    # garbage body behind either signature is malformed, not a stub
     with pytest.raises(ValueError):
         M.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
     with pytest.raises(NotImplementedError):
         M.decode_image(b"not an image at all")
@@ -590,3 +590,283 @@ def test_png_hardening_against_crafted_payloads():
     # and the hardened path still decodes a clean payload identically
     w, h, gray = M.decode_image(good)
     assert (w, h) == (4, 4)
+
+
+# --------------------------------------------------------------- JPEG --
+import struct as _struct
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:  # pad the tail with 1s (T.81 F.1.2.3)
+            self.write(1, 1)
+
+
+def _enc_tables():
+    """Trivial but VALID canonical tables emitted in DHT: all DC size
+    symbols at length 4, all AC run/size symbols at length 8 (162 codes
+    fit in 8 bits with the all-ones code unused)."""
+    dc_counts = [0] * 16
+    dc_counts[3] = 12  # 12 symbols of length 4
+    dc_symbols = list(range(12))
+    ac_counts = [0] * 16
+    ac_symbols = [0x00, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    ac_counts[7] = len(ac_symbols)  # all at length 8
+    codes = {}
+    for kind, counts, symbols in (
+        ("dc", dc_counts, dc_symbols), ("ac", ac_counts, ac_symbols)
+    ):
+        code, k, table = 0, 0, {}
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                table[symbols[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        codes[kind] = (counts, symbols, table)
+    return codes
+
+
+_FDCT_A = None
+
+
+def _fdct(block):
+    """Float forward DCT (test-side reference encoder only)."""
+    global _FDCT_A
+    if _FDCT_A is None:
+        A = np.zeros((8, 8))
+        for u in range(8):
+            c = (1 / np.sqrt(2)) if u == 0 else 1.0
+            for x in range(8):
+                A[u, x] = c / 2 * np.cos((2 * x + 1) * u * np.pi / 16)
+        _FDCT_A = A
+    return _FDCT_A @ block @ _FDCT_A.T
+
+
+def _enc_block(bw, block, pred, dc_tab, ac_tab):
+    """Quantize (q=1) + entropy-encode one 8x8 spatial block; returns
+    the new DC predictor."""
+    coeffs = np.round(_fdct(block.astype(np.float64) - 128.0)).astype(int)
+    zz = [coeffs.flat[i] for i in M._JPEG_ZIGZAG]
+    diff = zz[0] - pred
+
+    def emit(tab, sym, val, size):
+        code, length = tab[sym]
+        bw.write(code, length)
+        if size:
+            bw.write(val if val >= 0 else val + (1 << size) - 1, size)
+
+    size = int(abs(diff)).bit_length()
+    emit(dc_tab, size, diff, size)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            emit(ac_tab, 0xF0, 0, 0)
+            run -= 16
+        s = int(abs(v)).bit_length()
+        emit(ac_tab, (run << 4) | s, v, s)
+        run = 0
+    if run:
+        emit(ac_tab, 0x00, 0, 0)  # EOB
+    return zz[0]
+
+
+def _pad_to_blocks(plane, bh, bw_):
+    h, w = plane.shape
+    H = (h + bh - 1) // bh * bh
+    W = (w + bw_ - 1) // bw_ * bw_
+    return np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+
+
+def make_jpeg(raster, subsample="gray", restart_interval=0):
+    """Minimal baseline JPEG encoder (quant tables all 1s, flat Huffman
+    tables declared in DHT): 'gray' single-component, '444' YCbCr 1x1,
+    '420' YCbCr with 2x2 luma sampling."""
+    codes = _enc_tables()
+    dc_counts, dc_syms, dc_tab = codes["dc"]
+    ac_counts, ac_syms, ac_tab = codes["ac"]
+    if subsample == "gray":
+        planes = [(_pad_to_blocks(raster, 8, 8), 1, 1)]
+        h, w = raster.shape
+    else:
+        r = raster[..., 0].astype(np.int64)
+        g = raster[..., 1].astype(np.int64)
+        b = raster[..., 2].astype(np.int64)
+        y = ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+        cb = np.clip(128 + (-169 * r - 331 * g + 500 * b) // 1000, 0, 255
+                     ).astype(np.uint8)
+        cr = np.clip(128 + (500 * r - 419 * g - 81 * b) // 1000, 0, 255
+                     ).astype(np.uint8)
+        h, w = y.shape
+        if subsample == "444":
+            planes = [(_pad_to_blocks(p, 8, 8), 1, 1) for p in (y, cb, cr)]
+        else:  # 420: chroma averaged 2x2
+            yp = _pad_to_blocks(y, 16, 16)
+            sub = lambda p: _pad_to_blocks(  # noqa: E731
+                ((p[0::2, 0::2].astype(int) + p[1::2, 1::2]) // 2
+                 ).astype(np.uint8) if p.shape[0] % 2 == 0 and
+                p.shape[1] % 2 == 0 else
+                ((_pad_to_blocks(p, 2, 2)[0::2, 0::2].astype(int)
+                  + _pad_to_blocks(p, 2, 2)[1::2, 1::2]) // 2
+                 ).astype(np.uint8), 8, 8)
+            planes = [(yp, 2, 2), (sub(cb), 1, 1), (sub(cr), 1, 1)]
+    ncomp = len(planes)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + _struct.pack(">HB", 67, 0) + bytes([1] * 64)  # DQT q=1
+    sof = _struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (_, ch, cv) in enumerate(planes):
+        sof += bytes([i + 1, (ch << 4) | cv, 0])
+    out += b"\xff\xc0" + _struct.pack(">H", 2 + len(sof)) + sof
+    for tc, counts, syms in ((0, dc_counts, dc_syms), (1, ac_counts, ac_syms)):
+        body = bytes([tc << 4]) + bytes(counts) + bytes(syms)
+        out += b"\xff\xc4" + _struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + _struct.pack(">HH", 4, restart_interval)
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + _struct.pack(">H", 2 + len(sos)) + sos
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    if ncomp == 1:
+        mcus_x = (w + 7) // 8
+        mcus_y = (h + 7) // 8
+    else:
+        mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    bw = _JpegBitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            bw = _JpegBitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * ncomp
+        my, mx = divmod(m, mcus_x)
+        for ci, (plane, ch, cv) in enumerate(planes):
+            for by in range(cv):
+                for bx in range(ch):
+                    yy = (my * cv + by) * 8
+                    xx = (mx * ch + bx) * 8
+                    preds[ci] = _enc_block(
+                        bw, plane[yy : yy + 8, xx : xx + 8], preds[ci],
+                        dc_tab, ac_tab,
+                    )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def test_jpeg_grayscale_roundtrip_near_lossless():
+    """Single-component baseline JPEG with q=1 tables: the only error is
+    DCT/IDCT rounding, so every pixel lands within 2 of the source."""
+    raster = _test_raster(24, 17, 1)[..., 0]  # odd width: partial blocks
+    payload = make_jpeg(raster, "gray")
+    w, h, gray = M.decode_image(payload)
+    assert (w, h) == (17, 24)
+    got = np.frombuffer(gray, dtype=np.uint8).reshape(24, 17).astype(int)
+    assert np.abs(got - raster.astype(int)).max() <= 2
+
+
+def test_jpeg_restart_markers_do_not_change_pixels():
+    raster = _test_raster(16, 16, 1)[..., 0]
+    base = M.decode_image(make_jpeg(raster, "gray"))
+    with_rst = M.decode_image(make_jpeg(raster, "gray", restart_interval=2))
+    assert base == with_rst
+
+
+def test_jpeg_420_interleave_reassembles_y():
+    """4:2:0 (2x2 luma per MCU): the decoder must re-tile interleaved Y
+    blocks correctly; chroma blocks are consumed but never reconstructed."""
+    side = 32
+    rgb = np.array(
+        [
+            [((x * 16) % 256, (y * 7) % 256, (x * y) % 256)
+             for x in range(side)]
+            for y in range(side)
+        ],
+        dtype=np.uint8,
+    )
+    payload = make_jpeg(rgb, "420")
+    w, h, gray = M.decode_image(payload)
+    assert (w, h) == (side, side)
+    got = np.frombuffer(gray, dtype=np.uint8).reshape(side, side).astype(int)
+    px = rgb.astype(np.int64)
+    want = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+    assert np.abs(got - want).max() <= 2
+
+
+def test_jpeg_ahash_matches_bmp_twin(spark):
+    """VERDICT r12 #6 done-criterion: JPEG and BMP twins of one raster
+    produce bit-identical aHashes (the PNG test pattern), and the banded
+    near-dup join pairs them at hamming 0 — the full multimodal chain
+    now runs end-to-end on a JPEG corpus with no codec library."""
+    side = 16
+    rgb = [
+        [((x * 16) % 256, (y * 7) % 256, (x * y) % 256) for x in range(side)]
+        for y in range(side)
+    ]
+    raster = np.array(rgb, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (0, make_bmp(rgb)),
+            (1, make_jpeg(raster, "444")),
+            (2, make_jpeg(raster, "420")),
+        ],
+        "doc_id long, payload binary",
+    )
+    hashes = {
+        r["doc_id"]: (r["ahash_lo"], r["ahash_hi"])
+        for r in M.image_ahash(media, decode=M.decode_image).collect()
+    }
+    assert hashes[0] == hashes[1] == hashes[2]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in M.image_neardup_pairs(
+            media, max_hamming=0, decode=M.decode_image
+        ).collect()
+    }
+    assert pairs == {(0, 1): 0, (0, 2): 0, (1, 2): 0}
+
+
+def test_jpeg_rejects_unsupported_variants():
+    raster = _test_raster(8, 8, 1)[..., 0]
+    good = bytearray(make_jpeg(raster, "gray"))
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError, match="progressive"):
+        M.decode_image(bytes(prog))
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_image(bytes(good[:20]))
+    # huge claimed dims refuse before allocating (shared pixel cap)
+    big = bytearray(make_jpeg(raster, "gray"))
+    sof_at = bytes(big).find(b"\xff\xc0")
+    _struct.pack_into(">HH", big, sof_at + 5, 60000, 60000)
+    with pytest.raises(ValueError, match="pixel cap"):
+        M.decode_image(bytes(big))
