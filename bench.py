@@ -106,6 +106,12 @@ HEADLINE = [
     "dedup_allpairs_jaccard",
     "validate_orders_constraints",
     "mm_cdc_chunk_dedup",
+    # round 13 additions: join-cardinality estimation from two CMS grids
+    # (the planner's shuffle-vs-broadcast gate, never running the join)
+    # and the audio near-dup pipeline (time-normalized energy-delta
+    # fingerprint + the shared banded hamming join)
+    "sketch_cms_join_size",
+    "mm_audio_neardup_pairs",
 ]
 
 

@@ -1003,6 +1003,22 @@ def image_neardup_pairs(
     branch), candidates are an equi-join on (band_id, band_key), never
     all-pairs; output pairs dedupe via distinct.
     """
+    fp = (
+        image_ahash(media, decode=decode)
+        .filter((F.col("width") > 0) & (F.col("height") > 0))
+        .select("doc_id", "ahash_lo", "ahash_hi")
+    )
+    return _hamming64_neardup_pairs(fp, "ahash_lo", "ahash_hi", max_hamming)
+
+
+def _hamming64_neardup_pairs(
+    fp: DataFrame, lo_col: str, hi_col: str, max_hamming: int
+) -> DataFrame:
+    """Banded hamming join over any 64-bit fingerprint split into two
+    non-negative 32-bit halves — the shared candidate engine of the
+    image-aHash and audio-energy near-dup operators. ``max_hamming + 1``
+    equal bands give pigeonhole-EXACT recall at the radius; see
+    image_neardup_pairs for the full scale/recall discussion."""
     if max_hamming < 0:
         raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
     if max_hamming >= 16:
@@ -1013,16 +1029,11 @@ def image_neardup_pairs(
             f"max_hamming={max_hamming} needs {max_hamming + 1} bands of "
             "a 64-bit hash; bands this narrow make banding pointless"
         )
-    fp = (
-        image_ahash(media, decode=decode)
-        .filter((F.col("width") > 0) & (F.col("height") > 0))
-        .select("doc_id", "ahash_lo", "ahash_hi")
-    )
     n_bands = max_hamming + 1
     # the full 64-bit pattern: hi in bits 32-63 (sign bit included — the
     # bitwise band extraction below uses UNSIGNED shifts, so a negative
     # bigint representation is harmless)
-    full = "(shiftleft(ahash_hi, 32) | ahash_lo)"
+    full = f"(shiftleft({hi_col}, 32) | {lo_col})"
     band_exprs = []
     for band_id in range(n_bands):
         start = band_id * 64 // n_bands
@@ -1039,8 +1050,8 @@ def image_neardup_pairs(
         parts.append(
             fp.select(
                 "doc_id",
-                "ahash_lo",
-                "ahash_hi",
+                lo_col,
+                hi_col,
                 F.lit(band_id).alias("band_id"),
                 expr.cast("bigint").alias("bk"),
             )
@@ -1049,7 +1060,7 @@ def image_neardup_pairs(
     for p in parts[1:]:
         bands = bands.unionByName(p)
     bands = bands.localCheckpoint(eager=True)
-    par = media.sparkSession.sparkContext.defaultParallelism
+    par = fp.sparkSession.sparkContext.defaultParallelism
     a, b = bands.repartition(par).alias("a"), bands.alias("b")
     return (
         a.join(
@@ -1062,8 +1073,8 @@ def image_neardup_pairs(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.expr(
-                "cast(bit_count(a.ahash_lo ^ b.ahash_lo)"
-                " + bit_count(a.ahash_hi ^ b.ahash_hi) as bigint)"
+                f"cast(bit_count(a.{lo_col} ^ b.{lo_col})"
+                f" + bit_count(a.{hi_col} ^ b.{hi_col}) as bigint)"
             ).alias("hamming"),
         )
         .distinct()
@@ -1148,6 +1159,105 @@ def audio_pcm_stats(
     return media.select("doc_id", "payload").mapInPandas(
         stats_batch, schema=PCM_SCHEMA
     )
+
+
+AUDIO_FP_SEGMENTS = 65  # 65 segment energies -> 64 delta bits
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("fp_lo", LongType()),
+        StructField("fp_hi", LongType()),
+    ]
+)
+
+
+def audio_energy_fingerprint(media: DataFrame) -> DataFrame:
+    """64-bit time-normalized energy-delta fingerprint of an s16le PCM
+    payload (the temporal half of the Haitsma-Kalker audio fingerprint
+    family, "A highly robust audio fingerprinting system", ISMIR 2002 —
+    their sign-of-energy-difference bits, over time only since raw PCM
+    has no codec-free spectral axis here): the waveform is cut into
+    AUDIO_FP_SEGMENTS EQUAL segments (sample k of n lands in segment
+    k*65 DIV n — length-normalized, so a duplicate at a different
+    sample count still aligns), each segment's integer energy is
+    sum(x^2), and bit t says whether the energy ROSE from segment t to
+    t+1. Relative segmentation deliberately avoids a fixed frame size:
+    with fixed frames, everything past a short payload's last frame
+    would be identical zero-energy tail and unrelated same-length docs
+    would collide at tiny hamming distances; over 64 contour bits drawn
+    from the full waveform, unrelated docs sit near hamming 32.
+
+    All integer (x^2 sums in int64, strict >), so the DuckDB oracle
+    replays the chain from hex-expanded payload bytes exactly
+    (`mm_audio_fingerprint`). Empty payloads fingerprint to (0, 0) with
+    n_samples 0 — callers exclude them from pair joins.
+
+    Scale shape: mapInPandas over the scan, zero shuffles, 4 small ints
+    per row out regardless of payload size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    segs = AUDIO_FP_SEGMENTS
+
+    def fp_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        shifts = 1 << np.arange(32, dtype=np.int64)
+        for pdf in batches:
+            n = len(pdf)
+            ns = np.zeros(n, dtype=np.int64)
+            los = np.zeros(n, dtype=np.int64)
+            his = np.zeros(n, dtype=np.int64)
+            for i, payload in enumerate(pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                k = len(b) // 2
+                ns[i] = k
+                if k == 0:
+                    continue
+                x = np.frombuffer(b[: k * 2], dtype="<i2").astype(np.int64)
+                # segment starts: ceil(t*k/65) — sample j belongs to
+                # segment j*65 DIV k (the SQL replay's formula)
+                starts = (np.arange(segs, dtype=np.int64) * k + segs - 1) // segs
+                # reduceat needs indices < k; a start AT k marks an empty
+                # segment (k < 65) — clip for the call, then zero every
+                # empty segment via the UNclipped widths
+                e = np.add.reduceat(x * x, np.minimum(starts, k - 1))
+                width = np.diff(np.append(starts, k))
+                e = np.where(width > 0, e, 0)
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                los[i] = int(np.dot(bits[:32], shifts))
+                his[i] = int(np.dot(bits[32:], shifts))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
+                    "n_samples": ns,
+                    "fp_lo": los,
+                    "fp_hi": his,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        fp_batch, schema=AUDIO_FP_SCHEMA
+    )
+
+
+def audio_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate audio pairs by energy-fingerprint hamming distance
+    — the audio member of the near-dup family, sharing the image path's
+    banded candidate engine (`_hamming64_neardup_pairs`: max_hamming+1
+    bands, pigeonhole-exact recall at the radius, band frame
+    checkpointed once, equi-join candidates, never all-pairs). Payloads
+    shorter than one sample are excluded (an empty waveform matches
+    everything at hamming 0 — noise, not duplication)."""
+    fp = (
+        audio_energy_fingerprint(media)
+        .filter(F.col("n_samples") > 0)
+        .select("doc_id", "fp_lo", "fp_hi")
+    )
+    return _hamming64_neardup_pairs(fp, "fp_lo", "fp_hi", max_hamming)
 
 
 CDC_CHUNK_SCHEMA = StructType(

@@ -318,6 +318,50 @@ def cms_estimate(
     )
 
 
+def cms_join_size(
+    left: DataFrame,
+    left_key: Column,
+    right: DataFrame,
+    right_key: Column,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Equi-join cardinality estimate from Count-Min inner products
+    (Cormode & Muthukrishnan, "An improved data stream summary: the
+    count-min sketch and its applications", J. Algorithms 2005 §4.2):
+    |L JOIN R on k| = sum_k fL(k)*fR(k), and per hash row i the grid
+    inner product est_i = sum_b cntL[i,b]*cntR[i,b] OVERcounts that sum
+    by exactly the colliding cross terms — so min_i est_i is a
+    one-sided estimate (est >= true, overshoot ~ |L|*|R|/width per row,
+    best-of-depth independent rows).
+
+    This is the planner's question — "how big would this join be?" —
+    answered WITHOUT running the join: each side reduces to a
+    depth*width counter grid in one partially-aggregated pass (the
+    shuffle moves at most depth*width rows per input partition
+    regardless of corpus size), and the estimate is integer sketch
+    algebra over two tiny grids. At 100 TB the join itself might
+    shuffle terabytes; the sketches answer first whether it should run
+    at all (skew detection, broadcast-vs-shuffle choice, cost gates).
+
+    All-integer math — estimates are bit-identical across engines.
+    Output: one row (join_size_est bigint).
+    """
+    ca = cms_build(left, left_key, depth=depth, width=width)
+    cb = cms_build(right, right_key, depth=depth, width=width)
+    per_row = (
+        ca.alias("a")
+        .join(cb.alias("b"), ["i", "bucket"])  # absent buckets are 0 terms
+        .groupBy("i")
+        .agg(
+            F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("est")
+        )
+    )
+    return per_row.agg(
+        F.min("est").cast("bigint").alias("join_size_est")
+    )
+
+
 # --- log-bucketed quantile histogram (DDSketch shape; Masson et al.,
 # "DDSketch: a fast and fully-mergeable quantile sketch", VLDB 2019) ----
 

@@ -302,3 +302,96 @@ def mm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_copies, saved_bytes), duplicated chunks only."""
     media = M.attach_payload(load_table(spark, sf_dir, "documents"))
     return M.cdc_chunk_dedup_report(M.content_defined_chunks(media))
+
+
+# shared CTE chain: hex-expanded s16le fold -> 65 equal-segment energies
+# -> 64 energy-delta bits -> two 32-bit halves (the exact integer chain
+# of multimodal.audio_energy_fingerprint; segment of sample k is
+# k*65 DIV n_samples, matching the operator's ceil-boundary reduceat)
+_AUDIO_FP_CTES = """
+    WITH g AS (
+      SELECT doc_id, hex(text::BLOB) AS ph,
+             octet_length(text::BLOB)::BIGINT // 2 AS n_samples
+      FROM documents
+    ), s AS (
+      SELECT doc_id, n_samples, i.k AS k,
+             ('0x' || substr(ph, 4*i.k + 1, 2))::BIGINT
+             + 256 * ('0x' || substr(ph, 4*i.k + 3, 2))::BIGINT AS u
+      FROM g, LATERAL unnest(range(0, n_samples)) AS i(k)
+    ), v AS (
+      SELECT doc_id, k * 65 // n_samples AS f,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS x
+      FROM s
+    ), e0 AS (
+      SELECT doc_id, f, CAST(sum(x * x) AS BIGINT) AS e FROM v GROUP BY 1, 2
+    ), fr AS (
+      SELECT g.doc_id, tt.t FROM g, LATERAL unnest(range(0, 65)) AS tt(t)
+      WHERE g.n_samples > 0
+    ), e AS (
+      SELECT fr.doc_id, fr.t, coalesce(e0.e, 0) AS e
+      FROM fr LEFT JOIN e0 ON e0.doc_id = fr.doc_id AND e0.f = fr.t
+    ), bits AS (
+      SELECT c.doc_id, p.t AS bit,
+             CASE WHEN c.e > p.e THEN 1 ELSE 0 END AS b
+      FROM e c JOIN e p ON c.doc_id = p.doc_id AND c.t = p.t + 1
+    ), fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bit < 32
+                           THEN b * (CAST(1 AS BIGINT) << bit)
+                           ELSE 0 END) AS BIGINT) AS fp_lo,
+             CAST(sum(CASE WHEN bit >= 32
+                           THEN b * (CAST(1 AS BIGINT) << (bit - 32))
+                           ELSE 0 END) AS BIGINT) AS fp_hi
+      FROM bits GROUP BY 1
+    ), fpv AS (
+      SELECT g.doc_id, g.n_samples,
+             coalesce(fp.fp_lo, 0) AS fp_lo, coalesce(fp.fp_hi, 0) AS fp_hi
+      FROM g LEFT JOIN fp USING (doc_id)
+    )
+"""
+
+
+@query(
+    "mm_audio_fingerprint",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=_AUDIO_FP_CTES
+    + """
+    SELECT doc_id, n_samples, fp_lo, fp_hi FROM fpv
+    """,
+)
+def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit time-normalized energy-delta audio fingerprint per payload
+    (Haitsma-Kalker ISMIR'02 family, temporal bits): 65 equal waveform
+    segments -> integer energies -> sign-of-delta bits, packed into two
+    32-bit halves. All integer, so the oracle replays the whole chain
+    from hex-expanded payload bytes — the strongest check of the
+    mapInPandas segmentation math."""
+    media = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    return M.audio_energy_fingerprint(media)
+
+
+@query(
+    "mm_audio_neardup_pairs",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    # Oracle verifies RESULTS, not the candidate strategy: brute-force
+    # all-pairs hamming over the replayed fingerprints; the Spark side's
+    # banding has EXACT recall at the radius (pigeonhole), so the two
+    # enumerations must agree row-for-row.
+    oracle=_AUDIO_FP_CTES
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.fp_lo, b.fp_lo))
+                + bit_count(xor(a.fp_hi, b.fp_hi)) AS BIGINT) AS hamming
+    FROM fpv a JOIN fpv b ON a.doc_id < b.doc_id
+    WHERE a.n_samples > 0 AND b.n_samples > 0
+      AND bit_count(xor(a.fp_lo, b.fp_lo))
+          + bit_count(xor(a.fp_hi, b.fp_hi)) <= 3
+    """,
+)
+def mm_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs at hamming <= 3 over the energy-delta
+    fingerprint — the audio member of the near-dup family, sharing the
+    image path's banded candidate engine (pigeonhole-exact recall at the
+    radius, candidates by equi-join, never all-pairs)."""
+    media = M.attach_payload(load_table(spark, sf_dir, "documents"))
+    return M.audio_neardup_pairs(media, max_hamming=3)

@@ -366,3 +366,72 @@ def sketch_mg_heavy_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=MG_SRC_K,
         weight_col="n_chars",
     )
+
+
+CMSJ_DEPTH = 4
+CMSJ_WIDTH = 256
+
+_CMSJ_II = ", ".join(str(i) for i in range(CMSJ_DEPTH))
+
+
+@query(
+    "sketch_cms_join_size",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=f"""
+    WITH ii AS (SELECT unnest([{_CMSJ_II}]) AS i),
+    la AS (
+        SELECT ii.i,
+               {_H60.format(v="CAST(ii.i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")}
+                 % {CMSJ_WIDTH} AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events, ii GROUP BY 1, 2
+    ),
+    rb AS (
+        SELECT ii.i,
+               {_H60.format(v="CAST(ii.i AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)")}
+                 % {CMSJ_WIDTH} AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders, ii GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT la.i, CAST(sum(la.cnt * rb.cnt) AS BIGINT) AS est
+        FROM la JOIN rb ON la.i = rb.i AND la.bucket = rb.bucket
+        GROUP BY 1
+    ),
+    ex AS (
+        SELECT CAST(count(*) AS BIGINT) AS join_size_exact
+        FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    )
+    SELECT ex.join_size_exact,
+           (SELECT CAST(min(est) AS BIGINT) FROM est) AS join_size_est
+    FROM ex
+    """,
+)
+def sketch_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from CMS inner products (Cormode &
+    Muthukrishnan 2005 §4.2): how big would events JOIN orders on
+    user_id = o_custkey be, WITHOUT running the join — each side
+    reduces to a depth x width counter grid in one partially-aggregated
+    pass and the estimate is integer algebra over the two grids
+    (one-sided: always >= the exact size, which sits beside it in the
+    same row; the accuracy contract lives in tests/test_sketches.py).
+    The planner's broadcast-vs-shuffle/skew gate at 100 TB: the exact
+    count here is the oracle's ground truth, not part of the sketch."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("k")
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("k")
+    )
+    exact = ev.join(od, "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("join_size_exact")
+    )
+    est = SK.cms_join_size(
+        ev,
+        F.col("k").cast("string"),
+        od,
+        F.col("k").cast("string"),
+        depth=CMSJ_DEPTH,
+        width=CMSJ_WIDTH,
+    )
+    return exact.crossJoin(est)

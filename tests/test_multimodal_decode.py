@@ -870,3 +870,76 @@ def test_jpeg_rejects_unsupported_variants():
     _struct.pack_into(">HH", big, sof_at + 5, 60000, 60000)
     with pytest.raises(ValueError, match="pixel cap"):
         M.decode_image(bytes(big))
+
+
+# ------------------------------------------------------ audio fingerprint --
+def _audio_fp_model(b: bytes):
+    """Sequential python reference of audio_energy_fingerprint: 65 equal
+    segments (sample j -> segment j*65 DIV k), integer energies,
+    energy-rose bits, two 32-bit halves."""
+    k = len(b) // 2
+    if k == 0:
+        return 0, 0, 0
+    xs = struct.unpack(f"<{k}h", b[: 2 * k])
+    e = [0] * 65
+    for j, x in enumerate(xs):
+        e[j * 65 // k] += x * x
+    bits = [1 if e[t + 1] > e[t] else 0 for t in range(64)]
+    lo = sum(bit << i for i, bit in enumerate(bits[:32]))
+    hi = sum(bit << i for i, bit in enumerate(bits[32:]))
+    return k, lo, hi
+
+
+def test_audio_fingerprint_matches_python_model(spark):
+    """The vectorized reduceat segmentation equals the sequential model
+    on every length class: long (k >> 65), exact multiples, short
+    (k < 65, empty segments), single-sample, empty, odd byte, NULL."""
+    import struct as _s
+
+    payloads = [
+        b"".join(
+            _s.pack("<h", ((i * 2731 + 17) % 4096 - 2048)) for i in range(n)
+        )
+        for n in (1000, 130, 65, 64, 7, 1)
+    ]
+    payloads.append(b"")
+    payloads.append(b"\x07")  # odd trailing byte ignored
+    rows = [(i, p) for i, p in enumerate(payloads)] + [(99, None)]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["n_samples"], r["fp_lo"], r["fp_hi"])
+        for r in M.audio_energy_fingerprint(media).collect()
+    }
+    for i, p in enumerate(payloads):
+        assert got[i] == _audio_fp_model(p), (i, len(p))
+    assert got[99] == (0, 0, 0)
+
+
+def test_audio_neardup_planted_pair(spark):
+    """A mild amplitude change preserves the energy CONTOUR (hamming
+    small); an unrelated waveform does not pair. Empty payloads never
+    pair despite identical (0,0) fingerprints."""
+    import struct as _s
+
+    base = [
+        int(1500 * (1 + ((t // 40) % 5))) * (1 if t % 2 else -1)
+        for t in range(520)
+    ]
+    quiet = [x * 9 // 10 for x in base]  # 10% quieter, same contour
+    other = [
+        int(1500 * (1 + ((t // 40 + 3 * (t // 160)) % 7))) * (1 if t % 3 else -1)
+        for t in range(520)
+    ]
+    enc = lambda xs: b"".join(_s.pack("<h", x) for x in xs)  # noqa: E731
+    media = spark.createDataFrame(
+        [(0, enc(base)), (1, enc(quiet)), (2, enc(other)),
+         (3, b""), (4, b"")],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in M.audio_neardup_pairs(media, max_hamming=3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3
+    assert not any(3 in p or 4 in p for p in pairs), pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs

@@ -827,3 +827,25 @@ def test_mg_heavy_hitters_filter_stays_post_agg(reports):
     assert not r.take_ordered
     assert r.nested_loop_joins  # the annotated single-row total broadcast
     assert r.n_shuffle_exchanges <= 1
+
+
+def test_cms_join_size_two_grids_no_corpus_join(reports):
+    """The join-size estimator's whole point: the corpus-sized join is
+    never the estimate's input — both sides reduce map-side to
+    depth x width counter grids (partial agg before every exchange),
+    the grid-product join is grid x grid, and the only NLJ is the
+    single-row exact/estimate result assembly."""
+    r = reports("sketch_cms_join_size")
+    assert r.has_partial_aggregate
+    assert r.nested_loop_joins <= 2  # single-row result assembly only
+    assert r.n_shuffle_exchanges <= 6
+
+
+def test_audio_neardup_band_join_bounded(reports):
+    # same contract as the image twin through the shared banding engine:
+    # fingerprint frame checkpointed (the mapInPandas segmentation runs
+    # once, no corpus scan per join side), banded equi-join, no NLJ
+    r = reports("mm_audio_neardup_pairs")
+    assert r.scans == {}
+    assert r.n_shuffle_exchanges <= 3
+    assert r.nested_loop_joins == 0

@@ -198,3 +198,31 @@ def test_loghist_merge_is_additive(spark):
         k = (r["event_type"], r["bucket"])
         merged[k] = merged.get(k, 0) + r["cnt"]
     assert merged == whole
+
+
+def test_cms_join_size_is_one_sided_and_tight_when_wide(spark):
+    """CMS inner-product join-size estimate (Cormode-Muthukrishnan §4.2):
+    always >= the exact equi-join size, exact when the grid is wide
+    enough that no two live keys collide in any hash row, and within the
+    |L|*|R|/width overshoot bound when collisions are forced."""
+    left = spark.createDataFrame(
+        [(i % 7,) for i in range(200)], "k long"
+    ).select(F.col("k").cast("string").alias("k"))
+    right = spark.createDataFrame(
+        [(i % 11,) for i in range(150)], "k long"
+    ).select(F.col("k").cast("string").alias("k"))
+    exact = (
+        left.join(right, "k").count()
+    )
+    wide = SK.cms_join_size(
+        left, F.col("k"), right, F.col("k"), depth=4, width=4096
+    ).collect()[0]["join_size_est"]
+    assert wide >= exact
+    # 7 and 11 distinct keys in 4096 buckets: no collisions, so the
+    # inner product IS sum f_L(k) f_R(k) exactly
+    assert wide == exact
+    narrow = SK.cms_join_size(
+        left, F.col("k"), right, F.col("k"), depth=4, width=4
+    ).collect()[0]["join_size_est"]
+    assert narrow >= exact
+    assert narrow <= exact + 200 * 150 // 4 * 3  # generous e*|L||R|/w bound
