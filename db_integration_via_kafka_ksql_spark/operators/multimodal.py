@@ -1011,6 +1011,40 @@ def image_neardup_pairs(
     return _hamming64_neardup_pairs(fp, "ahash_lo", "ahash_hi", max_hamming)
 
 
+def fingerprint_band_frame(
+    fp: DataFrame, lo_col: str, hi_col: str, n_bands: int
+) -> DataFrame:
+    """Explode a two-half 64-bit fingerprint frame into its equal-split
+    band keys: (doc_id, <lo_col>, <hi_col>, band_id, bk) with one row
+    per band — the shared candidate-key primitive of the batch hamming
+    join and the streaming pair emitter. The full 64-bit pattern is
+    rebuilt with hi in bits 32-63 (sign bit included — extraction uses
+    UNSIGNED shifts, so a negative bigint representation is harmless)."""
+    full = f"(shiftleft({hi_col}, 32) | {lo_col})"
+    parts = []
+    for band_id in range(n_bands):
+        start = band_id * 64 // n_bands
+        width = (band_id + 1) * 64 // n_bands - start
+        if width >= 64:
+            expr = F.expr(full)
+        else:
+            mask = (1 << width) - 1
+            expr = F.expr(f"shiftrightunsigned({full}, {start}) & {mask}")
+        parts.append(
+            fp.select(
+                "doc_id",
+                lo_col,
+                hi_col,
+                F.lit(band_id).alias("band_id"),
+                expr.cast("bigint").alias("bk"),
+            )
+        )
+    bands = parts[0]
+    for p in parts[1:]:
+        bands = bands.unionByName(p)
+    return bands
+
+
 def _hamming64_neardup_pairs(
     fp: DataFrame, lo_col: str, hi_col: str, max_hamming: int
 ) -> DataFrame:
@@ -1029,37 +1063,9 @@ def _hamming64_neardup_pairs(
             f"max_hamming={max_hamming} needs {max_hamming + 1} bands of "
             "a 64-bit hash; bands this narrow make banding pointless"
         )
-    n_bands = max_hamming + 1
-    # the full 64-bit pattern: hi in bits 32-63 (sign bit included — the
-    # bitwise band extraction below uses UNSIGNED shifts, so a negative
-    # bigint representation is harmless)
-    full = f"(shiftleft({hi_col}, 32) | {lo_col})"
-    band_exprs = []
-    for band_id in range(n_bands):
-        start = band_id * 64 // n_bands
-        width = (band_id + 1) * 64 // n_bands - start
-        if width >= 64:
-            band_exprs.append(F.expr(full))
-        else:
-            mask = (1 << width) - 1
-            band_exprs.append(
-                F.expr(f"shiftrightunsigned({full}, {start}) & {mask}")
-            )
-    parts = []
-    for band_id, expr in enumerate(band_exprs):
-        parts.append(
-            fp.select(
-                "doc_id",
-                lo_col,
-                hi_col,
-                F.lit(band_id).alias("band_id"),
-                expr.cast("bigint").alias("bk"),
-            )
-        )
-    bands = parts[0]
-    for p in parts[1:]:
-        bands = bands.unionByName(p)
-    bands = bands.localCheckpoint(eager=True)
+    bands = fingerprint_band_frame(
+        fp, lo_col, hi_col, max_hamming + 1
+    ).localCheckpoint(eager=True)
     par = fp.sparkSession.sparkContext.defaultParallelism
     a, b = bands.repartition(par).alias("a"), bands.alias("b")
     return (

@@ -357,8 +357,16 @@ def cms_join_size(
             F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("long").alias("est")
         )
     )
+    # a hash row with NO colliding buckets has inner product 0 — and 0 is
+    # then the whole estimate (0 >= true join size forces true = 0); the
+    # groupBy only yields rows for i values WITH matches, so min() alone
+    # would overestimate — any missing row (count < depth) means 0
     return per_row.agg(
-        F.min("est").cast("bigint").alias("join_size_est")
+        F.coalesce(
+            F.when(F.count(F.lit(1)) == depth, F.min("est")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("join_size_est")
     )
 
 

@@ -403,7 +403,9 @@ _CMSJ_II = ", ".join(str(i) for i in range(CMSJ_DEPTH))
         FROM events e JOIN orders o ON e.user_id = o.o_custkey
     )
     SELECT ex.join_size_exact,
-           (SELECT CAST(min(est) AS BIGINT) FROM est) AS join_size_est
+           (SELECT CAST(CASE WHEN count(*) = {CMSJ_DEPTH} THEN min(est)
+                             ELSE 0 END AS BIGINT)
+            FROM est) AS join_size_est
     FROM ex
     """,
 )

@@ -226,3 +226,21 @@ def test_cms_join_size_is_one_sided_and_tight_when_wide(spark):
     ).collect()[0]["join_size_est"]
     assert narrow >= exact
     assert narrow <= exact + 200 * 150 // 4 * 3  # generous e*|L||R|/w bound
+
+
+def test_cms_join_size_zero_when_no_possible_match(spark):
+    """A hash row with zero colliding buckets forces the estimate to 0
+    (0 >= true means the true join size IS 0) — the missing-groupBy-row
+    case min() alone would overestimate; and an empty side estimates 0
+    rather than NULL."""
+    left = spark.createDataFrame([("a",), ("b",)], "k string")
+    right = spark.createDataFrame([("zzz",)], "k string")
+    est = SK.cms_join_size(
+        left, F.col("k"), right, F.col("k"), depth=4, width=65536
+    ).collect()[0]["join_size_est"]
+    assert est == 0  # disjoint keys, wide grid: some row surely misses
+    empty = spark.createDataFrame([], "k string")
+    est2 = SK.cms_join_size(
+        left, F.col("k"), empty, F.col("k"), depth=4, width=64
+    ).collect()[0]["join_size_est"]
+    assert est2 == 0
