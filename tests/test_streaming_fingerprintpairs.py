@@ -193,3 +193,29 @@ def test_live_stream_end_to_end(spark, tmp_path):
         q.stop()
         q.awaitTermination(30)
     assert set(_got(sp)) == _batch_pairs(spark, ids)
+
+
+def test_compaction_composition(spark, tmp_path):
+    """compact_epochs over the append-only pair output (pairs are
+    immutable once emitted — provenance-only epochs) leaves pairs()
+    identical, keeps replay markers, and the stream continues into new
+    epochs after compaction."""
+    from db_integration_via_kafka_ksql_spark.streaming import epochdir
+
+    sp = _sp(spark, tmp_path)
+    sp.process_batch(_df(spark, BATCHES[0]), 0)
+    sp.process_batch(_df(spark, BATCHES[1]), 1)
+    before = sorted(_got(sp))
+    stats = epochdir.compact_epochs(
+        spark, sp.output_path, sp.batch_col, upto=1
+    )
+    assert stats["compacted_epochs"] >= 1
+    assert sorted(_got(sp)) == before
+    # replay of a compacted epoch is still a no-op
+    sp.process_batch(_df(spark, BATCHES[1]), 1)
+    assert sorted(_got(sp)) == before
+    # and the stream continues
+    sp.process_batch(_df(spark, BATCHES[2]), 2)
+    assert set(_got(sp)) == _batch_pairs(
+        spark, [i for b in BATCHES for i in b]
+    )
