@@ -682,6 +682,63 @@ class IvfPqIndex:
         self.dims = dims
         self.m = m
 
+    def encode(self, embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Encode NEW vectors against the FROZEN fit artifacts (coarse
+        centroids + trained codebooks) — the index-maintenance
+        primitive: appending the returned rows to the index's q/lists
+        frames IS adding the vectors to the index, no refit. Input is
+        (vec_id, label, embedding) — the corpus schema; output is
+        (q_rows, list_rows) column-compatible with the fit-time frames
+        (and therefore with save()'s on-disk layout), produced by the
+        IDENTICAL integer exprs the fit used, so a vector added late
+        encodes bit-for-bit as it would have at fit time — the equality
+        the streaming upsert contract rests on.
+
+        Scale shape: one scan-side quantize + argmin over broadcast
+        centroids (partial-agg, no window) + scan-side PQ projection
+        over literal codewords — zero corpus shuffles. Serving quality
+        for late arrivals rests on the codebook staying representative;
+        drift is measured by ivf_pq_distortion and repaired by a
+        scheduled refit (the rescale_buckets stance)."""
+        dims, m = self.dims, self.m
+        dsub = dims // m
+        qn = embeddings.select(
+            "vec_id", "label", V.quantize("embedding").alias("q")
+        )
+        sz = qn.agg(
+            F.min(F.size("q")).alias("lo"), F.max(F.size("q")).alias("hi")
+        ).first()
+        if sz.lo is not None and (sz.lo != dims or sz.hi != dims):
+            raise ValueError(
+                f"IvfPqIndex.encode: index.dims={dims} but vectors have "
+                f"{sz.lo}..{sz.hi} dimensions"
+            )
+        dist2 = F.expr(
+            "aggregate(zip_with(q, c, (x, y) -> (x - y) * (x - y)), "
+            "cast(0 as bigint), (acc, v) -> acc + v)"
+        ).alias("dist2")
+        res = (
+            qn.crossJoin(self.cent)
+            .select("vec_id", "q", "c_label", "c", dist2)
+            .groupBy("vec_id")
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("dist2"), F.col("c_label"), F.col("q"), F.col("c")
+                    )
+                ).alias("m")
+            )
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("m.c_label").alias("list_id"),
+                F.expr("zip_with(m.q, m.c, (x, y) -> x - y)").alias("res"),
+            )
+        )
+        list_rows = res.select(
+            "neighbor_id", "list_id", _pq_codes_expr(self.codebook, dsub).alias("codes")
+        )
+        return qn.select("vec_id", "label", "q"), list_rows
+
     def save(self, path: str) -> None:
         """Persist to `path`: q/cent/lists as parquet (distributed
         writes — the corpus-sized frames never pass through the

@@ -1,0 +1,223 @@
+"""Streaming IVF-PQ upserts (streaming/vectorindex.py): the exact
+prefix contract vs a batch-built merged index, the encode identity,
+replay no-ops, the crash-between-commits interleaving, idle epochs,
+dim guards, and a live stream — over the testdata embeddings corpus."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from db_integration_via_kafka_ksql_spark.io import load_table
+from db_integration_via_kafka_ksql_spark.operators import similarity as S
+from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.vectorindex import (
+    StreamingVectorIndex,
+)
+
+K, NPROBE = 3, 4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    """Base corpus (fitted) + three addition batches, disjoint vec_ids."""
+    emb = load_table(spark, sf_dir, "embeddings").orderBy("vec_id")
+    base = emb.limit(200).localCheckpoint(eager=True)
+    rest = emb.join(base.select("vec_id"), "vec_id", "left_anti").orderBy(
+        "vec_id"
+    )
+    adds = rest.limit(90).localCheckpoint(eager=True)
+    return base, adds
+
+
+@pytest.fixture(scope="module")
+def saved_index(spark, corpus, tmp_path_factory):
+    base, _ = corpus
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    S.ivf_pq_fit(base, dims=64, m=8, ksub=8, iters=1).save(path)
+    return path
+
+
+def _batches(adds):
+    ids = [r["vec_id"] for r in adds.select("vec_id").collect()]
+    return [ids[:30], ids[30:60], ids[60:90]]
+
+
+def _queries(spark, emb, vec_ids):
+    return (
+        emb.filter(F.col("vec_id").isin(vec_ids))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+
+
+def _svi(spark, saved_index, tmp_path, **kw):
+    return StreamingVectorIndex(
+        spark,
+        index_path=saved_index,
+        adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0,
+        **kw,
+    )
+
+
+def _batch_merged(spark, saved_index, base_index, added_df):
+    """The comparison index: base + encode(all added so far), built in
+    ONE batch against the same frozen artifacts."""
+    q_rows, list_rows = base_index.encode(added_df)
+    return S.IvfPqIndex(
+        q=base_index.q.select("vec_id", "label", "q").unionByName(q_rows),
+        cent=base_index.cent,
+        corpus_res=None,
+        codebook=base_index.codebook,
+        lists=base_index.lists.select(
+            "neighbor_id", "list_id", "codes"
+        ).unionByName(list_rows),
+        dims=base_index.dims,
+        m=base_index.m,
+    )
+
+
+def _serve(index_or_svi, queries):
+    if isinstance(index_or_svi, StreamingVectorIndex):
+        df = index_or_svi.serve_vectors(queries, k=K, nprobe=NPROBE)
+    else:
+        df = S.ivf_pq_serve_vectors(
+            index_or_svi, queries, k=K, nprobe=NPROBE
+        )
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_prefix_contract_every_epoch(spark, sf_dir, corpus, saved_index, tmp_path):
+    """After epoch e the streaming serve equals the batch serve against
+    an index holding base + every vector added so far — exact integer
+    equality, the encode-identity contract."""
+    base, adds = corpus
+    emb = load_table(spark, sf_dir, "embeddings")
+    svi = _svi(spark, saved_index, tmp_path)
+    batches = _batches(adds)
+    queries = _queries(spark, emb, batches[0][:2] + [0, 1])
+    seen: list[int] = []
+    for e, ids in enumerate(batches):
+        svi.process_batch(adds.filter(F.col("vec_id").isin(ids)), e)
+        seen += ids
+        want_index = _batch_merged(
+            spark, saved_index, svi._base,
+            adds.filter(F.col("vec_id").isin(seen)),
+        )
+        assert _serve(svi, queries) == _serve(want_index, queries), f"epoch {e}"
+
+
+def test_added_vector_is_its_own_top_hit(spark, sf_dir, corpus, saved_index, tmp_path):
+    """The round-trip identity carried into the stream: a vector added
+    at epoch 0, served BY VALUE, returns itself rank 1 — tonight's doc
+    is searchable now, not after the next refit."""
+    base, adds = corpus
+    emb = load_table(spark, sf_dir, "embeddings")
+    svi = _svi(spark, saved_index, tmp_path)
+    ids = _batches(adds)[0]
+    svi.process_batch(adds.filter(F.col("vec_id").isin(ids)), 0)
+    queries = _queries(spark, emb, ids[:3])
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in svi.serve_vectors(queries, k=1, nprobe=NPROBE).collect()
+    }
+    assert top1 == {i: i for i in ids[:3]}
+
+
+def test_replay_noop_and_crash_between_commits(spark, corpus, saved_index, tmp_path, monkeypatch):
+    base, adds = corpus
+    svi = _svi(spark, saved_index, tmp_path)
+    batches = _batches(adds)
+    svi.process_batch(adds.filter(F.col("vec_id").isin(batches[0])), 0)
+    q_epochs = epochdir.list_epochs(svi._q_path(), svi.batch_col)
+
+    # crash AFTER the q commit, BEFORE the lists commit of epoch 1
+    real_commit = epochdir.commit_epoch
+
+    def crash_on_lists(df, path, batch_col, epoch_id, **kw):
+        if path == svi._lists_path() and epoch_id == 1:
+            raise RuntimeError("simulated crash between the two commits")
+        return real_commit(df, path, batch_col, epoch_id, **kw)
+
+    monkeypatch.setattr(
+        "db_integration_via_kafka_ksql_spark.streaming.vectorindex."
+        "epochdir.commit_epoch",
+        crash_on_lists,
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        svi.process_batch(adds.filter(F.col("vec_id").isin(batches[1])), 1)
+    monkeypatch.undo()
+    # replay converges: q already committed (skipped), lists lands
+    svi.process_batch(adds.filter(F.col("vec_id").isin(batches[1])), 1)
+    assert epochdir.list_epochs(svi._q_path(), svi.batch_col) == [0, 1]
+    assert epochdir.list_epochs(svi._lists_path(), svi.batch_col) == [0, 1]
+    # full replay of a committed epoch is a no-op
+    before = epochdir.list_epochs(svi._q_path(), svi.batch_col)
+    svi.process_batch(adds.filter(F.col("vec_id").isin(batches[1])), 1)
+    assert epochdir.list_epochs(svi._q_path(), svi.batch_col) == before
+    assert q_epochs == [0]
+
+
+def test_idle_epoch_commits_nothing(spark, corpus, saved_index, tmp_path):
+    base, adds = corpus
+    svi = _svi(spark, saved_index, tmp_path)
+    svi.process_batch(adds.limit(10), 0)
+    svi.process_batch(adds.limit(0), 1)
+    assert epochdir.list_epochs(svi._q_path(), svi.batch_col) == [0]
+    assert epochdir.list_epochs(svi._lists_path(), svi.batch_col) == [0]
+
+
+def test_encode_rejects_dim_mismatch(spark, corpus, saved_index):
+    base, adds = corpus
+    index = S.IvfPqIndex.load(spark, saved_index)
+    bad = adds.limit(5).select(
+        "vec_id", "label", F.expr("slice(embedding, 1, 32)").alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dims=64"):
+        index.encode(bad).__getitem__(0).count()
+
+
+def test_start_requires_checkpoint(spark, corpus, saved_index, tmp_path):
+    src = str(tmp_path / "x")
+    os.makedirs(src, exist_ok=True)
+    svi = _svi(spark, saved_index, tmp_path)
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        svi.start(
+            spark.readStream.schema(
+                "vec_id long, label int, embedding array<float>"
+            ).parquet(src)
+        )
+
+
+def test_live_stream_end_to_end(spark, sf_dir, corpus, saved_index, tmp_path):
+    base, adds = corpus
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids = _batches(adds)[0][:10]
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed, exist_ok=True)
+    adds.filter(F.col("vec_id").isin(ids)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(feed)
+    svi = _svi(
+        spark, saved_index, tmp_path, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    schema = adds.schema
+    q = svi.start(spark.readStream.schema(schema).parquet(feed))
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not svi.batches_seen:
+            time.sleep(0.5)
+        time.sleep(1.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    queries = _queries(spark, emb, ids[:2])
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in svi.serve_vectors(queries, k=1, nprobe=NPROBE).collect()
+    }
+    assert top1 == {i: i for i in ids[:2]}
