@@ -1019,26 +1019,32 @@ def graph_supplier_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_stats(edges)
 
 
-def _zorder_oracle() -> str:
-    """DuckDB replay of the Morton key derivation (operators/layout.py):
-    identical fixed-order bucket math (dlit exponent literals) and the
-    same DIV/%/* interleave spelled with DuckDB's `//`."""
+def _z_bucket_sql(col: str, lo: str, hi: str, bits: int = 16) -> str:
+    """DuckDB twin of layout._bucket_expr (dlit exponent literals)."""
     from db_integration_via_kafka_ksql_spark.functions.detmath import dlit
 
-    bits, n = 16, 1 << 16
-
-    def bucket(col, lo, hi):
-        return (
-            f"CASE WHEN {hi} = {lo} THEN CAST(0 AS BIGINT) "
-            f"ELSE least(CAST(floor((CAST({col} AS DOUBLE) - {lo}) * {dlit(n)}"
-            f" / ({hi} - {lo})) AS BIGINT), {n - 1}) END"
-        )
-
-    terms = " + ".join(
-        f"(({b} // {1 << k}) % 2) * {1 << (k * 2 + j)}"
-        for k in range(bits)
-        for j, b in enumerate(("zb_user_id", "zb_value"))
+    n = 1 << bits
+    return (
+        f"CASE WHEN {hi} = {lo} THEN CAST(0 AS BIGINT) "
+        f"ELSE least(CAST(floor((CAST({col} AS DOUBLE) - {lo}) * {dlit(n)}"
+        f" / ({hi} - {lo})) AS BIGINT), {n - 1}) END"
     )
+
+
+def _z_terms_sql(buckets: tuple[str, ...], bits: int = 16) -> str:
+    """DuckDB twin of layout.morton_interleave (`//` for DIV)."""
+    ncols = len(buckets)
+    return " + ".join(
+        f"(({b} // {1 << k}) % 2) * {1 << (k * ncols + j)}"
+        for k in range(bits)
+        for j, b in enumerate(buckets)
+    )
+
+
+def _zval_ctes(extra_cols: str = "") -> str:
+    """Shared CTE chain deriving (event_id[, extras], zb_user_id,
+    zb_value, zval) for the events table — the zorder-key replay body
+    used by both the key query and the zone-map report oracle."""
     return f"""
     WITH bounds AS (
       SELECT min(CAST(user_id AS DOUBLE)) AS u_min,
@@ -1047,14 +1053,29 @@ def _zorder_oracle() -> str:
              max(CAST(value AS DOUBLE)) AS v_max
       FROM events
     ), b AS (
-      SELECT event_id,
-             {bucket("user_id", "u_min", "u_max")} AS zb_user_id,
-             {bucket("value", "v_min", "v_max")} AS zb_value
+      SELECT event_id,{extra_cols}
+             {_z_bucket_sql("user_id", "u_min", "u_max")} AS zb_user_id,
+             {_z_bucket_sql("value", "v_min", "v_max")} AS zb_value
       FROM events, bounds
+    ), z AS (
+      SELECT b.*,
+             CAST({_z_terms_sql(("zb_user_id", "zb_value"))} AS BIGINT)
+               AS zval
+      FROM b
     )
-    SELECT event_id, zb_user_id, zb_value, CAST({terms} AS BIGINT) AS zval
-    FROM b
     """
+
+
+def _zorder_oracle() -> str:
+    """DuckDB replay of the Morton key derivation (operators/layout.py):
+    identical fixed-order bucket math (dlit exponent literals) and the
+    same DIV/%/* interleave spelled with DuckDB's `//`."""
+    return (
+        _zval_ctes()
+        + """
+    SELECT event_id, zb_user_id, zb_value, zval FROM z
+    """
+    )
 
 
 @query(
@@ -1074,6 +1095,90 @@ def events_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return L.zorder_key(ev, ["user_id", "value"]).select(
         "event_id", "zb_user_id", "zb_value", "zval"
+    )
+
+
+ZM_FILES = 64
+ZM_PRED = {"user_id": (10.0, 100000.0), "value": (50.0, 120.0)}
+
+
+def _zone_map_oracle() -> str:
+    """DuckDB replay of layout.zone_map_skip_report over events: the
+    shared zval CTEs, EQUAL-ROW-COUNT rank file cuts (a plain global
+    row_number here — single-node DuckDB; the operator earns the same
+    rank with a partitioned window + broadcast prefix offsets), per-file
+    min/max zone maps, and the disjoint-range skip rule, for both
+    candidate layouts."""
+    from db_integration_via_kafka_ksql_spark.functions.detmath import dlit
+
+    u_lo, u_hi = (dlit(v) for v in ZM_PRED["user_id"])
+    v_lo, v_hi = (dlit(v) for v in ZM_PRED["value"])
+    cuts = {
+        "zorder": "zval",
+        "single_user_id": "zb_user_id",
+    }
+    skip = (
+        f"(u_max < {u_lo} OR u_min > {u_hi} "
+        f"OR vv_max < {v_lo} OR vv_min > {v_hi})"
+    )
+    zms = ", ".join(
+        f"""cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM z), """
+        + ", ".join(
+            f"""zm_{name} AS (
+      SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+             min(CAST(user_id AS DOUBLE)) AS u_min,
+             max(CAST(user_id AS DOUBLE)) AS u_max,
+             min(CAST(value AS DOUBLE)) AS vv_min,
+             max(CAST(value AS DOUBLE)) AS vv_max
+      FROM (
+        SELECT user_id, value,
+               (row_number() OVER (ORDER BY {key}, event_id) - 1)
+                 * {ZM_FILES} // cnt.n AS file_id
+        FROM z, cnt
+      ) GROUP BY 1
+    )"""
+            for name, key in cuts.items()
+        )
+        for _ in (0,)
+    )
+    reps = " UNION ALL ".join(
+        f"""
+    SELECT '{name}' AS layout,
+           CAST(count(*) AS BIGINT) AS n_files_total,
+           CAST(sum(CASE WHEN {skip} THEN 1 ELSE 0 END) AS BIGINT)
+             AS files_skipped,
+           CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           CAST(sum(CASE WHEN {skip} THEN 0 ELSE n_rows END) AS BIGINT)
+             AS rows_scanned,
+           CAST(sum(CASE WHEN {skip} THEN 0 ELSE n_rows END) AS BIGINT)
+             * 1000 // CAST(sum(n_rows) AS BIGINT) AS scan_permille
+    FROM zm_{name}"""
+        for name in cuts
+    )
+    return _zval_ctes(extra_cols=" user_id, value,") + f", {zms} {reps}"
+
+
+@query(
+    "events_zone_map_skip",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=_zone_map_oracle(),
+)
+def events_zone_map_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the ZORDER rewrite actually buys: per-file zone maps under
+    the z-order layout vs a user_id-only sort, and how many of the 64
+    equal-key-range files the (user_id, value) range predicate skips in
+    each (layout.zone_map_skip_report — the parquet row-group pruning
+    rule, measured instead of guessed). The predicate is weakly
+    selective on user_id and tight on value — the regime a ZORDER
+    rewrite exists for: the user_id-only sort can barely skip (its
+    files have unbounded value extent), while z-order files bound BOTH
+    columns and prune on whichever the predicate actually bites."""
+    from db_integration_via_kafka_ksql_spark.operators import layout as L
+
+    ev = load_table(spark, sf_dir, "events")
+    return L.zone_map_skip_report(
+        ev, ["user_id", "value"], ZM_PRED, id_col="event_id",
+        n_files=ZM_FILES,
     )
 
 

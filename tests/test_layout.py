@@ -8,6 +8,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from db_integration_via_kafka_ksql_spark.operators import layout as L
 from db_integration_via_kafka_ksql_spark.operators.layout import (
     zorder_key,
     zorder_layout,
@@ -203,3 +204,47 @@ def test_morton_spark_matches_model_sample(spark):
     }
     for (bx, by), z in got.items():
         assert z == model(bx, by)
+
+
+def test_zone_map_skip_report_semantics(spark):
+    """Crafted frame where the truth is hand-derivable: ids 0..63 with
+    x = id (uniform) and y = id reversed. A predicate tight on y must
+    prune heavily under zorder (files bound BOTH columns) and prune
+    NOTHING under the x-only sort (every x-file spans the full y
+    range... here y = 63 - x makes x-files y-tight too, so use a y that
+    x-ordering scrambles: y = (id * 37) % 64)."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    rows = [(i, float(i), float((i * 37) % 64)) for i in range(64)]
+    df = spark.createDataFrame(rows, "event_id long, x double, y double")
+    rep = {
+        r["layout"]: r
+        for r in L.zone_map_skip_report(
+            df, ["x", "y"], {"y": (0.0, 7.0)}, id_col="event_id", n_files=8
+        ).collect()
+    }
+    z, s = rep["zorder"], rep["single_x"]
+    assert z["n_files_total"] == 8 and s["n_files_total"] == 8
+    assert z["rows_total"] == 64 and s["rows_total"] == 64
+    # x-sorted files span most of the scrambled-y range: near-zero skips
+    assert s["files_skipped"] <= 1
+    # z-ordered files bound y: most files are disjoint from y <= 7, and
+    # the layout strictly beats the single sort on both gauges
+    assert z["files_skipped"] >= 4 > s["files_skipped"]
+    assert z["rows_scanned"] < s["rows_scanned"]
+    assert z["scan_permille"] == z["rows_scanned"] * 1000 // 64
+    # files are equal-row-count cuts: scanned rows = 8 per surviving file
+    assert z["rows_scanned"] == (8 - z["files_skipped"]) * 8
+
+
+def test_zone_map_skip_report_guards(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, 2.0)], "event_id long, x double, y double"
+    )
+    with pytest.raises(ValueError, match="n_files"):
+        L.zone_map_skip_report(df, ["x", "y"], {"y": (0, 1)}, "event_id", n_files=1)
+    with pytest.raises(ValueError, match="absent"):
+        L.zone_map_skip_report(df, ["x", "y"], {"zz": (0, 1)}, "event_id")
+    empty = df.filter("event_id < 0")
+    out = L.zone_map_skip_report(empty, ["x", "y"], {"y": (0, 1)}, "event_id")
+    assert out.count() == 0

@@ -849,3 +849,14 @@ def test_audio_neardup_band_join_bounded(reports):
     assert r.scans == {}
     assert r.n_shuffle_exchanges <= 3
     assert r.nested_loop_joins == 0
+
+
+def test_zone_map_report_ranks_partitioned_never_global(reports):
+    """The report's global rank is a PARTITIONED window + broadcast
+    prefix offsets (curriculum_order discipline) — the corpus-sized
+    frames are checkpointed, so the visible plan holds only the tiny
+    offsets windows (one per layout), never a single-task corpus sort."""
+    r = reports("events_zone_map_skip")
+    assert r.windows <= 2  # the two <=64-row offsets windows only
+    assert r.has_partial_aggregate
+    assert r.scans == {}  # keyed frame checkpointed: no re-scan per layout
