@@ -112,6 +112,7 @@ HEADLINE = [
     # fingerprint + the shared banded hamming join)
     "sketch_cms_join_size",
     "mm_audio_neardup_pairs",
+    "events_zone_map_skip",
 ]
 
 

@@ -144,6 +144,64 @@ def bm25_from_postings(
     )
 
 
+def tfidf_keyphrases(
+    docs: DataFrame, top_k: int = 5, min_df: int = 2
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the topic
+    tagger/keyword extractor of a curation pass (what is this document
+    ABOUT, cheaply, corpus-aware): score = (tf/dl) * ln((N+1)/(df+1)),
+    integer-floored to micro units with the det-ln idf so the whole
+    chain replays bit-for-bit in SQL. Terms seen in fewer than `min_df`
+    documents are dropped (hapax typos score artificially high);
+    corpus-wide terms suppress themselves through the idf.
+
+    The idf argument (N+1)/(df+1) >= 1 always (df <= N) — det_ln's
+    domain; micro-flooring before the rank makes ties engine-exact,
+    broken by term asc.
+
+    Scale shape: the postings pass is the shared BM25 front half (two
+    map-side-combined aggregates, one join), df is one term-keyed
+    aggregate, N rides a single-row broadcast (annotated NLJ), and the
+    per-doc top-k is a doc_id-partitioned window — no global sort, no
+    corpus re-scan. Output: (doc_id, term, score_micro, rnk).
+    """
+    from pyspark.sql.window import Window
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    post = postings(docs).localCheckpoint(eager=True)  # feeds df AND scores
+    df_frame = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = post.groupBy().agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    idf = det_ln_sql(
+        "((CAST(n_docs AS DOUBLE) + 1e0) / (CAST(df AS DOUBLE) + 1e0))",
+        "spark",
+    )
+    # the df frame is the FULL term dictionary — corpus-sized at scale,
+    # so it joins by key (unlike BM25's broadcast of a few QUERY terms)
+    scored = (
+        post.join(df_frame.filter(F.col("df") >= min_df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                f"CAST(floor({dlit(1e6)} * (CAST(tf AS DOUBLE)"
+                f" / CAST(dl AS DOUBLE)) * {idf}) AS BIGINT)"
+            ).alias("score_micro"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= top_k)
+        .select("doc_id", "term", "score_micro", "rnk")
+    )
+
+
 def hybrid_topk(
     spark: SparkSession,
     docs: DataFrame,

@@ -220,3 +220,67 @@ def text_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("neighbor_id").alias("doc_id"), "rnk"
     )
     return R.rrf_fuse([lex, dense], rrf_k=RRF_K, top_k=RRF_TOP_K)
+
+
+TFIDF_TOP_K = 5
+TFIDF_MIN_DF = 2
+
+
+def _tfidf_oracle() -> str:
+    from db_integration_via_kafka_ksql_spark.functions.detmath import (
+        det_ln_sql,
+    )
+
+    idf = det_ln_sql(
+        "((CAST(n_docs AS DOUBLE) + 1e0) / (CAST(df AS DOUBLE) + 1e0))",
+        "duckdb",
+    )
+    return f"""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM terms GROUP BY 1, 2
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM terms GROUP BY 1
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(floor({dlit(1e6)} * (CAST(tf.tf AS DOUBLE)
+                 / CAST(dl.dl AS DOUBLE)) * {idf}) AS BIGINT) AS score_micro
+        FROM tf
+        JOIN dl USING (doc_id)
+        JOIN dfreq USING (term), n
+        WHERE dfreq.df >= {TFIDF_MIN_DF}
+    ),
+    ranked AS (
+        SELECT doc_id, term, score_micro,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY score_micro DESC, term ASC
+               ) AS BIGINT) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, score_micro, rnk
+    FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+    """
+
+
+@query(
+    "text_tfidf_keyphrases",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=_tfidf_oracle(),
+)
+def text_tfidf_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by micro-unit TF-IDF
+    (retrieval.tfidf_keyphrases — det-ln idf, tf/dl normalization,
+    min_df hapax filter): the corpus-aware 'what is this doc about'
+    tagger of a curation pass, replayed end to end by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.tfidf_keyphrases(docs, top_k=TFIDF_TOP_K, min_df=TFIDF_MIN_DF)

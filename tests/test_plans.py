@@ -860,3 +860,16 @@ def test_zone_map_report_ranks_partitioned_never_global(reports):
     assert r.windows <= 2  # the two <=64-row offsets windows only
     assert r.has_partial_aggregate
     assert r.scans == {}  # keyed frame checkpointed: no re-scan per layout
+
+
+def test_tfidf_keyphrases_no_corpus_rescan(reports):
+    """TF-IDF's scale contract: the postings pass is checkpointed (df
+    and the scoring join share it — no second corpus scan), the term
+    dictionary joins BY KEY (never broadcast: it is corpus-sized), N
+    rides the single-row broadcast, and the per-doc top-k is a
+    partitioned window."""
+    r = reports("text_tfidf_keyphrases")
+    assert r.scans == {}  # postings checkpointed: no documents re-scan
+    assert r.has_partial_aggregate
+    assert r.windows == 1
+    assert r.nested_loop_joins <= 1  # the single-row N broadcast only

@@ -138,3 +138,40 @@ def test_rrf_fuse_semantics(spark):
     assert got[30] == (b // 63, 1, 4)
     with pytest.raises(ValueError, match="at least one"):
         rrf_fuse([])
+
+
+def test_tfidf_keyphrases_planted(spark):
+    """Hand-derivable corpus: a term shared by every doc scores ~0
+    (idf ln(1+eps)), a doc-specific repeated term tops its doc, and
+    hapax terms (df < min_df) are excluded entirely."""
+    docs = spark.createDataFrame(
+        [
+            (0, "the the cat cat cat sat"),
+            (1, "the dog dog sat sat mat unique1"),
+            (2, "the cat dog mat mat unique2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = R.tfidf_keyphrases(docs, top_k=2, min_df=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["rnk"], r["term"]))
+    for d in by_doc:
+        by_doc[d] = [t for _, t in sorted(by_doc[d])]
+    # per-doc winner is the doc's distinctive repeated term
+    assert by_doc[0][0] == "cat"
+    assert by_doc[1][0] in ("dog", "sat")
+    assert by_doc[2][0] == "mat"
+    # hapax terms never appear (min_df=2)
+    terms = {r["term"] for r in out}
+    assert "unique1" not in terms and "unique2" not in terms
+    # 'the' (df == N) scores below every doc-specific winner
+    the_scores = [r["score_micro"] for r in out if r["term"] == "the"]
+    for s in the_scores:
+        assert s <= min(
+            r["score_micro"] for r in out if r["rnk"] == 1
+        )
+    import pytest
+
+    with pytest.raises(ValueError, match="top_k"):
+        R.tfidf_keyphrases(docs, top_k=0)
