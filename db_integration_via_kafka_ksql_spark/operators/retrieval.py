@@ -165,11 +165,23 @@ def tfidf_keyphrases(
     per-doc top-k is a doc_id-partitioned window — no global sort, no
     corpus re-scan. Output: (doc_id, term, score_micro, rnk).
     """
+    post = postings(docs).localCheckpoint(eager=True)  # feeds df AND scores
+    return tfidf_from_postings(post, top_k=top_k, min_df=min_df)
+
+
+def tfidf_from_postings(
+    post: DataFrame, top_k: int = 5, min_df: int = 2
+) -> DataFrame:
+    """TF-IDF keyphrases over an EXISTING postings frame (doc_id, term,
+    tf, dl) — the serve half of tfidf_keyphrases, split out (the
+    bm25_from_postings precedent) so the incrementally maintained index
+    (streaming/retrievalindex.py) tags documents through the exact code
+    path the batch oracle gates. df and N derive from the postings, so
+    a prefix-exact index yields prefix-exact keyphrases."""
     from pyspark.sql.window import Window
 
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
-    post = postings(docs).localCheckpoint(eager=True)  # feeds df AND scores
     df_frame = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = post.groupBy().agg(
         F.countDistinct("doc_id").alias("n_docs")

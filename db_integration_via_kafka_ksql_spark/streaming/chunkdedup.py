@@ -111,12 +111,12 @@ class StreamingChunkDedup:
         if done_out and done_state:
             return  # fully committed replay
         if batch_df.isEmpty():
-            if not done_out:
-                epochdir.commit_epoch(
-                    self.spark.createDataFrame([], OUT_SCHEMA),
-                    self.output_path, self.batch_col, epoch_id,
-                )
-            return  # idle: state unchanged, latest-before read skips gaps
+            # idle: commit NOTHING on either side (the SCD2 ADVICE
+            # discipline — a quiet stream must not grow one empty epoch
+            # dir per 2 s trigger); replaying an idle epoch is free, and
+            # both the latest-before state read and the ledger union
+            # skip gaps in the epoch sequence
+            return
         chunks = M.content_defined_chunks(
             batch_df,
             min_size=self.min_size,

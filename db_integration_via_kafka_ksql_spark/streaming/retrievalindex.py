@@ -70,16 +70,25 @@ class StreamingPostings:
         path verbatim (bm25_from_postings)."""
         return R.bm25_from_postings(self.index(), queries, top_k=top_k)
 
+    def serve_keyphrases(self, top_k: int = 5, min_df: int = 2) -> DataFrame:
+        """TF-IDF keyphrases for every document indexed so far — the
+        batch tagging path verbatim (tfidf_from_postings); df/N derive
+        from the cumulative index, so epoch-e tags == the batch operator
+        over the arrived prefix (a late near-duplicate RE-tags earlier
+        docs' terms downward through the shared df — corpus-aware by
+        construction, which a per-batch tagger cannot be)."""
+        return R.tfidf_from_postings(self.index(), top_k=top_k, min_df=min_df)
+
     # -- per-batch plan ----------------------------------------------------
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         self.batches_seen.append(epoch_id)
         if epochdir.epoch_committed(self.index_path, self.batch_col, epoch_id):
             return  # committed replay: the partition already holds these postings
         if batch_df.isEmpty():
-            epochdir.commit_epoch(
-                self.spark.createDataFrame([], POSTINGS_SCHEMA),
-                self.index_path, self.batch_col, epoch_id,
-            )
+            # idle: commit NOTHING — one empty epoch dir per 2 s trigger
+            # grows unbounded on a quiet stream (the SCD2 ADVICE fix);
+            # replaying an idle epoch is free and the cumulative-union
+            # read never cared about gaps in the epoch sequence
             return
         epochdir.commit_epoch(
             R.postings(batch_df),

@@ -125,8 +125,12 @@ def test_replay_both_interleavings(spark, tmp_path):
 def test_idle_epoch_keeps_witnesses(spark, tmp_path):
     st = _st(spark, tmp_path)
     st.process_batch(_df(spark, BATCHES[0]), 0)
+    out_before = set(os.listdir(str(tmp_path / "out")))
+    # idle triggers commit nothing (incl. idle replays) — quiet streams
+    # must not grow empty epoch dirs
     st.process_batch(_df(spark, []), 1)
-    assert os.path.isdir(str(tmp_path / "out" / "epoch=1"))
+    st.process_batch(_df(spark, []), 1)
+    assert set(os.listdir(str(tmp_path / "out"))) == out_before
     st.process_batch(_df(spark, [(9, _A)]), 2)
     assert st.ledger().filter("epoch = 2 AND is_new").count() == 0
 

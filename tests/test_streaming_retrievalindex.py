@@ -74,8 +74,11 @@ def test_replay_skips_committed_epoch(spark, tmp_path):
 def test_idle_epoch_and_empty_index(spark, tmp_path):
     st = _st(spark, tmp_path)
     assert st.index().count() == 0  # pre-ingest serve surface exists
+    # idle triggers commit NOTHING (the SCD2 ADVICE discipline): a quiet
+    # stream must not grow one empty epoch dir per 2 s trigger
     st.process_batch(_df(spark, []), 0)
-    assert os.path.isdir(str(tmp_path / "idx" / "epoch=0"))
+    assert not os.path.isdir(str(tmp_path / "idx" / "epoch=0"))
+    st.process_batch(_df(spark, []), 0)  # idle replay: still nothing
     st.process_batch(_df(spark, BATCHES[0]), 1)
     assert st.index().count() == R.postings(_df(spark, BATCHES[0])).count()
 
@@ -165,3 +168,29 @@ def test_streaming_hybrid_rrf_serve_matches_batch(spark, tmp_path):
         assert got == want, f"epoch {e}"
         # fused output carries contributions from BOTH rankers
         assert any(t[3] == 2 for t in got)
+
+
+def test_serve_keyphrases_prefix_contract(spark, tmp_path):
+    """Per epoch, the streamed index's TF-IDF tags equal the batch
+    operator over the arrived prefix — including the corpus-aware df
+    effect where a later epoch's near-duplicate demotes terms of docs
+    tagged in EARLIER epochs (a per-batch tagger cannot do this)."""
+    from db_integration_via_kafka_ksql_spark.operators.retrieval import (
+        tfidf_keyphrases,
+    )
+
+    st = _st(spark, tmp_path)
+    prefix: list = []
+    for e, rows in enumerate(BATCHES):
+        st.process_batch(_df(spark, rows), e)
+        prefix = prefix + rows
+        got = sorted(
+            tuple(r) for r in st.serve_keyphrases(top_k=3, min_df=1).collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in tfidf_keyphrases(
+                _df(spark, prefix), top_k=3, min_df=1
+            ).collect()
+        )
+        assert got == want, f"epoch {e}"
