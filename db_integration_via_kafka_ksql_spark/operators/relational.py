@@ -946,3 +946,76 @@ def exact_value_quantiles_by_group(
         f"grp AS {group_col}",
         f"stack({len(qs_permille)}, {stack}) AS (q_permille, value)",
     ).filter(F.col("value").isNotNull())
+
+
+MAD_CONSISTENCY = 1.4826  # normal-consistency constant: sigma ~= 1.4826*MAD
+
+
+def robust_outlier_report(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k_tenths: int = 30,
+) -> DataFrame:
+    """Per-group ROBUST outlier screen: exact median + exact MAD (median
+    absolute deviation), flagging values whose deviation exceeds
+    (k_tenths/10) * 1.4826 * MAD — the robust twin of the mean/std
+    z-score screens (events_hourly_anomalies): mean and std are
+    themselves dragged by the outliers being hunted, so a 3-sigma gate
+    silently widens under contamination; median/MAD have a 50%
+    breakdown point (Hampel's rule). k_tenths=30 is the classic 3-sigma
+    -equivalent cut.
+
+    Both order statistics come from `exact_value_quantiles_by_group`
+    (integer rank selection, never a global sort), so med and mad are
+    REAL data values and the whole report replays bit-for-bit in SQL.
+    The threshold multiply folds (k_tenths/10) * 1.4826 into ONE python
+    -computed dlit constant — a single deterministic IEEE multiply per
+    row. A constant group (mad = 0) flags every deviating value, the
+    standard MAD degenerate behavior — callers gate on n if needed.
+
+    Scale shape: two grouped exact-quantile passes (each: distinct-value
+    counts, per-group bounds join, bucket-partitioned windows) over a
+    deviations frame checkpointed once, then one final per-group
+    aggregate. Output: (group, n, med, mad, n_outliers,
+    outlier_permille) — one row per group.
+    """
+    if k_tenths < 1:
+        raise ValueError(f"k_tenths must be >= 1, got {k_tenths}")
+    med = exact_value_quantiles_by_group(
+        df, group_col, value_col, (500,)
+    ).select(F.col(group_col), F.col("value").alias("med"))
+    base = df.select(
+        F.col(group_col), F.col(value_col).alias("v")
+    ).filter(F.col("v").isNotNull() & F.col(group_col).isNotNull())
+    dev = (
+        base.join(med, group_col)
+        .withColumn("adev", F.abs(F.col("v") - F.col("med")))
+        .localCheckpoint(eager=True)  # feeds the MAD pass AND the report
+    )
+    mad = exact_value_quantiles_by_group(
+        dev, group_col, "adev", (500,)
+    ).select(F.col(group_col), F.col("value").alias("mad"))
+    cut = dlit(MAD_CONSISTENCY * k_tenths / 10.0)
+    return (
+        dev.join(mad, group_col)
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                F.when(F.expr(f"adev > {cut} * mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            group_col,
+            "n",
+            "med",
+            "mad",
+            "n_outliers",
+            F.expr("n_outliers * 1000 DIV n").alias("outlier_permille"),
+        )
+    )

@@ -1396,3 +1396,78 @@ def events_type_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.exact_value_quantiles_by_group(
         load_table(spark, sf_dir, "events"), "event_type", "value", GROUPED_QS
     )
+
+
+MAD_K_TENTHS = 30
+
+
+def _robust_outlier_oracle() -> str:
+    """DuckDB replay of relational.robust_outlier_report over events:
+    both order statistics via the SAME integer rank-selection rule
+    (min v with cum*1000 >= 500*n, within-group cumulative counts over
+    distinct values), one dlit-folded threshold multiply."""
+    from db_integration_via_kafka_ksql_spark.functions.detmath import dlit
+    from db_integration_via_kafka_ksql_spark.operators.relational import (
+        MAD_CONSISTENCY,
+    )
+
+    cut = dlit(MAD_CONSISTENCY * MAD_K_TENTHS / 10.0)
+
+    def rank_median(src: str, col: str) -> str:
+        return f"""(
+      SELECT grp, min({col}) AS m FROM (
+        SELECT grp, {col},
+               CAST(sum(c) OVER (
+                   PARTITION BY grp ORDER BY {col}
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum,
+               n
+        FROM (
+          SELECT grp, {col}, CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(count(*)) OVER (PARTITION BY grp) AS BIGINT) AS n
+          FROM {src} GROUP BY 1, 2
+        )
+      ) WHERE cum * 1000 >= 500 * n GROUP BY grp
+    )"""
+
+    return f"""
+    WITH base AS (
+      SELECT event_type AS grp, value AS v FROM events
+      WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    med AS {rank_median("base", "v")},
+    dev AS (
+      SELECT b.grp, b.v, m.m AS med, abs(b.v - m.m) AS adev
+      FROM base b JOIN med m USING (grp)
+    ),
+    mad AS {rank_median("dev", "adev")}
+    SELECT d.grp AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           min(d.med) AS med,
+           min(a.m) AS mad,
+           CAST(sum(CASE WHEN d.adev > {cut} * a.m THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(sum(CASE WHEN d.adev > {cut} * a.m THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000 // CAST(count(*) AS BIGINT)
+             AS outlier_permille
+    FROM dev d JOIN mad a USING (grp)
+    GROUP BY 1
+    """
+
+
+@query(
+    "events_value_robust_outliers",
+    driver=False,  # registry full at 50 — candidate for the next rotation
+    oracle=_robust_outlier_oracle(),
+)
+def events_value_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier screen: exact median + exact MAD
+    with the Hampel 3-sigma-equivalent cut (k=3.0, consistency 1.4826)
+    — the contamination-proof twin of the mean/std hourly anomaly
+    screen (relational.robust_outlier_report; both order statistics via
+    the integer rank selection of exact_value_quantiles_by_group, so
+    the whole report is bit-exact cross-engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    return R.robust_outlier_report(
+        ev, "event_type", "value", k_tenths=MAD_K_TENTHS
+    )

@@ -873,3 +873,15 @@ def test_tfidf_keyphrases_no_corpus_rescan(reports):
     assert r.has_partial_aggregate
     assert r.windows == 1
     assert r.nested_loop_joins <= 1  # the single-row N broadcast only
+
+
+def test_robust_outliers_checkpointed_dev_no_nlj(reports):
+    """Robust outliers' scale contract: the deviations frame is
+    checkpointed once (the MAD quantile pass and the final report share
+    it — no third corpus scan), every join is keyed (per-group med/mad
+    are dimension-sized, no single-row crossJoin), and the windows are
+    the grouped-quantile bucket windows only."""
+    r = reports("events_value_robust_outliers")
+    assert r.nested_loop_joins == 0
+    assert r.has_partial_aggregate
+    assert "events" not in r.scans  # base scanned before the checkpoint

@@ -121,3 +121,35 @@ def test_grouped_exact_quantiles_match_per_group_sorted_selection(spark):
         for q in qs:
             want[(g, q)] = s[math.ceil(q * len(s) / 1000) - 1]
     assert got == want  # group d (all NULL) and the NULL group are absent
+
+
+def test_robust_outlier_report_hampel(spark):
+    """Hand-derivable: group 'a' = 1..9 plus two gross outliers (med 5,
+    deviations 0,1,1,2,2,3,3,4,4,55,95 -> MAD 3, cut 3*1.4826*3 = 13.3:
+    exactly the two planted values flag);
+    group 'b' constant (mad 0 -> any deviating value flags, the
+    documented degenerate); NULLs excluded."""
+    import pytest
+
+    from db_integration_via_kafka_ksql_spark.operators import relational as R
+
+    rows = (
+        [("a", float(v)) for v in range(1, 10)]
+        + [("a", 100.0), ("a", -50.0)]
+        + [("b", 7.0)] * 5 + [("b", 7.5)]
+        + [("a", None), (None, 3.0)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v double")
+    rep = {
+        r["grp"]: r
+        for r in R.robust_outlier_report(df, "grp", "v", k_tenths=30).collect()
+    }
+    a = rep["a"]
+    assert (a["n"], a["med"], a["mad"]) == (11, 5.0, 3.0)
+    assert a["n_outliers"] == 2
+    assert a["outlier_permille"] == 2 * 1000 // 11
+    b = rep["b"]
+    assert (b["med"], b["mad"]) == (7.0, 0.0)
+    assert b["n_outliers"] == 1  # the 7.5 deviates from a zero-MAD group
+    with pytest.raises(ValueError, match="k_tenths"):
+        R.robust_outlier_report(df, "grp", "v", k_tenths=0)
