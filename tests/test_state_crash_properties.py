@@ -188,3 +188,103 @@ def test_cms_join_size_one_sided_for_any_multisets(spark, left, right):
         lf, F.col("k"), rf, F.col("k"), depth=3, width=4096
     ).collect()[0]["join_size_est"]
     assert wide == exact
+
+
+# corpora of tiny documents over a small vocabulary: df collisions,
+# hapax terms, repeated terms, and empty-ish docs all emerge
+_corpora = st.lists(
+    st.lists(
+        st.sampled_from(["cat", "dog", "sat", "mat", "the", "zz"]),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@_SETTINGS
+@given(docs=_corpora)
+def test_tfidf_keyphrases_invariants_on_any_corpus(spark, docs):
+    """Structural invariants for ANY corpus: ranks are contiguous from 1
+    with scores non-increasing per doc (ties broken by term asc), no
+    term below min_df ever appears, and every reported term really
+    occurs in its document."""
+    from collections import Counter
+
+    from db_integration_via_kafka_ksql_spark.operators.retrieval import (
+        tfidf_keyphrases,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = tfidf_keyphrases(frame, top_k=3, min_df=2).collect()
+    df_counts = Counter(t for words in docs for t in set(words))
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rows in by_doc.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert (a["score_micro"], ) >= (b["score_micro"], )
+            if a["score_micro"] == b["score_micro"]:
+                assert a["term"] < b["term"]
+        for r in rows:
+            assert df_counts[r["term"]] >= 2, r["term"]
+            assert r["term"] in docs[d]
+
+
+@_SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_mg_guarantees_on_any_weights(spark, tmp_path_factory, rows):
+    """Weighted streaming Misra-Gries for ANY weight assignment: every
+    estimate undercounts, the undercount respects the (W-S)/(k+1)
+    bound, and every item past the W/(k+1) support threshold is
+    retained — the weighted twin of the fixture contract."""
+    from collections import Counter
+
+    from db_integration_via_kafka_ksql_spark.streaming.heavyhitters import (
+        StreamingHeavyHitters,
+    )
+
+    hh = StreamingHeavyHitters(
+        spark,
+        state_path=str(tmp_path_factory.mktemp("mgw") / "hh"),
+        item_col="source",
+        weight_col="w",
+        k=2,
+        trigger_seconds=0,
+    )
+    # split into two epochs at the midpoint: merges are exercised too
+    mid = len(rows) // 2
+    true_w: Counter = Counter()
+    for e, chunk in enumerate((rows[:mid], rows[mid:])):
+        if not chunk:
+            continue
+        hh.process_batch(
+            spark.createDataFrame(chunk, "source string, w long"), e
+        )
+        for s, w in chunk:
+            true_w[s] += w
+    total = sum(true_w.values())
+    est = {r["item"]: r["est_cnt"] for r in hh.counters().collect()}
+    bound = hh.error_bound()
+    assert len(est) <= hh.k and bound <= total // (hh.k + 1)
+    for item, e in est.items():
+        assert e <= true_w.get(item, 0)
+        assert true_w.get(item, 0) - e <= bound
+    for item, w in true_w.items():
+        if w * (hh.k + 1) > total:
+            assert item in est, (item, w, total)
