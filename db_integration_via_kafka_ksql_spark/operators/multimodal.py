@@ -394,8 +394,15 @@ class _JpegBits:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # bounds-checked reads: a payload truncated mid-scan must raise
+        # the decoder's ValueError contract, not leak a raw IndexError
+        # (the PNG truncation discipline)
+        if self.pos >= len(self.payload):
+            raise ValueError("JPEG truncated in entropy stream")
         b = self.payload[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.payload):
+                raise ValueError("JPEG truncated in entropy stream")
             nxt = self.payload[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2  # stuffed 0xFF data byte
@@ -419,10 +426,14 @@ class _JpegBits:
         the RSTn discipline."""
         self.acc = 0
         self.nbits = 0
-        while self.payload[self.pos] == 0xFF and (
-            self.payload[self.pos + 1] == 0xFF
+        while (
+            self.pos + 1 < len(self.payload)
+            and self.payload[self.pos] == 0xFF
+            and self.payload[self.pos + 1] == 0xFF
         ):
             self.pos += 1  # fill bytes before a marker are legal
+        if self.pos + 1 >= len(self.payload):
+            raise ValueError("JPEG truncated in entropy stream")
         if self.payload[self.pos] != 0xFF:
             raise ValueError("JPEG expected a restart marker")
         m = self.payload[self.pos + 1]
@@ -532,32 +543,50 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("JPEG reached EOI without a scan")
         seglen = struct.unpack_from(">H", payload, pos + 2)[0]
+        if seglen < 2:
+            raise ValueError("JPEG segment length < 2")
         if pos + 2 + seglen > len(payload):
             raise ValueError("JPEG truncated inside a segment")
         body = payload[pos + 4 : pos + 2 + seglen]
+        # every segment body is length-validated BEFORE unpacking: a
+        # short body must raise the decoder's ValueError contract, not a
+        # raw struct.error (or a <64-entry quant table that fails later
+        # as an opaque numpy broadcast error)
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(body):
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 if pq != 0:
                     raise NotImplementedError("16-bit JPEG quant tables")
+                if i + 65 > len(body):
+                    raise ValueError("JPEG DQT segment truncated")
                 qtables[tq] = list(body[i + 1 : i + 65])
                 i += 65
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("JPEG DHT segment truncated")
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 counts = body[i + 1 : i + 17]
                 n = sum(counts)
+                if i + 17 + n > len(body):
+                    raise ValueError("JPEG DHT segment truncated")
                 symbols = body[i + 17 : i + 17 + n]
                 huff[(tc, th)] = _jpeg_build_huffman(counts, symbols)
                 i += 17 + n
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("JPEG DRI segment truncated")
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker in (0xC0, 0xC1):  # SOF0/1: baseline/extended Huffman
+            if len(body) < 6:
+                raise ValueError("JPEG SOF segment truncated")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG (8 only)")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("JPEG SOF segment truncated")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
@@ -583,6 +612,8 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError(
                     f"JPEG dims {w}x{h} exceed the decode pixel cap"
                 )
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("JPEG SOS segment truncated")
             ns = body[0]
             if ns != len(comps):
                 raise NotImplementedError(

@@ -499,14 +499,31 @@ def heavy_hitters_exact(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    measure = (
-        F.count(F.lit(1)) if weight_col is None else F.sum(F.col(weight_col))
-    )
+    if weight_col is None:
+        measure = F.count(F.lit(1))
+        bad = F.lit(0)
+    else:
+        # ENFORCE the non-negative-integer weight convention (it was
+        # previously only documented): a NULL weight nulls its group's
+        # sum and a negative breaks every weighted-MG bound downstream
+        # (the streaming twin's est<=true contract) — fail fast here so
+        # the batch ground truth and the stream refuse identical inputs.
+        w = F.col(weight_col)
+        measure = F.sum(w)
+        bad = F.max(F.when(w.isNull() | (w < 0), F.lit(1)).otherwise(F.lit(0)))
     counts = (
         items.groupBy(F.col(item_col).alias("item"))
-        .agg(measure.cast("bigint").alias("cnt"))
+        .agg(measure.cast("bigint").alias("cnt"), bad.alias("bad"))
         .localCheckpoint(eager=True)  # feeds the total AND the filter
     )
+    if weight_col is not None:
+        if counts.agg(F.max("bad")).first()[0]:
+            raise ValueError(
+                f"heavy_hitters_exact: weight column {weight_col!r} "
+                "contains NULL or negative values — weights must be "
+                "non-negative integers"
+            )
+    counts = counts.select("item", "cnt")
     total = counts.agg(F.sum("cnt").cast("bigint").alias("n_total"))
     return (
         counts.crossJoin(F.broadcast(total))

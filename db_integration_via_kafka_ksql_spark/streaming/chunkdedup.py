@@ -96,7 +96,19 @@ class StreamingChunkDedup:
         )
 
     def ledger(self) -> DataFrame:
-        """Every chunk ingested so far (epoch, doc, span, hash, is_new)."""
+        """Every chunk ingested so far (epoch, doc, span, hash, is_new).
+
+        Guarded like scd2.history()/fingerprintpairs.pairs(): since the
+        idle-epoch discipline commits NOTHING on quiet triggers, a
+        stream that has only seen idle batches has no output dir at all
+        — return an empty ledger-shaped frame instead of leaking
+        PATH_NOT_FOUND to the caller."""
+        if not epochdir.list_epochs(self.output_path, self.batch_col):
+            return self.spark.createDataFrame(
+                [],
+                "doc_id long, chunk_idx long, offset long, length long, "
+                f"chunk_md5 string, is_new boolean, {self.batch_col} int",
+            )
         return self.spark.read.parquet(self.output_path)
 
     # -- per-batch plan ----------------------------------------------------

@@ -137,16 +137,35 @@ class StreamingHeavyHitters:
             # reloaded string key ('1') — and json.dump would then emit
             # duplicate '1' keys whose last-wins reload DROPS counts,
             # breaking the est<=true undercount bound
-            measure = (
-                F.count(F.lit(1))
-                if self.weight_col is None
-                else F.sum(F.col(self.weight_col))
-            )
+            if self.weight_col is None:
+                measure = F.count(F.lit(1))
+                bad = F.lit(0)
+            else:
+                # fail fast on NULL/negative weights (mirrors
+                # operators/sketches.heavy_hitters_exact): a NULL makes a
+                # group's sum NULL (TypeError downstream / group silently
+                # vanishing), a negative silently breaks the est<=true
+                # MG undercount bound — neither may reach the state.
+                w = F.col(self.weight_col)
+                measure = F.sum(w)
+                bad = F.max(
+                    F.when(w.isNull() | (w < 0), F.lit(1)).otherwise(F.lit(0))
+                )
             counts = batch_df.groupBy(
                 F.col(self.item_col).cast("string").alias("item")
-            ).agg(measure.cast("bigint").alias("cnt"))
+            ).agg(measure.cast("bigint").alias("cnt"), bad.alias("bad"))
             counts = counts.localCheckpoint(eager=True)  # total + top share it
-            n_batch = counts.agg(F.sum("cnt")).collect()[0][0] or 0
+            tot = counts.agg(
+                F.sum("cnt").alias("n"), F.max("bad").alias("bad")
+            ).collect()[0]
+            if tot["bad"]:
+                raise ValueError(
+                    f"StreamingHeavyHitters: weight column "
+                    f"{self.weight_col!r} contains NULL or negative values "
+                    "— weights must be non-negative integers (the MG "
+                    "est<=true bound does not survive either)"
+                )
+            n_batch = tot["n"] or 0
             # bounded collect: k+1 rows, never the batch dictionary
             top = counts.orderBy(
                 F.col("cnt").desc(), F.col("item").asc()

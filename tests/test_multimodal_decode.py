@@ -943,3 +943,59 @@ def test_audio_neardup_planted_pair(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] <= 3
     assert not any(3 in p or 4 in p for p in pairs), pairs
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_jpeg_malformed_inputs_raise_valueerror_contract():
+    """ADVICE r13: malformed JPEG input must raise the decoder's
+    ValueError contract (the PNG truncation discipline), never a raw
+    IndexError / struct.error / opaque numpy broadcast error.
+
+    Covers: entropy stream cut mid-scan, entropy cut right at the SOS
+    header, and short DQT/DHT/DRI/SOF/SOS segment bodies."""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    raster = _test_raster(16, 16, 1)[..., 0]
+    good = bytes(make_jpeg(raster, "gray"))
+    sos_at = good.find(b"\xff\xda")
+    sos_len = struct.unpack_from(">H", good, sos_at + 2)[0]
+    entropy_at = sos_at + 2 + sos_len
+    # cut exactly at the entropy start, and a few bytes into it
+    for cut in (entropy_at, entropy_at + 3):
+        with pytest.raises(ValueError, match="truncated in entropy stream"):
+            M.decode_image(good[:cut])
+
+    soi = b"\xff\xd8"
+    # DQT body shorter than the 65 bytes a table needs
+    with pytest.raises(ValueError, match="DQT segment truncated"):
+        M.decode_image(soi + seg(0xDB, b"\x00\x01\x02\x03"))
+    # DHT body shorter than the 17-byte counts header
+    with pytest.raises(ValueError, match="DHT segment truncated"):
+        M.decode_image(soi + seg(0xC4, b"\x00\x01\x02"))
+    # DHT counts claim more symbols than the body carries
+    counts = bytes([0x00]) + bytes([16]) + bytes(15)  # 16 syms, none present
+    with pytest.raises(ValueError, match="DHT segment truncated"):
+        M.decode_image(soi + seg(0xC4, counts))
+    # DRI body shorter than its 2-byte interval
+    with pytest.raises(ValueError, match="DRI segment truncated"):
+        M.decode_image(soi + seg(0xDD, b"\x07"))
+    # SOF body shorter than its fixed header
+    with pytest.raises(ValueError, match="SOF segment truncated"):
+        M.decode_image(soi + seg(0xC0, b"\x08\x00\x10"))
+    # SOF ncomp claims components the body doesn't carry
+    sof_short = struct.pack(">BHHB", 8, 16, 16, 3) + b"\x01\x11\x00"
+    with pytest.raises(ValueError, match="SOF segment truncated"):
+        M.decode_image(soi + seg(0xC0, sof_short))
+    # SOS body shorter than its component list
+    sof_ok = struct.pack(">BHHB", 8, 16, 16, 1) + b"\x01\x11\x00"
+    with pytest.raises(ValueError, match="SOS segment truncated"):
+        M.decode_image(
+            soi
+            + seg(0xDB, bytes([0x00]) + bytes(64))
+            + seg(0xC0, sof_ok)
+            + seg(0xDA, b"\x02\x01")  # claims 2 scan comps, carries half
+        )
+    # a segment whose declared length is < 2 (would slice negatively)
+    with pytest.raises(ValueError, match="segment length < 2"):
+        M.decode_image(soi + b"\xff\xdb\x00\x01" + bytes(8))

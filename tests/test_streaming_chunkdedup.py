@@ -169,3 +169,27 @@ def test_live_stream_end_to_end(spark, tmp_path):
     led = st.ledger().filter("epoch = 0").collect()
     assert led and all(not r["is_new"] for r in led if r["doc_id"] == 2)
     assert all(r["is_new"] for r in led if r["doc_id"] == 0)
+
+
+def test_ledger_on_idle_only_stream_is_empty(spark, tmp_path):
+    """ADVICE r13: after the idle-commit removal, a stream that has only
+    seen idle triggers has no output dir — ledger() must return an empty
+    ledger-shaped frame, not raise PATH_NOT_FOUND (the scd2.history /
+    fingerprintpairs.pairs guard)."""
+    st = _st(spark, tmp_path)
+    st.process_batch(_df(spark, []), 0)  # idle: commits nothing
+    led = st.ledger()
+    assert led.count() == 0
+    assert set(led.columns) == {
+        "doc_id", "chunk_idx", "offset", "length", "chunk_md5",
+        "is_new", "epoch",
+    }
+    # the empty frame is filterable exactly like the real ledger
+    assert led.filter("epoch = 0 AND is_new").count() == 0
+    # and once a real batch lands, the schema agrees with the guard's
+    st.process_batch(_df(spark, BATCHES[0]), 1)
+    real = st.ledger()
+    assert set(real.columns) == set(led.columns)
+    assert {f.name: f.dataType for f in real.schema.fields} == {
+        f.name: f.dataType for f in led.schema.fields
+    }

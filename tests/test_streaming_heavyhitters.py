@@ -257,3 +257,39 @@ def test_weighted_streaming_matches_batch_support_set(spark, tmp_path):
     }
     est = {r["item"] for r in hh.counters().collect()}
     assert exact <= est
+
+
+def test_weighted_rejects_null_and_negative_weights(spark, tmp_path):
+    """ADVICE r13: NULL weights made a group's sum NULL (TypeError in the
+    top-(k+1) collect / silent group loss) and negative weights silently
+    broke the est<=true MG bound — both now fail fast, in the stream AND
+    in the batch ground truth, BEFORE any state is touched."""
+    hh = StreamingHeavyHitters(
+        spark, state_path=str(tmp_path / "hh"), item_col="source",
+        weight_col="tokens", k=4, trigger_seconds=0,
+    )
+    null_df = spark.createDataFrame(
+        [("web", 5), ("web", None), ("books", 3)],
+        "source string, tokens long",
+    )
+    with pytest.raises(ValueError, match="NULL or negative"):
+        hh.process_batch(null_df, 0)
+    neg_df = spark.createDataFrame(
+        [("web", 5), ("code", -2)], "source string, tokens long"
+    )
+    with pytest.raises(ValueError, match="NULL or negative"):
+        hh.process_batch(neg_df, 0)
+    # the refused batches left NO state behind: a clean batch at the same
+    # epoch then applies normally
+    assert hh._read_state()["epoch"] == -1
+    hh.process_batch(
+        spark.createDataFrame([("web", 5)], "source string, tokens long"), 0
+    )
+    assert {r["item"]: r["est_cnt"] for r in hh.counters().collect()} == {
+        "web": 5
+    }
+    # the batch operator refuses the identical inputs
+    with pytest.raises(ValueError, match="NULL or negative"):
+        heavy_hitters_exact(null_df, "source", k=4, weight_col="tokens")
+    with pytest.raises(ValueError, match="NULL or negative"):
+        heavy_hitters_exact(neg_df, "source", k=4, weight_col="tokens")
