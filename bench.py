@@ -310,26 +310,67 @@ def ivf_pq_split(spark, sf_dir: str) -> dict:
         TOP_K,
     )
 
+    import os
+    import shutil
+    import tempfile
+
     emb = load_table(spark, sf_dir, "embeddings")
-    t0 = time.perf_counter()
-    index = S.ivf_pq_fit(
-        emb, dims=DIMS, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS, seed=PQ_SEED
-    )
-    fit_sec = time.perf_counter() - t0
-    serve_reps = []
+    # fit best-of-2 (r13 verdict: a single-rep fit row with documented
+    # 5.3-7.1 s run-to-run variance made cross-round deltas
+    # unadjudicable — fit now gets the same reps treatment as serve)
+    fit_reps = []
+    index = None
     for _ in range(2):
+        release_checkpoints(spark)  # each rep fits from a clean block store
         t0 = time.perf_counter()
-        run_query(
-            S.ivf_pq_serve(
-                index, QUERY_IDS, k=TOP_K, nprobe=NPROBE, refine=PQ_REFINE
-            )
+        index = S.ivf_pq_fit(
+            emb, dims=DIMS, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS, seed=PQ_SEED
         )
-        serve_reps.append(round(time.perf_counter() - t0, 4))
+        fit_reps.append(round(time.perf_counter() - t0, 4))
+    # serve against the SAVED artifact (r14): save() hive-partitions
+    # lists/q, serve pushes the probed-list / shortlist sets as
+    # PartitionFilters — this is the production serving shape, and the
+    # only one where the scan fraction is observable on disk
+    tmp = tempfile.mkdtemp(prefix="bench_ivfpq_")
+    try:
+        path = os.path.join(tmp, "index")
+        t0 = time.perf_counter()
+        index.save(path)
+        save_sec = time.perf_counter() - t0
+        loaded = S.IvfPqIndex.load(spark, path)
+        serve_reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_query(
+                S.ivf_pq_serve(
+                    loaded, QUERY_IDS, k=TOP_K, nprobe=NPROBE,
+                    refine=PQ_REFINE,
+                )
+            )
+            serve_reps.append(round(time.perf_counter() - t0, 4))
+        n_list_dirs = len(
+            [
+                d
+                for d in os.listdir(os.path.join(path, "lists"))
+                if d.startswith("list_id=")
+            ]
+        )
+        probed = list(loaded.last_serve_stats["probed_lists"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     release_checkpoints(spark)
     return {
-        "sim_ivf_pq_fit_sec": round(fit_sec, 4),
+        "sim_ivf_pq_fit_sec": min(fit_reps),
+        "fit_reps": fit_reps,
+        "save_sec": round(save_sec, 4),
         "sim_ivf_pq_serve_sec": min(serve_reps),
         "serve_reps": serve_reps,
+        # scan fraction: list partitions the query batch actually opened
+        "serve_probed_lists": len(probed),
+        "serve_total_lists": n_list_dirs,
+        "serve_lists_scan_fraction": round(
+            len(probed) / max(n_list_dirs, 1), 4
+        ),
     }
 
 
@@ -930,6 +971,7 @@ def main() -> None:
         # once-per-corpus, serve is what a production query batch pays
         timings["sim_ivf_pq_fit"] = pq_split["sim_ivf_pq_fit_sec"]
         timings["sim_ivf_pq_serve"] = pq_split["sim_ivf_pq_serve_sec"]
+        rep_timings["sim_ivf_pq_fit"] = pq_split["fit_reps"]
         rep_timings["sim_ivf_pq_serve"] = pq_split["serve_reps"]
     except Exception as e:
         pq_split = None

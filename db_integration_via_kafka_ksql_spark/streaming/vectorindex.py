@@ -74,13 +74,21 @@ class StreamingVectorIndex:
         """The serving index: base frames + every committed addition.
         Base and added rows are interchangeable by the encode identity,
         so the union IS the index a batch build over base+adds would
-        produce (same codebook)."""
+        produce (same codebook).
+
+        The base layout's pruning columns SURVIVE the merge: epoch adds
+        are committed subpartitioned by `list_id` (lists) and `q_bucket`
+        (q, same pmod as IvfPqIndex.save), so serve's probed-list /
+        shortlist isin filters push through the union into BOTH scans as
+        PartitionFilters — a merged index keeps the nprobe/nlists cost
+        contract instead of degrading to a corpus scan as adds grow."""
         q, lists = self._base.q, self._base.lists
+        q_cols = ["vec_id", "label", "q"]
+        if self._base.n_q_buckets and "q_bucket" in q.columns:
+            q_cols.append("q_bucket")
         if epochdir.list_epochs(self._q_path(), self.batch_col):
-            adds_q = self.spark.read.parquet(self._q_path()).select(
-                "vec_id", "label", "q"
-            )
-            q = q.select("vec_id", "label", "q").unionByName(adds_q)
+            adds_q = self.spark.read.parquet(self._q_path()).select(*q_cols)
+            q = q.select(*q_cols).unionByName(adds_q)
         if epochdir.list_epochs(self._lists_path(), self.batch_col):
             adds_l = self.spark.read.parquet(self._lists_path()).select(
                 "neighbor_id", "list_id", "codes"
@@ -96,6 +104,7 @@ class StreamingVectorIndex:
             lists=lists,
             dims=self._base.dims,
             m=self._base.m,
+            n_q_buckets=self._base.n_q_buckets,
         )
 
     def serve_vectors(
@@ -133,15 +142,29 @@ class StreamingVectorIndex:
         if batch_df.isEmpty():
             return  # idle: commit nothing (the SCD2 idle discipline)
         q_rows, list_rows = self._base.encode(batch_df)
+        q_parts: tuple[str, ...] = ()
+        if self._base.n_q_buckets:
+            # carry the saved layout's q_bucket subpartitioning into the
+            # adds (same pmod as IvfPqIndex.save) so the merged serve's
+            # bucket filters prune epoch partitions too
+            from pyspark.sql import functions as F
+
+            q_rows = q_rows.withColumn(
+                "q_bucket",
+                F.pmod(F.col("vec_id"), F.lit(int(self._base.n_q_buckets))),
+            )
+            q_parts = ("q_bucket",)
         q_rows = q_rows.localCheckpoint(eager=True)
         list_rows = list_rows.localCheckpoint(eager=True)
         if not done_q:
             epochdir.commit_epoch(
-                q_rows, self._q_path(), self.batch_col, epoch_id
+                q_rows, self._q_path(), self.batch_col, epoch_id,
+                partition_cols=q_parts,
             )
         if not done_l:
             epochdir.commit_epoch(
-                list_rows, self._lists_path(), self.batch_col, epoch_id
+                list_rows, self._lists_path(), self.batch_col, epoch_id,
+                partition_cols=("list_id",),
             )
 
     # -- runner ------------------------------------------------------------------

@@ -2001,9 +2001,10 @@ def test_ivf_pq_save_crash_leaves_old_index_intact(
 def test_ivf_pq_distortion_semantics(spark, sf_dir):
     """More codewords -> never-worse reconstruction: total distortion with
     ksub=16 must be <= ksub=2 on the same corpus; per-list vector counts
-    must partition the corpus; a LOADED index (no fit scratch) refuses."""
-    import pytest
-
+    must partition the corpus; a LOADED index (no fit scratch) recomputes
+    residuals via the encode identity and reports BIT-EQUAL numbers
+    (ADVICE r13: the recompute path used to raise, killing the drift
+    gauge on every serving artifact)."""
     emb = load_table(spark, sf_dir, "embeddings").limit(300)
     small = S.ivf_pq_fit(emb, dims=64, m=8, ksub=2, iters=1)
     big = S.ivf_pq_fit(emb, dims=64, m=8, ksub=16, iters=1)
@@ -2020,8 +2021,10 @@ def test_ivf_pq_distortion_semantics(spark, sf_dir):
         q=small.q, cent=small.cent, corpus_res=None,
         codebook=small.codebook, lists=small.lists, dims=64, m=8,
     )
-    with pytest.raises(ValueError, match="fit-time scratch"):
-        S.ivf_pq_distortion(loaded)
+    d_loaded = sorted(
+        S.ivf_pq_distortion(loaded).collect(), key=lambda r: r["list_id"]
+    )
+    assert d_loaded == sorted(d_small, key=lambda r: r["list_id"])
 
 
 def test_bpe_save_load_round_trip_and_serve(spark, sf_dir, tmp_path):
@@ -2205,3 +2208,62 @@ def test_ivf_pq_load_recovers_from_rename_window_crash(
         "__old_" in n or "__staging_" in n for n in os.listdir(tmp_path)
     )
     assert S.IvfPqIndex.load(spark, path).codebook == new_index.codebook
+
+
+def test_ivf_pq_saved_layout_prunes_serve_scans(spark, sf_dir, tmp_path):
+    """r13 verdict #1 (the round's one `weak`): serve over a SAVED index
+    must touch ~nprobe/nlists of the corpus, not the corpus. save()
+    hive-partitions lists by list_id and q by q_bucket; serve collects
+    the probed list set / refine shortlist (both bounded by the query
+    batch) and pushes them as isin filters — asserted here to reach the
+    scans as PartitionFilters (the ParquetStateStore.lookup discipline),
+    with value parity against the unpruned in-memory serve."""
+    import os
+
+    from db_integration_via_kafka_ksql_spark.plans.audit import audit
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(400)
+    fitted = S.ivf_pq_fit(emb, dims=64, m=8, ksub=8, iters=1)
+    path = str(tmp_path / "ivfpq_pruned")
+    fitted.save(path)
+    loaded = S.IvfPqIndex.load(spark, path)
+    assert loaded.n_q_buckets == 64
+    qids = [0, 1, 2, 3]
+
+    # ADC-only serve: the visible plan ends at the pruned lists scan —
+    # the probed-list isin must be a PartitionFilter on list_id
+    adc = S.ivf_pq_serve(loaded, qids, k=3, nprobe=2, refine=None)
+    rep = audit(adc)
+    lists_scans = [
+        s for s in rep.scans.values()
+        if any("list_id" in f for f in s.partition_filters)
+    ]
+    assert lists_scans, rep.plan_text[:3000]
+    # the on-disk layout is one dir per list; the probed set opened
+    # strictly fewer (nprobe=2, 4 queries, 10 label-lists)
+    n_dirs = len(
+        [d for d in os.listdir(f"{path}/lists") if d.startswith("list_id=")]
+    )
+    probed = loaded.last_serve_stats["probed_lists"]
+    assert 0 < len(probed) <= 2 * len(qids)
+    assert len(probed) < n_dirs, (probed, n_dirs)
+
+    # refine serve: the visible plan ends at the pruned q rescore scan —
+    # the shortlist bucket set must be a PartitionFilter on q_bucket
+    refined = S.ivf_pq_serve(loaded, qids, k=3, nprobe=2, refine=4)
+    rep2 = audit(refined)
+    q_scans = [
+        s for s in rep2.scans.values()
+        if any("q_bucket" in f for f in s.partition_filters)
+    ]
+    assert q_scans, rep2.plan_text[:3000]
+
+    # value parity: pruning changed WHAT IS READ, never the answer
+    want = sorted(
+        tuple(r)
+        for r in S.ivf_pq_serve(
+            fitted, qids, k=3, nprobe=2, refine=4
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in refined.collect())
+    assert got == want and len(got) == 3 * len(qids)

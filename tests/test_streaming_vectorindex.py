@@ -221,3 +221,58 @@ def test_live_stream_end_to_end(spark, sf_dir, corpus, saved_index, tmp_path):
         for r in svi.serve_vectors(queries, k=1, nprobe=NPROBE).collect()
     }
     assert top1 == {i: i for i in ids[:2]}
+
+
+def test_distortion_drift_gauge_over_merged_index(spark, corpus, saved_index, tmp_path):
+    """ADVICE r13 (medium): distortion() over the loaded/merged index
+    must WORK — it used to raise unconditionally (corpus_res=None on
+    every loaded index), so the advertised refit-scheduling drift gauge
+    was dead on arrival. Residuals now recompute scan-side via the
+    encode identity: before any adds the report is bit-equal to the
+    freshly fitted index's; after adds it covers base + added vectors."""
+    base, adds = corpus
+    svi = _svi(spark, saved_index, tmp_path)
+    fitted = S.ivf_pq_fit(base, dims=64, m=8, ksub=8, iters=1)
+    d0 = sorted(tuple(r) for r in svi.distortion().collect())
+    assert d0 == sorted(
+        tuple(r) for r in S.ivf_pq_distortion(fitted).collect()
+    )
+    ids = _batches(adds)[0]
+    svi.process_batch(adds.filter(F.col("vec_id").isin(ids)), 0)
+    d1 = svi.distortion().collect()
+    assert sum(r["n_vectors"] for r in d1) == 200 + 30
+    for r in d1:
+        assert r["max_err"] >= r["avg_err"] >= 0
+
+
+def test_adds_partitions_carry_pruning_layout(spark, sf_dir, corpus, saved_index, tmp_path):
+    """r13 verdict #1, streaming leg: epoch adds commit subpartitioned by
+    list_id (lists) and q_bucket (q), so the merged serve's isin filters
+    reach BOTH the base and the adds scans as PartitionFilters — the
+    merged index keeps the nprobe/nlists cost contract as adds grow."""
+    from db_integration_via_kafka_ksql_spark.plans.audit import audit
+
+    base, adds = corpus
+    emb = load_table(spark, sf_dir, "embeddings")
+    svi = _svi(spark, saved_index, tmp_path)
+    ids = _batches(adds)[0]
+    svi.process_batch(adds.filter(F.col("vec_id").isin(ids)), 0)
+    # physical layout: one epoch dir, subpartitioned by the pruning cols
+    lists_epoch = os.path.join(str(tmp_path / "adds"), "lists", "ingest_batch=0")
+    q_epoch = os.path.join(str(tmp_path / "adds"), "q", "ingest_batch=0")
+    assert any(d.startswith("list_id=") for d in os.listdir(lists_epoch))
+    assert any(d.startswith("q_bucket=") for d in os.listdir(q_epoch))
+    # the merged ADC plan prunes base AND adds lists scans
+    queries = _queries(spark, emb, ids[:2])
+    adc = S.ivf_pq_serve_vectors(
+        svi._merged(), queries, k=K, nprobe=NPROBE, refine=None
+    )
+    rep = audit(adc)
+    # audit.scans keys by path basename (both scans are ".../lists"), so
+    # count pruned scans on the plan text directly
+    import re
+
+    n_pruned = len(
+        re.findall(r"PartitionFilters: \[[^\]]*list_id", rep.plan_text)
+    )
+    assert n_pruned >= 2, rep.plan_text[:3000]
