@@ -14,13 +14,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from db_integration_via_kafka_ksql_spark.registry import ORACLES, QUERIES
+from db_integration_via_kafka_ksql_spark.registry import (
+    ORACLES,
+    QUERIES,
+    all_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: changelog compaction to latest-per-key — the reference's
-    core semantic (ksqlDB TABLE materialization) — on sf0.001."""
-    return QUERIES["cdc_compact_latest"](spark, "/root/testdata/sf0.001")
+    core semantic (ksqlDB TABLE materialization) — on sf0.001. Resolved
+    from the FULL registry so driver-window rotations (which may move the
+    flagship's oracle slot to aux) can never break the smoke entry."""
+    return all_queries()["cdc_compact_latest"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

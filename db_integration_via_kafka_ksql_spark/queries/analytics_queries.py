@@ -18,7 +18,7 @@ FUNNEL_STEPS = ["view", "click", "purchase"]
 
 @query(
     "events_cohort_retention",
-    driver=False,  # round-12 rotation: stable veteran slot ceded to events_type_value_quantiles
+    # round-14 rotation: promoted into the external driver window
     # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH ev AS (

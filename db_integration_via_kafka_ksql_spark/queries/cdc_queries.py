@@ -45,6 +45,7 @@ _COMPACT_SQL = f"""
 
 @query(
     "cdc_compact_latest",
+    driver=False,  # round-14 rotation: stable veteran slot ceded to sketch_cms_join_size
     oracle=_COMPACT_SQL,
 )
 def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,6 +248,7 @@ _SESSIONS_SQL = """
 
 @query(
     "range_join_events_sessions",
+    driver=False,  # round-14 rotation: stable veteran slot ceded to events_value_robust_outliers
     oracle=f"""
     WITH sess AS ({_SESSIONS_SQL})
     SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,

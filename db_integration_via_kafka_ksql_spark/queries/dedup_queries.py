@@ -380,6 +380,7 @@ NGRAM_DF_CAP = 30
 
 @query(
     "dedup_ngram_jaccard_capped",
+    driver=False,  # round-14 rotation: stable veteran slot ceded to text_tfidf_keyphrases
     oracle=f"""
     WITH sh AS (SELECT doc_id, list_distinct({_SH3}) AS sh FROM documents),
     inv0 AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -544,6 +545,7 @@ SPLIT_WEIGHTS = [("train", 80), ("val", 10), ("test", 10)]
 
 @query(
     "split_leakage_free",
+    driver=False,  # round-14 rotation: stable veteran slot ceded to text_repetition_scores
     # promoted to the driver window round 9 (rotation)
     oracle=f"""
     WITH RECURSIVE {_minhash_pair_ctes(MINHASH_K, MINHASH_BANDS)},

@@ -201,6 +201,7 @@ _AHASH_CTES = """
 
 @query(
     "mm_image_ahash",
+    driver=False,  # round-14 rotation: stable veteran slot ceded to mm_audio_neardup_pairs
     # round-10 rotation: promoted into the external driver window
     oracle=_AHASH_CTES
     + """
@@ -246,6 +247,7 @@ def mm_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_audio_pcm_stats",
+    driver=False,  # round-14 rotation: stable veteran slot ceded to mm_audio_fingerprint
     # round-12 rotation: promoted into the driver window
     # DuckDB replays the s16le interpretation from hex-expanded bytes:
     # sample k = byte(2k) + 256*byte(2k+1), signed via the 32768 fold —
@@ -353,7 +355,7 @@ _AUDIO_FP_CTES = """
 
 @query(
     "mm_audio_fingerprint",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-14 rotation: promoted into the external driver window
     oracle=_AUDIO_FP_CTES
     + """
     SELECT doc_id, n_samples, fp_lo, fp_hi FROM fpv
@@ -372,7 +374,7 @@ def mm_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_audio_neardup_pairs",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-14 rotation: promoted into the external driver window
     # Oracle verifies RESULTS, not the candidate strategy: brute-force
     # all-pairs hamming over the replayed fingerprints; the Spark side's
     # banding has EXACT recall at the radius (pigeonhole), so the two

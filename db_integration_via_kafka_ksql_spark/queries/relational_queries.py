@@ -35,6 +35,7 @@ def _msum(expr: str, alias: str) -> str:
 
 @query(
     "q1_pricing_summary",
+    driver=False,  # round-14 rotation: stable veteran slot ceded to profile_orders_columns
     oracle=f"""
     SELECT l_returnflag,
            l_linestatus,
@@ -422,6 +423,7 @@ def scalar_subquery_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "json_props_stats",
+    driver=False,  # round-14 rotation: stable veteran slot ceded to corpus_dataset_card
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
@@ -701,7 +703,7 @@ def _profile_col_sql(c: str) -> str:
 
 @query(
     "profile_orders_columns",
-    driver=False,  # aux: ANALYZE-style sweep; exact flavor is oracle-able
+    # round-14 rotation: promoted into the external driver window
     oracle=" UNION ALL ".join(_profile_col_sql(c) for c in _PROFILE_COLS),
 )
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,6 +928,7 @@ KNN_GRAPH_K = 5
 
 @query(
     "graph_supplier_knn_triangles",
+    driver=False,  # round-14 rotation: stable veteran slot ceded to events_cohort_retention
     # round-10 rotation: promoted into the external driver window
     # Oracle counts triangles INDEPENDENTLY of the operator's degree-ordered
     # orientation: per-node wedge closure over the symmetric adjacency
@@ -1080,6 +1083,7 @@ def _zorder_oracle() -> str:
 
 @query(
     "events_zorder_keys",
+    driver=False,  # round-14 rotation: stable veteran slot ceded to events_zone_map_skip
     # round-10 rotation: promoted into the external driver window
     oracle=_zorder_oracle(),
 )
@@ -1160,7 +1164,7 @@ def _zone_map_oracle() -> str:
 
 @query(
     "events_zone_map_skip",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-14 rotation: promoted into the external driver window
     oracle=_zone_map_oracle(),
 )
 def events_zone_map_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1457,7 +1461,7 @@ def _robust_outlier_oracle() -> str:
 
 @query(
     "events_value_robust_outliers",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-14 rotation: promoted into the external driver window
     oracle=_robust_outlier_oracle(),
 )
 def events_value_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:

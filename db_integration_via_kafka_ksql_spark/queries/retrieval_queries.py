@@ -274,7 +274,7 @@ def _tfidf_oracle() -> str:
 
 @query(
     "text_tfidf_keyphrases",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-14 rotation: promoted into the external driver window
     oracle=_tfidf_oracle(),
 )
 def text_tfidf_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:

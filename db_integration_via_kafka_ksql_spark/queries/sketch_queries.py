@@ -107,6 +107,7 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sketch_kmv_source_token_overlap",
+    driver=False,  # round-14 rotation: stable veteran slot ceded to sketch_cms_join_size
     # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH toks AS (
@@ -376,7 +377,7 @@ _CMSJ_II = ", ".join(str(i) for i in range(CMSJ_DEPTH))
 
 @query(
     "sketch_cms_join_size",
-    driver=False,  # registry full at 50 — candidate for the next rotation
+    # round-14 rotation: promoted into the external driver window
     oracle=f"""
     WITH ii AS (SELECT unnest([{_CMSJ_II}]) AS i),
     la AS (

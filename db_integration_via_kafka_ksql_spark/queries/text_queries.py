@@ -88,7 +88,7 @@ _PRED_CASE = T.predicted_lang_case({l: f"sc_{l}" for l in T.LANG_PRIORITY})
 
 @query(
     "text_language_confusion",
-    driver=False,  # round-10 rotation: stable slot ceded; family keeps a driver twin
+    # round-14 rotation: promoted into the external driver window
     oracle=f"""
     SELECT lang, pred_lang, count(*) AS n_docs
     FROM (
@@ -325,7 +325,7 @@ def _rep_cols() -> str:
 
 @query(
     "text_repetition_scores",
-    driver=False,  # round-9 rotation: stable slot ceded to a newer op
+    # round-14 rotation: promoted into the external driver window
     oracle=f"""
     WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
     g AS (
@@ -1100,6 +1100,7 @@ _MIX_BUCKET = (
 
 @query(
     "mixture_realized_tokens",
+    driver=False,  # round-14 rotation: stable veteran slot ceded to text_pmi_collocations
     # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH avail AS (
@@ -1358,7 +1359,7 @@ def source_overlap_shared_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_dataset_card",
-    driver=False,  # aux: the per-source datasheet summary row
+    # round-14 rotation: promoted into the external driver window
     oracle=f"""
     WITH scored AS (
         SELECT source, lang, text,
@@ -1602,7 +1603,7 @@ _PMI_LN = _det_ln_sql(_PMI_LIFT, "duckdb")
 
 @query(
     "text_pmi_collocations",
-    driver=False,  # round-12 rotation: stable veteran slot ceded to text_hybrid_bm25_cosine_topk
+    # round-14 rotation: promoted into the external driver window
     # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
