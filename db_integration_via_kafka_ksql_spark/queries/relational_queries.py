@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from db_integration_via_kafka_ksql_spark.functions.detmath import dlit
 from db_integration_via_kafka_ksql_spark.io import load_table
 from db_integration_via_kafka_ksql_spark.operators import relational as R
 from db_integration_via_kafka_ksql_spark.registry import query
@@ -1184,6 +1185,55 @@ def events_zone_map_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id", "value"], ZM_PRED, id_col="event_id",
         n_files=ZM_FILES,
     )
+
+
+@query(
+    "events_zone_map_read_pruned",
+    # round-14: the read-side consumer of the zorder write path (r13
+    # verdict #6) — promoted straight into the driver window
+    oracle=f"""
+    SELECT event_id, user_id, event_type, CAST(value AS DOUBLE) AS value
+    FROM events
+    WHERE user_id >= {dlit(ZM_PRED["user_id"][0])}
+      AND user_id <= {dlit(ZM_PRED["user_id"][1])}
+      AND value >= {dlit(ZM_PRED["value"][0])}
+      AND value <= {dlit(ZM_PRED["value"][1])}
+    """,
+)
+def events_zone_map_read_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The zone-map layout's actual READ path (r13 verdict #6: the skip
+    report measured what ZORDER buys, but no reader consumed the zone
+    maps): events are written z-ordered on (user_id, value) via
+    write_dataset, then read back through sinks.dataset.zone_map_scan —
+    per-file footer min/max stats evaluated driver-side (the
+    Delta/Iceberg planner-stats shape), non-intersecting files never
+    opened, the predicate re-applied row-level on the kept files.
+
+    The oracle is the PLAIN range filter over the source table: min/max
+    bounds can never skip a matching row, so hash parity proves the
+    file-skip lossless — the same oracle stance as the bloom-pruned
+    join. The skip FRACTION (what pruning saved) is asserted in
+    tests/test_dataset_sink.py, not here."""
+    import os
+    import tempfile
+
+    from db_integration_via_kafka_ksql_spark.sinks import dataset as DS
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_zone_read_{os.getpid()}"
+    )
+    DS.write_dataset(
+        ev,
+        path,
+        partition_cols=["event_type"],
+        zorder_cols=["user_id", "value"],
+        max_records_per_file=500,
+    )
+    pruned, _stats = DS.zone_map_scan(spark, path, ZM_PRED)
+    return pruned.select("event_id", "user_id", "event_type", "value")
 
 
 SKEW_REPORT_TOP_K = 20

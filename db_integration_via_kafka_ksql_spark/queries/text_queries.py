@@ -1685,6 +1685,7 @@ def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_version_diff",
+    driver=False,  # round-14 rotation: stable veteran slot ceded to events_zone_map_read_pruned
     # round-12 rotation: promoted into the driver window
     # deterministic crawl-refresh simulation (same derivation both sides):
     # %7 docs dropped, %5 docs re-crawled with edited text, %11 docs

@@ -204,3 +204,109 @@ def read_dataset(spark: SparkSession, path: str) -> DataFrame:
     columns become directory-level pruning (PartitionFilters in the scan,
     asserted in tests/test_dataset_sink.py), not row-level work."""
     return spark.read.parquet(path)
+
+
+def zone_map_stats(
+    path: str, cols: Sequence[str]
+) -> list[dict]:
+    """Collect per-FILE zone maps (min/max of `cols` + row count) from
+    the parquet footers of a dataset — the read-side consumer of the
+    zorder write path (r13 verdict #6: `write_dataset(zorder_cols=...)`
+    laid files out so these stats are selective, but nothing read them).
+
+    This is the no-table-format equivalent of the stats Delta/Iceberg
+    keep in their commit logs: a driver-side walk over footers (KB each,
+    never row data), bounded by FILE COUNT, not rows — the same
+    metadata-scale operation every table format's planner performs
+    centrally. A file-level stat is the min/max over its row groups; a
+    column without stats in any row group yields None (the file is then
+    never skipped on that column — correctness before pruning).
+
+    Returns one dict per data file:
+    {file, rows, <col>__min, <col>__max, ...}."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    out = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(path)):
+        for fname in sorted(filenames):
+            if not fname.endswith(".parquet"):
+                continue
+            fpath = os.path.join(dirpath, fname)
+            md = papq.ParquetFile(fpath).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            rec: dict = {"file": fpath, "rows": md.num_rows}
+            for c in cols:
+                idx = names.get(c)
+                lo = hi = None
+                ok = idx is not None
+                if ok:
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            ok = False
+                            break
+                        lo = st.min if lo is None else min(lo, st.min)
+                        hi = st.max if hi is None else max(hi, st.max)
+                rec[f"{c}__min"] = lo if ok else None
+                rec[f"{c}__max"] = hi if ok else None
+            out.append(rec)
+    return out
+
+
+def zone_map_scan(
+    spark: SparkSession,
+    path: str,
+    predicates: dict[str, tuple[float, float]],
+) -> tuple[DataFrame, dict]:
+    """Zone-map-pruned range scan: evaluate a conjunctive range predicate
+    against the per-file footer stats (`zone_map_stats`), open ONLY the
+    files whose extent intersects every range, and apply the predicate
+    row-level on what remains. The skip rule is exactly
+    `zone_map_skip_report`'s (a file skips iff some column's
+    [min, max] is disjoint from its [lo, hi]) — min/max bounds can never
+    skip a matching row, so the result is row-identical to the full
+    scan + filter (oracle hash-parity-gated as
+    `events_zone_map_read_pruned`); only the I/O changes.
+
+    Files are read with basePath so hive partition columns survive; a
+    predicate column missing footer stats keeps its file (never guessed
+    away). Returns (df, stats) with stats = {files_total, files_kept,
+    files_skipped, skip_permille} — the number the zorder layout is
+    buying, now measured on the actual read path instead of only in the
+    what-if report."""
+    zmaps = zone_map_stats(path, list(predicates))
+    kept = []
+    for rec in zmaps:
+        skip = False
+        for c, (lo, hi) in predicates.items():
+            mn, mx = rec[f"{c}__min"], rec[f"{c}__max"]
+            if mn is not None and mx is not None and (mx < lo or mn > hi):
+                skip = True
+                break
+        if not skip:
+            kept.append(rec["file"])
+    stats = {
+        "files_total": len(zmaps),
+        "files_kept": len(kept),
+        "files_skipped": len(zmaps) - len(kept),
+        "skip_permille": (
+            (len(zmaps) - len(kept)) * 1000 // max(len(zmaps), 1)
+        ),
+    }
+    if not kept:
+        df = read_dataset(spark, path).where(F.lit(False))
+    else:
+        df = spark.read.option("basePath", path).parquet(*kept)
+    missing = [c for c in predicates if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"zone_map_scan: predicate columns absent from dataset: "
+            f"{missing} (footer stats alone cannot answer a predicate the "
+            "rows can't evaluate)"
+        )
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        cond = cond & (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))
+    return df.filter(cond), stats

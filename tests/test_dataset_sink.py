@@ -258,3 +258,56 @@ def test_compact_dataset_honors_target_records_and_sort(spark, tmp_path):
     spans.sort(key=lambda s: s["doc_id"][0])
     for a, b in zip(spans, spans[1:]):
         assert a["doc_id"][1] <= b["doc_id"][0]
+
+
+def test_zone_map_scan_prunes_files_and_keeps_row_parity(spark, sf_dir, tmp_path):
+    """r13 verdict #6: the zorder layout finally has a READ-side
+    consumer. zone_map_scan evaluates the range predicate against the
+    per-file footer stats and opens only intersecting files; parity vs
+    the full scan + filter is exact (min/max bounds cannot skip a
+    matching row) and the skip fraction is real, not zero."""
+    from db_integration_via_kafka_ksql_spark.sinks.dataset import (
+        zone_map_scan,
+        zone_map_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = str(tmp_path / "zm_ds")
+    write_dataset(
+        ev, root, partition_cols=["event_type"],
+        zorder_cols=["user_id", "value"], max_records_per_file=200,
+    )
+    pred = {"value": (50.0, 60.0)}
+    pruned, stats = zone_map_scan(spark, root, pred)
+    assert stats["files_total"] > 4
+    assert stats["files_skipped"] > 0, stats  # the layout buys real skips
+    assert stats["files_kept"] + stats["files_skipped"] == stats["files_total"]
+    # row parity with the unpruned filter — bit-exact, order-insensitive
+    want = sorted(
+        tuple(r)
+        for r in ev.filter("value >= 50.0 AND value <= 60.0").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in pruned.select(
+            "event_id", "user_id", "event_type", "value"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    # an impossible range skips EVERY file and still returns a typed
+    # empty frame (schema parity with the real read)
+    none_df, none_stats = zone_map_scan(spark, root, {"value": (1e9, 2e9)})
+    assert none_stats["files_kept"] == 0
+    assert none_df.count() == 0
+    assert set(none_df.columns) >= {"event_id", "user_id", "value"}
+    # a column absent from the footers yields None stats (never skipped
+    # on it — correctness before pruning) and the scan itself fails fast
+    # instead of silently answering a predicate the rows can't evaluate
+    import pytest
+
+    zm = zone_map_stats(root, ["no_such_col"])
+    assert zm and all(r["no_such_col__min"] is None for r in zm)
+    with pytest.raises(ValueError, match="absent from dataset"):
+        zone_map_scan(spark, root, {"no_such_col": (0.0, 1.0)})

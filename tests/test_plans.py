@@ -887,3 +887,17 @@ def test_robust_outliers_checkpointed_dev_no_nlj(reports):
     assert r.nested_loop_joins == 0
     assert r.has_partial_aggregate
     assert "events" not in r.scans  # base scanned before the checkpoint
+
+
+def test_zone_map_read_pruned_is_narrow_scan(reports):
+    """The zone-map read path (r14): after the driver-side footer prune,
+    the visible plan is a bare filtered scan of the kept files — the
+    range predicate also reaches the row level as PushedFilters, the
+    projection stays at the 4 requested columns, and no shuffle exists
+    anywhere (pruning must never cost a repartition)."""
+    r = reports("events_zone_map_read_pruned")
+    assert r.n_shuffle_exchanges == 0
+    assert r.windows == 0
+    scan = next(iter(r.scans.values()))
+    assert any("value" in f for f in scan.pushed_filters), r.plan_text[:2000]
+    assert len(scan.read_columns) <= 4
