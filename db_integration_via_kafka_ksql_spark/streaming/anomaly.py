@@ -48,6 +48,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+    MaintenancePolicy,
+    maintain,
+)
 
 HOUR_US = 3_600_000_000
 
@@ -67,6 +71,9 @@ class StreamingAnomaly:
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_anomaly"
+    # scheduled epochdir maintenance (state pruning / output
+    # compaction / witness TTL per the policy) — None disables
+    maintenance: MaintenancePolicy | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     # -- state ------------------------------------------------------------
@@ -197,6 +204,11 @@ class StreamingAnomaly:
             )
         epochdir.commit_epoch(
             merged, self.state_path, self.batch_col, epoch_id
+        )
+        maintain(
+            self.spark, self.maintenance, epoch_id, self.batch_col,
+            state_paths=(self.state_path,),
+            output_paths=(self.output_path,),
         )
 
     # -- runner ---------------------------------------------------------------

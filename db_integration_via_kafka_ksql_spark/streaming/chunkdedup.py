@@ -44,6 +44,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.operators import multimodal as M
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+    MaintenancePolicy,
+    maintain,
+)
 
 OUT_SCHEMA = (
     "doc_id long, chunk_idx long, offset long, length long, "
@@ -65,6 +69,9 @@ class StreamingChunkDedup:
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_chunk_dedup"
+    # scheduled epochdir maintenance (state pruning / output
+    # compaction / witness TTL per the policy) — None disables
+    maintenance: MaintenancePolicy | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     # -- state ------------------------------------------------------------
@@ -172,6 +179,11 @@ class StreamingChunkDedup:
         merged = seen.unionByName(fresh)
         epochdir.commit_epoch(
             merged, self.state_path, self.batch_col, epoch_id
+        )
+        maintain(
+            self.spark, self.maintenance, epoch_id, self.batch_col,
+            state_paths=(self.state_path,),
+            output_paths=(self.output_path,),
         )
 
     # -- runner ------------------------------------------------------------

@@ -246,3 +246,50 @@ def compact_epochs(spark, dataset_path: str, batch_col: str, upto: int) -> dict:
     os.replace(tmp, intent_path)  # the point of no return: intent is durable
     _finish(intent)
     return {"compacted_epochs": len(with_data), "rows": rows}
+
+
+def prune_state_epochs(
+    dataset_path: str, batch_col: str, keep_last: int = 2
+) -> dict:
+    """Strip the DATA of superseded latest-before STATE epochs, keeping
+    the newest `keep_last` data-bearing ones intact — the maintenance
+    pass for state dirs where every epoch holds the FULL current table
+    (scd2 snapshots, anomaly/robust-outlier count tables, chunk-dedup
+    witness sets): only the latest matters to readers, yet each 2-second
+    trigger leaves another complete copy on disk forever.
+
+    Both epochdir contracts survive, the compact_epochs way:
+    - replay safety: every pruned epoch KEEPS its `{batch_col}=e` dir
+      (and `_SUCCESS`), so `epoch_committed` still answers True and a
+      checkpoint replay stays a no-op;
+    - reader identity: `_latest_state_epoch`-style readers pick the
+      newest epoch with or without this pass — pruned epochs were
+      already superseded, and at least `keep_last` full copies remain
+      (keep_last >= 2 tolerates a reader mid-scan of the previous
+      state version during the pass).
+
+    Unlike compact_epochs there is nothing to merge — superseded state
+    is garbage by construction — so the pass is pure deletes and every
+    step is idempotent/crash-safe without an intent file.
+
+    Returns {"pruned_epochs": n}.
+    """
+    _require_local_path(dataset_path)
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+
+    def _has_data(e: int) -> bool:
+        d = partition_dir(dataset_path, batch_col, e)
+        return any(n.endswith(".parquet") for n in os.listdir(d))
+
+    with_data = [
+        e for e in list_epochs(dataset_path, batch_col) if _has_data(e)
+    ]
+    doomed = with_data[:-keep_last] if len(with_data) > keep_last else []
+    for e in doomed:
+        d = partition_dir(dataset_path, batch_col, e)
+        for name in os.listdir(d):
+            if name != "_SUCCESS":
+                p = os.path.join(d, name)
+                (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+    return {"pruned_epochs": len(doomed)}

@@ -58,6 +58,10 @@ from db_integration_via_kafka_ksql_spark.operators.multimodal import (
     fingerprint_band_frame,
 )
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+    MaintenancePolicy,
+    maintain,
+)
 from db_integration_via_kafka_ksql_spark.streaming.state import ParquetStateStore
 
 
@@ -78,6 +82,9 @@ class StreamingFingerprintPairs:
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_fingerprint_pairs"
+    # scheduled maintenance: witness_ttl_epochs drives expire_witnesses
+    # on the cadence (the documented re-admission trade); None disables
+    maintenance: MaintenancePolicy | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     def __post_init__(self) -> None:
@@ -158,6 +165,11 @@ class StreamingFingerprintPairs:
             out, self.output_path, self.batch_col, epoch_id
         )
         self._apply_state(batch_df, epoch_id, fp=fp)
+        maintain(
+            self.spark, self.maintenance, epoch_id, self.batch_col,
+            output_paths=(self.output_path,),
+            expire=self.expire_witnesses,
+        )
 
     def _apply_state(
         self, batch_df: DataFrame, epoch_id: int, fp: DataFrame | None = None

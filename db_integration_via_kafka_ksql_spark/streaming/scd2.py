@@ -57,6 +57,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+    MaintenancePolicy,
+    maintain,
+)
 
 _DEFAULT_ATTRS = ["event_type", "value", "props"]
 
@@ -77,6 +81,9 @@ class StreamingScd2:
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_scd2"
+    # scheduled epochdir maintenance (state pruning / output
+    # compaction / witness TTL per the policy) — None disables
+    maintenance: MaintenancePolicy | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     def _attrs(self) -> list[str]:
@@ -207,6 +214,15 @@ class StreamingScd2:
         ).select(self.key_col, "version", "valid_from_us", *attrs)
         epochdir.commit_epoch(
             new_open, self.state_path, self.batch_col, epoch_id
+        )
+        # NOTE for compact_outputs: closed-epoch part files are
+        # name-immutable BY CONTRACT (downstream file-stream sources);
+        # enable output compaction only on datasets no file-tracking
+        # source consumes — snapshot pruning is always safe
+        maintain(
+            self.spark, self.maintenance, epoch_id, self.batch_col,
+            state_paths=(self.state_path,),
+            output_paths=(self.output_path,),
         )
 
     def _closed_schema(self) -> str:

@@ -43,6 +43,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+    MaintenancePolicy,
+    maintain,
+)
 
 
 @dataclass
@@ -57,6 +61,9 @@ class StreamingTransitions:
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_transitions"
+    # scheduled epochdir maintenance (state pruning / output
+    # compaction / witness TTL per the policy) — None disables
+    maintenance: MaintenancePolicy | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     # -- state ------------------------------------------------------------
@@ -155,6 +162,11 @@ class StreamingTransitions:
         )
         epochdir.commit_epoch(
             new_last, self.state_path, self.batch_col, epoch_id
+        )
+        maintain(
+            self.spark, self.maintenance, epoch_id, self.batch_col,
+            state_paths=(self.state_path,),
+            output_paths=(self.output_path,),
         )
 
     # -- runner ----------------------------------------------------------------
