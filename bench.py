@@ -1070,6 +1070,16 @@ def main() -> None:
         report["partial"] = True
     if errors:
         report["errors"] = errors
+    # scale_curve is measured out-of-band (tools/scale_curve.py — a
+    # one-shot sf1 probe too expensive for the per-round bench); carry
+    # the last measurement forward so a bench rewrite can't drop it
+    try:
+        with open(detail_path) as f:
+            prior_detail = json.load(f)
+        if "scale_curve" in prior_detail:
+            report["scale_curve"] = prior_detail["scale_curve"]
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
     with open(detail_path, "w") as f:
         json.dump(report, f, indent=1, sort_keys=True)
     print(json.dumps(compact_report(report)))

@@ -1,0 +1,218 @@
+"""One-shot sf1 scale-curve probe (r13 verdict #4): run the most
+expensive headline queries at sf0.1 AND at 10x the data, record the
+time ratios into BENCH_DETAIL.json's `scale_curve` section. A query
+whose ratio >> 10 has a hidden superlinear term no sf0.1 plan pin can
+catch — this is the cheapest empirical test of the "survives 100x"
+claim.
+
+The sf1 dataset is DERIVED (the driver only generates up to sf0.1):
+10 key-shifted copies of every scaling table, written once to
+$SPARK_GRAFT_SF1_DIR (default /tmp/spark_graft_sf1) and reused. The
+derivation is designed so output sizes stay ~proportional — replicating
+rows verbatim would make every document a 10-way exact duplicate and
+blow the dedup queries' OUTPUT up superlinearly by construction,
+turning the probe into a measurement of the synthetic data, not the
+plan:
+
+- keys/FKs shift by copy * (max_key + 1), so per-copy join structure is
+  exactly the original's;
+- document TEXT gets a per-copy token suffix (bijective word map):
+  within-copy gram/jaccard relationships are preserved exactly, while
+  cross-copy jaccard is 0 — the corpus behaves like 10 disjoint shards,
+  which is what a genuinely 10x corpus looks like to a dedup pass;
+- EMBEDDINGS are sign-flipped per copy (v_i * s_i(copy), s in {-1,+1}
+  from md5 bits): norms and within-copy dot products are preserved
+  EXACTLY, cross-copy cosines scramble to ~0 — 10x the vectors without
+  10x artificial near-duplicates. region/nation stay fixed (TPC-H
+  scaling semantics).
+
+Run:  python tools/scale_curve.py            # build (if absent) + probe
+      SPARK_GRAFT_SF1_FORCE=1 ... to rebuild the derived dataset
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from db_integration_via_kafka_ksql_spark.session import get_spark  # noqa: E402
+
+COPIES = 10
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+
+# primary/foreign key shift map: column -> stride table
+KEY_OF = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+    "events": {"event_id": "events", "user_id": "__events_user"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+FIXED = ("region", "nation")
+
+# the 10 most expensive r13 headline rows (BENCH_r13) + q1 as the
+# expected-linear calibration row; ivf fit/serve probed via their split
+CURVE_QUERIES = [
+    "dedup_allpairs_jaccard",
+    "graph_supplier_knn_triangles",
+    "decontam_bloom_overlap",
+    "dedup_clusters_embedding",
+    "events_zone_map_skip",
+    "dedup_ngram_jaccard_capped",
+    "star_sales_by_region_segment",
+    "dedup_ngram_containment",
+    "text_duplicate_cut_spans",
+    "semdedup_pairs",
+    "q1_pricing_summary",
+]
+
+
+def _sign_array(copy: int, dims: int) -> list[int]:
+    """Deterministic {-1,+1}^dims from md5 bits — copy 0 is identity."""
+    if copy == 0:
+        return [1] * dims
+    out = []
+    i = 0
+    while len(out) < dims:
+        h = hashlib.md5(f"sfcurve:{copy}:{i}".encode()).digest()
+        for byte in h:
+            for b in range(8):
+                out.append(1 if (byte >> b) & 1 else -1)
+                if len(out) == dims:
+                    break
+            if len(out) == dims:
+                break
+        i += 1
+    return out
+
+
+def build_sf1(spark) -> None:
+    import shutil
+
+    if os.environ.get("SPARK_GRAFT_SF1_FORCE") and os.path.isdir(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST, exist_ok=True)
+    strides: dict[str, int] = {}
+    for t, keys in KEY_OF.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        for col, st in keys.items():
+            if st not in strides:
+                src_col = col if st != "__events_user" else "user_id"
+                strides[st] = (
+                    df.agg(F.max(src_col)).first()[0] or 0
+                ) + 1
+    for t in FIXED:
+        dst = f"{DST}/{t}.parquet"
+        if not os.path.exists(dst):
+            spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+                "overwrite"
+            ).parquet(dst)
+    for t, keys in KEY_OF.items():
+        dst = f"{DST}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        base = spark.read.parquet(f"{SRC}/{t}.parquet")
+        dims = None
+        if t == "embeddings":
+            dims = len(base.select("embedding").first()[0])
+        parts = []
+        for k in range(COPIES):
+            c = base
+            for col, st in keys.items():
+                c = c.withColumn(
+                    col, (F.col(col) + F.lit(k * strides[st])).cast("long")
+                )
+            if t == "documents" and k > 0:
+                # bijective per-copy word map: suffix every token
+                c = c.withColumn(
+                    "text",
+                    F.regexp_replace(F.col("text"), r"(\S+)", f"$1x{k}"),
+                )
+            if t == "embeddings" and k > 0:
+                signs = F.array(
+                    *[F.lit(float(s)) for s in _sign_array(k, dims)]
+                )
+                c = (
+                    c.withColumn("__s", signs)
+                    .withColumn(
+                        "embedding",
+                        F.expr(
+                            "zip_with(embedding, __s, (x, s) -> "
+                            "CAST(x * s AS FLOAT))"
+                        ),
+                    )
+                    .drop("__s")
+                )
+            parts.append(c)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(dst)
+        print(f"built {t}: {spark.read.parquet(dst).count()} rows")
+
+
+def main() -> None:
+    import bench
+
+    spark = get_spark(app_name="scale_curve")
+    build_sf1(spark)
+    curve: dict = {
+        "copies": COPIES,
+        "src": SRC,
+        "dst": DST,
+        "queries": {},
+    }
+    for name in CURVE_QUERIES:
+        fn = bench.QUERIES[name]
+        row: dict = {}
+        for tag, sf_dir in (("sf01", SRC), ("sf1", DST)):
+            bench.release_checkpoints(spark)
+            t0 = time.perf_counter()
+            bench.run_query(fn(spark, sf_dir))
+            row[tag] = round(time.perf_counter() - t0, 3)
+        bench.release_checkpoints(spark)
+        row["ratio"] = round(row["sf1"] / max(row["sf01"], 1e-9), 2)
+        curve["queries"][name] = row
+        print(name, row, flush=True)
+    # IVF-PQ fit/serve at both scales via the bench's own split section
+    for tag, sf_dir in (("sf01", SRC), ("sf1", DST)):
+        split = bench.ivf_pq_split(spark, sf_dir)
+        curve.setdefault("ivf_pq", {})[tag] = {
+            "fit": split["sim_ivf_pq_fit_sec"],
+            "serve": split["sim_ivf_pq_serve_sec"],
+            "serve_lists_scan_fraction": split["serve_lists_scan_fraction"],
+        }
+    ivf = curve["ivf_pq"]
+    ivf["fit_ratio"] = round(ivf["sf1"]["fit"] / max(ivf["sf01"]["fit"], 1e-9), 2)
+    ivf["serve_ratio"] = round(
+        ivf["sf1"]["serve"] / max(ivf["sf01"]["serve"], 1e-9), 2
+    )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_DETAIL.json",
+    )
+    with open(detail_path) as f:
+        detail = json.load(f)
+    detail["scale_curve"] = curve
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps({"scale_curve": curve}, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
