@@ -113,6 +113,11 @@ HEADLINE = [
     "sketch_cms_join_size",
     "mm_audio_neardup_pairs",
     "events_zone_map_skip",
+    # round 14 addition: the zone-map READ path (write z-ordered,
+    # footer-prune, rescan) — the skip report's consumer; its row also
+    # pays the write_dataset, making it the layout family's end-to-end
+    # cost line
+    "events_zone_map_read_pruned",
 ]
 
 

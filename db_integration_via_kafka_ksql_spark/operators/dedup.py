@@ -470,15 +470,41 @@ def simhash_pairs(
     )
 
 
+def auto_lsh_planes(
+    n_rows: int, target_occupancy: int = 32, floor: int = 6, cap: int = 24
+) -> int:
+    """Plane count that keeps expected LSH bucket occupancy bounded:
+    smallest p with n/2^p <= target_occupancy (clamped to [floor, cap]).
+
+    Why this exists (r14 sf1 scale probe): with a FIXED plane count the
+    candidate pair space is ~n²/2^p — quadratic in the corpus. The probe
+    measured dedup_clusters_embedding at 15.6x wall for 10x data purely
+    from candidate scoring. Scaling p with log2(n) makes expected pairs
+    ~n * target_occupancy / 2 — linear — at the standard LSH trade
+    (per-pair recall p_agree^planes falls as planes rise; multiprobe
+    buys most of it back, and the recall floor is measured in tests)."""
+    if n_rows < 1:
+        return floor
+    p = max(floor, (max(n_rows // target_occupancy, 1) - 1).bit_length())
+    return min(p, cap)
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold_pct: int = 95,
-    n_planes: int = 6,
+    n_planes: int | str = 6,
     dims: int = 64,
     brute_force: bool = False,
     multiprobe: bool = False,
 ) -> DataFrame:
     """Near-duplicate vector pairs: quantized-cosine >= threshold_pct/100.
+
+    n_planes="auto" picks the plane count from the corpus row count via
+    `auto_lsh_planes` (one count-star job — parquet metadata, not a
+    scan): THE scale setting, since any fixed plane count is quadratic
+    at some corpus size (see auto_lsh_planes). The oracle-gated registry
+    queries pin an explicit plane count (the bucketing is part of the
+    replayed contract); auto is for production corpora of unknown size.
 
     The score (qdot) is exact integer math. The threshold test uses
     IEEE-double sqrt of the exact integer norms: sqrt is correctly rounded
@@ -499,6 +525,8 @@ def embedding_dup_pairs(
 
     Returns (vec_a, vec_b, qdot) with vec_a < vec_b.
     """
+    if n_planes == "auto":
+        n_planes = auto_lsh_planes(embeddings.count())
     q = embeddings.select("vec_id", V.quantize("embedding").alias("q"))
     q = q.select(
         "vec_id",

@@ -94,13 +94,40 @@ def assign_clusters(quantized: DataFrame, centroids: Centroids) -> DataFrame:
     )
 
 
+# above this k the literal-centroid expression path stops being the
+# right shape (k folds of dims per row, and a k-struct array_min, all in
+# one codegen unit) and assignment switches to the Arrow matmul twin —
+# identical integer results (equivalence-tested), k-independent codegen
+_PANDAS_K_THRESHOLD = 32
+
+
+def auto_semdedup_k(
+    n_rows: int, target_occupancy: int = 64, floor: int = 8, cap: int = 65536
+) -> int:
+    """Cluster count that keeps expected SemDeDup occupancy bounded:
+    ceil(n/target_occupancy), clamped to [floor, cap].
+
+    Why (r14 sf1 scale probe): with a FIXED k the within-cluster pair
+    space is ~n²/k — quadratic; semdedup_pairs measured 12.5x wall at
+    10x data. k ~ n/occupancy makes expected pairs ~n*occupancy/2,
+    linear — the SemDeDup paper's own operating point (k scaled to the
+    corpus: 50k clusters for LAION). Past `cap`, occupancy grows again
+    (documented, not silent): Lloyd's per-iteration cost is an n x k
+    matmul, so cap where the fit budget ends and re-shard above it."""
+    if n_rows < 1:
+        return floor
+    return min(max((n_rows + target_occupancy - 1) // target_occupancy, floor), cap)
+
+
 def _fit(
     embeddings: DataFrame, k: int, iters: int, seed: int, dims: int
 ) -> tuple[Centroids, DataFrame]:
     """(final centroids, the eagerly-checkpointed quantized frame) — the
     shared core of kmeans_fit and kmeans_assignment, so callers that need
     the final assignment reuse the checkpoint instead of re-quantizing
-    the corpus."""
+    the corpus. Assignment inside the Lloyd loop picks the expression or
+    Arrow path by k (see _PANDAS_K_THRESHOLD) — same integers either
+    way."""
     q = _quantized(embeddings).localCheckpoint(eager=True)
     # seeds: k vectors with the smallest md5(seed|id); cid = md5 order
     seed_rows = (
@@ -134,8 +161,11 @@ def _fit(
         F.sum(F.element_at("q", i + 1)).cast("bigint").alias(f"s{i}")
         for i in range(dims)
     ]
+    assign = (
+        assign_clusters_pandas if k > _PANDAS_K_THRESHOLD else assign_clusters
+    )
     for _ in range(iters):
-        asg = assign_clusters(q, centroids)
+        asg = assign(q, centroids)
         stats = (
             asg.groupBy("cluster")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"), *sums)
@@ -220,7 +250,10 @@ def kmeans_assignment(
     assignment scans the fit's checkpointed quantized frame — the corpus
     is quantized exactly once per fit-and-assign."""
     cents, q = _fit(embeddings, k, iters, seed, dims)
-    return assign_clusters(q, cents)
+    assign = (
+        assign_clusters_pandas if k > _PANDAS_K_THRESHOLD else assign_clusters
+    )
+    return assign(q, cents)
 
 
 def kmeans_cluster_profile(
@@ -245,7 +278,7 @@ def kmeans_cluster_profile(
 
 def semdedup_pairs(
     embeddings: DataFrame,
-    k: int = 8,
+    k: int | str = 8,
     iters: int = 2,
     seed: int = 7,
     dims: int = 64,
@@ -261,7 +294,17 @@ def semdedup_pairs(
     (correctly-rounded IEEE sqrt of exact integer norms — bit-identical
     across engines).
 
+    k="auto" scales the cluster count with the corpus (one count-star
+    job; `auto_semdedup_k`): THE scale setting — any fixed k makes the
+    within-cluster pair space ~n²/k, quadratic at some corpus size (the
+    r14 sf1 probe measured the fixed-k registry query at 12.5x wall for
+    10x data; the auto row scales linearly). The oracle-gated registry
+    query pins an explicit k (the cluster chain is part of the replayed
+    contract); large/auto k assigns through the Arrow matmul path.
+
     Returns (vec_a, vec_b, cluster, qdot) with vec_a < vec_b."""
+    if k == "auto":
+        k = auto_semdedup_k(embeddings.count())
     prep = _prepared_assignment(
         embeddings, k=k, iters=iters, seed=seed, dims=dims
     )

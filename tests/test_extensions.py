@@ -2267,3 +2267,39 @@ def test_ivf_pq_saved_layout_prunes_serve_scans(spark, sf_dir, tmp_path):
     )
     got = sorted(tuple(r) for r in refined.collect())
     assert got == want and len(got) == 3 * len(qids)
+
+
+def test_auto_lsh_planes_bounds_bucket_occupancy(spark, sf_dir):
+    """r14 sf1 scale probe finding: fixed-plane LSH is quadratic
+    (candidates ~ n^2/2^p) — dedup_clusters_embedding measured 15.6x
+    wall at 10x data. auto_lsh_planes keeps expected occupancy bounded
+    so the candidate space stays ~n * occupancy / 2, linear."""
+    # the arithmetic: smallest p with n/2^p <= 32, clamped to [6, 24]
+    assert D.auto_lsh_planes(0) == 6
+    assert D.auto_lsh_planes(2_000) == 6     # 2000/64 = 31.25 <= 32
+    assert D.auto_lsh_planes(2_049) == 6     # floor keeps small corpora put
+    assert D.auto_lsh_planes(20_000) == 10   # 20000/1024 = 19.5
+    assert D.auto_lsh_planes(1_000_000) == 15
+    assert D.auto_lsh_planes(10**12) == 24   # cap bounds codegen size
+    for n in (1, 100, 10_000, 123_456, 10**7):
+        p = D.auto_lsh_planes(n)
+        assert 6 <= p <= 24
+        if p not in (6, 24):
+            assert n / (1 << p) <= 32 < n / (1 << (p - 1))
+    # n_planes="auto" resolves to the same pairs as the explicit count
+    # it picks (2000 corpus vectors -> 6 planes, today's default)
+    emb = load_table(spark, sf_dir, "embeddings").limit(400)
+    auto = sorted(
+        tuple(r)
+        for r in D.embedding_dup_pairs(
+            emb, threshold_pct=40, n_planes="auto", multiprobe=True
+        ).collect()
+    )
+    explicit = sorted(
+        tuple(r)
+        for r in D.embedding_dup_pairs(
+            emb, threshold_pct=40, n_planes=D.auto_lsh_planes(400),
+            multiprobe=True,
+        ).collect()
+    )
+    assert auto == explicit and len(auto) > 0

@@ -209,3 +209,42 @@ def test_fit_rejects_ragged_embeddings(spark):
     )
     with pytest.raises(ValueError, match="dimensions"):
         KM.kmeans_fit(df, k=2, iters=1, seed=1, dims=2)
+
+
+def test_auto_semdedup_k_and_large_k_assignment_path(spark, sf_dir):
+    """r14 sf1 scale probe: fixed-k SemDeDup is quadratic (within-cluster
+    pairs ~ n^2/k; measured 12.5x wall at 10x data). auto_semdedup_k
+    scales k with the corpus, and past _PANDAS_K_THRESHOLD the Lloyd
+    loop assigns through the Arrow matmul (same integers, k-independent
+    codegen)."""
+    # the arithmetic: ceil(n/64) clamped to [8, 65536]
+    assert KM.auto_semdedup_k(0) == 8
+    assert KM.auto_semdedup_k(512) == 8
+    assert KM.auto_semdedup_k(2_000) == 32      # ceil(2000/64)
+    assert KM.auto_semdedup_k(20_000) == 313
+    assert KM.auto_semdedup_k(10**10) == 65536  # cap bounds the fit matmul
+    # k="auto" gives the same pairs as the explicit k it resolves to
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    want_k = KM.auto_semdedup_k(300)
+    auto = sorted(
+        tuple(r)
+        for r in KM.semdedup_pairs(emb, k="auto", threshold_pct=40).collect()
+    )
+    explicit = sorted(
+        tuple(r)
+        for r in KM.semdedup_pairs(
+            emb, k=want_k, threshold_pct=40
+        ).collect()
+    )
+    assert auto == explicit
+    # a k above the threshold routes assignment through the Arrow path
+    # and still produces the exact expression-path integers
+    big = KM.kmeans_assignment(emb, k=KM._PANDAS_K_THRESHOLD + 8, iters=1)
+    cents = KM.kmeans_fit(emb, k=KM._PANDAS_K_THRESHOLD + 8, iters=1)
+    q = big.select("vec_id", "q")
+    expr_path = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in KM.assign_clusters(q, cents).collect()
+    }
+    got = {r["vec_id"]: (r["cluster"], r["dist2"]) for r in big.collect()}
+    assert got == expr_path and len(got) == 300

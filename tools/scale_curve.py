@@ -166,20 +166,65 @@ def build_sf1(spark) -> None:
         print(f"built {t}: {spark.read.parquet(dst).count()} rows")
 
 
+def _semdedup_auto(spark, sf_dir):
+    """semdedup_pairs with k='auto' — the scale path for the probe's
+    second named outlier (fixed k is quadratic in within-cluster
+    pairs)."""
+    from db_integration_via_kafka_ksql_spark.io import load_table
+    from db_integration_via_kafka_ksql_spark.operators import kmeans as KM
+    from db_integration_via_kafka_ksql_spark.queries.kmeans_queries import (
+        THRESHOLD_PCT,
+    )
+
+    return KM.semdedup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        k="auto", threshold_pct=THRESHOLD_PCT,
+    )
+
+
+def _clusters_auto(spark, sf_dir):
+    """dedup_clusters_embedding with n_planes='auto' — the scale path
+    for the probe's one named outlier (fixed planes are quadratic)."""
+    from db_integration_via_kafka_ksql_spark.io import load_table
+    from db_integration_via_kafka_ksql_spark.operators import dedup as D
+    from db_integration_via_kafka_ksql_spark.operators import graph as G
+    from db_integration_via_kafka_ksql_spark.queries.dedup_queries import (
+        EMB_THRESHOLD_PCT,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = D.embedding_dup_pairs(
+        emb, threshold_pct=EMB_THRESHOLD_PCT, n_planes="auto",
+        multiprobe=True,
+    )
+    return G.dedup_clusters(emb, pairs, "vec_id", "vec_a", "vec_b")
+
+
 def main() -> None:
     import bench
 
     spark = get_spark(app_name="scale_curve")
     build_sf1(spark)
+    warm = SRC.replace("sf0.1", "sf0.001")
     curve: dict = {
         "copies": COPIES,
         "src": SRC,
         "dst": DST,
         "queries": {},
     }
-    for name in CURVE_QUERIES:
-        fn = bench.QUERIES[name]
+    probes = [(n, bench.QUERIES[n]) for n in CURVE_QUERIES]
+    probes.append(("dedup_clusters_embedding_auto", _clusters_auto))
+    probes.append(("semdedup_pairs_auto", _semdedup_auto))
+    for name, fn in probes:
         row: dict = {}
+        # untimed sf0.001 run compiles the query's codegen first, so the
+        # sf01-then-sf1 order doesn't hand sf1 a warm-JIT discount and
+        # bias every ratio low
+        if os.path.isdir(warm):
+            try:
+                bench.run_query(fn(spark, warm))
+            except Exception:
+                pass
         for tag, sf_dir in (("sf01", SRC), ("sf1", DST)):
             bench.release_checkpoints(spark)
             t0 = time.perf_counter()
@@ -202,6 +247,52 @@ def main() -> None:
     ivf["serve_ratio"] = round(
         ivf["sf1"]["serve"] / max(ivf["sf01"]["serve"], 1e-9), 2
     )
+    # a SINGLE-query serve: the bench's full query batch probes ~every
+    # list (union of nprobe per query), so the batch scan fraction sits
+    # near 1.0 — this row shows the per-query fraction pruning delivers
+    import tempfile
+
+    from db_integration_via_kafka_ksql_spark.io import load_table
+    from db_integration_via_kafka_ksql_spark.operators import similarity as S
+    from db_integration_via_kafka_ksql_spark.queries.similarity_queries import (
+        DIMS as _DIMS, NPROBE, PQ_ITERS, PQ_KSUB, PQ_M, PQ_SEED, TOP_K,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="curve_ivfpq_") as td:
+        idx = S.ivf_pq_fit(
+            load_table(spark, DST, "embeddings"),
+            dims=_DIMS, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS, seed=PQ_SEED,
+        )
+        path = os.path.join(td, "index")
+        idx.save(path)
+        loaded = S.IvfPqIndex.load(spark, path)
+        bench.run_query(
+            S.ivf_pq_serve(loaded, [0], k=TOP_K, nprobe=NPROBE, refine=4)
+        )
+        n_dirs = len(
+            [d for d in os.listdir(f"{path}/lists") if d.startswith("list_id=")]
+        )
+        ivf["single_query_scan_fraction"] = round(
+            len(loaded.last_serve_stats["probed_lists"]) / max(n_dirs, 1), 3
+        )
+    curve["notes"] = {
+        "outlier_1": (
+            "dedup_clusters_embedding (fixed n_planes=6): candidates ~ "
+            "n^2/2^p, quadratic by construction — named and fixed via "
+            "n_planes='auto' (auto_lsh_planes); compare the _auto row"
+        ),
+        "outlier_2": (
+            "semdedup_pairs (fixed k=8): within-cluster pairs ~ n^2/k, "
+            "quadratic by construction — named and fixed via k='auto' "
+            "(auto_semdedup_k, Arrow-path assignment for large k); "
+            "compare the _auto row"
+        ),
+        "watch": (
+            "graph_supplier_knn_triangles ratio 2.5-4.3 across runs at "
+            "10x: the kNN graph build mixes linear scans with a "
+            "per-supplier neighborhood join — re-probe next round"
+        ),
+    }
     detail_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH_DETAIL.json",
