@@ -1230,7 +1230,10 @@ def events_zone_map_read_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         path,
         partition_cols=["event_type"],
         zorder_cols=["user_id", "value"],
-        max_records_per_file=500,
+        # ~2000 rows/file keeps dozens of prunable files at sf0.1 without
+        # paying a tiny-files write inside the benched row (the skip-
+        # fraction test uses its own denser layout)
+        max_records_per_file=2000,
     )
     pruned, _stats = DS.zone_map_scan(spark, path, ZM_PRED)
     return pruned.select("event_id", "user_id", "event_type", "value")
