@@ -39,6 +39,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.operators import retrieval as R
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+    MaintenancePolicy,
+    maintain,
+)
 
 POSTINGS_SCHEMA = "doc_id long, term string, tf long, dl long"
 
@@ -53,6 +57,12 @@ class StreamingPostings:
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_postings"
+    # scheduled epochdir maintenance — for this accumulated-index
+    # stage the relevant knob is compact_outputs (merge old epoch
+    # partitions into one scan-friendly file set; the cumulative and
+    # strictly-before reads are compaction-transparent, and the
+    # newest epoch is never compacted so crash replays are unaffected)
+    maintenance: MaintenancePolicy | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     def index(self) -> DataFrame:
@@ -93,6 +103,10 @@ class StreamingPostings:
         epochdir.commit_epoch(
             R.postings(batch_df),
             self.index_path, self.batch_col, epoch_id,
+        )
+        maintain(
+            self.spark, self.maintenance, epoch_id, self.batch_col,
+            output_paths=(self.index_path,),
         )
 
     # -- runner ------------------------------------------------------------

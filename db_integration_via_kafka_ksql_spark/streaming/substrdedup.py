@@ -55,6 +55,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+    MaintenancePolicy,
+    maintain,
+)
 
 
 @dataclass
@@ -71,6 +75,12 @@ class StreamingSubstringDedup:
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_substring_dedup"
+    # scheduled epochdir maintenance — compact_outputs merges old
+    # index/ledger epochs (reads are compaction-transparent: the
+    # strictly-before gram filter sees compacted provenance `upto`
+    # which is still < every future epoch, and the newest epoch is
+    # never compacted so crash replays are unaffected)
+    maintenance: MaintenancePolicy | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     # -- state ------------------------------------------------------------
@@ -161,6 +171,10 @@ class StreamingSubstringDedup:
         epochdir.commit_epoch(cuts, self.output_path, self.batch_col, epoch_id)
         epochdir.commit_epoch(
             grams_b, self.index_path, self.batch_col, epoch_id
+        )
+        maintain(
+            self.spark, self.maintenance, epoch_id, self.batch_col,
+            output_paths=(self.output_path, self.index_path),
         )
 
     # -- runner -----------------------------------------------------------

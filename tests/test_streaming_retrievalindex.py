@@ -194,3 +194,53 @@ def test_serve_keyphrases_prefix_contract(spark, tmp_path):
             ).collect()
         )
         assert got == want, f"epoch {e}"
+
+
+def test_scheduled_maintenance_bounds_index_partitions(spark, tmp_path):
+    """r14: the compaction primitive now has a SCHEDULE — with a
+    MaintenancePolicy(compact_outputs=True) the per-trigger partitions
+    are merged on cadence from inside process_batch, the cumulative
+    index and every served score stay identical, and replays of
+    compacted epochs stay no-ops."""
+    from db_integration_via_kafka_ksql_spark.streaming import epochdir
+    from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+        MaintenancePolicy,
+    )
+
+    plain = _st(spark, tmp_path / "plain")
+    st = _st(
+        spark, tmp_path / "maint",
+        maintenance=MaintenancePolicy(
+            every_n_epochs=4, compact_outputs=True, output_keep_last=2
+        ),
+    )
+    batches = [
+        [(10 * e, f"hash join epoch{e} scan"), (10 * e + 1, f"sort window epoch{e}")]
+        for e in range(9)
+    ]
+    for e, rows in enumerate(batches):
+        plain.process_batch(_df(spark, rows), e)
+        st.process_batch(_df(spark, rows), e)
+
+    def _data_epochs(p):
+        return [
+            ep
+            for ep in epochdir.list_epochs(p, "epoch")
+            if any(
+                n.endswith(".parquet")
+                for n in os.listdir(epochdir.partition_dir(p, "epoch", ep))
+            )
+        ]
+
+    # the scheduled stage is bounded; the unscheduled one grew one
+    # data-bearing partition per busy trigger
+    assert len(_data_epochs(str(tmp_path / "plain" / "idx"))) == 9
+    assert len(_data_epochs(str(tmp_path / "maint" / "idx"))) <= 2 + 4
+    # identical index and serve results
+    assert _rows(st.index()) == _rows(plain.index())
+    q = [(0, "hash join"), (1, "sort window")]
+    assert _rows(st.serve(q, top_k=10)) == _rows(plain.serve(q, top_k=10))
+    # replay of a compacted epoch stays a no-op
+    before = _rows(st.index())
+    st.process_batch(_df(spark, batches[0]), 0)
+    assert _rows(st.index()) == before

@@ -217,3 +217,49 @@ def test_live_stream_end_to_end(spark, tmp_path):
         spark, BATCH0 + BATCH1, BATCH1
     )
     assert got == sorted(want) and any(r[0] == 2 for r in got)
+
+def test_scheduled_maintenance_keeps_prefix_contract(spark, tmp_path):
+    """r14: scheduled output/index compaction from inside process_batch.
+    With compact_outputs on a cadence, the cumulative cut ledger equals
+    the unscheduled twin's, the strictly-before gram read still sees
+    every compacted gram (provenance collapses to an epoch < any future
+    one), and the NEXT batch's prefix contract still holds."""
+    from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+        MaintenancePolicy,
+    )
+
+    plain = _sd(spark, tmp_path / "plain")
+    sd = _sd(
+        spark, tmp_path / "maint",
+        maintenance=MaintenancePolicy(
+            every_n_epochs=2, compact_outputs=True, output_keep_last=1
+        ),
+    )
+    prefix = []
+    for e, batch in enumerate([BATCH0, BATCH1, BATCH2]):
+        prefix = prefix + batch
+        plain.process_batch(_df(spark, batch), e)
+        sd.process_batch(_df(spark, batch), e)
+        # the per-epoch semantics contract survives compaction ticks
+        assert _epoch_rows(sd, e) == _expected_prefix(spark, prefix, batch)
+    # cumulative ledgers identical (modulo epoch provenance, which
+    # compaction collapses by contract)
+    led = lambda s: sorted(  # noqa: E731
+        tuple(r)
+        for r in s.cut_spans().select("doc_id", "start", "end", "n_runs").collect()
+    )
+    assert led(sd) == led(plain)
+    # compaction actually ran: fewer data-bearing index partitions
+    def _data_epochs(p):
+        return [
+            ep
+            for ep in epochdir.list_epochs(p, "epoch")
+            if any(
+                n.endswith(".parquet")
+                for n in os.listdir(epochdir.partition_dir(p, "epoch", ep))
+            )
+        ]
+
+    assert len(_data_epochs(str(tmp_path / "maint" / "gram_index"))) < len(
+        _data_epochs(str(tmp_path / "plain" / "gram_index"))
+    )
