@@ -226,39 +226,112 @@ def zone_map_stats(
     {file, rows, <col>__min, <col>__max, ...}."""
     import os
 
-    import pyarrow.parquet as papq
-
     out = []
     for dirpath, _dirnames, filenames in sorted(os.walk(path)):
         for fname in sorted(filenames):
             if not fname.endswith(".parquet"):
                 continue
             fpath = os.path.join(dirpath, fname)
-            md = papq.ParquetFile(fpath).metadata
-            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            rec: dict = {"file": fpath, "rows": md.num_rows}
+            ent = zone_map_stats_of_file(fpath, cols)
+            rec: dict = {"file": fpath, "rows": ent["rows"]}
             for c in cols:
-                idx = names.get(c)
-                lo = hi = None
-                ok = idx is not None
-                if ok:
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(idx).statistics
-                        if st is None or not st.has_min_max:
-                            ok = False
-                            break
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-                rec[f"{c}__min"] = lo if ok else None
-                rec[f"{c}__max"] = hi if ok else None
+                lo, hi = ent["cols"][c] or (None, None)
+                rec[f"{c}__min"] = lo
+                rec[f"{c}__max"] = hi
             out.append(rec)
     return out
+
+
+def refresh_zone_manifest(
+    path: str, manifest_path: str, cols: Sequence[str]
+) -> dict:
+    """Incrementally maintain a MANIFEST of per-file zone maps — the
+    commit-log stats table every real table format keeps (Delta's
+    add-file stats, Iceberg's manifests) so the planner never re-reads
+    footers it has already seen. `zone_map_stats` walks every footer on
+    every call; this walks ONLY files absent from the manifest (or
+    missing a requested column's entry), drops entries for files that
+    no longer exist (compaction rewrote the leaf), and publishes
+    atomically (tmp + rename).
+
+    Path-keyed caching is sound because Spark part files are
+    write-once with UUID names: a rewritten dataset produces NEW part
+    names, never new bytes under an old name.
+
+    Returns {files_total, files_walked, files_cached, files_dropped}.
+    """
+    import json
+    import os
+
+    try:
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        manifest = {"files": {}}
+    current: list[str] = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(path)):
+        for fname in sorted(filenames):
+            if fname.endswith(".parquet"):
+                current.append(os.path.join(dirpath, fname))
+    old = manifest["files"]
+    fresh: dict = {}
+    walked = 0
+    for fpath in current:
+        ent = old.get(fpath)
+        if ent is not None and all(c in ent["cols"] for c in cols):
+            fresh[fpath] = ent
+            continue
+        rec = zone_map_stats_of_file(fpath, cols)
+        if ent is not None:  # extend an existing entry with new columns
+            rec_cols = {**ent["cols"], **rec["cols"]}
+            rec = {"rows": ent["rows"], "cols": rec_cols}
+        fresh[fpath] = rec
+        walked += 1
+    dropped = len(old) - sum(1 for p in old if p in fresh)
+    manifest = {"files": fresh}
+    tmp = f"{manifest_path}.tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(manifest_path)), exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, manifest_path)
+    return {
+        "files_total": len(current),
+        "files_walked": walked,
+        "files_cached": len(current) - walked,
+        "files_dropped": dropped,
+    }
+
+
+def zone_map_stats_of_file(fpath: str, cols: Sequence[str]) -> dict:
+    """One file's manifest entry: {rows, cols: {col: [min, max] | None}}.
+    A column absent from the footer (or missing stats in any row group)
+    records None — never skipped on, same rule as zone_map_stats."""
+    import pyarrow.parquet as papq
+
+    md = papq.ParquetFile(fpath).metadata
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for c in cols:
+        idx = names.get(c)
+        lo = hi = None
+        ok = idx is not None
+        if ok:
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        out[c] = [lo, hi] if ok else None
+    return {"rows": md.num_rows, "cols": out}
 
 
 def zone_map_scan(
     spark: SparkSession,
     path: str,
     predicates: dict[str, tuple[float, float]],
+    manifest_path: str | None = None,
 ) -> tuple[DataFrame, dict]:
     """Zone-map-pruned range scan: evaluate a conjunctive range predicate
     against the per-file footer stats (`zone_map_stats`), open ONLY the
@@ -272,11 +345,38 @@ def zone_map_scan(
 
     Files are read with basePath so hive partition columns survive; a
     predicate column missing footer stats keeps its file (never guessed
-    away). Returns (df, stats) with stats = {files_total, files_kept,
-    files_skipped, skip_permille} — the number the zorder layout is
-    buying, now measured on the actual read path instead of only in the
-    what-if report."""
-    zmaps = zone_map_stats(path, list(predicates))
+    away). With `manifest_path`, the per-file stats come from the
+    incrementally maintained manifest (refreshed first — only unseen
+    files walk their footers; see refresh_zone_manifest) instead of a
+    full footer walk per call — the table-format planner shape. Returns
+    (df, stats) with stats = {files_total, files_kept, files_skipped,
+    skip_permille} — the number the zorder layout is buying, now
+    measured on the actual read path instead of only in the what-if
+    report."""
+    import json
+
+    cols = list(predicates)
+    if manifest_path is not None:
+        refresh_zone_manifest(path, manifest_path, cols)
+        with open(manifest_path) as f:
+            mf = json.load(f)
+        zmaps = [
+            {
+                "file": fpath,
+                "rows": ent["rows"],
+                **{
+                    f"{c}__min": (ent["cols"][c] or [None, None])[0]
+                    for c in cols
+                },
+                **{
+                    f"{c}__max": (ent["cols"][c] or [None, None])[1]
+                    for c in cols
+                },
+            }
+            for fpath, ent in sorted(mf["files"].items())
+        ]
+    else:
+        zmaps = zone_map_stats(path, cols)
     kept = []
     for rec in zmaps:
         skip = False

@@ -105,7 +105,17 @@ class StreamingAnomaly:
         )
 
     def anomalies(self) -> DataFrame:
-        """Everything scored so far (epoch, type, hour, counts, z)."""
+        """Everything scored so far (epoch, type, hour, counts, z).
+        Idle-only streams have no output dir (idle epochs commit
+        nothing) — return an empty scored-shaped frame (the
+        chunkdedup.ledger guard)."""
+        if not epochdir.list_epochs(self.output_path, self.batch_col):
+            return self.spark.createDataFrame(
+                [],
+                "event_type string, hour_bucket long, n_batch long, "
+                "n_total long, zscore double, is_anomaly boolean, "
+                f"{self.batch_col} int",
+            )
         return self.spark.read.parquet(self.output_path)
 
     # -- per-batch plan -----------------------------------------------------
@@ -119,17 +129,13 @@ class StreamingAnomaly:
         )
         if done_out and done_state:
             return  # fully committed replay
-        out_schema = (
-            "event_type string, hour_bucket long, n_batch long, "
-            "n_total long, zscore double, is_anomaly boolean"
-        )
         if batch_df.isEmpty():
-            if not done_out:
-                epochdir.commit_epoch(
-                    self.spark.createDataFrame([], out_schema),
-                    self.output_path, self.batch_col, epoch_id,
-                )
-            return  # idle: state unchanged, latest-before read skips gaps
+            # idle: commit NOTHING on either side (the repo-wide r13
+            # sweep discipline this stage had missed — a quiet stream
+            # was still growing one empty output dir per 2 s trigger);
+            # replaying an idle epoch is free, the latest-before state
+            # read skips gaps, and anomalies() is guarded below
+            return
         hc = (
             batch_df.select(
                 F.col(self.type_col).alias("event_type"),

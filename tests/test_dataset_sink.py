@@ -311,3 +311,60 @@ def test_zone_map_scan_prunes_files_and_keeps_row_parity(spark, sf_dir, tmp_path
     assert zm and all(r["no_such_col__min"] is None for r in zm)
     with pytest.raises(ValueError, match="absent from dataset"):
         zone_map_scan(spark, root, {"no_such_col": (0.0, 1.0)})
+
+
+def test_zone_manifest_incremental_refresh_and_scan_parity(spark, sf_dir, tmp_path):
+    """The table-format stats story: refresh_zone_manifest walks each
+    footer ONCE (new files only on later refreshes, entries dropped when
+    compaction rewrites a leaf), and a manifest-backed zone_map_scan is
+    row- and stats-identical to the footer-walk scan."""
+    from db_integration_via_kafka_ksql_spark.sinks.dataset import (
+        compact_dataset,
+        refresh_zone_manifest,
+        zone_map_scan,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = str(tmp_path / "zm_mf")
+    mf = str(tmp_path / "manifest.json")
+    write_dataset(
+        ev.filter("event_id % 2 = 0"), root,
+        partition_cols=["event_type"], zorder_cols=["user_id", "value"],
+        max_records_per_file=50,
+    )
+    r1 = refresh_zone_manifest(root, mf, ["value"])
+    assert r1["files_walked"] == r1["files_total"] > 0
+    # second refresh: everything cached
+    r2 = refresh_zone_manifest(root, mf, ["value"])
+    assert r2["files_walked"] == 0
+    assert r2["files_cached"] == r1["files_total"]
+    # a new column extends entries without losing the cached one
+    r3 = refresh_zone_manifest(root, mf, ["user_id"])
+    assert r3["files_walked"] == r1["files_total"]
+    assert refresh_zone_manifest(root, mf, ["user_id", "value"])[
+        "files_walked"
+    ] == 0
+    # append more files: only they are walked
+    write_dataset(
+        ev.filter("event_id % 2 = 1"), root,
+        partition_cols=["event_type"], zorder_cols=["user_id", "value"],
+        max_records_per_file=50, mode="append",
+    )
+    r4 = refresh_zone_manifest(root, mf, ["user_id", "value"])
+    assert 0 < r4["files_walked"] < r4["files_total"]
+    # manifest-backed scan == footer-walk scan, rows and stats
+    pred = {"value": (50.0, 60.0)}
+    via_mf, s_mf = zone_map_scan(spark, root, pred, manifest_path=mf)
+    via_walk, s_walk = zone_map_scan(spark, root, pred)
+    assert s_mf == s_walk
+    want_rows = sorted(map(tuple, via_walk.collect()))  # pre-compaction
+    assert sorted(map(tuple, via_mf.collect())) == want_rows
+    # compaction rewrites leaves -> old entries dropped, new files walked
+    compact_dataset(spark, root, max_files_per_leaf=2,
+                    target_records_per_file=100_000)
+    r5 = refresh_zone_manifest(root, mf, ["user_id", "value"])
+    assert r5["files_dropped"] > 0 and r5["files_walked"] > 0
+    via_mf2, s2 = zone_map_scan(spark, root, pred, manifest_path=mf)
+    assert sorted(map(tuple, via_mf2.collect())) == want_rows

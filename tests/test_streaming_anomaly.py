@@ -133,9 +133,16 @@ def test_replay_both_interleavings(spark, tmp_path):
 
 def test_idle_epoch_and_cold_start(spark, tmp_path):
     st = _st(spark, tmp_path)
+    # idle-only stream: NOTHING committed, anomalies() returns the
+    # guarded empty frame instead of PATH_NOT_FOUND (r14: the r13
+    # idle-commit sweep had missed this stage — a quiet stream grew one
+    # empty output dir per trigger)
+    st.process_batch(_df(spark, []), 0)
+    assert st.anomalies().count() == 0
+    assert not os.path.isdir(str(tmp_path / "out"))
     st.process_batch(_df(spark, BATCHES[0]), 0)
     st.process_batch(_df(spark, []), 1)
-    assert os.path.isdir(str(tmp_path / "out" / "epoch=1"))
+    assert not os.path.isdir(str(tmp_path / "out" / "epoch=1"))
     assert _epoch_out(st, 1) == {}
     # first epoch: no prior hours anywhere -> all zscores 0.0
     assert all(v[2] == 0.0 and not v[3] for v in _epoch_out(st, 0).values())
