@@ -461,3 +461,86 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             .alias("clustering_permille"),
         )
     )
+
+
+def cooccurrence_knn_edges(
+    pairs_src: DataFrame,
+    item_col: str,
+    context_col: str,
+    k: int,
+    context_cap: int | None = None,
+) -> DataFrame:
+    """Symmetric top-k strongest-partner edges from shared-context
+    co-occurrence: edge weight = number of distinct contexts two items
+    share; each item keeps its k strongest partners (ties to the lower
+    partner id); the union of both directions is the undirected graph
+    `triangle_stats` consumes. This is the kNN sparsifier for
+    similarity graphs — a fixed weight THRESHOLD degenerates to a
+    complete graph as the corpus grows; top-k is scale-invariant.
+
+    `context_cap` is the scale knob (the third member of the r14
+    bounded-occupancy family, with dedup.auto_lsh_planes and
+    kmeans.auto_semdedup_k): the per-context pair space is
+    occupancy²/2, so one hot context shared by 10^4 items contributes
+    5*10^7 candidate pairs while carrying almost no partner SIGNAL (a
+    context everyone shares distinguishes nobody — the stop-word
+    argument, identical to the dedup family's df_cap). Capping drops
+    contexts with more than `context_cap` distinct items BEFORE the
+    self-join, bounding candidates at n_contexts * cap² / 2. Capping
+    changes results by design (hot-context weight is removed); the
+    oracle-gated registry query pins cap=None so its SQL replay stays
+    exact, and production corpora opt in.
+
+    Scale shape: one distinct + (optional) one context-occupancy
+    semi-filter + one context-keyed equi self-join with map-side-combined
+    pair counting, one per-item top-k window over <= n*k rows, one
+    distinct union. The pair frame is checkpointed once (it feeds both
+    direction branches — the unionAll double-compute trap).
+
+    Returns (src, dst), both directions present, checkpointed.
+    """
+    from pyspark.sql.window import Window
+
+    ic = pairs_src.select(
+        F.col(context_col).alias("p"), F.col(item_col).alias("s")
+    ).distinct()
+    if context_cap is not None:
+        if context_cap < 1:
+            raise ValueError(f"context_cap must be >= 1, got {context_cap}")
+        occ = (
+            ic.groupBy("p")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= context_cap)
+            .select("p")
+        )
+        ic = ic.join(occ, "p")  # drop stop-word contexts pre-join
+    pairs = (
+        ic.alias("a")
+        .join(
+            ic.alias("b"),
+            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .localCheckpoint(eager=True)
+    )
+    dirs = pairs.select(
+        F.col("sa").alias("s"), F.col("sb").alias("nbr"), "shared"
+    ).unionByName(
+        pairs.select(F.col("sb").alias("s"), F.col("sa").alias("nbr"), "shared")
+    )
+    w = Window.partitionBy("s").orderBy(F.col("shared").desc(), F.col("nbr").asc())
+    kept = (
+        dirs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("s", "nbr")
+        .localCheckpoint(eager=True)  # feeds both symmetrize branches
+    )
+    return (
+        kept.unionByName(
+            kept.select(F.col("nbr").alias("s"), F.col("s").alias("nbr"))
+        )
+        .distinct()
+        .select(F.col("s").alias("src"), F.col("nbr").alias("dst"))
+        .localCheckpoint(eager=True)  # feeds deg + orientation downstream
+    )

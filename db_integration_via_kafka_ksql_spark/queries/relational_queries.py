@@ -980,45 +980,15 @@ def graph_supplier_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordered oriented wedge join (operators/graph.triangle_stats).
     The kNN-graph -> community-structure shape of an embedding-cluster
     QA pass, on relational data so the oracle is exact."""
-    from pyspark.sql.window import Window
-
     from db_integration_via_kafka_ksql_spark.operators import graph as G
 
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
-    # the part self-join is the expensive subtree and feeds BOTH union
-    # branches below — materialize once (the unionAll double-compute trap)
-    pairs = (
-        ps.alias("a")
-        .join(
-            ps.alias("b"),
-            (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(F.col("a.s").alias("sa"), F.col("b.s").alias("sb"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .localCheckpoint(eager=True)
-    )
-    dirs = pairs.select(
-        F.col("sa").alias("s"), F.col("sb").alias("nbr"), "shared"
-    ).unionByName(
-        pairs.select(F.col("sb").alias("s"), F.col("sa").alias("nbr"), "shared")
-    )
-    w = Window.partitionBy("s").orderBy(F.col("shared").desc(), F.col("nbr").asc())
-    kept = (
-        dirs.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= KNN_GRAPH_K)
-        .select("s", "nbr")
-        .localCheckpoint(eager=True)  # feeds both symmetrize branches
-    )
-    edges = (
-        kept.unionByName(
-            kept.select(F.col("nbr").alias("s"), F.col("s").alias("nbr"))
-        )
-        .distinct()
-        .select(F.col("s").alias("src"), F.col("nbr").alias("dst"))
-        .localCheckpoint(eager=True)  # feeds deg + orientation in triangle_stats
+    # context_cap=None pins the oracle contract (every shared part
+    # counts); production corpora pass a cap — the bounded-occupancy
+    # knob, see graph.cooccurrence_knn_edges
+    edges = G.cooccurrence_knn_edges(
+        li, item_col="l_suppkey", context_col="l_partkey",
+        k=KNN_GRAPH_K, context_cap=None,
     )
     return G.triangle_stats(edges)
 

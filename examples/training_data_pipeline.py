@@ -149,7 +149,11 @@ def main() -> None:
     emb = load_table(spark, sf_dir, "embeddings")
     clusters = G.dedup_clusters(
         emb,
-        D.embedding_dup_pairs(emb, multiprobe=True),
+        # n_planes="auto" is the production default: LSH bucket count
+        # scales with the corpus so the candidate space stays linear
+        # (a fixed plane count is quadratic at some corpus size — the
+        # r14 sf1 probe measured it; see dedup.auto_lsh_planes)
+        D.embedding_dup_pairs(emb, multiprobe=True, n_planes="auto"),
         "vec_id",
         "vec_a",
         "vec_b",

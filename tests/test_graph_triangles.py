@@ -75,3 +75,42 @@ def test_deterministic_hash_seeded_graph(spark):
         if (a * 7919 + b * 104729) % 3 == 0
     ]
     assert _collect(spark, edges) == _model(edges)
+
+
+def test_cooccurrence_knn_edges_cap_drops_stopword_contexts(spark):
+    """The co-occurrence kNN builder (extracted r14) and its
+    context_cap scale knob: per-context pair space is occupancy^2, so a
+    stop-word context everyone shares dominates cost while carrying no
+    partner signal — capping drops it BEFORE the self-join. Crafted
+    frame: items 1..6 all share context 100 (occupancy 6); (1,2) also
+    share contexts 201+202, (3,4) share 301."""
+    from db_integration_via_kafka_ksql_spark.operators.graph import (
+        cooccurrence_knn_edges,
+    )
+
+    rows = (
+        [(s, 100) for s in range(1, 7)]
+        + [(1, 201), (2, 201), (1, 202), (2, 202), (3, 301), (4, 301)]
+    )
+    df = spark.createDataFrame(rows, "s long, p long")
+    # uncapped: every pair shares the hot context -> complete graph at
+    # k large enough; (1,2) strongest (3 shared)
+    full = cooccurrence_knn_edges(df, "s", "p", k=10)
+    got_full = {(r["src"], r["dst"]) for r in full.collect()}
+    assert (1, 2) in got_full and (2, 1) in got_full
+    assert (5, 6) in got_full  # hot context alone created this edge
+    # capped at 4: context 100 (occupancy 6) is dropped; only the
+    # genuine-signal edges survive
+    capped = cooccurrence_knn_edges(df, "s", "p", k=10, context_cap=4)
+    got = {(r["src"], r["dst"]) for r in capped.collect()}
+    assert got == {(1, 2), (2, 1), (3, 4), (4, 3)}
+    # duplicate (item, context) rows collapse (distinct) — weights count
+    # DISTINCT shared contexts, so re-feeding the frame changes nothing
+    dup = cooccurrence_knn_edges(
+        df.unionByName(df), "s", "p", k=10, context_cap=4
+    )
+    assert {(r["src"], r["dst"]) for r in dup.collect()} == got
+    import pytest
+
+    with pytest.raises(ValueError, match="context_cap"):
+        cooccurrence_knn_edges(df, "s", "p", k=10, context_cap=0)
