@@ -485,7 +485,11 @@ def auto_lsh_planes(
     buys most of it back, and the recall floor is measured in tests)."""
     if n_rows < 1:
         return floor
-    p = max(floor, (max(n_rows // target_occupancy, 1) - 1).bit_length())
+    # ceiling division: floor would under-count planes for n just past a
+    # power-of-2 boundary (e.g. n=131073 -> n/2^12 = 32.0002 > 32) and
+    # break the documented "smallest p with n/2^p <= target" invariant
+    need = (n_rows + target_occupancy - 1) // target_occupancy
+    p = max(floor, (need - 1).bit_length())
     return min(p, cap)
 
 

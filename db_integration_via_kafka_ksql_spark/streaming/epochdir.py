@@ -154,6 +154,20 @@ def list_epochs(dataset_path: str, batch_col: str) -> list[int]:
     return sorted(out)
 
 
+def _epoch_has_data(dataset_path: str, batch_col: str, e: int) -> bool:
+    """True iff the epoch partition holds any parquet file ANYWHERE under
+    it — a recursive walk, not a top-level listing: epochs committed with
+    commit_epoch(partition_cols=...) (e.g. the vector index's list_id /
+    q_bucket subpartitions) keep their data in subdirectories and a
+    top-level check would misclassify them as data-less, silently
+    no-op'ing maintenance on exactly the dirs that grow."""
+    d = partition_dir(dataset_path, batch_col, e)
+    for _dirpath, _dirnames, filenames in os.walk(d):
+        if any(n.endswith(".parquet") for n in filenames):
+            return True
+    return False
+
+
 def compact_epochs(spark, dataset_path: str, batch_col: str, upto: int) -> dict:
     """Merge the DATA of every committed epoch <= `upto` into the single
     newest data-bearing partition at or below it, leaving each older epoch as an EMPTY
@@ -187,8 +201,7 @@ def compact_epochs(spark, dataset_path: str, batch_col: str, upto: int) -> dict:
     intent_path = os.path.join(dataset_path, _COMPACT_INTENT)
 
     def _has_data(e: int) -> bool:
-        d = partition_dir(dataset_path, batch_col, e)
-        return any(n.endswith(".parquet") for n in os.listdir(d))
+        return _epoch_has_data(dataset_path, batch_col, e)
 
     def _strip(e: int) -> None:
         # drop the data files; keep the dir (the commit marker) and the
@@ -278,12 +291,10 @@ def prune_state_epochs(
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
 
-    def _has_data(e: int) -> bool:
-        d = partition_dir(dataset_path, batch_col, e)
-        return any(n.endswith(".parquet") for n in os.listdir(d))
-
     with_data = [
-        e for e in list_epochs(dataset_path, batch_col) if _has_data(e)
+        e
+        for e in list_epochs(dataset_path, batch_col)
+        if _epoch_has_data(dataset_path, batch_col, e)
     ]
     doomed = with_data[:-keep_last] if len(with_data) > keep_last else []
     for e in doomed:

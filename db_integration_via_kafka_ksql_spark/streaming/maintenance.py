@@ -17,11 +17,19 @@ Design constraints the cadence honors:
 - **cadence by epoch id** (`epoch_id % every_n_epochs == 0`), so the
   schedule is deterministic and restart-safe — no wall clock, no
   counters outside the checkpoint;
-- **maintenance never changes reader-visible rows**: state pruning
+- **maintenance never changes reader-visible ROWS**: state pruning
   keeps `keep_last` full copies (readers use latest-before), output
   compaction merges data losslessly (`compact_epochs`' contract),
   witness TTL is the documented re-admission trade the caller opted
-  into by setting a TTL;
+  into by setting a TTL. Part NAMES are another matter — compaction
+  rewrites old epochs as fresh part files, so `compact_outputs` must
+  NEVER be enabled on a dataset tailed by a file-name-tracking
+  downstream source (it would re-ingest every compacted row — the
+  at-least-once hole epochdir closed), and its publish/strip window is
+  not safe under a concurrently SCANNING batch reader
+  (`compact_epochs`' maintenance-window contract): enable it only on
+  datasets whose readers are quiescent at the cadence ticks. It
+  defaults off for exactly these reasons;
 - **failure isolation**: a maintenance error must not fail the batch —
   the data commits already happened; the pass logs and retries at the
   next cadence tick (each primitive is idempotent / crash-resumable).
@@ -47,7 +55,10 @@ class MaintenancePolicy:
 
     every_n_epochs: int = 16           # cadence (epoch_id % n == 0)
     state_keep_last: int = 2           # latest-before state copies kept
-    compact_outputs: bool = False      # merge old output epochs
+    # merge old output epochs — NEVER on datasets tailed by a
+    # file-name-tracking source, and only where readers are quiescent at
+    # the cadence ticks (see module docstring)
+    compact_outputs: bool = False
     output_keep_last: int = 4          # ...keeping the last K uncompacted
     witness_ttl_epochs: int | None = None  # expire_witnesses horizon
 
@@ -58,6 +69,10 @@ class MaintenancePolicy:
             raise ValueError("state_keep_last must be >= 1")
         if self.output_keep_last < 1:
             raise ValueError("output_keep_last must be >= 1")
+        if self.witness_ttl_epochs is not None and self.witness_ttl_epochs < 1:
+            # ttl=0 would expire THIS epoch's witnesses every tick —
+            # silently disabling cross-batch dedup with no error
+            raise ValueError("witness_ttl_epochs must be >= 1 (or None)")
 
     def due(self, epoch_id: int) -> bool:
         return epoch_id % self.every_n_epochs == 0

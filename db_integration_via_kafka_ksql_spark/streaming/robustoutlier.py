@@ -96,6 +96,14 @@ class StreamingRobustOutlier:
     group_col: str = "event_type"
     value_col: str = "value"
     k_tenths: int = 30        # Hampel cut in tenths (30 = 3-sigma-equiv)
+    # Spark SQL type names for the COLD-START empty guards (outliers()
+    # before any commit, _prior_counts before any state): the real
+    # frames take their types from the data, but an idle-only stream
+    # has no data to derive from — a guessed string/double guard would
+    # diverge from the post-first-epoch schema for e.g. bigint groups
+    # (code review r14)
+    group_type: str = "string"
+    value_type: str = "double"
     batch_col: str = "epoch"
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
@@ -128,7 +136,9 @@ class StreamingRobustOutlier:
         if e is None:
             if like is not None:
                 return self.spark.createDataFrame([], like.schema)
-            return self.spark.createDataFrame([], "grp string, v double, c long")
+            return self.spark.createDataFrame(
+                [], f"grp {self.group_type}, v {self.value_type}, c long"
+            )
         return (
             self.spark.read.parquet(self.state_path)
             .filter(F.col(self.batch_col) == e)
@@ -167,8 +177,10 @@ class StreamingRobustOutlier:
         if not epochdir.list_epochs(self.output_path, self.batch_col):
             return self.spark.createDataFrame(
                 [],
-                "grp string, v double, n_batch long, med double, "
-                f"mad double, is_outlier boolean, {self.batch_col} int",
+                f"grp {self.group_type}, v {self.value_type}, "
+                f"n_batch long, med {self.value_type}, "
+                f"mad {self.value_type}, is_outlier boolean, "
+                f"{self.batch_col} int",
             )
         return self.spark.read.parquet(self.output_path)
 

@@ -2277,11 +2277,16 @@ def test_auto_lsh_planes_bounds_bucket_occupancy(spark, sf_dir):
     # the arithmetic: smallest p with n/2^p <= 32, clamped to [6, 24]
     assert D.auto_lsh_planes(0) == 6
     assert D.auto_lsh_planes(2_000) == 6     # 2000/64 = 31.25 <= 32
-    assert D.auto_lsh_planes(2_049) == 6     # floor keeps small corpora put
+    assert D.auto_lsh_planes(2_048) == 6     # exact boundary holds
+    assert D.auto_lsh_planes(2_049) == 7     # one past it must step up
     assert D.auto_lsh_planes(20_000) == 10   # 20000/1024 = 19.5
     assert D.auto_lsh_planes(1_000_000) == 15
     assert D.auto_lsh_planes(10**12) == 24   # cap bounds codegen size
-    for n in (1, 100, 10_000, 123_456, 10**7):
+    # ceil-division regression (code review r14): n just past 32*2^q
+    # must STEP UP — floor division left 131073/2^12 = 32.0002 > 32
+    assert D.auto_lsh_planes(131_072) == 12
+    assert D.auto_lsh_planes(131_073) == 13
+    for n in (1, 100, 10_000, 123_456, 131_073, 10**7):
         p = D.auto_lsh_planes(n)
         assert 6 <= p <= 24
         if p not in (6, 24):

@@ -153,3 +153,30 @@ def test_maintain_cadence_ttl_and_error_isolation(spark, tmp_path):
     assert maintain(spark, None, 10, "epoch", expire=expire) is None
     with pytest.raises(ValueError, match="every_n_epochs"):
         MaintenancePolicy(every_n_epochs=0)
+    # ttl=0 would expire THIS epoch's witnesses every tick (code review
+    # r14): reject it like the sibling knobs
+    with pytest.raises(ValueError, match="witness_ttl_epochs"):
+        MaintenancePolicy(witness_ttl_epochs=0)
+
+
+def test_prune_sees_subpartitioned_epoch_data(spark, tmp_path):
+    """code review r14: epochs committed with partition_cols (the vector
+    index's list_id/q_bucket layout) keep their parquet files in
+    SUBDIRECTORIES — the data check must walk recursively or maintenance
+    silently no-ops on exactly the dirs that grow."""
+    path = str(tmp_path / "sub")
+    for e in range(4):
+        epochdir.commit_epoch(
+            _df(spark, [("a", float(e)), ("b", float(e))]),
+            path, "epoch", e, partition_cols=("t",),
+        )
+    # every epoch's data is nested (epoch=N/t=*/...parquet)
+    assert not any(
+        n.endswith(".parquet")
+        for n in os.listdir(epochdir.partition_dir(path, "epoch", 0))
+    )
+    r = epochdir.prune_state_epochs(path, "epoch", keep_last=1)
+    assert r["pruned_epochs"] == 3
+    vals = {r["val"] for r in spark.read.parquet(path).collect()}
+    assert vals == {3.0}
+    assert all(epochdir.epoch_committed(path, "epoch", e) for e in range(4))

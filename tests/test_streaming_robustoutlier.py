@@ -208,3 +208,40 @@ def test_live_stream_end_to_end(spark, tmp_path):
         for r in st.current_stats().collect()
     }
     assert got == _batch_stats(spark, rows)
+
+
+def test_cold_start_guard_types_follow_configuration(spark, tmp_path):
+    """code review r14: the empty cold-start guards must not hardcode
+    string/double — a bigint-grouped stream's idle-only outliers() and
+    first-epoch prior must carry the configured types so they union/join
+    cleanly with the post-first-epoch frames."""
+    st = StreamingRobustOutlier(
+        spark,
+        output_path=str(tmp_path / "out"),
+        state_path=str(tmp_path / "state"),
+        group_col="uid",
+        value_col="amount",
+        group_type="bigint",
+        value_type="bigint",
+        trigger_seconds=0,
+    )
+    empty = st.outliers()
+    types = {f.name: f.dataType.simpleString() for f in empty.schema.fields}
+    assert types["grp"] == "bigint" and types["v"] == "bigint"
+    assert types["med"] == "bigint" and types["mad"] == "bigint"
+    rows = [(7, 10), (7, 12), (8, 5)]
+    st.process_batch(
+        spark.createDataFrame(rows, "uid long, amount long"), 0
+    )
+    st.process_batch(
+        spark.createDataFrame([(7, 11)], "uid long, amount long"), 1
+    )
+    real = st.outliers()
+    real_types = {f.name: f.dataType.simpleString() for f in real.schema.fields}
+    # the guard and the real frame agree column-for-column
+    assert {k: v for k, v in real_types.items() if k != "epoch"} == {
+        k: v for k, v in types.items() if k != "epoch"
+    }
+    # and the stats path works on integer values end to end
+    got = {r["grp"]: (r["n"], r["med"]) for r in st.current_stats().collect()}
+    assert got == {7: (3, 11), 8: (1, 5)}

@@ -116,12 +116,23 @@ def build_sf1(spark) -> None:
                 strides[st] = (
                     df.agg(F.max(src_col)).first()[0] or 0
                 ) + 1
+    def _publish(df, dst):
+        # staging + atomic rename (the swapdir discipline): a build
+        # interrupted mid-write must never leave a partial table that a
+        # rerun's exists() check silently accepts — the probe would then
+        # measure ratios against a corrupt sf1 and persist them
+        staging = f"{dst}__staging"
+        if os.path.isdir(staging):
+            import shutil
+
+            shutil.rmtree(staging)
+        df.write.mode("overwrite").parquet(staging)
+        os.rename(staging, dst)
+
     for t in FIXED:
         dst = f"{DST}/{t}.parquet"
         if not os.path.exists(dst):
-            spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
-                "overwrite"
-            ).parquet(dst)
+            _publish(spark.read.parquet(f"{SRC}/{t}.parquet"), dst)
     for t, keys in KEY_OF.items():
         dst = f"{DST}/{t}.parquet"
         if os.path.exists(dst):
@@ -162,7 +173,7 @@ def build_sf1(spark) -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(dst)
+        _publish(out, dst)
         print(f"built {t}: {spark.read.parquet(dst).count()} rows")
 
 
