@@ -32,6 +32,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 WEEK_US = 7 * 86_400 * 1_000_000
+DAY_US = 86_400 * 1_000_000
+HOUR_US = 3_600 * 1_000_000
 
 
 def cohort_retention(events: DataFrame, ts_us: Column) -> DataFrame:
@@ -121,6 +123,119 @@ def funnel_conversion(
         F.when(
             F.col("first_n") > 0, F.expr("n_users * 1000 DIV first_n")
         ).otherwise(F.lit(0).cast("long")).alias("conversion_permille"),
+    )
+
+
+def hourly_gapfill(
+    events: DataFrame, ts_us: Column, trailing_hours: int = 3
+) -> DataFrame:
+    """Dense hourly resample of the event stream with zero-filled gaps
+    and a trailing moving window — the gap-fill/resample primitive every
+    time-series consumer needs before charting, anomaly screens, or
+    rate-limit checks (a groupBy alone silently DROPS empty hours, so a
+    moving average computed over it skips gaps instead of spanning them).
+
+    Output one row per (event_type, hour) over the GLOBAL observed hour
+    range [min, max] — shared across types, so a type quiet at the edges
+    still gets explicit zeros: (event_type, hour, n_events, mov_sum,
+    mov_hours, mov_avg_milli) where mov_* aggregate the trailing
+    ``trailing_hours``-row window (ROWS semantics over the dense grid ==
+    RANGE semantics over time, which is the point of filling first) and
+    mov_avg_milli = mov_sum * 1000 DIV mov_hours is exact integer.
+
+    Scale shape: events reduce to (type, hour) counts map-side; the
+    dense grid is |types| x |hours| (dimension-sized — a decade of hours
+    is 87k rows), built from a single-row bounds aggregate exploded via
+    ``sequence`` and a broadcast type dimension; the moving window
+    partitions by type over GRID rows only. Event rows cross the wire
+    once, pre-aggregated.
+    """
+    from pyspark.sql.window import Window
+
+    if trailing_hours < 1:
+        raise ValueError(f"trailing_hours must be >= 1, got {trailing_hours}")
+    ev = events.select(
+        "event_type", ts_us.cast("long").alias("_us")
+    ).select("event_type", F.expr(f"_us DIV {HOUR_US}").alias("hour"))
+    counts = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    bounds = ev.groupBy().agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    hours = bounds.select(F.explode(F.sequence("h0", "h1")).alias("hour"))
+    types = ev.select("event_type").distinct()
+    # single-row-bounds explode x broadcast type dim: the annotated tiny
+    # crossJoin pattern (grid is dimension-sized, never event-sized)
+    grid = hours.crossJoin(F.broadcast(types))
+    filled = grid.join(counts, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(trailing_hours - 1), 0)
+    )
+    return (
+        filled.withColumn(
+            "mov_sum", F.sum("n_events").over(win).cast("long")
+        )
+        .withColumn("mov_hours", F.count(F.lit(1)).over(win).cast("long"))
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            "mov_sum",
+            "mov_hours",
+            F.expr("mov_sum * 1000 DIV mov_hours").alias("mov_avg_milli"),
+        )
+    )
+
+
+def decay_engagement(
+    events: DataFrame, ts_us: Column, half_life_days: int = 7
+) -> DataFrame:
+    """Per-user recency-decayed engagement score — the freshness-weighted
+    activity signal a sampling/mixture pass uses to up-weight currently
+    active users (a plain count treats a user who churned last year as
+    equal to one active today).
+
+    Each event contributes ``1_000_000 DIV 2^(age_days DIV
+    half_life_days)`` parts-per-million of a fresh event's weight, where
+    age is measured against the corpus max day (the as-of horizon) —
+    stepwise integer halving per elapsed half-life, so the score is a
+    PURE BIGINT sum: order-free, partitioning-independent, and
+    bit-replayable in SQL (no pow/exp whose last ulp could differ across
+    engines). The shift exponent is capped at 62 (2^62 fits BIGINT;
+    weight is 0 ppm long before that).
+
+    Returns (user_id, n_events, last_seen_day, score_ppm).
+
+    Scale shape: one events scan; the as-of horizon rides a single-row
+    broadcast (annotated tiny crossJoin); the per-user rollup is one
+    map-side-combined user-keyed aggregate — state is user-sized.
+    """
+    if half_life_days < 1:
+        raise ValueError(f"half_life_days must be >= 1, got {half_life_days}")
+    ev = events.select(
+        "user_id", ts_us.cast("long").alias("_us")
+    ).select("user_id", F.expr(f"_us DIV {DAY_US}").alias("day"))
+    asof = ev.groupBy().agg(F.max("day").alias("asof_day"))
+    weight = (
+        "1000000 DIV shiftleft(CAST(1 AS BIGINT), "
+        f"CAST(least((asof_day - day) DIV {half_life_days}, 62) AS INT))"
+    )
+    return (
+        ev.crossJoin(F.broadcast(asof))
+        .select("user_id", "day", F.expr(weight).alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("day").cast("long").alias("last_seen_day"),
+            F.sum("w").cast("long").alias("score_ppm"),
+        )
     )
 
 

@@ -544,3 +544,58 @@ def cooccurrence_knn_edges(
         .select(F.col("s").alias("src"), F.col("nbr").alias("dst"))
         .localCheckpoint(eager=True)  # feeds deg + orientation downstream
     )
+
+
+def bfs_levels(
+    edges: DataFrame, sources: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Breadth-first hop levels from a source set over a directed edge
+    frame (src, dst): level(v) = minimum number of hops from any source,
+    explored to ``max_hops``. The bounded-radius reachability primitive —
+    "everything within k hops of these seeds" is how a curation pass
+    expands from a trusted (or poisoned) seed set along a similarity/
+    interaction graph, and the third member of the iterative-graph family
+    (connected_components labels reachability, pagerank weighs it, BFS
+    DISTANCES it).
+
+    ``sources`` is a single-column ``node`` frame (typically tiny — a
+    seed list). Returns (node, level), level 0 = the sources themselves;
+    unreached nodes are absent. Levels are exact by construction (the
+    frontier at hop h is exactly the nodes first reached at h), so a
+    fixed ``max_hops`` replays bit-identically in SQL as an unrolled CTE
+    chain (the kmeans/pagerank discipline for iterative operators).
+
+    Scale shape (100 TB): edges are repartitioned by ``src`` ONCE and
+    checkpointed; each hop is one frontier equi-join on that partitioning
+    + one distinct + one anti-join against the visited frame (node-sized,
+    never edge-sized state); per-hop localCheckpoint truncates the
+    lineage (the connected-components note). The only driver action is a
+    1-row ``take`` per hop for early exit on an empty frontier — cheaper
+    than scheduling ``max_hops - h`` dead joins.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select("src", "dst").repartition("src").localCheckpoint(
+        eager=True
+    )
+    visited = (
+        sources.select("node")
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("level"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(hop).cast("long").alias("level"))
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):  # frontier exhausted — bounded 1-row collect
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

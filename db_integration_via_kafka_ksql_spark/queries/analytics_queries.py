@@ -131,3 +131,90 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitions, (ts, event_id)-totally-ordered."""
     ev = load_table(spark, sf_dir, "events")
     return AN.event_transition_matrix(ev, epoch_us_col(ev, "ts"))
+
+
+GAPFILL_TRAILING_HOURS = 3
+DECAY_HALF_LIFE_DAYS = 7
+
+
+@query(
+    "events_hourly_gapfill",
+    driver=False,  # new in round 14 — queued for the round-15 rotation
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, epoch_us(ts) // {AN.HOUR_US} AS hour FROM events
+    ),
+    counts AS (
+        SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY 1, 2
+    ),
+    b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
+    hours AS (SELECT unnest(generate_series(h0, h1)) AS hour FROM b),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    grid AS (SELECT event_type, hour FROM types, hours),
+    filled AS (
+        SELECT g.event_type, g.hour,
+               CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+        FROM grid g
+        LEFT JOIN counts c
+          ON g.event_type = c.event_type AND g.hour = c.hour
+    ),
+    w AS (
+        SELECT event_type, hour, n_events,
+               CAST(sum(n_events) OVER win AS BIGINT) AS mov_sum,
+               CAST(count(*) OVER win AS BIGINT) AS mov_hours
+        FROM filled
+        WINDOW win AS (
+            PARTITION BY event_type ORDER BY hour
+            ROWS BETWEEN {GAPFILL_TRAILING_HOURS - 1} PRECEDING
+                     AND CURRENT ROW
+        )
+    )
+    SELECT event_type, hour, n_events, mov_sum, mov_hours,
+           mov_sum * 1000 // mov_hours AS mov_avg_milli
+    FROM w
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample with zero-filled gaps + trailing 3-hour
+    moving window (analytics.hourly_gapfill): one row per (type, hour)
+    over the global observed range — the gap-fill primitive that makes
+    ROWS-window moving averages time-correct (a bare groupBy skips empty
+    hours, silently shrinking the window's time span)."""
+    ev = load_table(spark, sf_dir, "events")
+    return AN.hourly_gapfill(
+        ev, epoch_us_col(ev, "ts"), trailing_hours=GAPFILL_TRAILING_HOURS
+    )
+
+
+@query(
+    "events_decay_engagement",
+    driver=False,  # new in round 14 — queued for the round-15 rotation
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) // {AN.DAY_US} AS day FROM events
+    ),
+    horizon AS (SELECT max(day) AS asof_day FROM ev),
+    weighted AS (
+        SELECT user_id, day,
+               1000000 // (CAST(1 AS BIGINT) << CAST(least(
+                   (asof_day - day) // {DECAY_HALF_LIFE_DAYS}, 62
+               ) AS INTEGER)) AS w
+        FROM ev, horizon
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(day) AS BIGINT) AS last_seen_day,
+           CAST(sum(w) AS BIGINT) AS score_ppm
+    FROM weighted GROUP BY 1
+    """,
+)
+def events_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-decayed engagement (analytics.decay_engagement):
+    each event is worth 1e6 ppm halved stepwise per elapsed 7-day
+    half-life against the corpus max day — pure-BIGINT shift/div math,
+    so the freshness-weighted activity score replays bit-exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    return AN.decay_engagement(
+        ev, epoch_us_col(ev, "ts"), half_life_days=DECAY_HALF_LIFE_DAYS
+    )

@@ -868,6 +868,94 @@ def graph_pagerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BFS_MAX_HOPS = 3
+
+_BFS_EDGES_CTE = """pe AS (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pe
+        UNION ALL
+        SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pe
+    )"""
+
+
+def _bfs_oracle(max_hops: int) -> str:
+    """Unrolled BFS replay (the pagerank/kmeans discipline for iterative
+    operators): v{h} accumulates (node, level<=h); each hop's frontier is
+    the distinct neighbors of the previous hop not yet visited."""
+    ctes = [
+        f"WITH {_BFS_EDGES_CTE}",
+        "src0 AS (SELECT CAST(2 * min(c_custkey) AS BIGINT) AS node"
+        " FROM customer)",
+        "v0 AS (SELECT node, CAST(0 AS BIGINT) AS level FROM src0)",
+    ]
+    for h in range(1, max_hops + 1):
+        ctes.append(
+            f"n{h} AS (SELECT DISTINCT e.dst AS node,"
+            f" CAST({h} AS BIGINT) AS level"
+            f" FROM edges e JOIN v{h - 1} v ON e.src = v.node"
+            f" WHERE e.dst NOT IN (SELECT node FROM v{h - 1}))"
+        )
+        ctes.append(
+            f"v{h} AS (SELECT * FROM v{h - 1}"
+            f" UNION ALL SELECT * FROM n{h})"
+        )
+    return (
+        ",\n    ".join(ctes)
+        + f"""
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS entity_key,
+           level
+    FROM v{max_hops}
+    """
+    )
+
+
+@query(
+    "graph_bfs_levels",
+    driver=False,  # new in round 14 — queued for the round-15 rotation
+    oracle=_bfs_oracle(BFS_MAX_HOPS),
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance levels from the minimum-key customer over the
+    symmetrized customer-supplier trade graph (operators/graph.bfs_levels,
+    explored to 3 hops): level 1 = the seed's suppliers, level 2 =
+    customers sharing any of them, level 3 = the suppliers those reach —
+    the bounded-radius seed-expansion primitive, replayed by the oracle
+    as an unrolled frontier CTE chain."""
+    from db_integration_via_kafka_ksql_spark.operators import graph as G
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    edges = pairs.select(
+        (F.col("c") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.col("s") * 2 + 1).alias("src"), (F.col("c") * 2).alias("dst")
+        )
+    )
+    sources = customer.groupBy().agg(
+        (F.min("c_custkey") * 2).cast("long").alias("node")
+    )
+    levels = G.bfs_levels(edges, sources, max_hops=BFS_MAX_HOPS)
+    return levels.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node DIV 2").alias("entity_key"),
+        "level",
+    )
+
+
 HIST_NB = 256
 HIST_QS = (500, 900, 990)
 

@@ -141,3 +141,98 @@ def test_funnel_zero_first_step_is_all_zero_not_divide_by_zero(spark):
         ).collect()
     }
     assert got == {"view": (0, 0), "click": (0, 0), "purchase": (0, 0)}
+
+
+# -- hourly gap-fill ---------------------------------------------------------
+
+from db_integration_via_kafka_ksql_spark.operators.analytics import (  # noqa: E402
+    HOUR_US,
+    DAY_US,
+    decay_engagement,
+    hourly_gapfill,
+)
+
+
+def _hour_events(spark, rows):
+    # rows: (event_type, hour) -> one event in that hour
+    data = [(t, h * HOUR_US + 7) for t, h in rows]
+    return spark.createDataFrame(data, "event_type string, us long")
+
+
+def test_gapfill_zero_fills_and_moving_window_spans_gaps(spark):
+    ev = _hour_events(
+        spark,
+        # type a: hours 0 (x2) and 3 — hours 1, 2 are gaps
+        [("a", 0), ("a", 0), ("a", 3),
+         # type b: only hour 1 — the global range [0, 3] still applies
+         ("b", 1)],
+    )
+    got = {
+        (r["event_type"], r["hour"]): (
+            r["n_events"], r["mov_sum"], r["mov_hours"], r["mov_avg_milli"]
+        )
+        for r in hourly_gapfill(ev, F.col("us"), trailing_hours=3).collect()
+    }
+    # dense grid: 2 types x hours 0..3, zeros explicit
+    assert len(got) == 8
+    # type a: the hour-3 window spans the two zero-filled gap hours
+    assert got[("a", 0)] == (2, 2, 1, 2000)
+    assert got[("a", 1)] == (0, 2, 2, 1000)
+    assert got[("a", 2)] == (0, 2, 3, 666)
+    assert got[("a", 3)] == (1, 1, 3, 333)
+    # type b quiet at both edges still gets the full global range
+    assert got[("b", 0)] == (0, 0, 1, 0)
+    assert got[("b", 1)] == (1, 1, 2, 500)
+    assert got[("b", 3)] == (0, 1, 3, 333)
+
+
+def test_gapfill_rejects_bad_window(spark):
+    ev = _hour_events(spark, [("a", 0)])
+    import pytest
+
+    with pytest.raises(ValueError, match="trailing_hours"):
+        hourly_gapfill(ev, F.col("us"), trailing_hours=0)
+
+
+# -- recency-decay engagement ------------------------------------------------
+
+
+def _day_events(spark, rows):
+    # rows: (user_id, day) -> one event that day
+    data = [(u, d * DAY_US + 11) for u, d in rows]
+    return spark.createDataFrame(data, "user_id long, us long")
+
+
+def test_decay_halves_stepwise_per_half_life(spark):
+    ev = _day_events(
+        spark,
+        # horizon = day 20 (user 3's event). half_life 7: ages 0 and 6
+        # -> 2^0 (1M ppm); ages 7..13 -> 2^1 (500k); age 14 -> 2^2 (250k)
+        [(1, 20), (1, 14), (1, 13), (1, 6),
+         (3, 20)],
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["last_seen_day"], r["score_ppm"])
+        for r in decay_engagement(ev, F.col("us"), half_life_days=7).collect()
+    }
+    assert got[1] == (4, 20, 1_000_000 + 1_000_000 + 500_000 + 250_000)
+    assert got[3] == (1, 20, 1_000_000)
+
+
+def test_decay_shift_exponent_is_capped(spark):
+    # an event 10,000 days before the horizon would shift by 1428 without
+    # the cap (BIGINT overflow in the 2^x term); capped it scores 0 ppm
+    ev = _day_events(spark, [(1, 10_000), (2, 0)])
+    got = {
+        r["user_id"]: r["score_ppm"]
+        for r in decay_engagement(ev, F.col("us"), half_life_days=7).collect()
+    }
+    assert got == {1: 1_000_000, 2: 0}
+
+
+def test_decay_rejects_bad_half_life(spark):
+    import pytest
+
+    ev = _day_events(spark, [(1, 0)])
+    with pytest.raises(ValueError, match="half_life_days"):
+        decay_engagement(ev, F.col("us"), half_life_days=0)

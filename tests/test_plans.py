@@ -901,3 +901,38 @@ def test_zone_map_read_pruned_is_narrow_scan(reports):
     scan = next(iter(r.scans.values()))
     assert any("value" in f for f in scan.pushed_filters), r.plan_text[:2000]
     assert len(scan.read_columns) <= 4
+
+
+def test_gapfill_preaggregates_events_before_the_grid(reports):
+    """Gap-fill's scale contract: events reduce map-side to (type, hour)
+    counts before touching the dimension-sized grid; the type dimension
+    broadcasts; the moving window runs over grid rows only."""
+    r = reports("events_hourly_gapfill")
+    assert len(r.scans["events"].read_columns) == 2  # event_type, ts
+    assert r.has_partial_aggregate
+    assert r.n_broadcast_exchanges >= 1  # the type dim onto the hour spine
+    assert r.windows == 1
+    assert r.n_shuffle_exchanges <= 6
+
+
+def test_decay_engagement_is_one_scan_one_rollup(reports):
+    """Decay engagement's scale contract: the as-of horizon rides a
+    single-row broadcast (the annotated tiny NLJ), and the per-user
+    rollup partially aggregates — no event-sized shuffle beyond it."""
+    r = reports("events_decay_engagement")
+    # two pruned scan branches (horizon: ts only; rollup: user_id, ts);
+    # the audit keeps one ScanInfo per table — either way it's pruned
+    assert len(r.scans["events"].read_columns) <= 2
+    assert r.nested_loop_joins == 1  # single-row horizon broadcast
+    assert r.has_partial_aggregate
+    assert r.n_shuffle_exchanges <= 3
+
+
+def test_bfs_levels_materializes_each_hop(reports):
+    """BFS's scale contract: every hop's frontier is checkpointed, so
+    the result plan is a union over materialized node-sized frames —
+    re-collecting it never re-plans the per-hop joins (the iterative
+    lineage-truncation discipline shared with cc/pagerank)."""
+    r = reports("graph_bfs_levels")
+    assert not r.scans  # all inputs are checkpoint RDDs, no re-scan
+    assert r.n_shuffle_exchanges == 0
