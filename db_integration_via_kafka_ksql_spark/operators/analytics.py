@@ -126,8 +126,14 @@ def funnel_conversion(
     )
 
 
+GAPFILL_MAX_SPAN_HOURS = 1_000_000  # ~114 years of hourly spine
+
+
 def hourly_gapfill(
-    events: DataFrame, ts_us: Column, trailing_hours: int = 3
+    events: DataFrame,
+    ts_us: Column,
+    trailing_hours: int = 3,
+    max_span_hours: int = GAPFILL_MAX_SPAN_HOURS,
 ) -> DataFrame:
     """Dense hourly resample of the event stream with zero-filled gaps
     and a trailing moving window — the gap-fill/resample primitive every
@@ -149,11 +155,18 @@ def hourly_gapfill(
     ``sequence`` and a broadcast type dimension; the moving window
     partitions by type over GRID rows only. Event rows cross the wire
     once, pre-aggregated.
+
+    ``max_span_hours`` guards the spine: ONE corrupted timestamp (a
+    stray year-9999 row) would otherwise silently inflate the "dense"
+    grid to billions of rows — the guard raises at execution instead
+    (``raise_error`` inside the bounds row, so no extra driver action).
     """
     from pyspark.sql.window import Window
 
     if trailing_hours < 1:
         raise ValueError(f"trailing_hours must be >= 1, got {trailing_hours}")
+    if max_span_hours < 1:
+        raise ValueError(f"max_span_hours must be >= 1, got {max_span_hours}")
     ev = events.select(
         "event_type", ts_us.cast("long").alias("_us")
     ).select("event_type", F.expr(f"_us DIV {HOUR_US}").alias("hour"))
@@ -163,7 +176,18 @@ def hourly_gapfill(
     bounds = ev.groupBy().agg(
         F.min("hour").alias("h0"), F.max("hour").alias("h1")
     )
-    hours = bounds.select(F.explode(F.sequence("h0", "h1")).alias("hour"))
+    hours = bounds.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN h1 - h0 + 1 <= {max_span_hours} "
+                "THEN sequence(h0, h1) ELSE "
+                "raise_error(concat('hourly_gapfill: observed hour span ',"
+                " CAST(h1 - h0 + 1 AS STRING),"
+                f" ' exceeds max_span_hours={max_span_hours}"
+                " — corrupted timestamps?')) END"
+            )
+        ).alias("hour")
+    )
     types = ev.select("event_type").distinct()
     # single-row-bounds explode x broadcast type dim: the annotated tiny
     # crossJoin pattern (grid is dimension-sized, never event-sized)

@@ -236,3 +236,16 @@ def test_decay_rejects_bad_half_life(spark):
     ev = _day_events(spark, [(1, 0)])
     with pytest.raises(ValueError, match="half_life_days"):
         decay_engagement(ev, F.col("us"), half_life_days=0)
+
+
+def test_gapfill_guards_corrupted_timestamp_span(spark):
+    # one stray far-future hour would inflate the dense spine to millions
+    # of rows — the guard must raise at execution, not materialize it
+    ev = _hour_events(spark, [("a", 0), ("a", 5_000_000)])
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="max_span_hours"):
+        hourly_gapfill(ev, F.col("us")).collect()
+    with pytest.raises(ValueError, match="max_span_hours"):
+        hourly_gapfill(ev, F.col("us"), max_span_hours=0)
