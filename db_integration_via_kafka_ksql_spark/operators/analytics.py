@@ -161,25 +161,44 @@ def hourly_gapfill(
     grid to billions of rows — the guard raises at execution instead
     (``raise_error`` inside the bounds row, so no extra driver action).
     """
+    ev = events.select(
+        "event_type", ts_us.cast("long").alias("_us")
+    ).select("event_type", F.expr(f"_us DIV {HOUR_US}").alias("hour"))
+    counts = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return gapfill_from_counts(
+        counts, trailing_hours=trailing_hours, max_span_hours=max_span_hours
+    )
+
+
+def gapfill_from_counts(
+    counts: DataFrame,
+    trailing_hours: int = 3,
+    max_span_hours: int = GAPFILL_MAX_SPAN_HOURS,
+) -> DataFrame:
+    """Dense resample over an EXISTING (event_type, hour, n_events)
+    count table — the serve half of hourly_gapfill, split out (the
+    bm25_from_postings precedent) so an incrementally maintained count
+    table (streaming/anomaly.py's state) serves the zero-filled series
+    through the exact code path the batch oracle gates: a prefix-exact
+    count table yields a prefix-exact series."""
     from pyspark.sql.window import Window
 
     if trailing_hours < 1:
         raise ValueError(f"trailing_hours must be >= 1, got {trailing_hours}")
     if max_span_hours < 1:
         raise ValueError(f"max_span_hours must be >= 1, got {max_span_hours}")
-    ev = events.select(
-        "event_type", ts_us.cast("long").alias("_us")
-    ).select("event_type", F.expr(f"_us DIV {HOUR_US}").alias("hour"))
-    counts = ev.groupBy("event_type", "hour").agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
-    bounds = ev.groupBy().agg(
+    bounds = counts.groupBy().agg(
         F.min("hour").alias("h0"), F.max("hour").alias("h1")
     )
     hours = bounds.select(
         F.explode(
             F.expr(
-                f"CASE WHEN h1 - h0 + 1 <= {max_span_hours} "
+                # NULL bounds (empty input) explode to zero rows — an
+                # empty count table yields an empty series, not an error
+                "CASE WHEN h0 IS NULL THEN CAST(NULL AS ARRAY<BIGINT>) "
+                f"WHEN h1 - h0 + 1 <= {max_span_hours} "
                 "THEN sequence(h0, h1) ELSE "
                 "raise_error(concat('hourly_gapfill: observed hour span ',"
                 " CAST(h1 - h0 + 1 AS STRING),"
@@ -188,7 +207,7 @@ def hourly_gapfill(
             )
         ).alias("hour")
     )
-    types = ev.select("event_type").distinct()
+    types = counts.select("event_type").distinct()
     # single-row-bounds explode x broadcast type dim: the annotated tiny
     # crossJoin pattern (grid is dimension-sized, never event-sized)
     grid = hours.crossJoin(F.broadcast(types))

@@ -77,7 +77,9 @@ class StreamingAnomaly:
     batches_seen: list[int] = field(default_factory=list)
 
     # -- state ------------------------------------------------------------
-    def _latest_state_epoch(self, before: int) -> int | None:
+    def _latest_state_epoch(self, before: int | None) -> int | None:
+        """Latest committed state epoch strictly before `before`
+        (None = no bound: the latest overall, for the derived views)."""
         if not os.path.isdir(self.state_path):
             return None
         best = None
@@ -88,11 +90,11 @@ class StreamingAnomaly:
                 e = int(name.split("=", 1)[1])
             except ValueError:
                 continue
-            if e < before and (best is None or e > best):
+            if (before is None or e < before) and (best is None or e > best):
                 best = e
         return best
 
-    def _prior_counts(self, epoch_id: int) -> DataFrame:
+    def _prior_counts(self, epoch_id: int | None) -> DataFrame:
         e = self._latest_state_epoch(before=epoch_id)
         if e is None:
             return self.spark.createDataFrame(
@@ -103,6 +105,25 @@ class StreamingAnomaly:
             .filter(F.col(self.batch_col) == e)
             .select("event_type", "hour_bucket", "n")
         )
+
+    def hourly_series(self, trailing_hours: int = 3) -> DataFrame:
+        """Dense zero-filled hourly series + trailing moving window over
+        the accumulated (type, hour) count state — the streaming
+        gap-fill, served through the batch operator's own serve half
+        (analytics.gapfill_from_counts), so with ``retention_hours``
+        None it is BIT-EQUAL to analytics.hourly_gapfill over the
+        arrived prefix (the prefix contract); with retention set it is
+        the sliding-window series over the retained horizon."""
+        from db_integration_via_kafka_ksql_spark.operators.analytics import (
+            gapfill_from_counts,
+        )
+
+        counts = self._prior_counts(None).select(
+            "event_type",
+            F.col("hour_bucket").alias("hour"),
+            F.col("n").alias("n_events"),
+        )
+        return gapfill_from_counts(counts, trailing_hours=trailing_hours)
 
     def anomalies(self) -> DataFrame:
         """Everything scored so far (epoch, type, hour, counts, z).

@@ -200,3 +200,50 @@ def test_live_stream_end_to_end(spark, tmp_path):
     got = _epoch_out(st, 0)
     assert got[("a", 0)][:2] == (2, 2)
     assert got[("a", 1)][:2] == (3, 3)
+
+
+# -- hourly_series: the streaming gap-fill view -------------------------------
+
+
+def test_hourly_series_prefix_contract_vs_batch_gapfill(spark, tmp_path):
+    """With retention_hours None, hourly_series() after every epoch is
+    bit-equal to analytics.hourly_gapfill over the arrived prefix — the
+    state count table IS the batch op's count table, and both serve
+    through gapfill_from_counts."""
+    from pyspark.sql import functions as F
+
+    from db_integration_via_kafka_ksql_spark.operators.analytics import (
+        hourly_gapfill,
+    )
+
+    st = _st(spark, tmp_path)
+    seen: list[tuple[str, int]] = []
+    for e, rows in enumerate(BATCHES):
+        st.process_batch(_df(spark, rows), e)
+        seen += rows
+        got = {
+            (r["event_type"], r["hour"]): (
+                r["n_events"], r["mov_sum"], r["mov_hours"],
+                r["mov_avg_milli"],
+            )
+            for r in st.hourly_series(trailing_hours=3).collect()
+        }
+        want = {
+            (r["event_type"], r["hour"]): (
+                r["n_events"], r["mov_sum"], r["mov_hours"],
+                r["mov_avg_milli"],
+            )
+            for r in hourly_gapfill(
+                _df(spark, seen), F.col("us"), trailing_hours=3
+            ).collect()
+        }
+        assert got == want, f"epoch {e}"
+        # the gap-fill property on real state: type b is quiet outside
+        # hour 0 but still carries explicit rows over the global range
+        if e >= 1:
+            assert got[("b", 1)][0] == 0
+
+
+def test_hourly_series_empty_state_is_empty_not_error(spark, tmp_path):
+    st = _st(spark, tmp_path)
+    assert st.hourly_series().count() == 0
