@@ -237,6 +237,30 @@ def gapfill_from_counts(
     )
 
 
+def decay_weight_ppm_sql(half_life_days: int, dialect: str) -> str:
+    """The decay weight as SQL text: ``1_000_000 DIV 2^min((asof_day -
+    day) DIV half_life_days, 62)`` — references columns ``day`` and
+    ``asof_day``. THE single definition of the weight (the det_ln_sql
+    dialect pattern): the batch operator, the streaming twin's derived
+    view, and the DuckDB oracle all render from here, so the prefix
+    contract cannot drift on a hand-copied constant. The shift exponent
+    caps at 62 (2^62 fits BIGINT; the weight is 0 ppm long before)."""
+    if half_life_days < 1:
+        raise ValueError(f"half_life_days must be >= 1, got {half_life_days}")
+    exp = f"least((asof_day - day) DIV {half_life_days}, 62)"
+    if dialect == "spark":
+        return (
+            "1000000 DIV shiftleft(CAST(1 AS BIGINT), "
+            f"CAST({exp} AS INT))"
+        )
+    if dialect == "duckdb":
+        exp_dd = f"least((asof_day - day) // {half_life_days}, 62)"
+        return (
+            f"1000000 // (CAST(1 AS BIGINT) << CAST({exp_dd} AS INTEGER))"
+        )
+    raise ValueError(f"unknown dialect: {dialect}")
+
+
 def decay_engagement(
     events: DataFrame, ts_us: Column, half_life_days: int = 7
 ) -> DataFrame:
@@ -246,13 +270,18 @@ def decay_engagement(
     equal to one active today).
 
     Each event contributes ``1_000_000 DIV 2^(age_days DIV
-    half_life_days)`` parts-per-million of a fresh event's weight, where
-    age is measured against the corpus max day (the as-of horizon) —
-    stepwise integer halving per elapsed half-life, so the score is a
-    PURE BIGINT sum: order-free, partitioning-independent, and
-    bit-replayable in SQL (no pow/exp whose last ulp could differ across
-    engines). The shift exponent is capped at 62 (2^62 fits BIGINT;
-    weight is 0 ppm long before that).
+    half_life_days)`` parts-per-million of a fresh event's weight
+    (decay_weight_ppm_sql — shared verbatim with the streaming twin and
+    the oracle), where age is measured against the corpus max day (the
+    as-of horizon) — stepwise integer halving per elapsed half-life, so
+    the score is a PURE BIGINT sum: order-free,
+    partitioning-independent, and bit-replayable in SQL (no pow/exp
+    whose last ulp could differ across engines).
+
+    NULL stance: rows with a NULL user or NULL timestamp are EXCLUDED —
+    from the horizon as well as the scores — matching the streaming
+    twin's at-ingest filter (an unattributable or untimed event can't
+    carry engagement).
 
     Returns (user_id, n_events, last_seen_day, score_ppm).
 
@@ -260,16 +289,13 @@ def decay_engagement(
     broadcast (annotated tiny crossJoin); the per-user rollup is one
     map-side-combined user-keyed aggregate — state is user-sized.
     """
-    if half_life_days < 1:
-        raise ValueError(f"half_life_days must be >= 1, got {half_life_days}")
-    ev = events.select(
-        "user_id", ts_us.cast("long").alias("_us")
-    ).select("user_id", F.expr(f"_us DIV {DAY_US}").alias("day"))
-    asof = ev.groupBy().agg(F.max("day").alias("asof_day"))
-    weight = (
-        "1000000 DIV shiftleft(CAST(1 AS BIGINT), "
-        f"CAST(least((asof_day - day) DIV {half_life_days}, 62) AS INT))"
+    weight = decay_weight_ppm_sql(half_life_days, "spark")
+    ev = (
+        events.select("user_id", ts_us.cast("long").alias("_us"))
+        .filter(F.col("user_id").isNotNull() & F.col("_us").isNotNull())
+        .select("user_id", F.expr(f"_us DIV {DAY_US}").alias("day"))
     )
+    asof = ev.groupBy().agg(F.max("day").alias("asof_day"))
     return (
         ev.crossJoin(F.broadcast(asof))
         .select("user_id", "day", F.expr(weight).alias("w"))

@@ -575,14 +575,16 @@ def bfs_levels(
     """
     if max_hops < 0:
         raise ValueError(f"max_hops must be >= 0, got {max_hops}")
-    e = edges.select("src", "dst").repartition("src").localCheckpoint(
-        eager=True
-    )
     visited = (
         sources.select("node")
         .distinct()
         .select("node", F.lit(0).cast("long").alias("level"))
         .localCheckpoint(eager=True)
+    )
+    if max_hops == 0:
+        return visited  # never pay the edge-frame scan/shuffle
+    e = edges.select("src", "dst").repartition("src").localCheckpoint(
+        eager=True
     )
     frontier = visited.select("node")
     for hop in range(1, max_hops + 1):

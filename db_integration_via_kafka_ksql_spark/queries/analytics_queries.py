@@ -193,13 +193,12 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ev AS (
         SELECT user_id, epoch_us(ts) // {AN.DAY_US} AS day FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     horizon AS (SELECT max(day) AS asof_day FROM ev),
     weighted AS (
         SELECT user_id, day,
-               1000000 // (CAST(1 AS BIGINT) << CAST(least(
-                   (asof_day - day) // {DECAY_HALF_LIFE_DAYS}, 62
-               ) AS INTEGER)) AS w
+               {AN.decay_weight_ppm_sql(DECAY_HALF_LIFE_DAYS, "duckdb")} AS w
         FROM ev, horizon
     )
     SELECT user_id,

@@ -40,20 +40,21 @@ a monitoring pass adds on top of them.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from db_integration_via_kafka_ksql_spark.operators.analytics import (
+    HOUR_US,  # shared with hourly_gapfill: the hourly_series prefix
+    # contract depends on both sides bucketing with the SAME constant
+)
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
 from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
     MaintenancePolicy,
     maintain,
 )
-
-HOUR_US = 3_600_000_000
 
 
 @dataclass
@@ -80,16 +81,8 @@ class StreamingAnomaly:
     def _latest_state_epoch(self, before: int | None) -> int | None:
         """Latest committed state epoch strictly before `before`
         (None = no bound: the latest overall, for the derived views)."""
-        if not os.path.isdir(self.state_path):
-            return None
         best = None
-        for name in os.listdir(self.state_path):
-            if not name.startswith(f"{self.batch_col}="):
-                continue
-            try:
-                e = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
+        for e in epochdir.list_epochs(self.state_path, self.batch_col):
             if (before is None or e < before) and (best is None or e > best):
                 best = e
         return best

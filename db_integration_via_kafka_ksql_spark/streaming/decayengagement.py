@@ -109,11 +109,13 @@ class StreamingDecayEngagement:
         horizon is the max day in state (== the prefix's corpus max day)
         on a single-row broadcast, the weight is the same capped-shift
         BIGINT expression, multiplied by the day's count."""
+        from db_integration_via_kafka_ksql_spark.operators.analytics import (
+            decay_weight_ppm_sql,
+        )
+
         horizon = counts.groupBy().agg(F.max("day").alias("asof_day"))
         weighted = (
-            "c * (1000000 DIV shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(least((asof_day - day) DIV {self.half_life_days}, 62)"
-            " AS INT)))"
+            f"c * ({decay_weight_ppm_sql(self.half_life_days, 'spark')})"
         )
         return (
             counts.crossJoin(F.broadcast(horizon))

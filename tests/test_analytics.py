@@ -249,3 +249,20 @@ def test_gapfill_guards_corrupted_timestamp_span(spark):
         hourly_gapfill(ev, F.col("us")).collect()
     with pytest.raises(ValueError, match="max_span_hours"):
         hourly_gapfill(ev, F.col("us"), max_span_hours=0)
+
+
+def test_decay_excludes_null_user_and_ts_from_scores_and_horizon(spark):
+    """Code-review r14: the NULL stance must match the streaming twin's
+    at-ingest filter — a NULL-user or NULL-ts event carries no
+    engagement AND does not move the as-of horizon."""
+    ev = spark.createDataFrame(
+        [(1, 0 * DAY_US + 1), (None, 7 * DAY_US + 1), (1, None)],
+        "user_id long, us long",
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["last_seen_day"], r["score_ppm"])
+        for r in decay_engagement(ev, F.col("us"), half_life_days=7).collect()
+    }
+    # horizon is day 0 (the NULL-user day-7 row is excluded), so user 1
+    # scores a full 1M ppm; no NULL-keyed row appears
+    assert got == {1: (1, 0, 1_000_000)}
