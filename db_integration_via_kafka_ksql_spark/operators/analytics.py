@@ -161,14 +161,22 @@ def hourly_gapfill(
     grid to billions of rows — the guard raises at execution instead
     (``raise_error`` inside the bounds row, so no extra driver action).
     """
-    ev = events.select(
-        "event_type", ts_us.cast("long").alias("_us")
-    ).select("event_type", F.expr(f"_us DIV {HOUR_US}").alias("hour"))
-    counts = ev.groupBy("event_type", "hour").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events")
-    )
     return gapfill_from_counts(
-        counts, trailing_hours=trailing_hours, max_span_hours=max_span_hours
+        hourly_counts(events, ts_us),
+        trailing_hours=trailing_hours,
+        max_span_hours=max_span_hours,
+    )
+
+
+def hourly_counts(events: DataFrame, ts_us: Column) -> DataFrame:
+    """(event_type, hour, n_events): the map-side-combined hourly count
+    table — the shared front half of hourly_gapfill and the series
+    similarity search."""
+    return (
+        events.select("event_type", ts_us.cast("long").alias("_us"))
+        .select("event_type", F.expr(f"_us DIV {HOUR_US}").alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
 
 
@@ -348,4 +356,90 @@ def event_transition_matrix(events: DataFrame, ts_us: Column) -> DataFrame:
         "n_transitions",
         "from_total",
         F.expr("n_transitions * 1000 DIV from_total").alias("permille"),
+    )
+
+
+def series_similarity_topk(
+    series: DataFrame, window_hours: int = 6, top_k: int = 3
+) -> DataFrame:
+    """Time-series similarity search over a DENSE hourly count series
+    (the hourly_gapfill / StreamingAnomaly.hourly_series output shape:
+    one row per (event_type, hour) with zero-filled gaps): for each
+    type's most recent ``window_hours``-hour window (the query), the
+    top-k most similar EARLIER non-overlapping windows across ALL types
+    by squared Euclidean distance — "which past period looked like right
+    now" (distributed subsequence similarity search, the
+    EDBT'19-streaming / REPOSE-top-k family, re-expressed as window
+    collection + broadcast-query scoring).
+
+    Determinism: distances are exact BIGINT sums of squared integer
+    count differences — no normalization doubles — so ties break
+    engine-identically on (dist, match_type, match_start). Density is
+    REQUIRED (the gap-fill property): on a sparse series a window
+    silently spans non-adjacent hours and the distance compares
+    misaligned time.
+
+    Scale shape: one per-type ordered window pass builds the
+    |types| x |hours| window-vector frame (collect_list over a
+    ``window_hours``-row frame — dimension-sized, never event-sized);
+    the |types| query windows broadcast against it (annotated tiny NLJ:
+    the non-overlap predicate is a theta join, but the broadcast side is
+    |types| rows); per-query top-k is a rank-pruned window.
+
+    Returns (query_type, match_type, match_start, dist, rnk).
+    """
+    from pyspark.sql.window import Window
+
+    if window_hours < 1:
+        raise ValueError(f"window_hours must be >= 1, got {window_hours}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, window_hours - 1)
+    )
+    wins = (
+        series.select(
+            "event_type",
+            F.col("hour").alias("start"),
+            F.collect_list(F.col("n_events").cast("long")).over(w)
+            .alias("vec"),
+        )
+        .filter(F.size("vec") == window_hours)
+        # feeds the query max, the query join, and the candidate scan
+        .localCheckpoint(eager=True)
+    )
+    qstart = wins.groupBy().agg(F.max("start").alias("qs"))
+    queries = (
+        wins.join(F.broadcast(qstart), wins["start"] == qstart["qs"])
+        .select(
+            F.col("event_type").alias("query_type"),
+            F.col("start").alias("query_start"),
+            F.col("vec").alias("qvec"),
+        )
+    )
+    dist = (
+        "aggregate(zip_with(qvec, vec, (a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+    scored = (
+        wins.join(
+            F.broadcast(queries),
+            wins["start"] + window_hours <= queries["query_start"],
+        )
+        .select(
+            "query_type",
+            F.col("event_type").alias("match_type"),
+            F.col("start").alias("match_start"),
+            F.expr(dist).alias("dist"),
+        )
+    )
+    rw = Window.partitionBy("query_type").orderBy(
+        F.col("dist").asc(), F.col("match_type").asc(),
+        F.col("match_start").asc(),
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rnk") <= top_k)
     )

@@ -217,3 +217,81 @@ def events_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.decay_engagement(
         ev, epoch_us_col(ev, "ts"), half_life_days=DECAY_HALF_LIFE_DAYS
     )
+
+
+SIM_WINDOW_HOURS = 6
+SIM_TOP_K = 3
+
+_SIM_DIST_DD = (
+    "CAST(list_sum([(q.qvec[i] - w.vec[i]) * (q.qvec[i] - w.vec[i]) "
+    f"for i in generate_series(1, {SIM_WINDOW_HOURS})]) AS BIGINT)"
+)
+
+
+@query(
+    "events_series_similarity_topk",
+    driver=False,  # new in round 14 — queued for the round-15 rotation
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, epoch_us(ts) // {AN.HOUR_US} AS hour FROM events
+    ),
+    counts AS (
+        SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY 1, 2
+    ),
+    b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
+    hours AS (SELECT unnest(generate_series(h0, h1)) AS hour FROM b),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    grid AS (SELECT event_type, hour FROM types, hours),
+    filled AS (
+        SELECT g.event_type, g.hour,
+               CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+        FROM grid g
+        LEFT JOIN counts c
+          ON g.event_type = c.event_type AND g.hour = c.hour
+    ),
+    wins0 AS (
+        SELECT event_type, hour AS start,
+               list(n_events) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN CURRENT ROW
+                            AND {SIM_WINDOW_HOURS - 1} FOLLOWING
+               ) AS vec
+        FROM filled
+    ),
+    wins AS (SELECT * FROM wins0 WHERE len(vec) = {SIM_WINDOW_HOURS}),
+    qs AS (SELECT max(start) AS qstart FROM wins),
+    queries AS (
+        SELECT event_type AS query_type, start AS query_start, vec AS qvec
+        FROM wins, qs WHERE start = qstart
+    ),
+    scored AS (
+        SELECT q.query_type, w.event_type AS match_type,
+               w.start AS match_start, {_SIM_DIST_DD} AS dist
+        FROM wins w
+        JOIN queries q ON w.start + {SIM_WINDOW_HOURS} <= q.query_start
+    )
+    SELECT query_type, match_type, match_start, dist, rnk FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_type
+            ORDER BY dist ASC, match_type ASC, match_start ASC
+        ) AS INTEGER) AS rnk
+        FROM scored
+    ) WHERE rnk <= {SIM_TOP_K}
+    """,
+)
+def events_series_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (analytics.series_similarity_topk)
+    over the dense gap-filled hourly traffic: for each type's most
+    recent 6-hour window, the 3 most similar earlier non-overlapping
+    windows across all types by exact integer squared-Euclidean
+    distance — the "which past period looked like right now" probe,
+    replayed end to end (gap-fill, window collection, distance, rank)
+    by the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    series = AN.gapfill_from_counts(
+        AN.hourly_counts(ev, epoch_us_col(ev, "ts"))
+    ).select("event_type", "hour", "n_events")
+    return AN.series_similarity_topk(
+        series, window_hours=SIM_WINDOW_HOURS, top_k=SIM_TOP_K
+    )

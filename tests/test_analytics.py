@@ -266,3 +266,82 @@ def test_decay_excludes_null_user_and_ts_from_scores_and_horizon(spark):
     # horizon is day 0 (the NULL-user day-7 row is excluded), so user 1
     # scores a full 1M ppm; no NULL-keyed row appears
     assert got == {1: (1, 0, 1_000_000)}
+
+
+# -- time-series similarity search --------------------------------------------
+
+from db_integration_via_kafka_ksql_spark.operators.analytics import (  # noqa: E402
+    series_similarity_topk,
+)
+
+
+def _series(spark, rows):
+    # rows: (event_type, hour, n_events) — a DENSE series
+    return spark.createDataFrame(
+        rows, "event_type string, hour long, n_events long"
+    )
+
+
+def test_series_similarity_finds_planted_repeat(spark):
+    # type a repeats the exact pattern [5,1,4] at hours 0-2 and 7-9; the
+    # query window (last full 3h window, hours 7-9) must match hours 0-2
+    # at distance 0 ahead of everything else
+    a = {0: 5, 1: 1, 2: 4, 3: 0, 4: 0, 5: 0, 6: 9, 7: 5, 8: 1, 9: 4}
+    rows = [("a", h, n) for h, n in a.items()]
+    rows += [("b", h, 2) for h in range(10)]  # constant control type
+    got = series_similarity_topk(
+        _series(spark, rows), window_hours=3, top_k=1
+    ).collect()
+    by_q = {r["query_type"]: r for r in got}
+    assert by_q["a"]["match_type"] == "a"
+    assert by_q["a"]["match_start"] == 0
+    assert by_q["a"]["dist"] == 0
+    # b's own history is all-constant: its best match is itself at the
+    # earliest eligible start (dist 0, ties break on type asc, start asc)
+    assert (by_q["b"]["match_type"], by_q["b"]["dist"]) != ("", None)
+
+
+def test_series_similarity_nonoverlap_boundary(spark):
+    # 6 hours, window 3: query start = 3; eligible starts satisfy
+    # start + 3 <= 3 -> only start 0 (start 1 would overlap hour 3)
+    rows = [("a", h, h) for h in range(6)]
+    got = series_similarity_topk(
+        _series(spark, rows), window_hours=3, top_k=5
+    ).collect()
+    assert {r["match_start"] for r in got} == {0}
+
+
+def test_series_similarity_cross_type_match(spark):
+    # type b's query window equals type a's early window exactly
+    rows = [("a", 0, 7), ("a", 1, 8), ("a", 2, 0), ("a", 3, 0),
+            ("b", 0, 1), ("b", 1, 1), ("b", 2, 7), ("b", 3, 8)]
+    got = {
+        r["query_type"]: r
+        for r in series_similarity_topk(
+            _series(spark, rows), window_hours=2, top_k=1
+        ).collect()
+    }
+    assert got["b"]["match_type"] == "a"
+    assert got["b"]["match_start"] == 0
+    assert got["b"]["dist"] == 0
+
+
+def test_series_similarity_too_short_series_is_empty(spark):
+    # 4 hours, window 3: query start = 1, no window ends by hour 1
+    rows = [("a", h, 1) for h in range(4)]
+    assert (
+        series_similarity_topk(
+            _series(spark, rows), window_hours=3, top_k=2
+        ).count()
+        == 0
+    )
+
+
+def test_series_similarity_rejects_bad_params(spark):
+    import pytest
+
+    s = _series(spark, [("a", 0, 1)])
+    with pytest.raises(ValueError, match="window_hours"):
+        series_similarity_topk(s, window_hours=0)
+    with pytest.raises(ValueError, match="top_k"):
+        series_similarity_topk(s, top_k=0)

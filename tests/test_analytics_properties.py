@@ -152,3 +152,72 @@ def test_decay_matches_python_fold(spark, rows, half_life):
         ).collect()
     }
     assert got == _py_decay(rows, half_life)
+
+
+from db_integration_via_kafka_ksql_spark.operators.analytics import (  # noqa: E402
+    series_similarity_topk,
+)
+
+_series_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=1,
+    max_size=25,
+).map(lambda rows: list({(t, h): n for t, h, n in rows}.items()))
+
+
+def _py_series_sim(cells, w, k):
+    """cells: {(type, hour): n} over a DENSE per-type grid."""
+    types = sorted({t for t, _ in cells})
+    hours = sorted({h for _, h in cells})
+    vecs = {
+        (t, s): [cells[(t, h)] for h in range(s, s + w)]
+        for t in types
+        for s in hours
+        if s + w - 1 <= hours[-1]
+    }
+    if not vecs:
+        return {}
+    qstart = max(s for _, s in vecs)
+    out = {}
+    for qt in types:
+        qvec = vecs[(qt, qstart)]
+        cands = sorted(
+            (
+                sum((a - b) ** 2 for a, b in zip(qvec, v)),
+                mt,
+                s,
+            )
+            for (mt, s), v in vecs.items()
+            if s + w <= qstart
+        )
+        for rnk, (dist, mt, s) in enumerate(cands[:k], start=1):
+            out[(qt, rnk)] = (mt, s, dist)
+    return out
+
+
+@given(rows=_series_rows, w=st.integers(1, 4), k=st.integers(1, 3))
+@_SETTINGS
+def test_series_similarity_matches_python_model(spark, rows, w, k):
+    # densify: every (type in data) x (hour 0..max) cell, absent -> 0
+    types = sorted({t for (t, _), _ in rows})
+    hmax = max(h for (_, h), _ in rows)
+    cells = {
+        (t, h): 0 for t in types for h in range(0, hmax + 1)
+    }
+    cells.update({(t, h): n for (t, h), n in rows})
+    df = spark.createDataFrame(
+        [(t, h, n) for (t, h), n in cells.items()],
+        "event_type string, hour long, n_events long",
+    )
+    got = {
+        (r["query_type"], r["rnk"]): (
+            r["match_type"], r["match_start"], r["dist"]
+        )
+        for r in series_similarity_topk(df, window_hours=w, top_k=k)
+        .collect()
+    }
+    assert got == _py_series_sim(cells, w, k)

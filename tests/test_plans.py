@@ -936,3 +936,17 @@ def test_bfs_levels_materializes_each_hop(reports):
     r = reports("graph_bfs_levels")
     assert not r.scans  # all inputs are checkpoint RDDs, no re-scan
     assert r.n_shuffle_exchanges == 0
+
+
+def test_series_similarity_windows_checkpointed_once(reports):
+    """Series similarity's scale contract: the window-vector frame is
+    checkpointed once and feeds the query max, the query join, and the
+    candidate scan — the visible plan is broadcast-query scoring + the
+    rank prune over dimension-sized frames, never an events re-scan."""
+    r = reports("events_series_similarity_topk")
+    assert "events" not in r.scans  # gap-fill chain is behind the checkpoint
+    assert r.n_broadcast_exchanges == 2  # single-row qstart + |types| queries
+    assert r.nested_loop_joins == 1  # the annotated non-overlap theta join
+    assert r.sort_merge_joins == 0
+    assert r.windows == 1  # the rank prune only
+    assert r.n_shuffle_exchanges <= 2
