@@ -359,6 +359,41 @@ def event_transition_matrix(events: DataFrame, ts_us: Column) -> DataFrame:
     )
 
 
+def _series_windows(series: DataFrame, window_hours: int) -> DataFrame:
+    """(event_type, start, vec): every full ``window_hours``-length
+    window of the dense series as a BIGINT vector — one per-type ordered
+    collect_list pass, dimension-sized output. Shared by the similarity
+    search and the discord screen."""
+    from pyspark.sql.window import Window
+
+    if window_hours < 1:
+        raise ValueError(f"window_hours must be >= 1, got {window_hours}")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, window_hours - 1)
+    )
+    return (
+        series.select(
+            "event_type",
+            F.col("hour").alias("start"),
+            F.collect_list(F.col("n_events").cast("long")).over(w)
+            .alias("vec"),
+        )
+        .filter(F.size("vec") == window_hours)
+    )
+
+
+def _sqdist_sql(left_vec: str, right_vec: str) -> str:
+    """Exact BIGINT squared Euclidean distance between two array<long>
+    columns — THE single distance definition of the series family."""
+    return (
+        f"aggregate(zip_with({left_vec}, {right_vec}, "
+        "(a, b) -> (a - b) * (a - b)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
 def series_similarity_topk(
     series: DataFrame, window_hours: int = 6, top_k: int = 3
 ) -> DataFrame:
@@ -390,26 +425,10 @@ def series_similarity_topk(
     """
     from pyspark.sql.window import Window
 
-    if window_hours < 1:
-        raise ValueError(f"window_hours must be >= 1, got {window_hours}")
     if top_k < 1:
         raise ValueError(f"top_k must be >= 1, got {top_k}")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("hour")
-        .rowsBetween(0, window_hours - 1)
-    )
-    wins = (
-        series.select(
-            "event_type",
-            F.col("hour").alias("start"),
-            F.collect_list(F.col("n_events").cast("long")).over(w)
-            .alias("vec"),
-        )
-        .filter(F.size("vec") == window_hours)
-        # feeds the query max, the query join, and the candidate scan
-        .localCheckpoint(eager=True)
-    )
+    # feeds the query max, the query join, and the candidate scan
+    wins = _series_windows(series, window_hours).localCheckpoint(eager=True)
     qstart = wins.groupBy().agg(F.max("start").alias("qs"))
     queries = (
         wins.join(F.broadcast(qstart), wins["start"] == qstart["qs"])
@@ -419,10 +438,7 @@ def series_similarity_topk(
             F.col("vec").alias("qvec"),
         )
     )
-    dist = (
-        "aggregate(zip_with(qvec, vec, (a, b) -> (a - b) * (a - b)), "
-        "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    )
+    dist = _sqdist_sql("qvec", "vec")
     scored = (
         wins.join(
             F.broadcast(queries),
@@ -441,5 +457,89 @@ def series_similarity_topk(
     )
     return (
         scored.withColumn("rnk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rnk") <= top_k)
+    )
+
+
+def series_discords(
+    series: DataFrame,
+    window_hours: int = 6,
+    recent_windows: int = 24,
+    top_k: int = 3,
+) -> DataFrame:
+    """Discord screen over a DENSE hourly count series (matrix-profile
+    family, Yeh et al. ICDM'16 re-expressed for exact integers): for
+    each of the ``recent_windows`` most recent full windows per type,
+    the squared-Euclidean distance to its NEAREST same-type window
+    outside the overlap exclusion zone (|start delta| >= window_hours,
+    the standard trivial-match exclusion) — a window whose nearest
+    neighbor is FAR is a discord: traffic shaped like nothing else in
+    the type's history. The nearest-neighbor-distance anomaly primitive,
+    complementary to the z-score screen (which flags level, not shape).
+
+    Determinism: exact BIGINT distances (_sqdist_sql, shared with the
+    similarity search); the nearest neighbor is min(struct(dist,
+    nn_start)) so ties resolve engine-identically; discord rank orders
+    (nn_dist DESC, start ASC) within each type. Density is REQUIRED
+    (the gap-fill property).
+
+    Scale shape: ``recent_windows`` is THE cost knob — the probe side is
+    |types| x recent_windows rows and BROADCASTS into a same-type
+    equi-join against the full window frame, so cost is
+    |probes| x |hours| x window_hours, never |hours|^2 (the full
+    self-join matrix profile is calendar-quadratic at 100 TB; profiling
+    the recent edge against all history is the streaming-monitoring
+    shape). The window frame is checkpointed once.
+
+    Returns (event_type, start, nn_start, nn_dist, rnk), rnk 1..top_k
+    per type by discord order.
+    """
+    from pyspark.sql.window import Window
+
+    if recent_windows < 1:
+        raise ValueError(f"recent_windows must be >= 1, got {recent_windows}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    wins = _series_windows(series, window_hours).localCheckpoint(eager=True)
+    qmax = wins.groupBy().agg(F.max("start").alias("qmax"))
+    probes = (
+        wins.crossJoin(F.broadcast(qmax))
+        .filter(F.col("start") > F.col("qmax") - recent_windows)
+        .select(
+            F.col("event_type").alias("p_type"),
+            F.col("start").alias("p_start"),
+            F.col("vec").alias("pvec"),
+        )
+    )
+    nn = (
+        wins.join(
+            F.broadcast(probes),
+            (wins["event_type"] == probes["p_type"])
+            & (
+                F.abs(wins["start"] - probes["p_start"]) >= window_hours
+            ),
+        )
+        .select(
+            "p_type",
+            "p_start",
+            F.struct(
+                F.expr(_sqdist_sql("pvec", "vec")).alias("d"),
+                F.col("start").alias("s"),
+            ).alias("cand"),
+        )
+        .groupBy("p_type", "p_start")
+        .agg(F.min("cand").alias("nn"))
+        .select(
+            F.col("p_type").alias("event_type"),
+            F.col("p_start").alias("start"),
+            F.col("nn.s").alias("nn_start"),
+            F.col("nn.d").alias("nn_dist"),
+        )
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.col("nn_dist").desc(), F.col("start").asc()
+    )
+    return (
+        nn.withColumn("rnk", F.row_number().over(rw).cast("int"))
         .filter(F.col("rnk") <= top_k)
     )

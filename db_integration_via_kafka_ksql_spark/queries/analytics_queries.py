@@ -295,3 +295,95 @@ def events_series_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     return AN.series_similarity_topk(
         series, window_hours=SIM_WINDOW_HOURS, top_k=SIM_TOP_K
     )
+
+
+DISCORD_RECENT_WINDOWS = 24
+DISCORD_TOP_K = 3
+
+_DISCORD_DIST_DD = (
+    "CAST(list_sum([(p.pvec[i] - w.vec[i]) * (p.pvec[i] - w.vec[i]) "
+    f"for i in generate_series(1, {SIM_WINDOW_HOURS})]) AS BIGINT)"
+)
+
+
+@query(
+    "events_series_discords",
+    driver=False,  # new in round 14 — queued for the round-15 rotation
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, epoch_us(ts) // {AN.HOUR_US} AS hour FROM events
+    ),
+    counts AS (
+        SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY 1, 2
+    ),
+    b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
+    hours AS (SELECT unnest(generate_series(h0, h1)) AS hour FROM b),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    grid AS (SELECT event_type, hour FROM types, hours),
+    filled AS (
+        SELECT g.event_type, g.hour,
+               CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+        FROM grid g
+        LEFT JOIN counts c
+          ON g.event_type = c.event_type AND g.hour = c.hour
+    ),
+    wins0 AS (
+        SELECT event_type, hour AS start,
+               list(n_events) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN CURRENT ROW
+                            AND {SIM_WINDOW_HOURS - 1} FOLLOWING
+               ) AS vec
+        FROM filled
+    ),
+    wins AS (SELECT * FROM wins0 WHERE len(vec) = {SIM_WINDOW_HOURS}),
+    qm AS (SELECT max(start) AS qmax FROM wins),
+    probes AS (
+        SELECT event_type AS p_type, start AS p_start, vec AS pvec
+        FROM wins, qm WHERE start > qmax - {DISCORD_RECENT_WINDOWS}
+    ),
+    cand AS (
+        SELECT p.p_type, p.p_start, w.start AS nn_start,
+               {_DISCORD_DIST_DD} AS nn_dist
+        FROM wins w
+        JOIN probes p
+          ON w.event_type = p.p_type
+         AND abs(w.start - p.p_start) >= {SIM_WINDOW_HOURS}
+    ),
+    nn AS (
+        SELECT p_type AS event_type, p_start AS start, nn_start, nn_dist
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY p_type, p_start
+                ORDER BY nn_dist ASC, nn_start ASC
+            ) AS rn FROM cand
+        ) WHERE rn = 1
+    )
+    SELECT event_type, start, nn_start, nn_dist, rnk FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY event_type
+            ORDER BY nn_dist DESC, start ASC
+        ) AS INTEGER) AS rnk
+        FROM nn
+    ) WHERE rnk <= {DISCORD_TOP_K}
+    """,
+)
+def events_series_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile discord screen (analytics.series_discords): for
+    each type's 24 most recent 6-hour windows, the exact-integer
+    distance to the nearest same-type window outside the overlap
+    exclusion zone; the top-3 per type whose nearest neighbor is
+    FARTHEST — traffic shaped like nothing else in that type's history.
+    The shape-anomaly complement of the hourly z-score screen, replayed
+    end to end by the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    series = AN.gapfill_from_counts(
+        AN.hourly_counts(ev, epoch_us_col(ev, "ts"))
+    ).select("event_type", "hour", "n_events")
+    return AN.series_discords(
+        series,
+        window_hours=SIM_WINDOW_HOURS,
+        recent_windows=DISCORD_RECENT_WINDOWS,
+        top_k=DISCORD_TOP_K,
+    )

@@ -345,3 +345,59 @@ def test_series_similarity_rejects_bad_params(spark):
         series_similarity_topk(s, window_hours=0)
     with pytest.raises(ValueError, match="top_k"):
         series_similarity_topk(s, top_k=0)
+
+
+# -- series discords (matrix-profile screen) -----------------------------------
+
+from db_integration_via_kafka_ksql_spark.operators.analytics import (  # noqa: E402
+    series_discords,
+)
+
+
+def test_discords_flag_the_planted_spike(spark):
+    # constant traffic except a single spike at hour 10: the windows
+    # containing the spike have no near neighbor anywhere -> top discords
+    rows = [("a", h, 50 if h == 10 else 2) for h in range(20)]
+    got = series_discords(
+        _series(spark, rows), window_hours=3, recent_windows=100, top_k=3
+    ).collect()
+    by_rank = {r["rnk"]: r for r in got}
+    # starts 8, 9, 10 all contain the spike with identical nn_dist 48^2;
+    # ties break on start asc
+    assert [by_rank[i]["start"] for i in (1, 2, 3)] == [8, 9, 10]
+    assert by_rank[1]["nn_dist"] == 48 * 48
+    # their nearest neighbors are constant windows (dist to [2,2,2])
+    assert all(r["nn_dist"] == 2304 for r in got)
+
+
+def test_discords_respect_the_exclusion_zone(spark):
+    # constant series: every window identical (nn_dist 0), but the
+    # nearest neighbor must come from OUTSIDE |delta| >= window_hours
+    rows = [("a", h, 5) for h in range(12)]
+    got = series_discords(
+        _series(spark, rows), window_hours=4, recent_windows=100, top_k=100
+    ).collect()
+    assert got
+    for r in got:
+        assert abs(r["nn_start"] - r["start"]) >= 4
+        assert r["nn_dist"] == 0
+
+
+def test_discords_probe_only_recent_windows(spark):
+    rows = [("a", h, h % 3) for h in range(15)]
+    got = series_discords(
+        _series(spark, rows), window_hours=3, recent_windows=4, top_k=100
+    ).collect()
+    # full windows end at start 12; probes are starts > 12 - 4 = {9..12}
+    assert {r["start"] for r in got} <= {9, 10, 11, 12}
+    assert len(got) == 4
+
+
+def test_discords_reject_bad_params(spark):
+    import pytest
+
+    s = _series(spark, [("a", 0, 1)])
+    with pytest.raises(ValueError, match="recent_windows"):
+        series_discords(s, recent_windows=0)
+    with pytest.raises(ValueError, match="top_k"):
+        series_discords(s, top_k=0)

@@ -221,3 +221,66 @@ def test_series_similarity_matches_python_model(spark, rows, w, k):
         .collect()
     }
     assert got == _py_series_sim(cells, w, k)
+
+
+from db_integration_via_kafka_ksql_spark.operators.analytics import (  # noqa: E402
+    series_discords,
+)
+
+
+def _py_discords(cells, w, r, k):
+    types = sorted({t for t, _ in cells})
+    hours = sorted({h for _, h in cells})
+    vecs = {
+        (t, s): [cells[(t, h)] for h in range(s, s + w)]
+        for t in types
+        for s in hours
+        if s + w - 1 <= hours[-1]
+    }
+    if not vecs:
+        return {}
+    qmax = max(s for _, s in vecs)
+    out = {}
+    for t in types:
+        probes = [
+            s for (pt, s) in vecs if pt == t and s > qmax - r
+        ]
+        nns = []
+        for p in probes:
+            cands = sorted(
+                (
+                    sum((a - b) ** 2 for a, b in zip(vecs[(t, p)], v)),
+                    s,
+                )
+                for (ct, s), v in vecs.items()
+                if ct == t and abs(s - p) >= w
+            )
+            if cands:
+                nns.append((cands[0][0], p, cands[0][1]))
+        nns.sort(key=lambda x: (-x[0], x[1]))
+        for rnk, (d, p, s) in enumerate(nns[:k], start=1):
+            out[(t, rnk)] = (p, s, d)
+    return out
+
+
+@given(rows=_series_rows, w=st.integers(1, 3), r=st.integers(1, 6),
+       k=st.integers(1, 3))
+@_SETTINGS
+def test_series_discords_match_python_model(spark, rows, w, r, k):
+    types = sorted({t for (t, _), _ in rows})
+    hmax = max(h for (_, h), _ in rows)
+    cells = {(t, h): 0 for t in types for h in range(0, hmax + 1)}
+    cells.update({(t, h): n for (t, h), n in rows})
+    df = spark.createDataFrame(
+        [(t, h, n) for (t, h), n in cells.items()],
+        "event_type string, hour long, n_events long",
+    )
+    got = {
+        (r_["event_type"], r_["rnk"]): (
+            r_["start"], r_["nn_start"], r_["nn_dist"]
+        )
+        for r_ in series_discords(
+            df, window_hours=w, recent_windows=r, top_k=k
+        ).collect()
+    }
+    assert got == _py_discords(cells, w, r, k)

@@ -950,3 +950,18 @@ def test_series_similarity_windows_checkpointed_once(reports):
     assert r.sort_merge_joins == 0
     assert r.windows == 1  # the rank prune only
     assert r.n_shuffle_exchanges <= 2
+
+
+def test_series_discords_probe_join_is_broadcast_hash(reports):
+    """Discord screen's scale contract: probes (|types| x recent_windows)
+    BROADCAST into a same-type equi-join (the exclusion zone is a
+    post-join filter, not a nested loop over the window frame); the only
+    NLJ is the single-row qmax horizon; the nearest-neighbor fold is a
+    partial-aggregated min(struct), and only the discord rank windows."""
+    r = reports("events_series_discords")
+    assert "events" not in r.scans  # behind the window-frame checkpoint
+    assert r.broadcast_hash_joins == 1  # probes x wins equi-join on type
+    assert r.nested_loop_joins == 1     # single-row qmax broadcast only
+    assert r.sort_merge_joins == 0
+    assert r.has_partial_aggregate
+    assert r.windows == 1
