@@ -118,6 +118,32 @@ class StreamingAnomaly:
         )
         return gapfill_from_counts(counts, trailing_hours=trailing_hours)
 
+    def discords(
+        self,
+        window_hours: int = 6,
+        recent_windows: int = 24,
+        top_k: int = 3,
+    ) -> DataFrame:
+        """Matrix-profile discord screen over the accumulated state —
+        the shape-anomaly view (nearest-neighbor window distance)
+        complementing the per-trigger z-score level screen, served
+        through the batch operator (analytics.series_discords) over
+        hourly_series()'s dense grid: with ``retention_hours`` None it
+        is BIT-EQUAL to the batch chain over the arrived prefix."""
+        from db_integration_via_kafka_ksql_spark.operators.analytics import (
+            series_discords,
+        )
+
+        series = self.hourly_series().select(
+            "event_type", "hour", "n_events"
+        )
+        return series_discords(
+            series,
+            window_hours=window_hours,
+            recent_windows=recent_windows,
+            top_k=top_k,
+        )
+
     def anomalies(self) -> DataFrame:
         """Everything scored so far (epoch, type, hour, counts, z).
         Idle-only streams have no output dir (idle epochs commit

@@ -247,3 +247,39 @@ def test_hourly_series_prefix_contract_vs_batch_gapfill(spark, tmp_path):
 def test_hourly_series_empty_state_is_empty_not_error(spark, tmp_path):
     st = _st(spark, tmp_path)
     assert st.hourly_series().count() == 0
+
+
+def test_discords_prefix_contract_vs_batch_chain(spark, tmp_path):
+    """discords() after every epoch equals the batch gap-fill ->
+    series_discords chain over the arrived prefix."""
+    from pyspark.sql import functions as F
+
+    from db_integration_via_kafka_ksql_spark.operators.analytics import (
+        hourly_gapfill,
+        series_discords,
+    )
+
+    st = _st(spark, tmp_path)
+    seen: list[tuple[str, int]] = []
+    for e, rows in enumerate(BATCHES):
+        st.process_batch(_df(spark, rows), e)
+        seen += rows
+        got = {
+            (r["event_type"], r["rnk"]): (
+                r["start"], r["nn_start"], r["nn_dist"]
+            )
+            for r in st.discords(window_hours=2, recent_windows=5, top_k=2)
+            .collect()
+        }
+        series = hourly_gapfill(
+            _df(spark, seen), F.col("us")
+        ).select("event_type", "hour", "n_events")
+        want = {
+            (r["event_type"], r["rnk"]): (
+                r["start"], r["nn_start"], r["nn_dist"]
+            )
+            for r in series_discords(
+                series, window_hours=2, recent_windows=5, top_k=2
+            ).collect()
+        }
+        assert got == want, f"epoch {e}"
