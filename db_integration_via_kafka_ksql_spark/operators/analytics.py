@@ -543,3 +543,78 @@ def series_discords(
         nn.withColumn("rnk", F.row_number().over(rw).cast("int"))
         .filter(F.col("rnk") <= top_k)
     )
+
+
+def series_lag_correlation(
+    series: DataFrame, max_lag_hours: int = 12, top_k: int = 1
+) -> DataFrame:
+    """Lead-lag scan over the dense hourly series: for every ORDERED
+    type pair (src, dst) — self-pairs included — and every lag in
+    [1, max_lag_hours], the average hourly product of src's series
+    against dst's series shifted ``lag`` hours later, in integer milli
+    units: avg_prod_milli = 1000 * sum(src[h] * dst[h+lag]) DIV
+    n_overlap_hours. The top-k lags per pair answer "does dst follow src
+    by k hours?" (cross-type: funnel latency at the traffic level;
+    self-pair: the dominant period — the discrete autocorrelation peak).
+
+    Per-hour normalization (DIV by the overlap length) keeps lags
+    comparable — a raw sum biases toward small lags because longer
+    overlaps have more terms. Lag 0 is excluded (for self-pairs it is a
+    degenerate maximum; for cross pairs "simultaneous" is the anomaly
+    screen's job, not the lead-lag scan's).
+
+    Determinism: products, sums, and the DIV are exact BIGINT; ties
+    break (avg desc, lag asc). Density is REQUIRED (gap-fill property):
+    missing hours must be explicit zeros or the shift misaligns time.
+
+    Scale shape: ONE hour-shifted self-join of the series against
+    itself — the join key is the hour (dst.hour = src.hour + lag via a
+    broadcast lag spine), so the pair frame is |types|^2 x |lags| x
+    |hours| rows streamed through a map-side-combined aggregate; state
+    after the shuffle is |types|^2 x |lags| (dimension-sized). Hours are
+    calendar-bounded, so the whole op is INVARIANT to event volume —
+    100 TB of events and 10 GB of events cost the same past the count
+    aggregation.
+
+    Returns (src_type, dst_type, lag_hours, n_hours, avg_prod_milli,
+    rnk).
+    """
+    from pyspark.sql.window import Window
+
+    if max_lag_hours < 1:
+        raise ValueError(f"max_lag_hours must be >= 1, got {max_lag_hours}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    # the series feeds BOTH sides of the shifted self-join — materialize
+    # once or the upstream chain (gap-fill + events scan) plans twice
+    series = series.select(
+        "event_type", "hour", "n_events"
+    ).localCheckpoint(eager=True)
+    lags = series.sparkSession.range(1, max_lag_hours + 1).select(
+        F.col("id").cast("long").alias("lag_hours")
+    )
+    src = series.select(
+        F.col("event_type").alias("src_type"),
+        F.col("hour").alias("h"),
+        F.col("n_events").cast("long").alias("a"),
+    ).crossJoin(F.broadcast(lags))
+    dst = series.select(
+        F.col("event_type").alias("dst_type"),
+        F.col("hour").alias("dh"),
+        F.col("n_events").cast("long").alias("b"),
+    )
+    paired = src.join(dst, src["h"] + src["lag_hours"] == dst["dh"]).select(
+        "src_type", "dst_type", "lag_hours", F.expr("a * b").alias("p")
+    )
+    agg = paired.groupBy("src_type", "dst_type", "lag_hours").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.expr("1000 * CAST(sum(p) AS BIGINT) DIV count(1)")
+        .alias("avg_prod_milli"),
+    )
+    rw = Window.partitionBy("src_type", "dst_type").orderBy(
+        F.col("avg_prod_milli").desc(), F.col("lag_hours").asc()
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rnk") <= top_k)
+    )

@@ -387,3 +387,69 @@ def events_series_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
         recent_windows=DISCORD_RECENT_WINDOWS,
         top_k=DISCORD_TOP_K,
     )
+
+
+LAG_MAX_HOURS = 12
+LAG_TOP_K = 1
+
+
+@query(
+    "events_series_lag_correlation",
+    driver=False,  # new in round 14 — queued for the round-15 rotation
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type, epoch_us(ts) // {AN.HOUR_US} AS hour FROM events
+    ),
+    counts AS (
+        SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_events
+        FROM ev GROUP BY 1, 2
+    ),
+    b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
+    hours AS (SELECT unnest(generate_series(h0, h1)) AS hour FROM b),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    grid AS (SELECT event_type, hour FROM types, hours),
+    filled AS (
+        SELECT g.event_type, g.hour,
+               CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+        FROM grid g
+        LEFT JOIN counts c
+          ON g.event_type = c.event_type AND g.hour = c.hour
+    ),
+    lags AS (
+        SELECT unnest(generate_series(1, {LAG_MAX_HOURS})) AS lag_hours
+    ),
+    agg AS (
+        SELECT s.event_type AS src_type, d.event_type AS dst_type,
+               l.lag_hours,
+               CAST(count(*) AS BIGINT) AS n_hours,
+               1000 * CAST(sum(s.n_events * d.n_events) AS BIGINT)
+                   // CAST(count(*) AS BIGINT) AS avg_prod_milli
+        FROM filled s
+        CROSS JOIN lags l
+        JOIN filled d ON d.hour = s.hour + l.lag_hours
+        GROUP BY 1, 2, 3
+    )
+    SELECT src_type, dst_type, lag_hours, n_hours, avg_prod_milli, rnk
+    FROM (
+        SELECT *, CAST(row_number() OVER (
+            PARTITION BY src_type, dst_type
+            ORDER BY avg_prod_milli DESC, lag_hours ASC
+        ) AS INTEGER) AS rnk
+        FROM agg
+    ) WHERE rnk <= {LAG_TOP_K}
+    """,
+)
+def events_series_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag scan (analytics.series_lag_correlation) over the dense
+    hourly traffic: for every ordered type pair and lag 1..12h, the
+    per-overlap-hour integer product of src's series against dst's
+    shifted series; the best lag per pair answers "does dst follow src
+    by k hours" (self-pairs: the dominant period). Replayed end to end
+    by the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    series = AN.gapfill_from_counts(
+        AN.hourly_counts(ev, epoch_us_col(ev, "ts"))
+    ).select("event_type", "hour", "n_events")
+    return AN.series_lag_correlation(
+        series, max_lag_hours=LAG_MAX_HOURS, top_k=LAG_TOP_K
+    )

@@ -401,3 +401,49 @@ def test_discords_reject_bad_params(spark):
         series_discords(s, recent_windows=0)
     with pytest.raises(ValueError, match="top_k"):
         series_discords(s, top_k=0)
+
+
+# -- lead-lag cross-correlation ------------------------------------------------
+
+from db_integration_via_kafka_ksql_spark.operators.analytics import (  # noqa: E402
+    series_lag_correlation,
+)
+
+
+def test_lag_correlation_finds_planted_lead_lag(spark):
+    # a spikes at hour 0, b spikes at hour 3 -> b follows a by 3
+    cells = {("a", h): 0 for h in range(6)} | {("b", h): 0 for h in range(6)}
+    cells[("a", 0)] = 1
+    cells[("b", 3)] = 1
+    rows = [(t, h, n) for (t, h), n in cells.items()]
+    got = {
+        (r["src_type"], r["dst_type"]): (r["lag_hours"], r["avg_prod_milli"])
+        for r in series_lag_correlation(
+            _series(spark, rows), max_lag_hours=4, top_k=1
+        ).collect()
+    }
+    # overlap for lag 3 over hours 0..5 is 3 hours -> 1000 * 1 // 3
+    assert got[("a", "b")] == (3, 333)
+
+
+def test_lag_correlation_self_pair_finds_period(spark):
+    # period-2 square wave: autocorrelation peaks at even lags; the
+    # earliest peak (lag 2) wins the (avg desc, lag asc) tie-break
+    rows = [("c", h, 1 if h % 2 == 0 else 0) for h in range(6)]
+    got = {
+        (r["src_type"], r["dst_type"]): (r["lag_hours"], r["avg_prod_milli"])
+        for r in series_lag_correlation(
+            _series(spark, rows), max_lag_hours=4, top_k=1
+        ).collect()
+    }
+    assert got[("c", "c")] == (2, 500)
+
+
+def test_lag_correlation_rejects_bad_params(spark):
+    import pytest
+
+    s = _series(spark, [("a", 0, 1)])
+    with pytest.raises(ValueError, match="max_lag_hours"):
+        series_lag_correlation(s, max_lag_hours=0)
+    with pytest.raises(ValueError, match="top_k"):
+        series_lag_correlation(s, top_k=0)

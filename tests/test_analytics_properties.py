@@ -284,3 +284,49 @@ def test_series_discords_match_python_model(spark, rows, w, r, k):
         ).collect()
     }
     assert got == _py_discords(cells, w, r, k)
+
+
+from db_integration_via_kafka_ksql_spark.operators.analytics import (  # noqa: E402
+    series_lag_correlation,
+)
+
+
+def _py_lag_corr(cells, max_lag, k):
+    types = sorted({t for t, _ in cells})
+    hmax = max(h for _, h in cells)
+    out = {}
+    for s in types:
+        for d in types:
+            rows = []
+            for lag in range(1, max_lag + 1):
+                hs = [h for h in range(0, hmax + 1) if h + lag <= hmax]
+                if not hs:
+                    continue
+                tot = sum(cells[(s, h)] * cells[(d, h + lag)] for h in hs)
+                rows.append((1000 * tot // len(hs), -lag, len(hs)))
+            rows.sort(reverse=True)
+            for rnk, (avg, neglag, n) in enumerate(rows[:k], start=1):
+                out[(s, d, rnk)] = (-neglag, n, avg)
+    return out
+
+
+@given(rows=_series_rows, max_lag=st.integers(1, 5), k=st.integers(1, 2))
+@_SETTINGS
+def test_lag_correlation_matches_python_model(spark, rows, max_lag, k):
+    types = sorted({t for (t, _), _ in rows})
+    hmax = max(h for (_, h), _ in rows)
+    cells = {(t, h): 0 for t in types for h in range(0, hmax + 1)}
+    cells.update({(t, h): n for (t, h), n in rows})
+    df = spark.createDataFrame(
+        [(t, h, n) for (t, h), n in cells.items()],
+        "event_type string, hour long, n_events long",
+    )
+    got = {
+        (r["src_type"], r["dst_type"], r["rnk"]): (
+            r["lag_hours"], r["n_hours"], r["avg_prod_milli"]
+        )
+        for r in series_lag_correlation(
+            df, max_lag_hours=max_lag, top_k=k
+        ).collect()
+    }
+    assert got == _py_lag_corr(cells, max_lag, k)

@@ -965,3 +965,18 @@ def test_series_discords_probe_join_is_broadcast_hash(reports):
     assert r.sort_merge_joins == 0
     assert r.has_partial_aggregate
     assert r.windows == 1
+
+
+def test_lag_correlation_single_materialized_series(reports):
+    """Lead-lag scan's scale contract: the series is checkpointed once
+    (the shifted self-join's two sides must not re-plan the gap-fill
+    chain), the shift is an equi HASH join on the computed hour key, the
+    only NLJ is the broadcast lag spine, and the product fold partially
+    aggregates into the |types|^2 x |lags| state."""
+    r = reports("events_series_lag_correlation")
+    assert "events" not in r.scans  # behind the series checkpoint
+    assert r.nested_loop_joins == 1  # the |lags| broadcast spine only
+    assert r.sort_merge_joins == 0
+    assert r.has_partial_aggregate
+    assert r.windows == 1
+    assert r.n_shuffle_exchanges <= 2
