@@ -170,8 +170,8 @@ def hourly_gapfill(
 
 def hourly_counts(events: DataFrame, ts_us: Column) -> DataFrame:
     """(event_type, hour, n_events): the map-side-combined hourly count
-    table — the shared front half of hourly_gapfill and the series
-    similarity search."""
+    table — hourly_gapfill's front half, split out for callers that
+    maintain the count table themselves (the streaming state shape)."""
     return (
         events.select("event_type", ts_us.cast("long").alias("_us"))
         .select("event_type", F.expr(f"_us DIV {HOUR_US}").alias("hour"))
@@ -606,10 +606,17 @@ def series_lag_correlation(
     paired = src.join(dst, src["h"] + src["lag_hours"] == dst["dh"]).select(
         "src_type", "dst_type", "lag_hours", F.expr("a * b").alias("p")
     )
+    # 1000*s DIV n == 1000*(s DIV n) + (1000*(s % n)) DIV n exactly for
+    # non-negative s — the split form never materializes 1000*s, so the
+    # op survives decade-span million-events/hour sums (s up to ~9.2e18)
+    # instead of overflowing BIGINT at s > 9.2e15 under ANSI mode
+    avg_milli = (
+        "1000 * (CAST(sum(p) AS BIGINT) DIV count(1))"
+        " + (1000 * (CAST(sum(p) AS BIGINT) % count(1))) DIV count(1)"
+    )
     agg = paired.groupBy("src_type", "dst_type", "lag_hours").agg(
         F.count(F.lit(1)).cast("long").alias("n_hours"),
-        F.expr("1000 * CAST(sum(p) AS BIGINT) DIV count(1)")
-        .alias("avg_prod_milli"),
+        F.expr(avg_milli).alias("avg_prod_milli"),
     )
     rw = Window.partitionBy("src_type", "dst_type").orderBy(
         F.col("avg_prod_milli").desc(), F.col("lag_hours").asc()

@@ -133,15 +133,21 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AN.event_transition_matrix(ev, epoch_us_col(ev, "ts"))
 
 
+
 GAPFILL_TRAILING_HOURS = 3
 DECAY_HALF_LIFE_DAYS = 7
+SIM_WINDOW_HOURS = 6
+SIM_TOP_K = 3
+DISCORD_RECENT_WINDOWS = 24
+DISCORD_TOP_K = 3
+LAG_MAX_HOURS = 12
+LAG_TOP_K = 1
 
-
-@query(
-    "events_hourly_gapfill",
-    driver=False,  # new in round 14 — queued for the round-15 rotation
-    oracle=f"""
-    WITH ev AS (
+# THE single DuckDB replay of the dense gap-filled grid — shared by all
+# four series-family oracles (a hand-copied CTE block would let a
+# gap-fill semantics fix drift apart silently; the decay_weight_ppm_sql
+# single-definition stance applied to SQL text)
+_GAPFILL_CTES = f"""ev AS (
         SELECT event_type, epoch_us(ts) // {AN.HOUR_US} AS hour FROM events
     ),
     counts AS (
@@ -158,7 +164,46 @@ DECAY_HALF_LIFE_DAYS = 7
         FROM grid g
         LEFT JOIN counts c
           ON g.event_type = c.event_type AND g.hour = c.hour
+    )"""
+
+# the full-window vector frame over that grid (similarity + discords)
+_WINS_CTES = f"""{_GAPFILL_CTES},
+    wins0 AS (
+        SELECT event_type, hour AS start,
+               list(n_events) OVER (
+                   PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN CURRENT ROW
+                            AND {SIM_WINDOW_HOURS - 1} FOLLOWING
+               ) AS vec
+        FROM filled
     ),
+    wins AS (SELECT * FROM wins0 WHERE len(vec) = {SIM_WINDOW_HOURS})"""
+
+
+def _sqdist_dd(left: str, right: str) -> str:
+    """Exact BIGINT squared Euclidean distance between two list columns
+    — the DuckDB rendering of operators/analytics._sqdist_sql."""
+    return (
+        f"CAST(list_sum([({left}[i] - {right}[i]) * ({left}[i] - {right}[i]) "
+        f"for i in generate_series(1, {SIM_WINDOW_HOURS})]) AS BIGINT)"
+    )
+
+
+def _dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense (event_type, hour, n_events) series every series-family
+    query consumes — one shared construction (AN.hourly_gapfill; the mov
+    columns are column-pruned away by Catalyst, plan-pin-verified)."""
+    ev = load_table(spark, sf_dir, "events")
+    return AN.hourly_gapfill(ev, epoch_us_col(ev, "ts")).select(
+        "event_type", "hour", "n_events"
+    )
+
+
+@query(
+    "events_hourly_gapfill",
+    driver=False,  # new in round 14 — queued for the round-15 rotation
+    oracle=f"""
+    WITH {_GAPFILL_CTES},
     w AS (
         SELECT event_type, hour, n_events,
                CAST(sum(n_events) OVER win AS BIGINT) AS mov_sum,
@@ -219,47 +264,11 @@ def events_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIM_WINDOW_HOURS = 6
-SIM_TOP_K = 3
-
-_SIM_DIST_DD = (
-    "CAST(list_sum([(q.qvec[i] - w.vec[i]) * (q.qvec[i] - w.vec[i]) "
-    f"for i in generate_series(1, {SIM_WINDOW_HOURS})]) AS BIGINT)"
-)
-
-
 @query(
     "events_series_similarity_topk",
     driver=False,  # new in round 14 — queued for the round-15 rotation
     oracle=f"""
-    WITH ev AS (
-        SELECT event_type, epoch_us(ts) // {AN.HOUR_US} AS hour FROM events
-    ),
-    counts AS (
-        SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_events
-        FROM ev GROUP BY 1, 2
-    ),
-    b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
-    hours AS (SELECT unnest(generate_series(h0, h1)) AS hour FROM b),
-    types AS (SELECT DISTINCT event_type FROM ev),
-    grid AS (SELECT event_type, hour FROM types, hours),
-    filled AS (
-        SELECT g.event_type, g.hour,
-               CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
-        FROM grid g
-        LEFT JOIN counts c
-          ON g.event_type = c.event_type AND g.hour = c.hour
-    ),
-    wins0 AS (
-        SELECT event_type, hour AS start,
-               list(n_events) OVER (
-                   PARTITION BY event_type ORDER BY hour
-                   ROWS BETWEEN CURRENT ROW
-                            AND {SIM_WINDOW_HOURS - 1} FOLLOWING
-               ) AS vec
-        FROM filled
-    ),
-    wins AS (SELECT * FROM wins0 WHERE len(vec) = {SIM_WINDOW_HOURS}),
+    WITH {_WINS_CTES},
     qs AS (SELECT max(start) AS qstart FROM wins),
     queries AS (
         SELECT event_type AS query_type, start AS query_start, vec AS qvec
@@ -267,7 +276,7 @@ _SIM_DIST_DD = (
     ),
     scored AS (
         SELECT q.query_type, w.event_type AS match_type,
-               w.start AS match_start, {_SIM_DIST_DD} AS dist
+               w.start AS match_start, {_sqdist_dd("q.qvec", "w.vec")} AS dist
         FROM wins w
         JOIN queries q ON w.start + {SIM_WINDOW_HOURS} <= q.query_start
     )
@@ -288,56 +297,18 @@ def events_series_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     distance — the "which past period looked like right now" probe,
     replayed end to end (gap-fill, window collection, distance, rank)
     by the oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    series = AN.gapfill_from_counts(
-        AN.hourly_counts(ev, epoch_us_col(ev, "ts"))
-    ).select("event_type", "hour", "n_events")
     return AN.series_similarity_topk(
-        series, window_hours=SIM_WINDOW_HOURS, top_k=SIM_TOP_K
+        _dense_series(spark, sf_dir),
+        window_hours=SIM_WINDOW_HOURS,
+        top_k=SIM_TOP_K,
     )
-
-
-DISCORD_RECENT_WINDOWS = 24
-DISCORD_TOP_K = 3
-
-_DISCORD_DIST_DD = (
-    "CAST(list_sum([(p.pvec[i] - w.vec[i]) * (p.pvec[i] - w.vec[i]) "
-    f"for i in generate_series(1, {SIM_WINDOW_HOURS})]) AS BIGINT)"
-)
 
 
 @query(
     "events_series_discords",
     driver=False,  # new in round 14 — queued for the round-15 rotation
     oracle=f"""
-    WITH ev AS (
-        SELECT event_type, epoch_us(ts) // {AN.HOUR_US} AS hour FROM events
-    ),
-    counts AS (
-        SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_events
-        FROM ev GROUP BY 1, 2
-    ),
-    b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
-    hours AS (SELECT unnest(generate_series(h0, h1)) AS hour FROM b),
-    types AS (SELECT DISTINCT event_type FROM ev),
-    grid AS (SELECT event_type, hour FROM types, hours),
-    filled AS (
-        SELECT g.event_type, g.hour,
-               CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
-        FROM grid g
-        LEFT JOIN counts c
-          ON g.event_type = c.event_type AND g.hour = c.hour
-    ),
-    wins0 AS (
-        SELECT event_type, hour AS start,
-               list(n_events) OVER (
-                   PARTITION BY event_type ORDER BY hour
-                   ROWS BETWEEN CURRENT ROW
-                            AND {SIM_WINDOW_HOURS - 1} FOLLOWING
-               ) AS vec
-        FROM filled
-    ),
-    wins AS (SELECT * FROM wins0 WHERE len(vec) = {SIM_WINDOW_HOURS}),
+    WITH {_WINS_CTES},
     qm AS (SELECT max(start) AS qmax FROM wins),
     probes AS (
         SELECT event_type AS p_type, start AS p_start, vec AS pvec
@@ -345,7 +316,7 @@ _DISCORD_DIST_DD = (
     ),
     cand AS (
         SELECT p.p_type, p.p_start, w.start AS nn_start,
-               {_DISCORD_DIST_DD} AS nn_dist
+               {_sqdist_dd("p.pvec", "w.vec")} AS nn_dist
         FROM wins w
         JOIN probes p
           ON w.event_type = p.p_type
@@ -377,44 +348,21 @@ def events_series_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
     FARTHEST — traffic shaped like nothing else in that type's history.
     The shape-anomaly complement of the hourly z-score screen, replayed
     end to end by the oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    series = AN.gapfill_from_counts(
-        AN.hourly_counts(ev, epoch_us_col(ev, "ts"))
-    ).select("event_type", "hour", "n_events")
     return AN.series_discords(
-        series,
+        _dense_series(spark, sf_dir),
         window_hours=SIM_WINDOW_HOURS,
         recent_windows=DISCORD_RECENT_WINDOWS,
         top_k=DISCORD_TOP_K,
     )
 
 
-LAG_MAX_HOURS = 12
-LAG_TOP_K = 1
-
-
 @query(
     "events_series_lag_correlation",
     driver=False,  # new in round 14 — queued for the round-15 rotation
+    # the avg uses the same overflow-safe split form as the operator:
+    # 1000*s//n == 1000*(s//n) + (1000*(s%n))//n exactly (s >= 0)
     oracle=f"""
-    WITH ev AS (
-        SELECT event_type, epoch_us(ts) // {AN.HOUR_US} AS hour FROM events
-    ),
-    counts AS (
-        SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_events
-        FROM ev GROUP BY 1, 2
-    ),
-    b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
-    hours AS (SELECT unnest(generate_series(h0, h1)) AS hour FROM b),
-    types AS (SELECT DISTINCT event_type FROM ev),
-    grid AS (SELECT event_type, hour FROM types, hours),
-    filled AS (
-        SELECT g.event_type, g.hour,
-               CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
-        FROM grid g
-        LEFT JOIN counts c
-          ON g.event_type = c.event_type AND g.hour = c.hour
-    ),
+    WITH {_GAPFILL_CTES},
     lags AS (
         SELECT unnest(generate_series(1, {LAG_MAX_HOURS})) AS lag_hours
     ),
@@ -422,7 +370,10 @@ LAG_TOP_K = 1
         SELECT s.event_type AS src_type, d.event_type AS dst_type,
                l.lag_hours,
                CAST(count(*) AS BIGINT) AS n_hours,
-               1000 * CAST(sum(s.n_events * d.n_events) AS BIGINT)
+               1000 * (CAST(sum(s.n_events * d.n_events) AS BIGINT)
+                       // CAST(count(*) AS BIGINT))
+               + (1000 * (CAST(sum(s.n_events * d.n_events) AS BIGINT)
+                          % CAST(count(*) AS BIGINT)))
                    // CAST(count(*) AS BIGINT) AS avg_prod_milli
         FROM filled s
         CROSS JOIN lags l
@@ -446,10 +397,8 @@ def events_series_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
     shifted series; the best lag per pair answers "does dst follow src
     by k hours" (self-pairs: the dominant period). Replayed end to end
     by the oracle."""
-    ev = load_table(spark, sf_dir, "events")
-    series = AN.gapfill_from_counts(
-        AN.hourly_counts(ev, epoch_us_col(ev, "ts"))
-    ).select("event_type", "hour", "n_events")
     return AN.series_lag_correlation(
-        series, max_lag_hours=LAG_MAX_HOURS, top_k=LAG_TOP_K
+        _dense_series(spark, sf_dir),
+        max_lag_hours=LAG_MAX_HOURS,
+        top_k=LAG_TOP_K,
     )

@@ -298,7 +298,11 @@ def test_series_similarity_finds_planted_repeat(spark):
     assert by_q["a"]["dist"] == 0
     # b's own history is all-constant: its best match is itself at the
     # earliest eligible start (dist 0, ties break on type asc, start asc)
-    assert (by_q["b"]["match_type"], by_q["b"]["dist"]) != ("", None)
+    assert (
+        by_q["b"]["match_type"],
+        by_q["b"]["match_start"],
+        by_q["b"]["dist"],
+    ) == ("b", 0, 0)
 
 
 def test_series_similarity_nonoverlap_boundary(spark):
