@@ -625,3 +625,55 @@ def series_lag_correlation(
         agg.withColumn("rnk", F.row_number().over(rw).cast("int"))
         .filter(F.col("rnk") <= top_k)
     )
+
+
+def hour_of_day_profile(series: DataFrame) -> DataFrame:
+    """Seasonality profile over the dense hourly series: per (type,
+    hour-of-day 0..23), total events and the integer permille share of
+    the type's overall traffic — the "typical day shape" a monitoring
+    pass divides out before screening (a nightly batch spike is an
+    anomaly at 2pm and baseline at 2am), and the calibration input for
+    traffic-aware rate limits.
+
+    The dense grid matters here too: quiet hours must contribute their
+    zeros to the per-slot totals or a type active only at night shows a
+    flat (all-1000/24) profile instead of its real concentration.
+
+    Determinism: share_permille = slot_total * 1000 DIV type_total, the
+    repo's exact permille recipe; zero-traffic types report share 0 for
+    every slot (ANSI-safe guarded DIV). hour-of-day = hour % 24 on the
+    epoch-hour index (epoch 0 is midnight UTC — the profile is a UTC
+    day shape; shift upstream for local-time profiles).
+
+    Scale shape: one map-side-combined (type, hod) aggregate over the
+    dimension-sized grid, type totals re-aggregated from the 24-row
+    slots and broadcast back — nothing event-sized past the gap-fill's
+    count aggregation.
+
+    Returns (event_type, hour_of_day, n_events, type_total,
+    share_permille).
+    """
+    slots = (
+        series.select(
+            "event_type",
+            F.expr("hour % 24").cast("long").alias("hour_of_day"),
+            F.col("n_events").cast("long").alias("n"),
+        )
+        .groupBy("event_type", "hour_of_day")
+        .agg(F.sum("n").cast("long").alias("n_events"))
+        # feeds the totals AND the share join
+        .localCheckpoint(eager=True)
+    )
+    totals = slots.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("type_total")
+    )
+    return slots.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        "type_total",
+        F.when(
+            F.col("type_total") > 0,
+            F.expr("n_events * 1000 DIV type_total"),
+        ).otherwise(F.lit(0).cast("long")).alias("share_permille"),
+    )

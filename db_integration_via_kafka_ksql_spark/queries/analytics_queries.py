@@ -402,3 +402,32 @@ def events_series_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
         max_lag_hours=LAG_MAX_HOURS,
         top_k=LAG_TOP_K,
     )
+
+
+@query(
+    "events_hour_of_day_profile",
+    driver=False,  # new in round 14 — queued for the round-15 rotation
+    oracle=f"""
+    WITH {_GAPFILL_CTES},
+    slots AS (
+        SELECT event_type, hour % 24 AS hour_of_day,
+               CAST(sum(n_events) AS BIGINT) AS n_events
+        FROM filled GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT event_type, CAST(sum(n_events) AS BIGINT) AS type_total
+        FROM slots GROUP BY 1
+    )
+    SELECT s.event_type, s.hour_of_day, s.n_events, t.type_total,
+           CASE WHEN t.type_total > 0
+                THEN s.n_events * 1000 // t.type_total
+                ELSE CAST(0 AS BIGINT) END AS share_permille
+    FROM slots s JOIN totals t ON s.event_type = t.event_type
+    """,
+)
+def events_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTC hour-of-day seasonality profile (analytics.hour_of_day_profile)
+    over the dense gap-filled series: per (type, 0..23) slot, total
+    events + exact permille share of the type's traffic — the typical
+    day shape a monitoring pass divides out before screening."""
+    return AN.hour_of_day_profile(_dense_series(spark, sf_dir))

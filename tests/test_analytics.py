@@ -451,3 +451,35 @@ def test_lag_correlation_rejects_bad_params(spark):
         series_lag_correlation(s, max_lag_hours=0)
     with pytest.raises(ValueError, match="top_k"):
         series_lag_correlation(s, top_k=0)
+
+
+# -- hour-of-day seasonality profile -------------------------------------------
+
+from db_integration_via_kafka_ksql_spark.operators.analytics import (  # noqa: E402
+    hour_of_day_profile,
+)
+
+
+def test_hour_of_day_profile_folds_days_and_shares(spark):
+    # two days of dense series: type a puts 3 events at hod 2 each day
+    # and 1 at hod 5 on day one; everything else zero
+    cells = {("a", h): 0 for h in range(48)}
+    cells[("a", 2)] = 3
+    cells[("a", 26)] = 3   # hod 2, day 2
+    cells[("a", 5)] = 1
+    rows = [(t, h, n) for (t, h), n in cells.items()]
+    got = {
+        r["hour_of_day"]: (r["n_events"], r["type_total"], r["share_permille"])
+        for r in hour_of_day_profile(_series(spark, rows)).collect()
+    }
+    assert len(got) == 24  # every slot present, zeros explicit
+    assert got[2] == (6, 7, 857)
+    assert got[5] == (1, 7, 142)
+    assert got[0] == (0, 7, 0)
+
+
+def test_hour_of_day_profile_zero_traffic_type_is_all_zero_shares(spark):
+    rows = [("quiet", h, 0) for h in range(24)]
+    got = hour_of_day_profile(_series(spark, rows)).collect()
+    assert len(got) == 24
+    assert all(r["share_permille"] == 0 and r["type_total"] == 0 for r in got)

@@ -980,3 +980,15 @@ def test_lag_correlation_single_materialized_series(reports):
     assert r.has_partial_aggregate
     assert r.windows == 1
     assert r.n_shuffle_exchanges <= 2
+
+
+def test_hour_of_day_profile_slots_checkpointed_once(reports):
+    """Seasonality profile's scale contract: the 24-slot frame is
+    checkpointed once (it feeds the totals AND the share join), totals
+    broadcast back — no event re-scan, no window, no NLJ."""
+    r = reports("events_hour_of_day_profile")
+    assert "events" not in r.scans
+    assert r.nested_loop_joins == 0
+    assert r.broadcast_hash_joins == 1
+    assert r.has_partial_aggregate
+    assert r.windows == 0
