@@ -635,15 +635,17 @@ def hour_of_day_profile(series: DataFrame) -> DataFrame:
     anomaly at 2pm and baseline at 2am), and the calibration input for
     traffic-aware rate limits.
 
-    The dense grid matters here too: quiet hours must contribute their
-    zeros to the per-slot totals or a type active only at night shows a
-    flat (all-1000/24) profile instead of its real concentration.
+    The dense grid buys EXPLICIT zero rows: shares are insensitive to
+    missing hours (absent rows add nothing to either sum), but a
+    consumer dividing traffic by its profile needs every (type, slot)
+    key present — quiet slots must exist with share 0, not be absent.
 
     Determinism: share_permille = slot_total * 1000 DIV type_total, the
     repo's exact permille recipe; zero-traffic types report share 0 for
-    every slot (ANSI-safe guarded DIV). hour-of-day = hour % 24 on the
-    epoch-hour index (epoch 0 is midnight UTC — the profile is a UTC
-    day shape; shift upstream for local-time profiles).
+    every slot (ANSI-safe guarded DIV). hour-of-day = pmod(hour, 24) on
+    the epoch-hour index (epoch 0 is midnight UTC — the profile is a
+    UTC day shape; shift upstream for local-time profiles; pmod keeps
+    pre-1970 hours inside the 0..23 contract where % would go negative).
 
     Scale shape: one map-side-combined (type, hod) aggregate over the
     dimension-sized grid, type totals re-aggregated from the 24-row
@@ -656,7 +658,7 @@ def hour_of_day_profile(series: DataFrame) -> DataFrame:
     slots = (
         series.select(
             "event_type",
-            F.expr("hour % 24").cast("long").alias("hour_of_day"),
+            F.expr("pmod(hour, 24)").cast("long").alias("hour_of_day"),
             F.col("n_events").cast("long").alias("n"),
         )
         .groupBy("event_type", "hour_of_day")

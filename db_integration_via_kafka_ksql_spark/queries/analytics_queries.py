@@ -410,7 +410,7 @@ def events_series_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle=f"""
     WITH {_GAPFILL_CTES},
     slots AS (
-        SELECT event_type, hour % 24 AS hour_of_day,
+        SELECT event_type, ((hour % 24) + 24) % 24 AS hour_of_day,
                CAST(sum(n_events) AS BIGINT) AS n_events
         FROM filled GROUP BY 1, 2
     ),

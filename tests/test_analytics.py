@@ -483,3 +483,14 @@ def test_hour_of_day_profile_zero_traffic_type_is_all_zero_shares(spark):
     got = hour_of_day_profile(_series(spark, rows)).collect()
     assert len(got) == 24
     assert all(r["share_permille"] == 0 and r["type_total"] == 0 for r in got)
+
+
+def test_hour_of_day_profile_pre_epoch_hours_stay_in_contract(spark):
+    # pre-1970 hours are negative; % would emit hod -1 — pmod keeps the
+    # 0..23 contract (hour -1 is 23:00 UTC on 1969-12-31)
+    rows = [("a", h, 1) for h in range(-2, 3)]
+    got = {
+        r["hour_of_day"]
+        for r in hour_of_day_profile(_series(spark, rows)).collect()
+    }
+    assert got == {22, 23, 0, 1, 2}

@@ -193,3 +193,45 @@ def test_live_stream_end_to_end(spark, tmp_path):
     finally:
         q.stop()
     assert _stream_scores(st) == _batch_scores(spark, rows)
+
+
+def test_maintenance_bounds_state_listings_and_keeps_prefix_contract(
+    spark, tmp_path
+):
+    """The scheduled-maintenance contract on this stream: pruned state
+    epochs keep their replay markers while only the newest K carry full
+    copies, and scores() stays bit-equal to the batch op throughout."""
+    from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+        MaintenancePolicy,
+    )
+
+    # cadence 1: maintenance ticks on every BUSY epoch (idle epochs
+    # commit nothing and skip the hook), so the final busy epoch leaves
+    # exactly state_keep_last full copies
+    st = _st(
+        spark,
+        tmp_path,
+        maintenance=MaintenancePolicy(every_n_epochs=1, state_keep_last=2),
+    )
+    seen: list[tuple[int, int]] = []
+    batches = [
+        [(1, d)] if d % 3 else [] for d in range(8)  # idle epochs mixed in
+    ]
+    for e, rows in enumerate(batches):
+        st.process_batch(_df(spark, rows), e)
+        seen += rows
+        if seen:
+            assert _stream_scores(st) == _batch_scores(spark, seen), e
+    state_dirs = sorted(os.listdir(str(tmp_path / "state")))
+    # every committed epoch keeps its marker dir...
+    assert len(state_dirs) == len([b for b in batches if b])
+    # ...but only the newest keep_last carry data files
+    full = [
+        d for d in state_dirs
+        if any(f.endswith(".parquet")
+               for f in os.listdir(str(tmp_path / "state" / d)))
+    ]
+    assert len(full) <= 2
+    # and a fresh instance over the pruned store still agrees
+    st2 = _st(spark, tmp_path)
+    assert _stream_scores(st2) == _batch_scores(spark, seen)
