@@ -68,12 +68,30 @@ class StreamingDecayEngagement:
     # scheduled epochdir maintenance (state-epoch pruning / output
     # compaction per the policy) — None disables
     maintenance: MaintenancePolicy | None = None
+    # LOSSLESS day-archive fold: days older than this many half-lives
+    # are merged into one row per user (sum counts, keep max day) during
+    # the state merge. 10^6 DIV 2^20 == 0, so any age >= 20 half-lives
+    # weighs exactly 0 ppm — and the horizon only moves forward — so the
+    # fold changes NO output bit (n_events sums, last_seen_day is the
+    # fold-max, score contribution was and stays 0) while state shrinks
+    # from (user x all active days) to (user x ~20*half_life days + 1).
+    # None disables; values < 20 are refused (they would fold live ppm).
+    archive_after_half_lives: int | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     def __post_init__(self) -> None:
         if self.half_life_days < 1:
             raise ValueError(
                 f"half_life_days must be >= 1, got {self.half_life_days}"
+            )
+        if (
+            self.archive_after_half_lives is not None
+            and self.archive_after_half_lives < 20
+        ):
+            raise ValueError(
+                "archive_after_half_lives must be >= 20 (ages below 20 "
+                "half-lives still carry nonzero ppm — folding them would "
+                f"change scores), got {self.archive_after_half_lives}"
             )
 
     # -- state ------------------------------------------------------------
@@ -153,6 +171,37 @@ class StreamingDecayEngagement:
             )
         return self.spark.read.parquet(self.output_path)
 
+    def _fold_ancient_days(self, counts: DataFrame) -> DataFrame:
+        """Merge days older than ``archive_after_half_lives`` into one
+        (u, max folded day, summed c) row per user — lossless for every
+        output (see the field comment), deterministic (so crash replays
+        recompute the identical state commit), and run inside the merge
+        so each state epoch is already compacted. The horizon rides a
+        single-row broadcast; the fold itself touches state-sized rows
+        only."""
+        horizon = counts.groupBy().agg(F.max("day").alias("asof_day"))
+        cut = counts.crossJoin(F.broadcast(horizon)).select(
+            "u",
+            "day",
+            "c",
+            (
+                F.col("day")
+                <= F.col("asof_day")
+                - self.archive_after_half_lives * self.half_life_days
+            ).alias("_ancient"),
+        ).localCheckpoint(eager=True)  # feeds both branches of the split
+        young = cut.filter(~F.col("_ancient")).select("u", "day", "c")
+        folded = (
+            cut.filter(F.col("_ancient"))
+            .groupBy("u")
+            .agg(
+                F.max("day").cast("long").alias("day"),
+                F.sum("c").cast("long").alias("c"),
+            )
+            .select("u", "day", "c")
+        )
+        return young.unionByName(folded)
+
     # -- per-batch plan -----------------------------------------------------
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         self.batches_seen.append(epoch_id)
@@ -202,6 +251,8 @@ class StreamingDecayEngagement:
                 ).cast("long").alias("c"),
             )
         )
+        if self.archive_after_half_lives is not None:
+            merged = self._fold_ancient_days(merged)
         if not done_state:
             epochdir.commit_epoch(
                 merged, self.state_path, self.batch_col, epoch_id

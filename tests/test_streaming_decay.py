@@ -235,3 +235,62 @@ def test_maintenance_bounds_state_listings_and_keeps_prefix_contract(
     # and a fresh instance over the pruned store still agrees
     st2 = _st(spark, tmp_path)
     assert _stream_scores(st2) == _batch_scores(spark, seen)
+
+
+def test_archive_fold_is_output_lossless_and_shrinks_state(spark, tmp_path):
+    """Ages >= 20 half-lives weigh exactly 0 ppm (1e6 < 2^20), so the
+    day-archive fold must change NO output bit while collapsing a user's
+    ancient days to one state row."""
+    st = _st(
+        spark, tmp_path, half_life_days=1, archive_after_half_lives=20
+    )
+    # user 1: ancient burst (days 0..2) + recent activity (days 50, 51)
+    batches = [
+        [(1, 0), (1, 1), (1, 2), (2, 1)],
+        [(1, 50), (1, 51), (2, 51)],
+    ]
+    seen: list[tuple[int, int]] = []
+    for e, rows in enumerate(batches):
+        st.process_batch(
+            spark.createDataFrame(
+                [(u, d * DAY_US + 9) for u, d in rows], SCHEMA
+            ),
+            e,
+        )
+        seen += rows
+        # prefix contract holds THROUGH the fold (batch op never folds)
+        want = {
+            r["user_id"]: (r["n_events"], r["last_seen_day"], r["score_ppm"])
+            for r in decay_engagement(
+                spark.createDataFrame(
+                    [(u, d * DAY_US + 9) for u, d in seen], SCHEMA
+                ),
+                F.col("us"),
+                half_life_days=1,
+            ).collect()
+        }
+        assert _stream_scores(st) == want, f"epoch {e}"
+    # state: user 1's days 0..2 folded into one (day=2, c=3) row
+    state = {
+        (r["u"], r["day"]): r["c"]
+        for r in st._prior_counts(None).collect()
+    }
+    assert state[(1, 2)] == 3
+    assert (1, 0) not in state and (1, 1) not in state
+    assert state[(1, 50)] == 1 and state[(1, 51)] == 1
+    # user 2's ancient day folds too (archive-only max preserved)
+    assert state[(2, 1)] == 1
+    # replay with the fold enabled stays byte-idempotent on outputs
+    before = _stream_scores(st)
+    st.process_batch(
+        spark.createDataFrame(
+            [(u, d * DAY_US + 9) for u, d in batches[1]], SCHEMA
+        ),
+        1,
+    )
+    assert _stream_scores(st) == before
+
+
+def test_archive_fold_refuses_lossy_thresholds(spark, tmp_path):
+    with pytest.raises(ValueError, match="archive_after_half_lives"):
+        _st(spark, tmp_path, archive_after_half_lives=19)
