@@ -144,6 +144,27 @@ class StreamingAnomaly:
             top_k=top_k,
         )
 
+    def similar_past_windows(
+        self, window_hours: int = 6, top_k: int = 3
+    ) -> DataFrame:
+        """Time-series similarity view over the accumulated state — for
+        each type's most recent window, the top-k most similar earlier
+        non-overlapping windows (analytics.series_similarity_topk over
+        hourly_series()'s dense grid): "which past period looked like
+        right now", answered from the live stream's own count table.
+        With ``retention_hours`` None it is BIT-EQUAL to the batch
+        gap-fill -> similarity chain over the arrived prefix."""
+        from db_integration_via_kafka_ksql_spark.operators.analytics import (
+            series_similarity_topk,
+        )
+
+        series = self.hourly_series().select(
+            "event_type", "hour", "n_events"
+        )
+        return series_similarity_topk(
+            series, window_hours=window_hours, top_k=top_k
+        )
+
     def anomalies(self) -> DataFrame:
         """Everything scored so far (epoch, type, hour, counts, z).
         Idle-only streams have no output dir (idle epochs commit

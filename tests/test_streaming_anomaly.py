@@ -283,3 +283,39 @@ def test_discords_prefix_contract_vs_batch_chain(spark, tmp_path):
             ).collect()
         }
         assert got == want, f"epoch {e}"
+
+
+def test_similar_past_windows_prefix_contract_vs_batch_chain(spark, tmp_path):
+    """similar_past_windows() after every epoch equals the batch
+    gap-fill -> series_similarity_topk chain over the arrived prefix."""
+    from pyspark.sql import functions as F
+
+    from db_integration_via_kafka_ksql_spark.operators.analytics import (
+        hourly_gapfill,
+        series_similarity_topk,
+    )
+
+    st = _st(spark, tmp_path)
+    seen: list[tuple[str, int]] = []
+    for e, rows in enumerate(BATCHES):
+        st.process_batch(_df(spark, rows), e)
+        seen += rows
+        got = {
+            (r["query_type"], r["rnk"]): (
+                r["match_type"], r["match_start"], r["dist"]
+            )
+            for r in st.similar_past_windows(window_hours=2, top_k=2)
+            .collect()
+        }
+        series = hourly_gapfill(
+            _df(spark, seen), F.col("us")
+        ).select("event_type", "hour", "n_events")
+        want = {
+            (r["query_type"], r["rnk"]): (
+                r["match_type"], r["match_start"], r["dist"]
+            )
+            for r in series_similarity_topk(
+                series, window_hours=2, top_k=2
+            ).collect()
+        }
+        assert got == want, f"epoch {e}"
