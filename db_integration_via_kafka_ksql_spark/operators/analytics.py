@@ -36,6 +36,44 @@ DAY_US = 86_400 * 1_000_000
 HOUR_US = 3_600 * 1_000_000
 
 
+def floor_div_sql(expr: str, divisor: int, dialect: str = "spark") -> str:
+    """Exact integer FLOOR division of ``expr`` by a positive literal
+    divisor, as SQL text — THE time-bucketing primitive of the series
+    family (hour/day indexes). Spark's DIV and DuckDB's // both truncate
+    toward zero, so a pre-1970 timestamp in (-1 unit, 0) would collapse
+    into bucket 0 instead of bucket -1 (ADVICE r14); subtracting the
+    nonnegative modulus first makes the division exact and the quotient
+    the true floor, in pure BIGINT (no doubles — float floor() loses
+    exactness past 2^53 µs). One definition rendered per dialect (the
+    decay_weight_ppm_sql stance) so the batch operators, the streaming
+    twins, and the DuckDB oracles cannot drift on bucket edges."""
+    if divisor <= 0:
+        raise ValueError(f"divisor must be positive, got {divisor}")
+    if dialect == "spark":
+        return f"(({expr}) - pmod({expr}, {divisor})) DIV {divisor}"
+    if dialect == "duckdb":
+        return (
+            f"(({expr}) - ((({expr}) % {divisor} + {divisor}) % {divisor}))"
+            f" // {divisor}"
+        )
+    raise ValueError(f"unknown dialect: {dialect}")
+
+
+def split_permille_sql(num: str, den: str, scale: int = 1000) -> str:
+    """``scale * num DIV den`` in the overflow-safe split form:
+    ``scale*(n DIV d) + (scale*(n % d)) DIV d`` — identical for
+    nonnegative ``num`` and positive ``den`` but never materializes
+    ``scale*num``, so the ratio survives sums near BIGINT range instead
+    of raising under ANSI mode at num > ~9.2e15 (ADVICE r14: the series
+    family had the split form in one operator and the plain form in two
+    others). Dialect-neutral: DIV is Spark; callers render DuckDB by
+    .replace(' DIV ', ' // ')."""
+    return (
+        f"{scale} * (({num}) DIV ({den}))"
+        f" + ({scale} * (({num}) % ({den}))) DIV ({den})"
+    )
+
+
 def cohort_retention(events: DataFrame, ts_us: Column) -> DataFrame:
     """Weekly cohort retention matrix.
 
@@ -147,7 +185,8 @@ def hourly_gapfill(
     mov_hours, mov_avg_milli) where mov_* aggregate the trailing
     ``trailing_hours``-row window (ROWS semantics over the dense grid ==
     RANGE semantics over time, which is the point of filling first) and
-    mov_avg_milli = mov_sum * 1000 DIV mov_hours is exact integer.
+    mov_avg_milli = 1000 * mov_sum DIV mov_hours exactly, computed in
+    the overflow-safe split form (split_permille_sql).
 
     Scale shape: events reduce to (type, hour) counts map-side; the
     dense grid is |types| x |hours| (dimension-sized — a decade of hours
@@ -174,7 +213,10 @@ def hourly_counts(events: DataFrame, ts_us: Column) -> DataFrame:
     maintain the count table themselves (the streaming state shape)."""
     return (
         events.select("event_type", ts_us.cast("long").alias("_us"))
-        .select("event_type", F.expr(f"_us DIV {HOUR_US}").alias("hour"))
+        .select(
+            "event_type",
+            F.expr(floor_div_sql("_us", HOUR_US, "spark")).alias("hour"),
+        )
         .groupBy("event_type", "hour")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
@@ -190,13 +232,23 @@ def gapfill_from_counts(
     bm25_from_postings precedent) so an incrementally maintained count
     table (streaming/anomaly.py's state) serves the zero-filled series
     through the exact code path the batch oracle gates: a prefix-exact
-    count table yields a prefix-exact series."""
+    count table yields a prefix-exact series.
+
+    The count table is keyed by (event_type, hour); duplicate keys are
+    defensively pre-aggregated (summed) rather than trusted — a caller
+    handing in an un-compacted count log would otherwise fan out the
+    grid's left join AND double-count every moving window (ADVICE r14).
+    For unique-keyed input the extra aggregate reuses the upstream
+    hash partitioning (no new exchange) over a grid-sized frame."""
     from pyspark.sql.window import Window
 
     if trailing_hours < 1:
         raise ValueError(f"trailing_hours must be >= 1, got {trailing_hours}")
     if max_span_hours < 1:
         raise ValueError(f"max_span_hours must be >= 1, got {max_span_hours}")
+    counts = counts.groupBy("event_type", "hour").agg(
+        F.sum("n_events").cast("long").alias("n_events")
+    )
     bounds = counts.groupBy().agg(
         F.min("hour").alias("h0"), F.max("hour").alias("h1")
     )
@@ -240,7 +292,9 @@ def gapfill_from_counts(
             "n_events",
             "mov_sum",
             "mov_hours",
-            F.expr("mov_sum * 1000 DIV mov_hours").alias("mov_avg_milli"),
+            F.expr(split_permille_sql("mov_sum", "mov_hours")).alias(
+                "mov_avg_milli"
+            ),
         )
     )
 
@@ -301,7 +355,10 @@ def decay_engagement(
     ev = (
         events.select("user_id", ts_us.cast("long").alias("_us"))
         .filter(F.col("user_id").isNotNull() & F.col("_us").isNotNull())
-        .select("user_id", F.expr(f"_us DIV {DAY_US}").alias("day"))
+        .select(
+            "user_id",
+            F.expr(floor_div_sql("_us", DAY_US, "spark")).alias("day"),
+        )
     )
     asof = ev.groupBy().agg(F.max("day").alias("asof_day"))
     return (
@@ -676,6 +733,6 @@ def hour_of_day_profile(series: DataFrame) -> DataFrame:
         "type_total",
         F.when(
             F.col("type_total") > 0,
-            F.expr("n_events * 1000 DIV type_total"),
+            F.expr(split_permille_sql("n_events", "type_total")),
         ).otherwise(F.lit(0).cast("long")).alias("share_permille"),
     )

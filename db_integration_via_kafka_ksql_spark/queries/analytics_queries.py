@@ -148,7 +148,9 @@ LAG_TOP_K = 1
 # gap-fill semantics fix drift apart silently; the decay_weight_ppm_sql
 # single-definition stance applied to SQL text)
 _GAPFILL_CTES = f"""ev AS (
-        SELECT event_type, epoch_us(ts) // {AN.HOUR_US} AS hour FROM events
+        SELECT event_type,
+               {AN.floor_div_sql("epoch_us(ts)", AN.HOUR_US, "duckdb")} AS hour
+        FROM events
     ),
     counts AS (
         SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_events
@@ -216,7 +218,8 @@ def _dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     SELECT event_type, hour, n_events, mov_sum, mov_hours,
-           mov_sum * 1000 // mov_hours AS mov_avg_milli
+           {AN.split_permille_sql("mov_sum", "mov_hours")
+            .replace(" DIV ", " // ")} AS mov_avg_milli
     FROM w
     """,
 )
@@ -237,7 +240,9 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver=False,  # new in round 14 — queued for the round-15 rotation
     oracle=f"""
     WITH ev AS (
-        SELECT user_id, epoch_us(ts) // {AN.DAY_US} AS day FROM events
+        SELECT user_id,
+               {AN.floor_div_sql("epoch_us(ts)", AN.DAY_US, "duckdb")} AS day
+        FROM events
         WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     horizon AS (SELECT max(day) AS asof_day FROM ev),
@@ -420,7 +425,8 @@ def events_series_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     SELECT s.event_type, s.hour_of_day, s.n_events, t.type_total,
            CASE WHEN t.type_total > 0
-                THEN s.n_events * 1000 // t.type_total
+                THEN {AN.split_permille_sql("s.n_events", "t.type_total")
+                      .replace(" DIV ", " // ")}
                 ELSE CAST(0 AS BIGINT) END AS share_permille
     FROM slots s JOIN totals t ON s.event_type = t.event_type
     """,

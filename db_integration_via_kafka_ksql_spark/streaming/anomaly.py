@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.operators.analytics import (
+    floor_div_sql,
     HOUR_US,  # shared with hourly_gapfill: the hourly_series prefix
     # contract depends on both sides bucketing with the SAME constant
 )
@@ -201,7 +202,9 @@ class StreamingAnomaly:
             batch_df.select(
                 F.col(self.type_col).alias("event_type"),
                 F.expr(
-                    f"CAST({self.ts_col} AS BIGINT) DIV {HOUR_US}"
+                    floor_div_sql(
+                        f"CAST({self.ts_col} AS BIGINT)", HOUR_US, "spark"
+                    )
                 ).alias("hour_bucket"),
             )
             .groupBy("event_type", "hour_bucket")

@@ -40,7 +40,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from db_integration_via_kafka_ksql_spark.operators.analytics import DAY_US
+from db_integration_via_kafka_ksql_spark.operators.analytics import (
+    DAY_US,
+    floor_div_sql,
+)
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
 from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
     MaintenancePolicy,
@@ -218,7 +221,9 @@ class StreamingDecayEngagement:
         bc = (
             batch_df.select(
                 F.col(self.user_col).alias("u"),
-                F.expr(f"{self.ts_us_col} DIV {DAY_US}").alias("day"),
+                F.expr(
+                    floor_div_sql(self.ts_us_col, DAY_US, "spark")
+                ).alias("day"),
             )
             .filter(F.col("u").isNotNull() & F.col("day").isNotNull())
             .groupBy("u", "day")

@@ -186,6 +186,58 @@ def test_gapfill_zero_fills_and_moving_window_spans_gaps(spark):
     assert got[("b", 3)] == (0, 1, 3, 333)
 
 
+def test_hour_bucketing_floors_pre_1970_timestamps(spark):
+    """ADVICE r14: truncating DIV collapsed (-1h, 0) into bucket 0; the
+    floor_div_sql bucketing puts it in hour -1, matching python's //
+    (the sequential-model convention) AND the DuckDB oracle rendering."""
+    import duckdb
+
+    from db_integration_via_kafka_ksql_spark.operators.analytics import (
+        floor_div_sql,
+        hourly_counts,
+    )
+
+    us = [-1, -HOUR_US, -HOUR_US - 1, 0, HOUR_US - 1, HOUR_US]
+    ev = spark.createDataFrame(
+        [("a", u) for u in us], "event_type string, us long"
+    )
+    got = {
+        r["hour"]: r["n_events"]
+        for r in hourly_counts(ev, F.col("us")).collect()
+    }
+    expect: dict[int, int] = {}
+    for u in us:
+        expect[u // HOUR_US] = expect.get(u // HOUR_US, 0) + 1
+    assert got == expect  # {-2: 1, -1: 2, 0: 2, 1: 1}
+    # the duckdb rendering floors identically on the same inputs
+    dd = duckdb.sql(
+        "SELECT "
+        + floor_div_sql("u", HOUR_US, "duckdb")
+        + " AS h FROM (SELECT unnest(["
+        + ", ".join(str(u) for u in us)
+        + "]::BIGINT[]) AS u)"
+    ).fetchall()
+    assert sorted(h for (h,) in dd) == sorted(u // HOUR_US for u in us)
+
+
+def test_gapfill_from_counts_preaggregates_duplicate_keys(spark):
+    """ADVICE r14: a duplicate (type, hour) key in the caller's count
+    table must sum, not fan out the grid join / double-count windows."""
+    from db_integration_via_kafka_ksql_spark.operators.analytics import (
+        gapfill_from_counts,
+    )
+
+    counts = spark.createDataFrame(
+        [("a", 0, 2), ("a", 0, 3), ("a", 1, 1)],
+        "event_type string, hour long, n_events long",
+    )
+    got = {
+        (r["event_type"], r["hour"]): (r["n_events"], r["mov_sum"])
+        for r in gapfill_from_counts(counts, trailing_hours=2).collect()
+    }
+    assert got == {("a", 0): (5, 5), ("a", 1): (1, 6)}
+
+
 def test_gapfill_rejects_bad_window(spark):
     ev = _hour_events(spark, [("a", 0)])
     import pytest
