@@ -129,6 +129,18 @@ def _fit(
     Arrow path by k (see _PANDAS_K_THRESHOLD) — same integers either
     way."""
     q = _quantized(embeddings).localCheckpoint(eager=True)
+    return kmeans_fit_on_quantized(q, k, iters, seed, dims), q
+
+
+def kmeans_fit_on_quantized(
+    q: DataFrame, k: int, iters: int, seed: int, dims: int
+) -> Centroids:
+    """Lloyd's loop over an ALREADY-quantized (vec_id, q array<bigint>)
+    frame — the shared core split out (r14 verdict #1) so ivf_pq_fit can
+    train its coarse quantizer on the quantized corpus it has already
+    checkpointed instead of re-quantizing through kmeans_fit. The caller
+    owns materialization: pass a checkpointed/cached frame or the
+    ``iters + 1`` passes below each re-plan the upstream chain."""
     # seeds: k vectors with the smallest md5(seed|id); cid = md5 order
     seed_rows = (
         q.select("vec_id", "q", _seed_hash(seed).alias("h"))
@@ -176,7 +188,7 @@ def _fit(
             # python // is exact integer floor division at any magnitude
             nxt[r.cluster] = [r[f"s{i}"] // r.n for i in range(dims)]
         centroids = nxt
-    return centroids, q
+    return centroids
 
 
 def assign_clusters_pandas(

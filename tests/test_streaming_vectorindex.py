@@ -276,3 +276,47 @@ def test_adds_partitions_carry_pruning_layout(spark, sf_dir, corpus, saved_index
         re.findall(r"PartitionFilters: \[[^\]]*list_id", rep.plan_text)
     )
     assert n_pruned >= 2, rep.plan_text[:3000]
+
+
+def test_kmeans_coarse_base_streams_identically(spark, sf_dir, corpus, tmp_path):
+    """r15: a TRAINED-coarse (coarse="kmeans") saved base is a drop-in
+    for the streaming upsert pipeline — the whole stream/merge/serve
+    stack is coarse-agnostic (it consumes the saved centroid frame), so
+    the prefix contract (stream == one-shot batch encode over the same
+    frozen artifacts) and the merged-plan list_id pruning hold
+    unchanged."""
+    import re
+
+    from db_integration_via_kafka_ksql_spark.plans.audit import audit
+
+    base, adds = corpus
+    path = str(tmp_path / "kmeans_index")
+    S.ivf_pq_fit(base, ksub=8, iters=1, coarse="kmeans").save(path)
+    svi = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0,
+    )
+    ids = _batches(adds)[0]
+    svi.process_batch(adds.filter(F.col("vec_id").isin(ids)), 0)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _queries(spark, emb, ids[:2])
+    got = _serve(svi, queries)
+    want = _serve(
+        _batch_merged(
+            spark, path, svi._base, adds.filter(F.col("vec_id").isin(ids))
+        ),
+        queries,
+    )
+    assert got == want and len(got) > 0
+    # an added vector served by value is its own exact top hit
+    top = {r[0]: (r[1], r[3]) for r in got if r[3] == 1}
+    assert top[ids[0]][0] == ids[0]
+    # merged ADC plan prunes base AND adds lists scans on list_id
+    adc = S.ivf_pq_serve_vectors(
+        svi._merged(), queries, k=K, nprobe=NPROBE, refine=None
+    )
+    rep = audit(adc)
+    n_pruned = len(
+        re.findall(r"PartitionFilters: \[[^\]]*list_id", rep.plan_text)
+    )
+    assert n_pruned >= 2, rep.plan_text[:3000]
