@@ -97,7 +97,14 @@ HEADLINE = [
     # triangle census, and the Morton layout-key derivation
     "mm_image_ahash",
     "mm_image_neardup_pairs",
-    "graph_supplier_knn_triangles",
+    # r15 (verdict weak #1): the benched graph row is the bounded-
+    # occupancy CAPPED census (context_cap=32, oracle-backed since r15);
+    # the uncapped twin was the probe's "watch" row — per-context pair
+    # space is occupancy², unbounded at 100 TB. Cross-round note: r14
+    # and earlier benched graph_supplier_knn_triangles (uncapped) — the
+    # rows are not comparable (the cap drops 5613/20000 part contexts
+    # at sf0.1, so the capped row does strictly less work BY DESIGN).
+    "graph_knn_triangles_capped",
     "events_zorder_keys",
     # round 10 (session 2) additions: the threshold-exact set-similarity
     # join (prefix-filtered candidates vs the df_cap twin above), the

@@ -100,6 +100,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_transition_matrix",
+    driver=False,  # round-15 rotation: veteran slot (r10) ceded to the series family
     # round-10 rotation: promoted into the external driver window
     oracle="""
     WITH ev AS (
@@ -203,7 +204,7 @@ def _dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_hourly_gapfill",
-    driver=False,  # new in round 14 — queued for the round-15 rotation
+    # round-15 rotation: promoted into the external driver window
     oracle=f"""
     WITH {_GAPFILL_CTES},
     w AS (
@@ -237,7 +238,7 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_decay_engagement",
-    driver=False,  # new in round 14 — queued for the round-15 rotation
+    # round-15 rotation: promoted into the external driver window
     oracle=f"""
     WITH ev AS (
         SELECT user_id,
@@ -271,7 +272,7 @@ def events_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_series_similarity_topk",
-    driver=False,  # new in round 14 — queued for the round-15 rotation
+    # round-15 rotation: promoted into the external driver window
     oracle=f"""
     WITH {_WINS_CTES},
     qs AS (SELECT max(start) AS qstart FROM wins),
@@ -311,7 +312,7 @@ def events_series_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "events_series_discords",
-    driver=False,  # new in round 14 — queued for the round-15 rotation
+    # round-15 rotation: promoted into the external driver window
     oracle=f"""
     WITH {_WINS_CTES},
     qm AS (SELECT max(start) AS qmax FROM wins),
@@ -363,7 +364,7 @@ def events_series_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_series_lag_correlation",
-    driver=False,  # new in round 14 — queued for the round-15 rotation
+    # round-15 rotation: promoted into the external driver window
     # the avg uses the same overflow-safe split form as the operator:
     # 1000*s//n == 1000*(s//n) + (1000*(s%n))//n exactly (s >= 0)
     oracle=f"""
@@ -411,7 +412,7 @@ def events_series_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "events_hour_of_day_profile",
-    driver=False,  # new in round 14 — queued for the round-15 rotation
+    # round-15 rotation: promoted into the external driver window
     oracle=f"""
     WITH {_GAPFILL_CTES},
     slots AS (

@@ -317,6 +317,7 @@ def dedup_embedding_pairs_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_clusters_embedding",
+    driver=False,  # round-15 rotation: veteran slot ceded (allpairs/containment/edit/semdedup keep the dedup family's external slots)
     # the multi-probe pair CTEs verbatim, then connected components via a
     # recursive reachability CTE (UNION = set semantics, so cycles
     # terminate); rep = min vec_id per component — the same deterministic
@@ -710,6 +711,7 @@ def dedup_allpairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quality_neighbor_smoothing",
+    driver=False,  # round-15 rotation: veteran slot (r12) ceded; quality family keeps drift + calibrated slots
     # round-12 rotation: promoted into the driver window
     oracle=f"""
     WITH q0 AS (

@@ -580,6 +580,7 @@ def text_duplicate_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_cut_span_removal",
+    driver=False,  # round-15 rotation: veteran slot (r12) ceded; text_duplicate_cut_spans keeps the cut-span external slot
     # round-12 rotation: promoted into the driver window
     oracle=f"""
     WITH {_DUPSUB_CTES},
@@ -624,6 +625,7 @@ def text_cut_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_lm_fluency",
+    driver=False,  # round-15 rotation: veteran slot (r13) ceded; text family keeps 10 external slots
     # round-13 rotation: promoted into the driver window
     oracle=f"""
     WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
