@@ -45,6 +45,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.operators.asof import asof_join
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+    MaintenancePolicy,
+    maintain,
+)
 
 
 @dataclass
@@ -64,6 +68,9 @@ class StreamingAsof:
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_asof"
+    # scheduled epochdir maintenance (state-epoch pruning / output
+    # compaction at the policy's cadence; see streaming/maintenance.py)
+    maintenance: MaintenancePolicy | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     # -- state ------------------------------------------------------------
@@ -177,6 +184,11 @@ class StreamingAsof:
         )
         epochdir.commit_epoch(
             self._prune(visible), self.state_path, self.batch_col, epoch_id
+        )
+        maintain(
+            self.spark, self.maintenance, epoch_id, self.batch_col,
+            state_paths=(self.state_path,),
+            output_paths=(self.output_path,),
         )
 
     # -- runner ---------------------------------------------------------------

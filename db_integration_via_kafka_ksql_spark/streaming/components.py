@@ -42,6 +42,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.operators import graph as G
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+    MaintenancePolicy,
+    maintain,
+)
 
 
 @dataclass
@@ -57,6 +61,9 @@ class StreamingComponents:
     trigger_seconds: float = 2.0
     query_name: str = "streaming_components"
     cc_strategy: str = "auto"
+    # scheduled epochdir maintenance (state-epoch pruning / output
+    # compaction at the policy's cadence; see streaming/maintenance.py)
+    maintenance: MaintenancePolicy | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     # -- state ------------------------------------------------------------
@@ -129,6 +136,10 @@ class StreamingComponents:
             self.state_path,
             self.batch_col,
             epoch_id,
+        )
+        maintain(
+            self.spark, self.maintenance, epoch_id, self.batch_col,
+            state_paths=(self.state_path,),
         )
 
     # -- runner ------------------------------------------------------------

@@ -33,6 +33,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.operators import text_analysis as TA
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+    MaintenancePolicy,
+    maintain,
+)
 
 
 @dataclass
@@ -47,6 +51,9 @@ class StreamingQualityDrift:
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_quality_drift"
+    # scheduled epochdir maintenance (state-epoch pruning / output
+    # compaction at the policy's cadence; see streaming/maintenance.py)
+    maintenance: MaintenancePolicy | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     # -- state ------------------------------------------------------------
@@ -156,6 +163,11 @@ class StreamingQualityDrift:
         )
         epochdir.commit_epoch(
             merged, self.state_path, self.batch_col, epoch_id
+        )
+        maintain(
+            self.spark, self.maintenance, epoch_id, self.batch_col,
+            state_paths=(self.state_path,),
+            output_paths=(self.output_path,),
         )
 
     # -- runner ---------------------------------------------------------------

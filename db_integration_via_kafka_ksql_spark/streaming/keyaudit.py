@@ -39,6 +39,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+    MaintenancePolicy,
+    maintain,
+)
 
 OUT_SCHEMA = "key string, n_in_batch long, known_before boolean"
 
@@ -55,6 +59,9 @@ class StreamingKeyAudit:
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_key_audit"
+    # scheduled epochdir maintenance (state-epoch pruning / output
+    # compaction at the policy's cadence; see streaming/maintenance.py)
+    maintenance: MaintenancePolicy | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     # -- state ------------------------------------------------------------
@@ -141,6 +148,11 @@ class StreamingKeyAudit:
         )
         epochdir.commit_epoch(
             seen.unionByName(fresh), self.state_path, self.batch_col, epoch_id
+        )
+        maintain(
+            self.spark, self.maintenance, epoch_id, self.batch_col,
+            state_paths=(self.state_path,),
+            output_paths=(self.output_path,),
         )
 
     # -- runner ------------------------------------------------------------

@@ -36,6 +36,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.functions import text as T
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+    MaintenancePolicy,
+    maintain,
+)
 
 OUT_SCHEMA = (
     "source string, n_docs long, n_tokens long, cum_docs long, "
@@ -57,6 +61,9 @@ class StreamingMixTracker:
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_mix_tracker"
+    # scheduled epochdir maintenance (state-epoch pruning / output
+    # compaction at the policy's cadence; see streaming/maintenance.py)
+    maintenance: MaintenancePolicy | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     def __post_init__(self) -> None:
@@ -164,6 +171,11 @@ class StreamingMixTracker:
         epochdir.commit_epoch(out, self.output_path, self.batch_col, epoch_id)
         epochdir.commit_epoch(
             merged, self.state_path, self.batch_col, epoch_id
+        )
+        maintain(
+            self.spark, self.maintenance, epoch_id, self.batch_col,
+            state_paths=(self.state_path,),
+            output_paths=(self.output_path,),
         )
 
     # -- runner ------------------------------------------------------------

@@ -58,6 +58,10 @@ from db_integration_via_kafka_ksql_spark.operators.kmeans import (
     assign_clusters,
 )
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+    MaintenancePolicy,
+    maintain,
+)
 from db_integration_via_kafka_ksql_spark.streaming.state import ParquetStateStore
 
 
@@ -74,6 +78,12 @@ class StreamingSemDedup:
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_semdedup"
+    # scheduled maintenance: witness_ttl_epochs drives expire_witnesses
+    # at the cadence. output compaction is deliberately NOT wired: the
+    # accepted-vectors dataset is tailed by file-stream consumers, for whom
+    # compaction's part-file rewrite means re-ingestion (maintenance.py's
+    # documented exclusion)
+    maintenance: MaintenancePolicy | None = None
     state: ParquetStateStore = field(init=False)
 
     def __post_init__(self) -> None:
@@ -204,6 +214,10 @@ class StreamingSemDedup:
                 F.lit(epoch_id).cast("bigint").alias("offset"),
                 F.lit("false").alias("__deleted"),
             )
+        )
+        maintain(
+            self.spark, self.maintenance, epoch_id, self.batch_col,
+            expire=self.expire_witnesses,
         )
 
     def expire_witnesses(self, min_epoch: int) -> int:

@@ -44,6 +44,10 @@ from pyspark.sql.streaming import StreamingQuery
 
 from db_integration_via_kafka_ksql_spark.operators import validation as V
 from db_integration_via_kafka_ksql_spark.streaming import epochdir
+from db_integration_via_kafka_ksql_spark.streaming.maintenance import (
+    MaintenancePolicy,
+    maintain,
+)
 
 OUT_SCHEMA = (
     "constraint string, n_rows long, n_bad long, metric_permille long, "
@@ -64,6 +68,9 @@ class StreamingValidation:
     checkpoint_dir: str | None = None
     trigger_seconds: float = 2.0
     query_name: str = "streaming_validation"
+    # scheduled epochdir maintenance (state-epoch pruning / output
+    # compaction at the policy's cadence; see streaming/maintenance.py)
+    maintenance: MaintenancePolicy | None = None
     batches_seen: list[int] = field(default_factory=list)
 
     def __post_init__(self) -> None:
@@ -169,6 +176,11 @@ class StreamingValidation:
         epochdir.commit_epoch(out, self.output_path, self.batch_col, epoch_id)
         epochdir.commit_epoch(
             merged, self.state_path, self.batch_col, epoch_id
+        )
+        maintain(
+            self.spark, self.maintenance, epoch_id, self.batch_col,
+            state_paths=(self.state_path,),
+            output_paths=(self.output_path,),
         )
 
     # -- runner ------------------------------------------------------------

@@ -317,3 +317,97 @@ def test_duplicate_table_names_rejected(spark):
         MultiTableCdcPipeline(
             source=None, tables=[DIM_PRODUCT, DIM_PRODUCT]  # type: ignore[arg-type]
         )
+
+
+class TsqlMergeSink:
+    """Sink double executing the GENERATED mssql MERGE/DELETE text
+    through the T-SQL interpreter (tests/tsql_interpreter.py) — the
+    reference's actual sink dialect (start-sink-connector.sh MERGE
+    semantics), behaviorally verified without a server. Rows land in a
+    shared TSqlDatabase so the purge script's UNION ALL count-parity
+    verification (purge-source-db.sh:77-83) can run against the star."""
+
+    def __init__(self, db, table: str, columns: list[str], keys: list[str]):
+        from db_integration_via_kafka_ksql_spark.sinks import ddl
+
+        self.table = db.table(table)
+        self.columns = columns
+        self.up_sql = ddl.merge_sql(table, columns, keys, "mssql")
+        self.dl_sql = ddl.delete_sql(table, keys, "mssql")
+        self.keys = keys
+
+    def write_batch(self, upserts, delete_keys) -> None:
+        for r in upserts.select(*self.columns).collect():
+            self.table.merge_values(self.up_sql, [r[c] for c in self.columns])
+        for r in delete_keys.select(*self.keys).collect():
+            self.table.delete(self.dl_sql, [r[k] for k in self.keys])
+
+
+PURGE_VERIFY_SQL = """
+SELECT 'dim_product' AS TableName, COUNT(*) AS RecordCount FROM cso.dim_product
+UNION ALL
+SELECT 'dim_customer', COUNT(*) FROM cso.dim_customer
+UNION ALL
+SELECT 'fact_sales', COUNT(*) FROM cso.fact_sales;
+"""
+
+
+def test_purge_count_parity_across_star_tsql_twin(spark, tmp_path):
+    """The reference's last untested shell verification shape
+    (purge-source-db.sh: DELETE every row from every CDC table, then a
+    UNION ALL count query proving source and sink agree): seed the star,
+    verify non-zero counts match the source's latest-per-key state, purge
+    via tombstones (facts before dims, the FK-safe order the script
+    enforces with constraint toggles), and verify the SAME query reports
+    zero everywhere — deletion propagated through the pipeline, not just
+    the source."""
+    from tests.tsql_interpreter import TSqlDatabase
+
+    db = TSqlDatabase()
+    sinks = [
+        TsqlMergeSink(db, "dim_product", DIM_PRODUCT.columns, ["id"]),
+        TsqlMergeSink(db, "dim_customer", DIM_CUSTOMER.columns, ["id"]),
+        TsqlMergeSink(db, "fact_sales", FACT_SALES.columns, ["id"]),
+    ]
+    src = str(tmp_path / "changelog")
+    _write_feed(src, SEED_ROWS, "batch0.parquet")
+    pipe = _star_pipeline(spark, src, str(tmp_path / "ckpt"), sinks)
+    q = pipe.start()
+    try:
+        q.processAllAvailable()
+        # post-seed: sink counts == the source's live latest-per-key keys
+        assert db.query_counts(PURGE_VERIFY_SQL) == [
+            ("dim_product", 2),   # ids 1, 3 (2 was updated then deleted)
+            ("dim_customer", 1),  # id 10
+            ("fact_sales", 2),    # ids 100, 101
+        ]
+        # purge txn: tombstone EVERY live key, facts first (FK order)
+        purge = [
+            _row("fact_sales", 9, 20, deleted="true", id=100),
+            _row("fact_sales", 9, 21, deleted="true", id=101),
+            _row("dim_product", 9, 22, deleted="true", id=1),
+            _row("dim_product", 9, 23, deleted="true", id=3),
+            _row("dim_customer", 9, 24, deleted="true", id=10),
+        ]
+        _write_feed(src, purge, "batch1.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the script's final verification: every table reports zero
+    assert db.query_counts(PURGE_VERIFY_SQL) == [
+        ("dim_product", 0), ("dim_customer", 0), ("fact_sales", 0),
+    ]
+    # and the source agrees (count parity, not just empty sinks): the
+    # latest-per-key compaction of the full changelog has no live rows
+    from db_integration_via_kafka_ksql_spark.operators.cdc import (
+        compact_latest,
+    )
+
+    log = spark.read.schema(SCHEMA).parquet(src)
+    for spec in (DIM_PRODUCT, DIM_CUSTOMER, FACT_SALES):
+        live = compact_latest(
+            log.filter(F.col("__table") == spec.name),
+            key_cols=spec.key_cols,
+            order_cols=spec.order_cols,
+        ).filter(F.col("__deleted") != "true")
+        assert live.count() == 0

@@ -148,3 +148,43 @@ class TSqlTable:
         for row in self.rows.values():
             out.append(tuple(row[c] for c in sorted(row)))
         return sorted(out)
+
+
+_COUNT_ARM_RE = re.compile(
+    r"^SELECT\s+'(?P<label>[^']+)'(?:\s+AS\s+(?P<lalias>\w+))?\s*,\s*"
+    r"COUNT\(\*\)(?:\s+AS\s+(?P<calias>\w+))?\s+FROM\s+(?P<table>\S+?)\s*$",
+    re.IGNORECASE,
+)
+
+
+class TSqlDatabase:
+    """Named-table registry + the reference purge script's verification
+    query surface (purge-source-db.sh:77-83): a `SELECT '<name>',
+    COUNT(*) FROM <table> UNION ALL ...` count-parity probe, executed —
+    like the MERGE surface — entirely by PARSING the submitted SQL text,
+    so a drifted table name or a dropped UNION arm fails loudly instead
+    of silently comparing the wrong counts."""
+
+    def __init__(self) -> None:
+        self.tables: dict[str, TSqlTable] = {}
+
+    def table(self, name: str) -> TSqlTable:
+        return self.tables.setdefault(name, TSqlTable())
+
+    def query_counts(self, sql: str) -> list[tuple[str, int]]:
+        """Execute the UNION ALL count query; returns (label, count)
+        rows in statement order. Schema-qualified names (cso.movies)
+        resolve by their last path segment, as the sink DDL does."""
+        arms = re.split(
+            r"\s+UNION\s+ALL\s+", sql.strip().rstrip(";"), flags=re.IGNORECASE
+        )
+        out: list[tuple[str, int]] = []
+        for arm in arms:
+            m = _COUNT_ARM_RE.match(arm.strip())
+            if not m:
+                raise ValueError(f"unparseable count arm: {arm!r}")
+            tname = m.group("table").split(".")[-1]
+            if tname not in self.tables:
+                raise ValueError(f"unknown table in count query: {tname!r}")
+            out.append((m.group("label"), len(self.tables[tname].rows)))
+        return out
