@@ -167,3 +167,25 @@ def test_prior_round_timings_reads_queries_and_tolerates_absence(tmp_path):
     bad = tmp_path / "bad.json"
     bad.write_text("{not json")
     assert bench.prior_round_timings(str(bad), 0.1) == {}
+
+
+def test_measured_drift_is_max_over_min():
+    """r14 Next #4: the artifact publishes the MEASURED probe drift
+    (max/min) under its own key — the old line published only the
+    threshold constant, which the r14 judge read as a measurement."""
+    assert bench.measured_drift({"start": 0.2, "middle": 0.3, "end": 0.25}) == 1.5
+    assert bench.measured_drift({"start": 0.2}) is None
+    assert bench.measured_drift({}) is None
+    # zero/garbage probes are excluded, not divided by
+    assert bench.measured_drift({"a": 0.0, "b": 0.4, "c": 0.2}) == 2.0
+    # load_suspect now derives from the same measurement
+    assert not bench.load_suspect({"a": 0.2, "b": 0.4})
+    assert bench.load_suspect({"a": 0.1, "b": 0.3})
+
+
+def test_drift_gate_constants_sane():
+    """The gate is tighter than the suspect threshold (a gated retry
+    must trigger before the artifact would even be flagged), and the
+    attempt cap bounds the retry loop."""
+    assert bench.DRIFT_GATE < bench.LOAD_DRIFT_RATIO
+    assert bench.DRIFT_GATE_ATTEMPTS >= 1

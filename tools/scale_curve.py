@@ -211,6 +211,66 @@ def _clusters_auto(spark, sf_dir):
     return G.dedup_clusters(emb, pairs, "vec_id", "vec_a", "vec_b")
 
 
+CAL10_DST = os.environ.get("SPARK_GRAFT_CAL10_DIR", "/tmp/spark_graft_cal10")
+CAL10_COPIES = 10
+
+SERIES_QUERIES = [
+    "events_hourly_gapfill",
+    "events_hour_of_day_profile",
+    "events_series_similarity_topk",
+    "events_series_discords",
+    "events_series_lag_correlation",
+]
+
+
+def build_cal10(spark) -> None:
+    """10x the CALENDAR (r14 verdict Next #5): the sf1 derivation grows
+    the KEY space at a fixed 30-day calendar — which proved the series
+    family event-volume-invariant but never exercised its true cost
+    axis, |hours|. This build unions 10 copies of sf0.1 events, copy k
+    shifted +k*span in TIME (and key-shifted so event_ids stay unique):
+    same per-hour density, 10x the hour spine, so window frames, the
+    discord candidate join, and the lag self-join all grow exactly the
+    way a long-lived deployment's do."""
+    import shutil
+
+    dst = f"{CAL10_DST}/events.parquet"
+    if os.environ.get("SPARK_GRAFT_CAL10_FORCE") and os.path.isdir(CAL10_DST):
+        shutil.rmtree(CAL10_DST)
+    if os.path.exists(dst):
+        return
+    os.makedirs(CAL10_DST, exist_ok=True)
+    base = spark.read.parquet(f"{SRC}/events.parquet")
+    lo, hi, mx = base.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts")),
+        F.max("event_id"),
+    ).first()
+    span_us = int(hi - lo) + 3_600_000_000  # +1h: copies never share an hour
+    id_stride = int(mx) + 1
+    parts = []
+    for k in range(CAL10_COPIES):
+        parts.append(
+            base.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.unix_micros("ts") + F.lit(k * span_us).cast("long")
+                ),
+            ).withColumn(
+                "event_id",
+                (F.col("event_id") + F.lit(k * id_stride)).cast("long"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    staging = f"{dst}__staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    out.write.mode("overwrite").parquet(staging)
+    os.rename(staging, dst)
+    print(f"built cal10 events: {spark.read.parquet(dst).count()} rows")
+
+
 def main() -> None:
     import bench
 
@@ -337,6 +397,32 @@ def main() -> None:
         bench.release_checkpoints(spark)
         print("ivf_kmeans", tag, km.get(tag), flush=True)
     curve["ivf_kmeans"] = km
+    # series family on the CALENDAR axis (r14 Next #5): 30 days vs 300
+    # days at the SAME per-hour density — |hours| is this family's cost
+    # axis (the sf1 probe already showed event-volume invariance at a
+    # fixed calendar). recent_windows/window_hours/max_lag_hours stay at
+    # registry values, so the measured ratios show what those knobs
+    # bound: the probe side is fixed, the candidate side grows ~10x.
+    build_cal10(spark)
+    cal: dict = {}
+    for name in SERIES_QUERIES:
+        fn = bench.QUERIES[name]
+        row = {}
+        if os.path.isdir(warm):
+            try:
+                bench.run_query(fn(spark, warm))
+            except Exception:
+                pass
+        for tag, sf_dir in (("days30", SRC), ("days300", CAL10_DST)):
+            bench.release_checkpoints(spark)
+            t0 = time.perf_counter()
+            bench.run_query(fn(spark, sf_dir))
+            row[tag] = round(time.perf_counter() - t0, 3)
+        bench.release_checkpoints(spark)
+        row["ratio"] = round(row["days300"] / max(row["days30"], 1e-9), 2)
+        cal[name] = row
+        print("series_calendar", name, row, flush=True)
+    curve["series_calendar"] = cal
     curve["notes"] = {
         "outlier_1": (
             "dedup_clusters_embedding (fixed n_planes=6): candidates ~ "
@@ -361,6 +447,14 @@ def main() -> None:
             "corpus (see ivf_kmeans.*.single_query_scan_fraction) instead "
             "of freezing at nprobe/|labels| = 0.4 like the label-coarse "
             "oracle twin"
+        ),
+        "series_calendar": (
+            "r14 Next #5: 10x the CALENDAR (300 vs 30 days, same per-hour "
+            "density) — the series family's true cost axis. Expected "
+            "~linear-in-hours ratios for the grid/profile rows; "
+            "similarity/discords/lag grow with the candidate side only "
+            "(probe side fixed by window_hours/recent_windows/"
+            "max_lag_hours — the documented cost bound)"
         ),
     }
     detail_path = os.path.join(
