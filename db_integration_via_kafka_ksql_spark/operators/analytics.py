@@ -84,7 +84,10 @@ def cohort_retention(events: DataFrame, ts_us: Column) -> DataFrame:
     """
     ev = events.select(
         "user_id", ts_us.cast("long").alias("_us")
-    ).select("user_id", F.expr(f"_us DIV {WEEK_US}").alias("week"))
+    ).select(
+        "user_id",
+        F.expr(floor_div_sql("_us", WEEK_US, "spark")).alias("week"),
+    )
     first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     cells = (
         ev.join(first, "user_id")

@@ -27,6 +27,10 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from db_integration_via_kafka_ksql_spark.operators.analytics import (
+    floor_div_sql as _floor_div_sql,
+)
+
 from db_integration_via_kafka_ksql_spark.functions.detmath import dlit
 
 DEC = "decimal(18,4)"
@@ -336,7 +340,10 @@ def events_hourly_counts(events: DataFrame) -> DataFrame:
 
     return (
         events.withColumn("__ts_us", epoch_us_col(events, "ts"))
-        .withColumn("hour_bucket", F.expr("__ts_us DIV 3600000000"))
+        .withColumn(
+            "hour_bucket",
+            F.expr(_floor_div_sql("__ts_us", 3_600_000_000, "spark")),
+        )
         .groupBy("hour_bucket", "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -510,7 +517,10 @@ def events_hourly_anomalies(events: DataFrame, z_threshold: float = 2.0) -> Data
 
     hourly = (
         events.withColumn("__ts_us", epoch_us_col(events, "ts"))
-        .withColumn("hour_bucket", F.expr("__ts_us DIV 3600000000"))
+        .withColumn(
+            "hour_bucket",
+            F.expr(_floor_div_sql("__ts_us", 3_600_000_000, "spark")),
+        )
         .groupBy("hour_bucket", "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )

@@ -22,7 +22,9 @@ FUNNEL_STEPS = ["view", "click", "purchase"]
     # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH ev AS (
-        SELECT user_id, epoch_us(ts) // {AN.WEEK_US} AS week FROM events
+        SELECT user_id,
+               {AN.floor_div_sql("epoch_us(ts)", AN.WEEK_US, "duckdb")} AS week
+        FROM events
     ),
     first AS (
         SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1

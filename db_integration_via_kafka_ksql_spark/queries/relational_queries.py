@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from db_integration_via_kafka_ksql_spark.functions.detmath import dlit
 from db_integration_via_kafka_ksql_spark.io import load_table
+from db_integration_via_kafka_ksql_spark.operators import analytics as AN
 from db_integration_via_kafka_ksql_spark.operators import relational as R
 from db_integration_via_kafka_ksql_spark.registry import query
 
@@ -289,7 +290,7 @@ def segment_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hourly_counts",
     driver=False,  # round-9 rotation: stable slot ceded to a newer op
     oracle=f"""
-    SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+    SELECT {AN.floor_div_sql("epoch_us(ts)", 3_600_000_000, "duckdb")} AS hour_bucket,
            event_type,
            count(*) AS n_events,
            {_msum('CAST("value" AS DECIMAL(18,4))', "sum_value")}
@@ -663,7 +664,7 @@ _ANOM_Z = (
     # promoted to the driver window round 9 (hourly-counts family slot)
     oracle=f"""
     WITH hourly AS (
-        SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+        SELECT {AN.floor_div_sql("epoch_us(ts)", 3_600_000_000, "duckdb")} AS hour_bucket,
                event_type,
                CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY 1, 2

@@ -240,22 +240,31 @@ def build_cal10(spark) -> None:
     if os.path.exists(dst):
         return
     os.makedirs(CAL10_DST, exist_ok=True)
+    from pyspark.sql.types import LongType
+
+    from db_integration_via_kafka_ksql_spark.io import epoch_us_col
+
     base = spark.read.parquet(f"{SRC}/events.parquet")
-    lo, hi, mx = base.agg(
-        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts")),
-        F.max("event_id"),
-    ).first()
+    # epoch_us_col branches on the arrived ts dtype (the driver has
+    # shipped events.ts as TIMESTAMP(NANOS)-as-long AND timestamp[us],
+    # which Spark reads as TIMESTAMP_NTZ — where unix_micros() refuses)
+    us = epoch_us_col(base, "ts")
+    lo, hi, mx = base.agg(F.min(us), F.max(us), F.max("event_id")).first()
     span_us = int(hi - lo) + 3_600_000_000  # +1h: copies never share an hour
     id_stride = int(mx) + 1
+    ts_is_long = isinstance(base.schema["ts"].dataType, LongType)
     parts = []
     for k in range(CAL10_COPIES):
+        if ts_is_long:  # nanos-as-long encoding
+            shifted = (
+                F.col("ts") + F.lit(k * span_us * 1000).cast("long")
+            ).cast("long")
+        else:  # timestamp/timestamp_ntz: interval math preserves the type
+            shifted = F.col("ts") + F.expr(
+                f"INTERVAL {k * span_us} MICROSECOND"
+            )
         parts.append(
-            base.withColumn(
-                "ts",
-                F.timestamp_micros(
-                    F.unix_micros("ts") + F.lit(k * span_us).cast("long")
-                ),
-            ).withColumn(
+            base.withColumn("ts", shifted).withColumn(
                 "event_id",
                 (F.col("event_id") + F.lit(k * id_stride)).cast("long"),
             )
@@ -437,9 +446,10 @@ def main() -> None:
         ),
         "watch": (
             "graph_supplier_knn_triangles ratio 2.5-4.3 across runs at "
-            "10x: the per-context pair space is occupancy^2 — the "
-            "_capped row runs the same graph with context_cap=64 "
-            "(graph.cooccurrence_knn_edges), the bounded-occupancy knob"
+            "10x: the per-context pair space is occupancy^2 — "
+            "graph_knn_triangles_capped (the oracle-backed registry row "
+            "since r15, context_cap=32) is the bounded-occupancy scale "
+            "path and the benched headline row"
         ),
         "ivf_kmeans": (
             "r14 weak #2 closed: coarse='kmeans' trains nlists ~ sqrt(n) "
