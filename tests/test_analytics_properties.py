@@ -330,3 +330,98 @@ def test_lag_correlation_matches_python_model(spark, rows, max_lag, k):
         ).collect()
     }
     assert got == _py_lag_corr(cells, max_lag, k)
+
+
+# -- the two r15 SQL-text helpers: property-equal to python semantics ------
+# (floor_div_sql must equal python //, split_permille_sql must equal
+# 1000*n//d — on BOTH dialects, across sign and magnitude extremes)
+
+from hypothesis import example  # noqa: E402
+
+from db_integration_via_kafka_ksql_spark.operators.analytics import (  # noqa: E402
+    floor_div_sql,
+    split_permille_sql,
+)
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    us=st.lists(
+        st.integers(min_value=-(2**52), max_value=2**52),
+        min_size=1,
+        max_size=20,
+    ),
+    div=st.sampled_from([3_600_000_000, 86_400_000_000, 7, 1]),
+)
+@example(us=[-1, 0, 1, -3_600_000_000], div=3_600_000_000)
+def test_floor_div_sql_equals_python_floor_both_dialects(spark, us, div):
+    import duckdb
+
+    want = [u // div for u in us]
+    got_spark = [
+        r["b"]
+        for r in spark.createDataFrame([(u,) for u in us], "u long")
+        .select(F.expr(floor_div_sql("u", div, "spark")).alias("b"))
+        .collect()
+    ]
+    assert got_spark == want
+    got_dd = [
+        b
+        for (b,) in duckdb.sql(
+            "SELECT "
+            + floor_div_sql("u", div, "duckdb")
+            + " FROM (SELECT unnest(["
+            + ", ".join(str(u) for u in us)
+            + "]::BIGINT[]) AS u)"
+        ).fetchall()
+    ]
+    assert got_dd == want
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    # built as n = q*d + r (r < d): n ranges far past the naive 1000*n
+    # overflow point (9.2e15) — the whole reason the split form exists —
+    # while the RESULT 1000*q + ... stays in BIGINT (the helper's
+    # documented domain: the ratio fits, the intermediate needn't)
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**40),   # quotient q
+            st.integers(min_value=1, max_value=2**22),   # divisor d
+            st.integers(min_value=0, max_value=2**22 - 1),  # remainder seed
+        ).map(lambda t: (t[0] * t[1] + (t[2] % t[1]), t[1])),
+        min_size=1,
+        max_size=20,
+    )
+)
+@example(pairs=[(2**62, 2**20), (10**16, 7), (0, 1)])
+def test_split_permille_sql_is_exact_and_overflow_safe(spark, pairs):
+    import duckdb
+
+    want = [1000 * n // d for n, d in pairs]
+    expr = split_permille_sql("n", "d")
+    got_spark = [
+        r["p"]
+        for r in spark.createDataFrame(pairs, "n long, d long")
+        .select(F.expr(expr).alias("p"))
+        .collect()
+    ]
+    assert got_spark == want
+    # BIGINT-typed relation (bare VALUES literals type as INT32 and
+    # 1000 * (n % d) would overflow INT32 — exactly the class of bug the
+    # helper guards against in the engines)
+    ns = ", ".join(str(n) for n, _ in pairs)
+    ds = ", ".join(str(d) for _, d in pairs)
+    got_dd = [
+        p
+        for (p,) in duckdb.sql(
+            "SELECT CAST("
+            + expr.replace(" DIV ", " // ")
+            + " AS BIGINT) FROM (SELECT unnest(["
+            + ns
+            + "]::BIGINT[]) AS n, unnest(["
+            + ds
+            + "]::BIGINT[]) AS d)"
+        ).fetchall()
+    ]
+    assert got_dd == want
