@@ -778,6 +778,9 @@ class IvfPqIndex:
         # list ids + nlists here so benches/tests can report the scan
         # fraction a query batch actually touched
         self.last_serve_stats = None
+        # refit-generation tag (set by load() from meta; save(fit_id=…)
+        # persists it) — see StreamingVectorIndex.refit
+        self.fit_id = None
 
     def encode(self, embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Encode NEW vectors against the FROZEN fit artifacts (coarse
@@ -836,7 +839,9 @@ class IvfPqIndex:
         )
         return qn.select("vec_id", "label", "q"), list_rows
 
-    def save(self, path: str, n_q_buckets: int = 64) -> None:
+    def save(
+        self, path: str, n_q_buckets: int = 64, fit_id: str | None = None
+    ) -> None:
         """Persist to `path`: q/cent/lists as parquet (distributed
         writes — the corpus-sized frames never pass through the
         driver), codebook + geometry as one small json.
@@ -879,16 +884,19 @@ class IvfPqIndex:
         ).write.partitionBy("q_bucket").parquet(f"{tmp}/q")
         self.cent.write.parquet(f"{tmp}/cent")
         self.lists.write.partitionBy("list_id").parquet(f"{tmp}/lists")
+        meta = {
+            "dims": self.dims,
+            "m": self.m,
+            "codebook": self.codebook,
+            "n_q_buckets": n_q_buckets,
+        }
+        if fit_id is not None:
+            # refit-generation tag (StreamingVectorIndex.refit): lets the
+            # two-phase swap's recovery decide whether a crashed refit
+            # published this index before dying
+            meta["fit_id"] = fit_id
         with open(f"{tmp}/meta.json", "w") as f:
-            json.dump(
-                {
-                    "dims": self.dims,
-                    "m": self.m,
-                    "codebook": self.codebook,
-                    "n_q_buckets": n_q_buckets,
-                },
-                f,
-            )
+            json.dump(meta, f)
         old = f"{path}__old_{uuid.uuid4().hex[:8]}"
         if os.path.isdir(path):
             os.rename(path, old)
@@ -912,7 +920,7 @@ class IvfPqIndex:
         swapdir.recover(path)
         with open(f"{path}/meta.json") as f:
             meta = json.load(f)
-        return cls(
+        idx = cls(
             q=spark.read.parquet(f"{path}/q"),
             cent=F.broadcast(spark.read.parquet(f"{path}/cent")),
             corpus_res=None,  # fit-time scratch, not part of serving state
@@ -924,6 +932,8 @@ class IvfPqIndex:
             m=int(meta["m"]),
             n_q_buckets=meta.get("n_q_buckets"),
         )
+        idx.fit_id = meta.get("fit_id")
+        return idx
 
 
 def ivf_pq_serve(

@@ -61,6 +61,7 @@ class StreamingVectorIndex:
     batches_seen: list[int] = field(default_factory=list)
 
     def __post_init__(self) -> None:
+        self._recover_refit()
         self._base = S.IvfPqIndex.load(self.spark, self.index_path)
 
     def _q_path(self) -> str:
@@ -68,6 +69,142 @@ class StreamingVectorIndex:
 
     def _lists_path(self) -> str:
         return os.path.join(self.adds_path, "lists")
+
+    def _intent_path(self) -> str:
+        return os.path.join(self.adds_path, "__refit_intent.json")
+
+    def _consumed_path(self) -> str:
+        return os.path.join(self.adds_path, "__consumed.json")
+
+    def _consumed_through(self) -> int | None:
+        """Highest epoch id a past refit folded into the base, or None.
+        process_batch treats epochs at or below this as committed: after
+        a refit + restart, Spark may replay the last batch from the
+        checkpoint, and re-committing it into the (cleared) adds would
+        double-serve rows the refit corpus already carries."""
+        import json
+
+        try:
+            with open(self._consumed_path()) as f:
+                return int(json.load(f)["through"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _max_add_epoch(self) -> int | None:
+        eps = [
+            e
+            for p in (self._q_path(), self._lists_path())
+            for e in epochdir.list_epochs(p, self.batch_col)
+        ]
+        return max(eps) if eps else None
+
+    def _clear_adds(self) -> None:
+        import shutil
+
+        for p in (self._q_path(), self._lists_path()):
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
+    def _recover_refit(self) -> None:
+        """Finish or abort a refit that crashed mid-swap (the swapdir
+        recovery stance). The intent file brackets the swap: if the new
+        index PUBLISHED (its meta carries the intent's fit_id), complete
+        the remaining steps (consumed marker, adds clear, intent
+        removal); if it did not, the refit never happened — drop the
+        intent and leave the adds serving against the old base."""
+        import json
+
+        intent_path = self._intent_path()
+        if not os.path.exists(intent_path):
+            return
+        with open(intent_path) as f:
+            intent = json.load(f)
+        published = None
+        try:
+            with open(os.path.join(self.index_path, "meta.json")) as f:
+                published = json.load(f).get("fit_id")
+        except OSError:
+            pass
+        if published is not None and published == intent.get("fit_id"):
+            if intent.get("through") is not None:
+                with open(self._consumed_path(), "w") as f:
+                    json.dump({"through": int(intent["through"])}, f)
+            self._clear_adds()
+        os.remove(intent_path)
+
+    def refit(
+        self,
+        corpus: DataFrame,
+        coarse: str = "kmeans",
+        nlists: int | str | None = "auto",
+        ksub: int = 16,
+        iters: int = 2,
+        seed: int = 5,
+        n_q_buckets: int = 64,
+    ) -> dict:
+        """Scheduled REFIT — the repair the distortion() drift gauge
+        schedules: retrain the frozen artifacts (by default with the
+        TRAINED coarse quantizer at auto-scaled nlists — the production
+        codebook the r15 scale curve measures) over ``corpus``, publish
+        atomically over index_path, and fold the consumed adds into the
+        new base.
+
+        ``corpus`` is the caller's raw-embedding source of truth
+        ((vec_id, label, embedding) — typically the upstream table) and
+        MUST contain every vector that should remain searchable: the
+        base's vectors and every committed add. The index is DERIVED
+        state; the raw vectors live upstream (quantization is lossy, so
+        the artifacts cannot refit themselves).
+
+        Crash safety (two-phase swap, recovered by __post_init__):
+        an intent file brackets [publish -> consumed marker -> adds
+        clear]; the publish itself is IvfPqIndex.save's atomic rename.
+        A crash anywhere leaves either the old index + old adds (intent
+        aborts) or completes on the next construction (intent finishes).
+        The consumed marker makes checkpoint REPLAYS of folded epochs
+        no-ops — without it, a post-refit restart would re-encode the
+        last batch into the cleared adds and double-serve rows the new
+        base already holds.
+
+        Call from the foreachBatch thread or with the query stopped
+        (process_batch and refit share the adds dir single-threadedly,
+        like every maintenance pass in this repo)."""
+        import json
+        import uuid
+
+        fit_id = uuid.uuid4().hex
+        idx = S.ivf_pq_fit(
+            corpus,
+            dims=self._base.dims,
+            m=self._base.m,
+            ksub=ksub,
+            iters=iters,
+            seed=seed,
+            coarse=coarse,
+            nlists=nlists,
+        )
+        prev_through = self._consumed_through()
+        through = self._max_add_epoch()
+        if through is None or (
+            prev_through is not None and prev_through > through
+        ):
+            through = prev_through
+        os.makedirs(self.adds_path, exist_ok=True)
+        with open(self._intent_path(), "w") as f:
+            json.dump({"fit_id": fit_id, "through": through}, f)
+        idx.save(self.index_path, n_q_buckets=n_q_buckets, fit_id=fit_id)
+        if through is not None:
+            with open(self._consumed_path(), "w") as f:
+                json.dump({"through": int(through)}, f)
+        self._clear_adds()
+        os.remove(self._intent_path())
+        self._base = S.IvfPqIndex.load(self.spark, self.index_path)
+        return {
+            "fit_id": fit_id,
+            "consumed_through": through,
+            "nlists": idx.cent.count(),
+            "coarse": coarse,
+        }
 
     # -- serving view --------------------------------------------------------
     def _merged(self) -> "S.IvfPqIndex":
@@ -131,6 +268,9 @@ class StreamingVectorIndex:
         epoch partition per serving frame. Each commit is individually
         replay-skipped, so a crash between the two converges on replay."""
         self.batches_seen.append(epoch_id)
+        consumed = self._consumed_through()
+        if consumed is not None and epoch_id <= consumed:
+            return  # epoch folded into the base by a refit: replay no-op
         done_q = epochdir.epoch_committed(
             self._q_path(), self.batch_col, epoch_id
         )

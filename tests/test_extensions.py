@@ -523,9 +523,11 @@ def test_connected_components_driver_matches_distributed(spark):
 def test_dedup_clusters_keep_one_mask(spark, sf_dir):
     """is_rep keeps exactly one doc per cluster and every non-rep's
     representative is itself a rep."""
-    from db_integration_via_kafka_ksql_spark.registry import QUERIES
+    # all_queries: the op rotated to an aux slot in r15 (driver window
+    # membership is a rotation concern, not this invariant's)
+    from db_integration_via_kafka_ksql_spark.registry import all_queries
 
-    rows = QUERIES["dedup_clusters_embedding"](spark, sf_dir).collect()
+    rows = all_queries()["dedup_clusters_embedding"](spark, sf_dir).collect()
     reps = {r["vec_id"] for r in rows if r["is_rep"]}
     for r in rows:
         assert r["cluster_rep"] in reps

@@ -320,3 +320,152 @@ def test_kmeans_coarse_base_streams_identically(spark, sf_dir, corpus, tmp_path)
         re.findall(r"PartitionFilters: \[[^\]]*list_id", rep.plan_text)
     )
     assert n_pruned >= 2, rep.plan_text[:3000]
+
+
+# -- scheduled refit (r15): the repair the distortion gauge schedules ----
+
+
+def _refit_twin(spark, corpus_df, tmp_path, tag):
+    """The comparison index: a fresh batch fit over the same corpus with
+    the same params refit uses, through the same save/load shape."""
+    path = str(tmp_path / f"twin{tag}")
+    S.ivf_pq_fit(
+        corpus_df, dims=64, m=8, ksub=8, iters=1, seed=5,
+        coarse="kmeans", nlists="auto",
+    ).save(path)
+    return S.IvfPqIndex.load(spark, path)
+
+
+def test_refit_folds_adds_and_matches_fresh_batch_fit(
+    spark, sf_dir, corpus, tmp_path
+):
+    """refit(corpus) == a from-scratch batch fit over the same corpus:
+    after the swap the adds are cleared, the consumed marker holds the
+    highest folded epoch, and serve answers bit-equal to the twin (both
+    fits are deterministic integer Lloyd's)."""
+    import os as _os
+
+    from db_integration_via_kafka_ksql_spark.operators.similarity import (
+        auto_nlists,
+    )
+
+    base, adds = corpus
+    path = str(tmp_path / "index")
+    S.ivf_pq_fit(base, dims=64, m=8, ksub=8, iters=1).save(path)
+    svi = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0,
+    )
+    ids = _batches(adds)[0]
+    added = adds.filter(F.col("vec_id").isin(ids)).localCheckpoint(eager=True)
+    svi.process_batch(added, 0)
+    full = base.unionByName(added).localCheckpoint(eager=True)
+    report = svi.refit(full, ksub=8, iters=1)
+    assert report["consumed_through"] == 0
+    assert report["nlists"] == auto_nlists(full.count())
+    # adds consumed; intent gone; consumed marker present
+    assert not _os.path.isdir(str(tmp_path / "adds" / "q"))
+    assert not _os.path.exists(svi._intent_path())
+    assert svi._consumed_through() == 0
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _queries(spark, emb, ids[:2])
+    got = _serve(svi, queries)
+    want = _serve(_refit_twin(spark, full, tmp_path, "a"), queries)
+    assert got == want and len(got) > 0
+    # checkpoint REPLAY of the folded epoch is a no-op (the guard the
+    # consumed marker exists for): nothing reappears in the adds
+    svi.process_batch(added, 0)
+    assert svi._max_add_epoch() is None
+    # and a LATER batch encodes against the NEW codebook, prefix-exact
+    ids2 = _batches(adds)[1]
+    added2 = adds.filter(F.col("vec_id").isin(ids2))
+    svi.process_batch(added2, 1)
+    q2 = _queries(spark, emb, ids2[:2])
+    got2 = _serve(svi, q2)
+    want2 = _serve(_batch_merged(spark, path, svi._base, added2), q2)
+    assert got2 == want2
+
+
+def test_refit_crash_between_publish_and_clear_recovers(
+    spark, sf_dir, corpus, tmp_path, monkeypatch
+):
+    """Crash AFTER the new index published but BEFORE the adds cleared:
+    the next construction finishes the swap (consumed marker, adds
+    clear, intent removal) and serves from the new base alone."""
+    base, adds = corpus
+    path = str(tmp_path / "index")
+    S.ivf_pq_fit(base, dims=64, m=8, ksub=8, iters=1).save(path)
+    svi = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0,
+    )
+    ids = _batches(adds)[0]
+    added = adds.filter(F.col("vec_id").isin(ids)).localCheckpoint(eager=True)
+    svi.process_batch(added, 0)
+    full = base.unionByName(added).localCheckpoint(eager=True)
+
+    def boom():
+        raise RuntimeError("injected crash after publish")
+
+    monkeypatch.setattr(svi, "_clear_adds", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        svi.refit(full, ksub=8, iters=1)
+    # intent survives the crash; a fresh instance completes the swap
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "adds"), "__refit_intent.json")
+    )
+    svi2 = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0,
+    )
+    assert not os.path.exists(svi2._intent_path())
+    assert svi2._max_add_epoch() is None
+    assert svi2._consumed_through() == 0
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _queries(spark, emb, ids[:2])
+    got = _serve(svi2, queries)
+    want = _serve(_refit_twin(spark, full, tmp_path, "b"), queries)
+    assert got == want and len(got) > 0
+
+
+def test_refit_crash_before_publish_aborts(
+    spark, sf_dir, corpus, tmp_path, monkeypatch
+):
+    """Crash BEFORE the new index published: the intent aborts on the
+    next construction and the old base + adds keep serving unchanged."""
+    base, adds = corpus
+    path = str(tmp_path / "index")
+    S.ivf_pq_fit(base, dims=64, m=8, ksub=8, iters=1).save(path)
+    svi = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0,
+    )
+    ids = _batches(adds)[0]
+    added = adds.filter(F.col("vec_id").isin(ids)).localCheckpoint(eager=True)
+    svi.process_batch(added, 0)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _queries(spark, emb, ids[:2])
+    before = _serve(svi, queries)
+    full = base.unionByName(added).localCheckpoint(eager=True)
+    monkeypatch.setattr(
+        S.IvfPqIndex,
+        "save",
+        lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("injected crash before publish")
+        ),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="before publish"):
+        svi.refit(full, ksub=8, iters=1)
+    monkeypatch.undo()
+    svi2 = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0,
+    )
+    assert not os.path.exists(svi2._intent_path())
+    assert svi2._consumed_through() is None
+    assert svi2._max_add_epoch() == 0  # adds intact
+    assert _serve(svi2, queries) == before
