@@ -469,3 +469,118 @@ def test_refit_crash_before_publish_aborts(
     assert svi2._consumed_through() is None
     assert svi2._max_add_epoch() == 0  # adds intact
     assert _serve(svi2, queries) == before
+
+
+# -- refit crash-anywhere property (the state-store crash-plan stance) ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=5, deadline=None, suppress_health_check=list(HealthCheck)
+)
+@given(
+    n_batches=st.integers(min_value=1, max_value=2),
+    crash=st.sampled_from(
+        ["none", "pre_publish", "pre_marker", "pre_clear", "pre_intent_rm"]
+    ),
+)
+def test_refit_crash_anywhere_recovers_to_a_legal_state(
+    spark, sf_dir, corpus, tmp_path_factory, n_batches, crash
+):
+    """For ANY crash site across the two-phase swap, a fresh
+    construction recovers to exactly one of the two legal states —
+    OLD base + adds intact (crash before publish) or NEW base + adds
+    folded (crash at/after publish) — decided solely by whether the
+    published meta carries the intent's fit_id. Serve output is
+    bit-compared against the corresponding deterministic twin, and the
+    folded-epoch replay guard holds in the new-state branch."""
+    import pytest as _pytest
+
+    base, adds = corpus
+    tmp_path = tmp_path_factory.mktemp("refit_prop")
+    path = str(tmp_path / "index")
+    S.ivf_pq_fit(base, dims=64, m=8, ksub=8, iters=1).save(path)
+    svi = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0,
+    )
+    batches = _batches(adds)[:n_batches]
+    added_ids = [i for b in batches for i in b]
+    added = adds.filter(F.col("vec_id").isin(added_ids)).localCheckpoint(
+        eager=True
+    )
+    for e, ids in enumerate(batches):
+        svi.process_batch(adds.filter(F.col("vec_id").isin(ids)), e)
+    full = base.unionByName(added).localCheckpoint(eager=True)
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        if crash == "pre_publish":
+            mp.setattr(
+                S.IvfPqIndex,
+                "save",
+                lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+            )
+        elif crash == "pre_marker":
+            # refit reads the PREVIOUS marker via _consumed_path before
+            # publishing (call #1) and writes the new one after (call
+            # #2) — only the post-publish call is the crash site
+            real_cp = svi._consumed_path
+            calls = {"n": 0}
+
+            def cp():
+                calls["n"] += 1
+                if calls["n"] >= 2:
+                    raise RuntimeError("boom")
+                return real_cp()
+
+            mp.setattr(svi, "_consumed_path", cp)
+        elif crash == "pre_clear":
+            mp.setattr(
+                svi,
+                "_clear_adds",
+                lambda: (_ for _ in ()).throw(RuntimeError("boom")),
+            )
+        elif crash == "pre_intent_rm":
+            import os as _os
+
+            real_remove = _os.remove
+
+            def crash_rm(p, *a, **kw):
+                if "__refit_intent" in str(p):
+                    raise RuntimeError("boom")
+                return real_remove(p, *a, **kw)
+
+            mp.setattr(_os, "remove", crash_rm)
+        if crash == "none":
+            svi.refit(full, ksub=8, iters=1)
+        else:
+            with _pytest.raises(RuntimeError, match="boom"):
+                svi.refit(full, ksub=8, iters=1)
+    finally:
+        mp.undo()
+
+    # production restart: a fresh instance runs the recovery
+    svi2 = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0,
+    )
+    assert not os.path.exists(svi2._intent_path())
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _queries(spark, emb, added_ids[:2])
+    got = _serve(svi2, queries)
+    if crash == "pre_publish":  # OLD state: base + adds intact
+        assert svi2._max_add_epoch() == len(batches) - 1
+        want = _serve(_batch_merged(spark, path, svi2._base, added), queries)
+    else:  # NEW state: refit published -> adds folded
+        assert svi2._max_add_epoch() is None
+        assert svi2._consumed_through() == len(batches) - 1
+        want = _serve(_refit_twin(spark, full, tmp_path, "p"), queries)
+        # folded-epoch replay guard
+        svi2.process_batch(
+            adds.filter(F.col("vec_id").isin(batches[0])), 0
+        )
+        assert svi2._max_add_epoch() is None
+    assert got == want and len(got) > 0
