@@ -192,3 +192,19 @@ def test_kmeans_coarse_encode_appends_consistently(spark, sf_dir):
     }
     for r in list_rows.collect():
         assert want[r["neighbor_id"]] == (r["list_id"], tuple(r["codes"]))
+
+
+def test_distortion_gauge_works_on_kmeans_coarse_index(spark, sf_dir, tmp_path):
+    """The refit scheduler's input: ivf_pq_distortion over a TRAINED-
+    coarse index — fresh-fit scratch path and loaded-recompute path
+    report bit-identically (the coarse-agnostic recompute identity),
+    one row per non-empty list."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(300)
+    fitted = S.ivf_pq_fit(emb, ksub=8, coarse="kmeans", nlists=12)
+    path = str(tmp_path / "km_dist")
+    fitted.save(path)
+    loaded = S.IvfPqIndex.load(spark, path)
+    a = sorted(tuple(r) for r in S.ivf_pq_distortion(fitted).collect())
+    b = sorted(tuple(r) for r in S.ivf_pq_distortion(loaded).collect())
+    assert a == b and 0 < len(a) <= 12
+    assert all(r[2] >= 0 and r[3] >= 0 for r in a)  # total_err, max_err
