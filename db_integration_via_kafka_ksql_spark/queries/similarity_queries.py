@@ -312,13 +312,79 @@ PQ_SEED = 5
 PQ_REFINE = 8
 
 
+def _coarse_kmeans_ctes(nlists: int, citers: int, seed: int, dims: int) -> list[str]:
+    """Coarse codebook TRAINING replay (r15): the deterministic integer
+    Lloyd's that operators/similarity._kmeans_centroids runs — md5('km…')
+    seeding, (dist2, cid) assignment ties, exactly-divisible floor-mean
+    updates, empty-cluster carry — unrolled per iteration as CTEs ending
+    in `cent` (c_label, c), the frame the shared fit chain consumes.
+    Same unrolled-Lloyd shape as kmeans_queries._kmeans_chain, kc-prefixed
+    so the names never collide with the PQ loop's a{t}/u{t}/m{t}."""
+    d2 = (
+        f"CAST(list_sum([(q.q[i] - c.c[i]) * (q.q[i] - c.c[i]) "
+        f"for i in generate_series(1, {dims})]) AS BIGINT)"
+    )
+    ctes = [
+        f"""kc0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS cid,
+                   q AS c
+            FROM (
+                SELECT q, md5('km{seed}|' || CAST(vec_id AS VARCHAR)) AS h
+                FROM q ORDER BY h LIMIT {nlists}
+            )
+        )""",
+    ]
+    for t in range(1, citers + 1):
+        prev = f"kc{t - 1}"
+        ctes.append(f"""kca{t} AS (
+            SELECT vec_id, q, cid FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY dist2, cid
+                ) AS rn
+                FROM (
+                    SELECT q.vec_id, q.q, c.cid, {d2} AS dist2
+                    FROM q, {prev} c
+                )
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""kcu{t} AS (
+            SELECT a.cid, g.i AS i,
+                   CAST(SUM(a.q[g.i]) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM kca{t} a, generate_series(1, {dims}) g(i)
+            GROUP BY a.cid, g.i
+        )""")
+        ctes.append(f"""kcm{t} AS (
+            SELECT cid, list((s - ((s % n) + n) % n) // n ORDER BY i) AS c
+            FROM kcu{t} GROUP BY cid
+        )""")
+        ctes.append(f"""kc{t} AS (
+            SELECT p.cid, COALESCE(m.c, p.c) AS c
+            FROM {prev} p LEFT JOIN kcm{t} m ON m.cid = p.cid
+        )""")
+    ctes.append(
+        f"cent AS (SELECT cid AS c_label, c FROM kc{citers})"
+    )
+    return ctes
+
+
 def _ivf_pq_fit_ctes(
-    dims: int, m: int, ksub: int, iters: int, seed: int
+    dims: int,
+    m: int,
+    ksub: int,
+    iters: int,
+    seed: int,
+    coarse: str = "labels",
+    nlists: int | None = None,
+    coarse_iters: int = 2,
 ) -> tuple[list[str], str]:
     """The FIT half of the IVF-PQ replay (coarse assign → residuals →
     per-subspace Lloyd's → encode), shared by the top-k oracle and the
     distortion oracle. Returns (cte list ending at codes/pb{iters},
-    the d2sub distance fragment)."""
+    the d2sub distance fragment). coarse="kmeans" swaps the label-mean
+    codebook CTEs for the TRAINED Lloyd chain at a PINNED nlists (the
+    static-oracle pin, same stance as the explicit LSH plane counts);
+    everything downstream is byte-identical between the two."""
     dsub = dims // m
     sum_cols = ", ".join(f"sum(q[{i + 1}]) AS s{i}" for i in range(dims))
     cent_list = ", ".join(
@@ -334,8 +400,17 @@ def _ivf_pq_fit_ctes(
     )
     ctes = [
         f"q AS (SELECT vec_id, label, {_QUANTIZE} AS q FROM embeddings)",
-        f"sums AS (SELECT label, count(*) AS n, {sum_cols} FROM q GROUP BY label)",
-        f"cent AS (SELECT label AS c_label, [{cent_list}] AS c FROM sums)",
+    ]
+    if coarse == "kmeans":
+        if not isinstance(nlists, int) or nlists < 1:
+            raise ValueError("coarse='kmeans' oracle needs a pinned nlists")
+        ctes += _coarse_kmeans_ctes(nlists, coarse_iters, seed, dims)
+    else:
+        ctes += [
+            f"sums AS (SELECT label, count(*) AS n, {sum_cols} FROM q GROUP BY label)",
+            f"cent AS (SELECT label AS c_label, [{cent_list}] AS c FROM sums)",
+        ]
+    ctes += [
         f"""assign AS (
             SELECT q.vec_id, q.q, cent.c_label, cent.c, {dist2} AS dist2,
                    row_number() OVER (
@@ -408,14 +483,26 @@ def _ivf_pq_fit_ctes(
 
 
 def _ivf_pq_oracle(
-    dims: int, nprobe: int, m: int, ksub: int, iters: int, seed: int, refine: int
+    dims: int,
+    nprobe: int,
+    m: int,
+    ksub: int,
+    iters: int,
+    seed: int,
+    refine: int,
+    coarse: str = "labels",
+    nlists: int | None = None,
 ) -> str:
     """Full sequential replay of the IVF-PQ pipeline: fit
     (_ivf_pq_fit_ctes) → ADC scores (coarse term + LUT sum) → exact
     refine — every stage integer, so the hash compare proves the
-    distributed pipeline bit-matches."""
+    distributed pipeline bit-matches. coarse="kmeans" replays the
+    TRAINED coarse codebook at a pinned nlists (see _coarse_kmeans_ctes);
+    the serve half below is shared verbatim."""
     dsub = dims // m
-    ctes, d2sub = _ivf_pq_fit_ctes(dims, m, ksub, iters, seed)
+    ctes, d2sub = _ivf_pq_fit_ctes(
+        dims, m, ksub, iters, seed, coarse=coarse, nlists=nlists
+    )
     ctes += [
         f"""probes AS (
             SELECT vec_id AS query_id, q AS qq, c_label AS probe_list,
@@ -572,6 +659,48 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=PQ_ITERS,
         seed=PQ_SEED,
         coarse="kmeans",
+    )
+    return S.ivf_pq_serve(
+        index, QUERY_IDS, k=TOP_K, nprobe=NPROBE, refine=PQ_REFINE
+    )
+
+
+KM_NLISTS = 16  # the pinned-oracle coarse width (the LSH-plane-pin stance)
+KM_COARSE_ITERS = 2
+
+
+@query(
+    "sim_ivf_kmeans_topk_pinned",
+    driver=False,
+    # the ORACLE-BACKED twin of sim_ivf_kmeans_topk: nlists pinned at 16
+    # because the static oracle_sql() contract must replay the exact
+    # Lloyd chain (auto_nlists would make the unrolled CTE width depend
+    # on the corpus row count) — the same pin the LSH rows carry for
+    # their plane counts. The production path stays nlists="auto"
+    # (measured in scale_curve); THIS row proves the trained-coarse
+    # pipeline end to end: coarse Lloyd training, assignment, residuals,
+    # PQ codebooks, ADC, refine — all hash-parity-exact in DuckDB.
+    oracle=_ivf_pq_oracle(
+        DIMS, NPROBE, PQ_M, PQ_KSUB, PQ_ITERS, PQ_SEED, PQ_REFINE,
+        coarse="kmeans", nlists=KM_NLISTS,
+    ),
+)
+def sim_ivf_kmeans_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ fit+serve with the kmeans-TRAINED coarse codebook at a
+    PINNED nlists=16 (operators/similarity.ivf_pq_fit coarse="kmeans"):
+    the oracle replays the coarse Lloyd training itself — md5 seeding,
+    integer floor-mean updates, empty-cluster carry — then the identical
+    PQ/ADC/refine chain as sim_ivf_pq_topk."""
+    index = S.ivf_pq_fit(
+        load_table(spark, sf_dir, "embeddings"),
+        dims=DIMS,
+        m=PQ_M,
+        ksub=PQ_KSUB,
+        iters=PQ_ITERS,
+        seed=PQ_SEED,
+        coarse="kmeans",
+        nlists=KM_NLISTS,
+        coarse_iters=KM_COARSE_ITERS,
     )
     return S.ivf_pq_serve(
         index, QUERY_IDS, k=TOP_K, nprobe=NPROBE, refine=PQ_REFINE
