@@ -1019,7 +1019,14 @@ def main() -> None:
         attempt = _headline_attempt()
         d = measured_drift(attempt[3])
         drift_attempts.append(d)
-        if best is None or (d or 0) < (measured_drift(best[3]) or 0):
+        # an attempt with no measured drift can never beat a measured one
+        d_cmp = float("inf") if d is None else d
+        best_cmp = (
+            float("inf")
+            if best is None or measured_drift(best[3]) is None
+            else measured_drift(best[3])
+        )
+        if best is None or d_cmp < best_cmp:
             best = attempt
         if d is not None and d <= DRIFT_GATE:
             break

@@ -492,16 +492,20 @@ def _ivf_pq_oracle(
     refine: int,
     coarse: str = "labels",
     nlists: int | None = None,
+    coarse_iters: int = 2,
 ) -> str:
     """Full sequential replay of the IVF-PQ pipeline: fit
     (_ivf_pq_fit_ctes) → ADC scores (coarse term + LUT sum) → exact
     refine — every stage integer, so the hash compare proves the
     distributed pipeline bit-matches. coarse="kmeans" replays the
     TRAINED coarse codebook at a pinned nlists (see _coarse_kmeans_ctes);
-    the serve half below is shared verbatim."""
+    coarse_iters threads through to the Lloyd unroll so the Spark fit
+    and the oracle derive from ONE constant (r15 advice). The serve
+    half below is shared verbatim."""
     dsub = dims // m
     ctes, d2sub = _ivf_pq_fit_ctes(
-        dims, m, ksub, iters, seed, coarse=coarse, nlists=nlists
+        dims, m, ksub, iters, seed,
+        coarse=coarse, nlists=nlists, coarse_iters=coarse_iters,
     )
     ctes += [
         f"""probes AS (
@@ -682,7 +686,7 @@ KM_COARSE_ITERS = 2
     # PQ codebooks, ADC, refine — all hash-parity-exact in DuckDB.
     oracle=_ivf_pq_oracle(
         DIMS, NPROBE, PQ_M, PQ_KSUB, PQ_ITERS, PQ_SEED, PQ_REFINE,
-        coarse="kmeans", nlists=KM_NLISTS,
+        coarse="kmeans", nlists=KM_NLISTS, coarse_iters=KM_COARSE_ITERS,
     ),
 )
 def sim_ivf_kmeans_topk_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:

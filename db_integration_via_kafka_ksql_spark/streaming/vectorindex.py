@@ -81,12 +81,29 @@ class StreamingVectorIndex:
         process_batch treats epochs at or below this as committed: after
         a refit + restart, Spark may replay the last batch from the
         checkpoint, and re-committing it into the (cleared) adds would
-        double-serve rows the refit corpus already carries."""
+        double-serve rows the refit corpus already carries.
+
+        The marker records the CHECKPOINT IDENTITY it was written under
+        (r15 advice): the skip is only sound while batch ids stay
+        monotone, which Spark guarantees per checkpoint dir. A restart
+        with a FRESH checkpoint renumbers batches from 0 — under the old
+        behavior those new batches 0..through were silently dropped. On
+        identity mismatch the marker is ignored: new data is never lost;
+        if the new checkpoint's source re-delivers rows the refit
+        already folded, they duplicate (the detectable pre-r16 misuse
+        mode, strictly better than silent loss). Markers written before
+        this field behave as before (no identity to compare)."""
         import json
 
         try:
             with open(self._consumed_path()) as f:
-                return int(json.load(f)["through"])
+                marker = json.load(f)
+            if (
+                "checkpoint" in marker
+                and marker["checkpoint"] != self.checkpoint_dir
+            ):
+                return None
+            return int(marker["through"])
         except (OSError, ValueError, KeyError):
             return None
 
@@ -128,7 +145,15 @@ class StreamingVectorIndex:
         if published is not None and published == intent.get("fit_id"):
             if intent.get("through") is not None:
                 with open(self._consumed_path(), "w") as f:
-                    json.dump({"through": int(intent["through"])}, f)
+                    json.dump(
+                        {
+                            "through": int(intent["through"]),
+                            "checkpoint": intent.get(
+                                "checkpoint", self.checkpoint_dir
+                            ),
+                        },
+                        f,
+                    )
             self._clear_adds()
         os.remove(intent_path)
 
@@ -141,6 +166,7 @@ class StreamingVectorIndex:
         iters: int = 2,
         seed: int = 5,
         n_q_buckets: int = 64,
+        on_missing: str = "error",
     ) -> dict:
         """Scheduled REFIT — the repair the distortion() drift gauge
         schedules: retrain the frozen artifacts (by default with the
@@ -166,11 +192,41 @@ class StreamingVectorIndex:
         last batch into the cleared adds and double-serve rows the new
         base already holds.
 
+        Corpus-coverage gate (r15 advice): marking adds consumed TRUSTS
+        ``corpus`` to carry them — a snapshot taken before the latest
+        add commit would silently drop those vectors from serving. Before
+        anything is cleared, the committed adds' vec_ids are anti-joined
+        against the corpus (cost bounded by the adds, never the corpus:
+        the corpus side is ids-only and the join broadcasts the smaller
+        adds frame at scale). ``on_missing="error"`` (default) raises
+        with a sample; ``"warn"`` proceeds and reports
+        ``missing_from_corpus`` in the returned dict for callers that
+        intentionally drop (e.g. a curation refit).
+
         Call from the foreachBatch thread or with the query stopped
         (process_batch and refit share the adds dir single-threadedly,
         like every maintenance pass in this repo)."""
         import json
         import uuid
+
+        if on_missing not in ("error", "warn"):
+            raise ValueError(f"on_missing must be 'error'|'warn', got {on_missing!r}")
+        missing = 0
+        if epochdir.list_epochs(self._q_path(), self.batch_col):
+            adds_ids = self.spark.read.parquet(self._q_path()).select("vec_id")
+            gone = adds_ids.join(
+                corpus.select("vec_id"), on="vec_id", how="left_anti"
+            )
+            missing = gone.count()
+            if missing and on_missing == "error":
+                sample = [r.vec_id for r in gone.limit(5).collect()]
+                raise ValueError(
+                    f"refit corpus is missing {missing} committed add "
+                    f"vec_ids (sample: {sample}); refitting would drop "
+                    "them from serving — pass a corpus snapshot taken "
+                    "AFTER the latest add commit, or on_missing='warn' "
+                    "to drop intentionally"
+                )
 
         fit_id = uuid.uuid4().hex
         idx = S.ivf_pq_fit(
@@ -191,11 +247,21 @@ class StreamingVectorIndex:
             through = prev_through
         os.makedirs(self.adds_path, exist_ok=True)
         with open(self._intent_path(), "w") as f:
-            json.dump({"fit_id": fit_id, "through": through}, f)
+            json.dump(
+                {
+                    "fit_id": fit_id,
+                    "through": through,
+                    "checkpoint": self.checkpoint_dir,
+                },
+                f,
+            )
         idx.save(self.index_path, n_q_buckets=n_q_buckets, fit_id=fit_id)
         if through is not None:
             with open(self._consumed_path(), "w") as f:
-                json.dump({"through": int(through)}, f)
+                json.dump(
+                    {"through": int(through), "checkpoint": self.checkpoint_dir},
+                    f,
+                )
         self._clear_adds()
         os.remove(self._intent_path())
         self._base = S.IvfPqIndex.load(self.spark, self.index_path)
@@ -204,6 +270,7 @@ class StreamingVectorIndex:
             "consumed_through": through,
             "nlists": idx.cent.count(),
             "coarse": coarse,
+            "missing_from_corpus": missing,
         }
 
     # -- serving view --------------------------------------------------------

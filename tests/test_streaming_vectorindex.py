@@ -584,3 +584,89 @@ def test_refit_crash_anywhere_recovers_to_a_legal_state(
         )
         assert svi2._max_add_epoch() is None
     assert got == want and len(got) > 0
+
+
+# -- r16: refit corpus-coverage gate + checkpoint-identity marker ----
+
+
+def test_refit_rejects_corpus_missing_committed_adds(
+    spark, corpus, tmp_path
+):
+    """A corpus snapshot taken BEFORE the latest add commit must not
+    silently drop those vectors: refit anti-joins the committed adds'
+    vec_ids against the corpus and raises by default; on_missing='warn'
+    proceeds and reports the count (the intentional-drop path)."""
+    base, adds = corpus
+    path = str(tmp_path / "index")
+    S.ivf_pq_fit(base, dims=64, m=8, ksub=8, iters=1).save(path)
+    svi = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0,
+    )
+    ids = _batches(adds)[0]
+    added = adds.filter(F.col("vec_id").isin(ids)).localCheckpoint(eager=True)
+    svi.process_batch(added, 0)
+    # stale snapshot: base only — every committed add is missing
+    with pytest.raises(ValueError, match="missing 30 committed add"):
+        svi.refit(base, ksub=8, iters=1)
+    # nothing was swapped or cleared: old base + adds keep serving
+    assert svi._max_add_epoch() == 0
+    assert not os.path.exists(svi._intent_path())
+    # the intentional-drop path reports instead of raising
+    report = svi.refit(base, ksub=8, iters=1, on_missing="warn")
+    assert report["missing_from_corpus"] == 30
+    assert svi._max_add_epoch() is None  # adds consumed (dropped by choice)
+    # a covering corpus passes the gate clean
+    svi.process_batch(
+        adds.filter(F.col("vec_id").isin(_batches(adds)[1])), 1
+    )
+    full = base.unionByName(
+        adds.filter(F.col("vec_id").isin(_batches(adds)[1]))
+    ).localCheckpoint(eager=True)
+    report2 = svi.refit(full, ksub=8, iters=1)
+    assert report2["missing_from_corpus"] == 0
+
+
+def test_consumed_marker_ignored_under_fresh_checkpoint(
+    spark, corpus, tmp_path
+):
+    """The consumed marker records the checkpoint identity it was
+    written under: a restart with a FRESH checkpoint dir renumbers
+    batches from 0, so honoring the old marker would silently drop new
+    batches 0..through. Identity mismatch -> marker ignored (commits
+    proceed); same identity -> replay skip as before."""
+    base, adds = corpus
+    path = str(tmp_path / "index")
+    S.ivf_pq_fit(base, dims=64, m=8, ksub=8, iters=1).save(path)
+    cp1, cp2 = str(tmp_path / "cp1"), str(tmp_path / "cp2")
+    svi = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0, checkpoint_dir=cp1,
+    )
+    ids = _batches(adds)[0]
+    added = adds.filter(F.col("vec_id").isin(ids)).localCheckpoint(eager=True)
+    svi.process_batch(added, 0)
+    full = base.unionByName(added).localCheckpoint(eager=True)
+    svi.refit(full, ksub=8, iters=1)
+    assert svi._consumed_through() == 0
+
+    # same checkpoint identity: folded-epoch replay stays a no-op
+    same = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0, checkpoint_dir=cp1,
+    )
+    ids2 = _batches(adds)[1]
+    added2 = adds.filter(F.col("vec_id").isin(ids2)).localCheckpoint(
+        eager=True
+    )
+    same.process_batch(added2, 0)  # replay of a folded epoch id
+    assert same._max_add_epoch() is None
+
+    # FRESH checkpoint identity: epoch 0 is NEW data, must commit
+    fresh = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0, checkpoint_dir=cp2,
+    )
+    assert fresh._consumed_through() is None
+    fresh.process_batch(added2, 0)
+    assert fresh._max_add_epoch() == 0
