@@ -241,6 +241,87 @@ def spread_suspects(rep_timings: dict) -> list[str]:
     return out
 
 
+# Cross-round per-query spread band (r15 verdict Next #3): the per-probe
+# drift gate bounds WITHIN-run host load, but two gated same-code runs
+# still swung star_sales_by_region_segment 1.38 -> 2.18 (r15 committed vs
+# driver run). The band makes that adjudication automatic: a query's
+# current best-of-N is compared against its envelope over the last
+# HISTORY_ROUNDS rounds, widened by CROSS_ROUND_TOLERANCE (sized to the
+# r15 same-code swing, reps [1.38..1.74] vs [2.22..2.38] ~ 1.6x), and
+# only out-of-band movers are published — future judges inherit the
+# classification instead of re-deriving it.
+HISTORY_ROUNDS = 4
+CROSS_ROUND_TOLERANCE = 1.6
+
+
+def round_history(script_dir: str, sf) -> dict[str, dict[int, float]]:
+    """Per-query timings from the last HISTORY_ROUNDS BENCH_r*.json files
+    at the same sf: {query: {round_n: seconds}}. Missing/corrupt/foreign-
+    sf files are skipped — first round or fresh clone -> {}."""
+    import glob
+    import re as _re
+
+    hist: dict[str, dict[int, float]] = {}
+    rounds: list[tuple[int, dict]] = []
+    for p in glob.glob(os.path.join(script_dir, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            parsed = d.get("parsed") or {}
+            if parsed.get("sf") != sf:
+                continue
+            q = parsed.get("queries") or {}
+            rounds.append((int(m.group(1)), q))
+        except Exception:
+            continue
+    for n, q in sorted(rounds)[-HISTORY_ROUNDS:]:
+        for name, v in q.items():
+            if isinstance(v, (int, float)) and v > 0:
+                hist.setdefault(name, {})[n] = float(v)
+    return hist
+
+
+def cross_round_movers(timings: dict, history: dict) -> dict:
+    """Classify each timed query against its cross-round band
+    [min(hist)/TOL, max(hist)*TOL]. Returns {"window_rounds", "tolerance",
+    "n_within_band", "n_no_history", "movers": {name: {...}}} — only
+    out-of-band movers carry detail rows. Pure function (unit-testable
+    without a Spark run, the spread_suspects stance)."""
+    movers: dict[str, dict] = {}
+    within = no_hist = 0
+    rounds_seen: set[int] = set()
+    for name, cur in timings.items():
+        if not isinstance(cur, (int, float)) or cur <= 0:
+            continue
+        h = history.get(name)
+        if not h:
+            no_hist += 1
+            continue
+        rounds_seen.update(h)
+        lo, hi = min(h.values()), max(h.values())
+        band = (round(lo / CROSS_ROUND_TOLERANCE, 4),
+                round(hi * CROSS_ROUND_TOLERANCE, 4))
+        if band[0] <= cur <= band[1]:
+            within += 1
+            continue
+        movers[name] = {
+            "current": cur,
+            "band": list(band),
+            "history": {str(k): v for k, v in sorted(h.items())},
+            "direction": "up" if cur > band[1] else "down",
+        }
+    return {
+        "window_rounds": sorted(rounds_seen),
+        "tolerance": CROSS_ROUND_TOLERANCE,
+        "n_within_band": within,
+        "n_no_history": no_hist,
+        "movers": movers,
+    }
+
+
 def release_checkpoints(spark) -> None:
     """Drop every persisted RDD (the queries' localCheckpoint blocks).
 
@@ -1134,6 +1215,9 @@ def main() -> None:
     suspects = spread_suspects(rep_timings)
     if suspects:
         report["spread_suspect"] = suspects
+    report["cross_round_movers"] = cross_round_movers(
+        timings, round_history(os.path.dirname(os.path.abspath(__file__)), sf)
+    )
     if n_timed < len(timings):
         # the headline total covers fewer queries than registered — flag it
         # in the report itself so cross-round `value` comparisons can't

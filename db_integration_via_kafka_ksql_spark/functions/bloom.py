@@ -33,10 +33,19 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class BloomParams:
     """Shared between build and probe — a probe with different params
-    than the build is meaningless, so they travel as one value."""
+    than the build is meaningless, so they travel as one value.
+
+    hash: "xxhash64" (default — cheapest per item, Spark-internal) or
+    "md5" (the repo's cross-engine hash discipline: first 15 md5
+    nibbles as a 60-bit bigint, bit-replayable in DuckDB — see
+    functions/text.hex_hash_int), chosen so the bloom decontamination
+    query can carry a full build+probe oracle (r15 verdict Next #5).
+    Position streams differ between the two, so build and probe agree
+    through the shared params value as always."""
 
     n_bits: int = 1 << 20
     n_hashes: int = 5
+    hash: str = "xxhash64"
 
     @property
     def n_words(self) -> int:
@@ -44,10 +53,39 @@ class BloomParams:
 
 
 def _positions(item: Column, p: BloomParams) -> list[Column]:
-    """k bit positions for an item: xxhash64 seeded by the probe index
-    (extra leading literal column == distinct hash per k)."""
+    """k bit positions for an item, seeded by the probe index (a
+    leading "i:" salt == distinct hash per k)."""
+    if p.hash == "md5":
+        return [
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), item)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(p.n_bits),
+            )
+            for i in range(p.n_hashes)
+        ]
+    if p.hash != "xxhash64":
+        raise ValueError(f'hash must be "xxhash64"|"md5", got {p.hash!r}')
     return [
         F.pmod(F.xxhash64(F.lit(i), item), F.lit(p.n_bits))
+        for i in range(p.n_hashes)
+    ]
+
+
+def positions_sql_duckdb(item_sql: str, p: BloomParams) -> list[str]:
+    """The DuckDB replay of _positions for hash="md5" — one fragment per
+    probe index, bit-identical to the Spark expressions (same salt, same
+    15-nibble md5 window, same modulus)."""
+    if p.hash != "md5":
+        raise ValueError("only the md5 position stream is SQL-replayable")
+    return [
+        f"(('0x' || substr(md5('{i}:' || {item_sql}), 1, 15))::BIGINT "
+        f"% {p.n_bits})"
         for i in range(p.n_hashes)
     ]
 

@@ -450,6 +450,7 @@ def decontaminate_bloom(
     n: int = 5,
     n_bits: int = 1 << 20,
     n_hashes: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Bloom-filter variant of :func:`decontaminate` for benchmark sets
     too large to broadcast as strings.
@@ -473,7 +474,7 @@ def decontaminate_bloom(
     """
     from db_integration_via_kafka_ksql_spark.functions import bloom as B
 
-    p = B.BloomParams(n_bits=n_bits, n_hashes=n_hashes)
+    p = B.BloomParams(n_bits=n_bits, n_hashes=n_hashes, hash=hash_fn)
     grams = _decontam_grams(docs, n)
     is_bench = (F.col("doc_id") % bench_mod) == 0
     bench_grams = (

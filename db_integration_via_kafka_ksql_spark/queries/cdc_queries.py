@@ -45,7 +45,7 @@ _COMPACT_SQL = f"""
 
 @query(
     "cdc_compact_latest",
-    driver=False,  # round-14 rotation: stable veteran slot ceded to sketch_cms_join_size
+    # round-16 rotation: veteran returns (2 rounds out); still the entry() flagship
     oracle=_COMPACT_SQL,
 )
 def cdc_compact_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,6 +69,7 @@ def cdc_soft_delete_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cdc_upsert_merge",
+    driver=False,  # round-16 rotation: veteran slot ceded to cdc_compact_latest's return
     # replay-rebuild invariant: merging the tail onto compacted-head state
     # equals compacting the whole log (then dropping deleted keys).
     oracle=f"SELECT * FROM ({_COMPACT_SQL}) WHERE __deleted <> 'true'",
@@ -185,7 +186,7 @@ def sessionize_events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "asof_join_events",
-    driver=False,  # round-13 rotation: stable veteran slot ceded to cdc_scd2_point_in_time
+    # round-16 rotation: veteran returns (3 rounds out)
     # DuckDB's native ASOF JOIN is the oracle for our union-sort-window
     # formulation (operators/asof.py)
     oracle="""
@@ -328,6 +329,7 @@ def cdc_state_group_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "interval_join_clicks_purchases",
+    driver=False,  # round-16 rotation: veteran (r9) slot ceded to asof_join_events' return
     # promoted to the driver window round 9; batch twin of streaming joins
     oracle="""
     WITH p AS (

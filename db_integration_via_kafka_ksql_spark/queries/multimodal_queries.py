@@ -201,7 +201,7 @@ _AHASH_CTES = """
 
 @query(
     "mm_image_ahash",
-    driver=False,  # round-14 rotation: stable veteran slot ceded to mm_audio_neardup_pairs
+    # round-16 rotation: veteran returns (2 rounds out)
     # round-10 rotation: promoted into the external driver window
     oracle=_AHASH_CTES
     + """
@@ -355,7 +355,7 @@ _AUDIO_FP_CTES = """
 
 @query(
     "mm_audio_fingerprint",
-    # round-14 rotation: promoted into the external driver window
+    driver=False,  # round-16 rotation: slot ceded to mm_image_ahash's return (audio keeps mm_audio_neardup_pairs)
     oracle=_AUDIO_FP_CTES
     + """
     SELECT doc_id, n_samples, fp_lo, fp_hi FROM fpv

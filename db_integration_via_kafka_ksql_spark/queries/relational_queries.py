@@ -37,7 +37,7 @@ def _msum(expr: str, alias: str) -> str:
 
 @query(
     "q1_pricing_summary",
-    driver=False,  # round-14 rotation: stable veteran slot ceded to profile_orders_columns
+    # round-16 rotation: veteran returns (2 rounds out)
     oracle=f"""
     SELECT l_returnflag,
            l_linestatus,
@@ -65,7 +65,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q3_shipping_priority",
-    driver=False,  # round-13 rotation: stable veteran slot ceded to events_value_quantiles_hist
+    # round-16 rotation: veteran returns (3 rounds out)
     oracle=f"""
     SELECT l_orderkey,
            {_msum(_REV, "revenue")},
@@ -95,6 +95,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q5_local_supplier_volume",
+    driver=False,  # round-16 rotation: longest-tenured relational veteran (r8) cedes to q1/q3's return
     oracle=f"""
     SELECT n_name, {_msum(_REV, "revenue")}
     FROM lineitem
@@ -305,6 +306,7 @@ def events_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "rollup_sales_by_region_segment",
+    driver=False,  # round-16 rotation: veteran (r8) cedes; q1 covers the relational-agg family
     oracle=f"""
     SELECT r_name,
            c_mktsegment,
@@ -1560,7 +1562,7 @@ GROUPED_QS = (500, 900)
 
 @query(
     "events_type_value_quantiles",
-    # round-12 rotation: promoted into the driver window
+    driver=False,  # round-16 rotation: veteran (r12) cedes; events_value_quantiles_hist keeps the quantile slot
     oracle=f"""
     WITH base AS (
         SELECT event_type AS grp, value AS v FROM events

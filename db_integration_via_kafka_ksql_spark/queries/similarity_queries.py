@@ -254,7 +254,7 @@ HARDNEG_DUP_PCT = 40
 
 @query(
     "sim_hard_negatives",
-    driver=False,  # round-13 rotation: stable veteran slot ceded to mm_image_neardup_pairs
+    # round-16 rotation: veteran returns (3 rounds out)
     # promoted to the driver window round 9 (contrastive mining)
     oracle=f"""
     WITH q0 AS (SELECT vec_id, {_QUANTIZE} AS q FROM embeddings),
@@ -559,7 +559,8 @@ def _ivf_pq_oracle(
 
 @query(
     "sim_ivf_pq_topk",
-    # round-8 rotation: promoted into the external driver window
+    driver=False,  # round-16 rotation: veteran (r8) cedes to sim_ivf_kmeans_topk_pinned — the
+    # trained-coarse twin runs the IDENTICAL PQ/ADC/refine chain plus the coarse Lloyd replay
     oracle=_ivf_pq_oracle(
         DIMS, NPROBE, PQ_M, PQ_KSUB, PQ_ITERS, PQ_SEED, PQ_REFINE
     ),
@@ -675,7 +676,8 @@ KM_COARSE_ITERS = 2
 
 @query(
     "sim_ivf_kmeans_topk_pinned",
-    driver=False,
+    # round-16 rotation (r15 verdict Next #2): promoted so the trained-coarse
+    # path is externally hash-verified by the driver, not just locally parity-gated
     # the ORACLE-BACKED twin of sim_ivf_kmeans_topk: nlists pinned at 16
     # because the static oracle_sql() contract must replay the exact
     # Lloyd chain (auto_nlists would make the unrolled CTE width depend

@@ -40,7 +40,7 @@ CMS_PROBES = 20
 
 @query(
     "sketch_hll_distinct_users",
-    driver=False,  # round-13 rotation: stable veteran slot ceded to sketch_mg_heavy_sources
+    # round-16 rotation: veteran returns (3 rounds out)
     # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH h AS (
@@ -306,7 +306,7 @@ MG_K = 20
 
 @query(
     "sketch_mg_heavy_tokens",
-    # round-13 rotation: promoted into the driver window
+    driver=False,  # round-16 rotation: slot ceded to sketch_hll_distinct_users' return (mg keeps heavy_sources)
     # exact integer replay: counts, single-row total, and the Misra-Gries
     # support threshold as a cross-multiplication (cnt*(k+1) > n) — no
     # division anywhere

@@ -392,19 +392,74 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("decontam_bloom_overlap", driver=False)
+def _bloom_oracle() -> str:
+    """Full DuckDB replay of the Bloom decontamination (r15 verdict
+    Next #5): build (bench grams -> distinct set bit positions) and
+    probe (a corpus gram is a member iff ALL k of its positions are
+    set) — set-of-positions semantics, which is exactly what the packed
+    bit array encodes, so the replay needs no word packing. Positions
+    come from functions/bloom.positions_sql_duckdb, the bit-identical
+    mirror of the Spark md5 position stream."""
+    from db_integration_via_kafka_ksql_spark.functions.bloom import (
+        BloomParams,
+        positions_sql_duckdb,
+    )
+
+    p = BloomParams(hash="md5")
+    pos = positions_sql_duckdb("gram", p)
+    bench_pos = "\n        UNION ALL ".join(
+        f"SELECT {frag} AS pos FROM bench" for frag in pos
+    )
+    return f"""
+    WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+    d AS (SELECT doc_id, list_distinct({_sh(DECONTAM_N)}) AS grams FROM ws),
+    g AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM d),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+    bits AS (
+        SELECT DISTINCT pos FROM ({bench_pos})
+    ),
+    probe AS (
+        SELECT doc_id, gram, unnest([{", ".join(pos)}]) AS pos
+        FROM g WHERE doc_id % {DECONTAM_BENCH_MOD} != 0
+    ),
+    hits AS (
+        SELECT doc_id, gram
+        FROM probe JOIN bits USING (pos)
+        GROUP BY doc_id, gram
+        HAVING count(*) = {p.n_hashes}
+    ),
+    ov AS (SELECT doc_id, count(*) AS n_overlap FROM hits GROUP BY doc_id)
+    SELECT corpus.doc_id,
+           CAST(corpus.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(CASE WHEN COALESCE(ov.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS INT)
+             AS contaminated
+    FROM (
+        SELECT doc_id, n_grams FROM (
+            SELECT doc_id, len(grams) AS n_grams FROM d
+        ) WHERE doc_id % {DECONTAM_BENCH_MOD} != 0
+    ) corpus
+    LEFT JOIN ov ON ov.doc_id = corpus.doc_id
+    """
+
+
+@query("decontam_bloom_overlap", driver=False, oracle=_bloom_oracle())
 def decontam_bloom_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination twin: same columns as
     `decontam_ngram_overlap`, benchmark grams folded into a broadcast
     bit array instead of a broadcast string set — the scale path once
-    the held-out gram set outgrows string broadcast. No DuckDB oracle
-    (membership runs on Spark's xxhash64); the gate is the zero-false-
+    the held-out gram set outgrows string broadcast. ORACLE-BACKED
+    since r16 (verdict Next #5) via the md5 position stream
+    (functions/bloom.BloomParams(hash="md5") — the repo's cross-engine
+    hash discipline), whose build+probe DuckDB replay is _bloom_oracle;
+    the xxhash64 production default stays gated by the zero-false-
     negative superset property vs the exact op plus the measured-fp
     bound (tests/test_text_properties.py)."""
     return TA.decontaminate_bloom(
         load_table(spark, sf_dir, "documents"),
         bench_mod=DECONTAM_BENCH_MOD,
         n=DECONTAM_N,
+        hash_fn="md5",
     )
 
 

@@ -6,6 +6,7 @@ against the compact line bench actually prints."""
 from __future__ import annotations
 
 import json
+import os
 
 import bench
 
@@ -189,3 +190,75 @@ def test_drift_gate_constants_sane():
     attempt cap bounds the retry loop."""
     assert bench.DRIFT_GATE < bench.LOAD_DRIFT_RATIO
     assert bench.DRIFT_GATE_ATTEMPTS >= 1
+
+
+def test_cross_round_movers_classification():
+    """r15 verdict Next #3: out-of-band movers flagged with direction +
+    history; in-band and history-less queries only counted. The band is
+    the cross-round envelope widened by CROSS_ROUND_TOLERANCE (sized to
+    the r15 same-code swing star_sales 1.38 vs 2.29)."""
+    hist = {
+        "steady": {13: 1.0, 14: 1.1, 15: 0.95},
+        "regressed": {13: 1.0, 14: 1.0, 15: 1.0},
+        "improved": {13: 4.0, 14: 4.2, 15: 3.9},
+    }
+    timings = {
+        "steady": 1.2,          # inside [0.95/1.6, 1.1*1.6]
+        "regressed": 2.0,       # above 1.0*1.6
+        "improved": 2.0,        # below 3.9/1.6
+        "brand_new": 0.5,       # no history
+        "errored": None,        # untimed: skipped entirely
+    }
+    out = bench.cross_round_movers(timings, hist)
+    assert out["tolerance"] == bench.CROSS_ROUND_TOLERANCE == 1.6
+    assert out["window_rounds"] == [13, 14, 15]
+    assert out["n_within_band"] == 1 and out["n_no_history"] == 1
+    assert set(out["movers"]) == {"regressed", "improved"}
+    assert out["movers"]["regressed"]["direction"] == "up"
+    assert out["movers"]["regressed"]["band"] == [0.625, 1.6]
+    assert out["movers"]["improved"]["direction"] == "down"
+    assert out["movers"]["improved"]["history"] == {
+        "13": 4.0, "14": 4.2, "15": 3.9
+    }
+
+
+def test_round_history_reads_real_artifacts_and_tolerates_foreign_sf(
+    tmp_path,
+):
+    """round_history parses BENCH_r*.json 'parsed' payloads at the same
+    sf, keeps the last HISTORY_ROUNDS rounds, and skips corrupt/foreign
+    files rather than failing the bench."""
+    for n, sf, q in (
+        (1, 0.1, {"a": 1.0}),
+        (2, 0.01, {"a": 9.9}),          # foreign sf: skipped
+        (3, 0.1, {"a": 1.2, "b": 2.0}),
+        (4, 0.1, {"a": 1.1}),
+        (5, 0.1, {"a": 1.3}),
+        (6, 0.1, {"a": 1.4}),
+    ):
+        (tmp_path / f"BENCH_r{n:02d}.json").write_text(
+            json.dumps({"parsed": {"sf": sf, "queries": q}})
+        )
+    (tmp_path / "BENCH_r07.json").write_text("not json")
+    hist = bench.round_history(str(tmp_path), 0.1)
+    # last HISTORY_ROUNDS=4 same-sf rounds: 3,4,5,6 (round 1 aged out)
+    assert hist["a"] == {3: 1.2, 4: 1.1, 5: 1.3, 6: 1.4}
+    assert hist["b"] == {3: 2.0}
+    assert bench.round_history(str(tmp_path), 0.5) == {}
+
+
+def test_cross_round_movers_on_committed_history():
+    """The section classifies the two r15-adjudicated queries (verdict
+    Next #3 names them) — with the r15 values themselves inside the
+    window the classification is 'within band', the adjudication the
+    judge reached manually."""
+    hist = bench.round_history(
+        os.path.dirname(os.path.abspath(bench.__file__)), 0.1
+    )
+    if not hist:  # fresh clone without BENCH_r*.json artifacts
+        return
+    assert "star_sales_by_region_segment" in hist
+    assert "sim_ivf_pq_fit" in hist
+    t = {"star_sales_by_region_segment": 2.18, "sim_ivf_pq_fit": 5.38}
+    out = bench.cross_round_movers(t, hist)
+    assert out["movers"] == {} and out["n_within_band"] == 2
