@@ -242,6 +242,41 @@ def zone_map_stats(
     return out
 
 
+def load_zone_manifest(manifest_path: str) -> dict:
+    """Read a zone manifest into {file: {rows, cols}} — accepts both the
+    current JSONL layout (one entry object per line, the line-oriented
+    shape spark.read.json can scan DISTRIBUTED — r15 verdict Next #4)
+    and the legacy single-object {"files": {...}} layout, which the next
+    refresh rewrites as JSONL. Missing/corrupt -> {} (a manifest is a
+    derived cache; the refresh rebuilds it from footers)."""
+    import json
+
+    try:
+        with open(manifest_path) as f:
+            text = f.read()
+    except OSError:
+        return {}
+    if not text.strip():
+        return {}
+    try:
+        whole = json.loads(text)
+        if isinstance(whole, dict) and "files" in whole:
+            return dict(whole["files"])  # legacy single-object layout
+    except json.JSONDecodeError:
+        pass
+    out: dict = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            ent = json.loads(line)
+            out[ent["file"]] = {"rows": ent["rows"], "cols": ent["cols"]}
+        except (json.JSONDecodeError, KeyError, TypeError):
+            return {}  # corrupt manifest: rebuild rather than half-trust
+    return out
+
+
 def refresh_zone_manifest(
     path: str, manifest_path: str, cols: Sequence[str]
 ) -> dict:
@@ -263,17 +298,12 @@ def refresh_zone_manifest(
     import json
     import os
 
-    try:
-        with open(manifest_path) as f:
-            manifest = json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
-        manifest = {"files": {}}
+    old = load_zone_manifest(manifest_path)
     current: list[str] = []
     for dirpath, _dirnames, filenames in sorted(os.walk(path)):
         for fname in sorted(filenames):
             if fname.endswith(".parquet"):
                 current.append(os.path.join(dirpath, fname))
-    old = manifest["files"]
     fresh: dict = {}
     walked = 0
     for fpath in current:
@@ -288,11 +318,20 @@ def refresh_zone_manifest(
         fresh[fpath] = rec
         walked += 1
     dropped = len(old) - sum(1 for p in old if p in fresh)
-    manifest = {"files": fresh}
     tmp = f"{manifest_path}.tmp"
     os.makedirs(os.path.dirname(os.path.abspath(manifest_path)), exist_ok=True)
     with open(tmp, "w") as f:
-        json.dump(manifest, f)
+        # JSONL, one entry per line: the line-oriented layout lets the
+        # planner evaluate the prune predicate over the manifest AS a
+        # DataFrame (spark.read.json) instead of a per-file Python loop
+        for fpath in sorted(fresh):
+            ent = fresh[fpath]
+            f.write(
+                json.dumps(
+                    {"file": fpath, "rows": ent["rows"], "cols": ent["cols"]}
+                )
+                + "\n"
+            )
     os.replace(tmp, manifest_path)
     return {
         "files_total": len(current),
@@ -327,6 +366,57 @@ def zone_map_stats_of_file(fpath: str, cols: Sequence[str]) -> dict:
     return {"rows": md.num_rows, "cols": out}
 
 
+def _prune_manifest_spark(
+    spark: SparkSession,
+    manifest_path: str,
+    predicates: dict[str, tuple[float, float]],
+) -> tuple[int, list[str] | None]:
+    """Evaluate the zone-map skip rule over the JSONL manifest as a
+    DataFrame: returns (files_total, kept_files | None-for-all-kept).
+
+    The skip rule is zone_map_skip_report's, expressed as columns: a
+    file is kept unless some predicate column's recorded [min, max] is
+    disjoint from its range; a null stats entry (no footer stats) or a
+    column the manifest never recorded keeps the file — correctness
+    before pruning, same as the Python rule. Driver state: the kept
+    path list only, and only when something was actually skipped."""
+    import os
+
+    from pyspark.sql.types import ArrayType, StructType
+
+    if not os.path.exists(manifest_path) or os.path.getsize(manifest_path) == 0:
+        return 0, []
+    mdf = spark.read.json(manifest_path)
+    total = mdf.count()
+    if total == 0:
+        return 0, []
+    cols_field = next(
+        (f for f in mdf.schema.fields if f.name == "cols"), None
+    )
+    stat_types = (
+        {f.name: f.dataType for f in cols_field.dataType.fields}
+        if cols_field is not None
+        and isinstance(cols_field.dataType, StructType)
+        else {}
+    )
+    cond = F.lit(True)
+    for c, (lo, hi) in predicates.items():
+        # a column absent from every entry (or all-null, which JSON
+        # schema inference can't type as an array) can never skip
+        if not isinstance(stat_types.get(c), ArrayType):
+            continue
+        stat = F.col("cols").getField(c)
+        disjoint = (
+            stat.getItem(1).cast("double") < F.lit(float(lo))
+        ) | (stat.getItem(0).cast("double") > F.lit(float(hi)))
+        cond = cond & (stat.isNull() | ~disjoint)
+    kept_df = mdf.filter(cond)
+    n_kept = kept_df.count()
+    if n_kept == total:
+        return total, None
+    return total, sorted(r["file"] for r in kept_df.select("file").collect())
+
+
 def zone_map_scan(
     spark: SparkSession,
     path: str,
@@ -346,57 +436,53 @@ def zone_map_scan(
     Files are read with basePath so hive partition columns survive; a
     predicate column missing footer stats keeps its file (never guessed
     away). With `manifest_path`, the per-file stats come from the
-    incrementally maintained manifest (refreshed first — only unseen
-    files walk their footers; see refresh_zone_manifest) instead of a
-    full footer walk per call — the table-format planner shape. Returns
+    incrementally maintained JSONL manifest (refreshed first — only
+    unseen files walk their footers; see refresh_zone_manifest) and the
+    skip rule is evaluated over the manifest AS A DATAFRAME
+    (_prune_manifest_spark): at 10^6 files the prune is a distributed
+    manifest scan, not per-file driver Python, and the driver holds only
+    the kept-file list (nothing when the predicate keeps everything) —
+    the table-format planner shape. Returns
     (df, stats) with stats = {files_total, files_kept, files_skipped,
     skip_permille} — the number the zorder layout is buying, now
     measured on the actual read path instead of only in the what-if
     report."""
-    import json
-
     cols = list(predicates)
     if manifest_path is not None:
+        # r15 verdict Next #4: the prune predicate is evaluated over the
+        # (JSONL) manifest AS A DATAFRAME — the cost is a distributed
+        # manifest scan, not a per-file Python loop, and the driver
+        # materializes only the KEPT file list (bounded by selectivity;
+        # nothing at all when the predicate keeps every file)
         refresh_zone_manifest(path, manifest_path, cols)
-        with open(manifest_path) as f:
-            mf = json.load(f)
-        zmaps = [
-            {
-                "file": fpath,
-                "rows": ent["rows"],
-                **{
-                    f"{c}__min": (ent["cols"][c] or [None, None])[0]
-                    for c in cols
-                },
-                **{
-                    f"{c}__max": (ent["cols"][c] or [None, None])[1]
-                    for c in cols
-                },
-            }
-            for fpath, ent in sorted(mf["files"].items())
-        ]
+        n_total, kept = _prune_manifest_spark(spark, manifest_path, predicates)
     else:
         zmaps = zone_map_stats(path, cols)
-    kept = []
-    for rec in zmaps:
-        skip = False
-        for c, (lo, hi) in predicates.items():
-            mn, mx = rec[f"{c}__min"], rec[f"{c}__max"]
-            if mn is not None and mx is not None and (mx < lo or mn > hi):
-                skip = True
-                break
-        if not skip:
-            kept.append(rec["file"])
+        n_total = len(zmaps)
+        kept = []
+        for rec in zmaps:
+            skip = False
+            for c, (lo, hi) in predicates.items():
+                mn, mx = rec[f"{c}__min"], rec[f"{c}__max"]
+                if mn is not None and mx is not None and (mx < lo or mn > hi):
+                    skip = True
+                    break
+            if not skip:
+                kept.append(rec["file"])
+        if len(kept) == n_total:
+            kept = None  # keep-all: same no-path-list shape as the
+            # manifest branch (a 10^6-entry path list serves no one)
+    n_kept = n_total if kept is None else len(kept)
     stats = {
-        "files_total": len(zmaps),
-        "files_kept": len(kept),
-        "files_skipped": len(zmaps) - len(kept),
-        "skip_permille": (
-            (len(zmaps) - len(kept)) * 1000 // max(len(zmaps), 1)
-        ),
+        "files_total": n_total,
+        "files_kept": n_kept,
+        "files_skipped": n_total - n_kept,
+        "skip_permille": (n_total - n_kept) * 1000 // max(n_total, 1),
     }
-    if not kept:
+    if n_kept == 0:
         df = read_dataset(spark, path).where(F.lit(False))
+    elif kept is None:
+        df = read_dataset(spark, path)
     else:
         df = spark.read.option("basePath", path).parquet(*kept)
     missing = [c for c in predicates if c not in df.columns]

@@ -368,3 +368,76 @@ def test_zone_manifest_incremental_refresh_and_scan_parity(spark, sf_dir, tmp_pa
     assert r5["files_dropped"] > 0 and r5["files_walked"] > 0
     via_mf2, s2 = zone_map_scan(spark, root, pred, manifest_path=mf)
     assert sorted(map(tuple, via_mf2.collect())) == want_rows
+
+
+def test_zone_manifest_legacy_format_converts_and_spark_prune_matches(
+    spark, sf_dir, tmp_path
+):
+    """r15 verdict Next #4 follow-through: (1) a legacy single-object
+    {"files": {...}} manifest is read transparently and the next refresh
+    rewrites it as JSONL (one entry per line — the layout the Spark
+    prune scans distributed); (2) the DataFrame-evaluated prune keeps
+    exactly the files the Python walk rule keeps, including the
+    keep-all shape (no driver path list at all: kept is None)."""
+    import json
+
+    from db_integration_via_kafka_ksql_spark.sinks.dataset import (
+        _prune_manifest_spark,
+        load_zone_manifest,
+        refresh_zone_manifest,
+        zone_map_scan,
+        zone_map_stats,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = str(tmp_path / "zm_legacy")
+    write_dataset(
+        ev, root, partition_cols=["event_type"], zorder_cols=["value"],
+        max_records_per_file=150,
+    )
+    mf = str(tmp_path / "manifest.json")
+    refresh_zone_manifest(root, mf, ["value"])
+    entries = load_zone_manifest(mf)
+    assert len(entries) > 4
+    # rewrite as the LEGACY layout; the loader must read it identically
+    with open(mf, "w") as f:
+        json.dump({"files": entries}, f)
+    assert load_zone_manifest(mf) == entries
+    # a refresh converts in place to JSONL (walks nothing)
+    r = refresh_zone_manifest(root, mf, ["value"])
+    assert r["files_walked"] == 0
+    with open(mf) as f:
+        first_line = f.readline()
+    assert "\"file\"" in first_line and "files" != list(
+        json.loads(first_line)
+    )[0]
+    # Spark prune == Python walk rule, selective predicate
+    pred = {"value": (50.0, 60.0)}
+    total, kept = _prune_manifest_spark(spark, mf, pred)
+    walk = zone_map_stats(root, ["value"])
+    want_kept = sorted(
+        rec["file"]
+        for rec in walk
+        if not (
+            rec["value__min"] is not None
+            and rec["value__max"] is not None
+            and (rec["value__max"] < 50.0 or rec["value__min"] > 60.0)
+        )
+    )
+    assert total == len(walk) and kept == want_kept
+    assert 0 < len(kept) < total
+    # keep-all predicate: no path list materializes (kept is None) and
+    # the scan reads the dataset root directly, rows bit-equal
+    lo = min(r["value__min"] for r in walk)
+    hi = max(r["value__max"] for r in walk)
+    total2, kept2 = _prune_manifest_spark(spark, mf, {"value": (lo, hi)})
+    assert total2 == total and kept2 is None
+    all_df, all_stats = zone_map_scan(
+        spark, root, {"value": (lo, hi)}, manifest_path=mf
+    )
+    assert all_stats["files_skipped"] == 0
+    assert all_df.count() == ev.filter(
+        (F.col("value") >= lo) & (F.col("value") <= hi)
+    ).count()

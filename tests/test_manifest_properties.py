@@ -28,6 +28,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from db_integration_via_kafka_ksql_spark.sinks.dataset import (
+    load_zone_manifest,
     refresh_zone_manifest,
     zone_map_stats,
 )
@@ -105,8 +106,7 @@ def test_manifest_always_equals_fresh_walk(tmp_path_factory, ops):
     # final invariant: refresh with the full column set, then the
     # manifest must be entry-for-entry a fresh footer walk
     refresh_zone_manifest(root, mf, _COLS)
-    with open(mf) as f:
-        entries = json.load(f)["files"]
+    entries = load_zone_manifest(mf)
     walk = {
         r["file"]: r
         for r in zone_map_stats(root, _COLS)

@@ -457,6 +457,59 @@ def main() -> None:
         bench.release_checkpoints(spark)
         print("ivf_kmeans", tag, km.get(tag), flush=True)
     curve["ivf_kmeans"] = km
+    # r15 verdict Next #4: the zone-map READ path probed on the
+    # FILE-COUNT axis (at 100 TB the manifest holds ~10^6 entries).
+    # Two costs, reported separately: refresh (incremental footer walk
+    # — linear in NEW files by design, the once-per-commit maintenance
+    # cost) and prune (the per-query planner cost — since r16 evaluated
+    # over the JSONL manifest AS a DataFrame, so it is a distributed
+    # manifest scan + a kept-file collect, not per-file driver Python).
+    from db_integration_via_kafka_ksql_spark.sinks import dataset as DSK
+
+    zm: dict = {}
+    ev = load_table(spark, SRC, "events").select("event_id", "value")
+    vstats = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    ).collect()[0]
+    span = float(vstats["hi"]) - float(vstats["lo"])
+    pred = {
+        "value": (
+            float(vstats["lo"]) + 0.45 * span,
+            float(vstats["lo"]) + 0.55 * span,
+        )
+    }
+    for tag, nf in (("files64", 64), ("files640", 640)):
+        with tempfile.TemporaryDirectory(prefix="curve_zm_") as td:
+            path = os.path.join(td, "ds")
+            mfp = os.path.join(td, "manifest.jsonl")
+            (
+                ev.repartitionByRange(nf, "value")
+                .sortWithinPartitions("value")
+                .write.parquet(path)
+            )
+            t0 = time.perf_counter()
+            DSK.refresh_zone_manifest(path, mfp, ["value"])
+            refresh_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _df, stats = DSK.zone_map_scan(
+                spark, path, pred, manifest_path=mfp
+            )
+            prune_s = time.perf_counter() - t0
+            zm[tag] = {
+                "n_files": stats["files_total"],
+                "files_skipped": stats["files_skipped"],
+                "refresh": round(refresh_s, 3),
+                "prune": round(prune_s, 3),
+            }
+        bench.release_checkpoints(spark)
+        print("zone_map_files", tag, zm.get(tag), flush=True)
+    zm["prune_ratio_at_10x_files"] = round(
+        zm["files640"]["prune"] / max(zm["files64"]["prune"], 1e-9), 2
+    )
+    zm["refresh_ratio_at_10x_files"] = round(
+        zm["files640"]["refresh"] / max(zm["files64"]["refresh"], 1e-9), 2
+    )
+    curve["zone_map_files"] = zm
     # series family on the CALENDAR axis (r14 Next #5): 30 days vs 300
     # days at the SAME per-hour density — |hours| is this family's cost
     # axis (the sf1 probe already showed event-volume invariance at a
@@ -525,6 +578,16 @@ def main() -> None:
             "test_calibrated_nprobe_holds_recall_while_fraction_falls_"
             "on_clustered. The calibration MEASURES which regime a "
             "corpus is in instead of assuming."
+        ),
+        "zone_map_files": (
+            "r15 Next #4: the prune is a Spark scan over the JSONL "
+            "manifest + a kept-file collect (bounded by selectivity), "
+            "not per-file driver Python — prune wall at 10x the file "
+            "count should sit near the fixed job overhead "
+            "(prune_ratio_at_10x_files ~ 1), while refresh stays the "
+            "incremental once-per-commit footer walk (linear in NEW "
+            "files only; refresh_ratio ~ 10 on a cold build is the "
+            "expected shape, 0 walked on an unchanged tree)"
         ),
         "series_calendar": (
             "r14 Next #5: 10x the CALENDAR (300 vs 30 days, same per-hour "
