@@ -1302,18 +1302,19 @@ def _bpe_sql_quote(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 
-def _bpe_merge_expr(a: str, b: str) -> str:
+def _bpe_merge_expr(a: str, b: str, inner: str = "syms") -> str:
     """Rewrite a symbol array by greedily merging leftmost non-overlapping
     adjacent (a, b) occurrences into a||b — one aggregate fold with a
     (emitted, held) accumulator, entirely JVM-side. The held symbol is
     flushed by the finish lambda; a freshly merged symbol is NOT held, so
     it cannot left-participate in another (a, b) merge this pass (e.g.
     merge (a,a) on 'aaaa' yields ['aa','aa'] — the Sennrich et al. 2016
-    single-pass replacement semantics)."""
+    single-pass replacement semantics). `inner` lets a BATCHED pass nest
+    several folds in one projection (bpe_train batch_m)."""
     qa, qb = _bpe_sql_quote(a), _bpe_sql_quote(b)
     qab = _bpe_sql_quote(a + b)
     return f"""aggregate(
-        syms,
+        {inner},
         named_struct('out', cast(array() as array<string>),
                      'prev', cast(null as string)),
         (acc, s) -> CASE
@@ -1334,6 +1335,8 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    batch_m: int = 1,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn a BPE merge table (Sennrich et al. 2016): alternate
     count-adjacent-pairs → take the argmax as the next merge → rewrite
@@ -1357,6 +1360,23 @@ def bpe_train(
     words never enter (no adjacent pair — and `sequence(1, 0)` would
     count DOWN, the known trap).
 
+    Batched passes (r15 verdict Next #6): ``batch_m > 1`` applies up to
+    m merges per pass — SEQUENCE-IDENTICAL to batch_m=1 by construction
+    (property-tested), cutting the driver-paced pass count up to m-fold.
+    The batch is the maximal SAFE PREFIX of the (count desc, a, b)-sorted
+    candidates: selection stops at the first candidate that (a) shares a
+    symbol with an earlier selection — its count could have changed — or
+    (b) whose count does not strictly exceed every earlier selection's
+    max ADJACENT-TRIGRAM count, the tight upper bound on any pair a
+    previous merge can CREATE (a new pair (X, c) needs an "a b c"
+    occurrence, so count(X, c) <= count(trigram a b c)). Within such a
+    prefix the sequential argmax is provably each member in order:
+    disjoint symbols keep members' counts unchanged, old pairs only lose
+    count, and created pairs are strictly out-counted. Cost per pass
+    gains one trigram aggregation over the vocabulary frame (same shape
+    as the pair count); `stats` (optional dict) receives
+    {"passes", "batch_sizes"} so the pass saving is measurable.
+
     Returns the learned merges in order — feed directly to `bpe_encode`.
     """
     wf = (
@@ -1367,7 +1387,10 @@ def bpe_train(
         .select(F.split("w", "").alias("syms"), "freq")
         .localCheckpoint(eager=True)
     )
+    if batch_m < 1:
+        raise ValueError(f"batch_m must be >= 1, got {batch_m}")
     merges: list[tuple[str, str]] = []
+    batch_sizes: list[int] = []
     pair_structs = F.explode(
         F.expr(
             "transform(sequence(1, size(syms) - 1), "
@@ -1375,24 +1398,80 @@ def bpe_train(
             "'b', element_at(syms, i + 1)))"
         )
     ).alias("p")
-    for _ in range(n_merges):
-        top = (
+    tri_structs = F.explode(
+        F.expr(
+            "transform(sequence(1, size(syms) - 2), "
+            "i -> named_struct('a', element_at(syms, i), "
+            "'b', element_at(syms, i + 1), "
+            "'c', element_at(syms, i + 2)))"
+        )
+    ).alias("t")
+    while len(merges) < n_merges:
+        remaining = n_merges - len(merges)
+        m = min(batch_m, remaining)
+        pairs = (
             wf.select("freq", pair_structs)
             .groupBy("p.a", "p.b")
             .agg(F.sum("freq").cast("bigint").alias("n"))
-            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
+        )
+        if m > 1:
+            # the new-pair bound: max adjacent-trigram count per pair,
+            # as prefix (a b ?) and as suffix (? a b)
+            tri = (
+                wf.filter(F.size("syms") >= 3)
+                .select("freq", tri_structs)
+                .groupBy("t.a", "t.b", "t.c")
+                .agg(F.sum("freq").cast("bigint").alias("n3"))
+                .localCheckpoint(eager=True)
+            )
+            pre = tri.groupBy("a", "b").agg(F.max("n3").alias("mpre"))
+            suf = (
+                tri.groupBy("b", "c")
+                .agg(F.max("n3").alias("msuf"))
+                .select(
+                    F.col("b").alias("a"), F.col("c").alias("b"), "msuf"
+                )
+            )
+            pairs = pairs.join(pre, ["a", "b"], "left").join(
+                suf, ["a", "b"], "left"
+            )
+        else:
+            pairs = pairs.withColumn("mpre", F.lit(None)).withColumn(
+                "msuf", F.lit(None)
+            )
+        top = (
+            pairs.orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(max(4 * m, m))
             .collect()
         )
         if not top:
             break  # vocabulary fully merged — nothing left to pair
-        a, b = top[0].a, top[0].b
-        merges.append((a, b))
+        batch: list[tuple[str, str]] = []
+        used: set[str] = set()
+        guard = 0  # max created-pair bound over selected merges so far
+        for r in top:
+            if batch and (r["a"] in used or r["b"] in used):
+                break  # count may have changed: the prefix ends here
+            if batch and not (int(r["n"]) > guard):
+                break  # a created pair could outrank it in the sequence
+            batch.append((r["a"], r["b"]))
+            used.update((r["a"], r["b"]))
+            guard = max(guard, int(r["mpre"] or 0), int(r["msuf"] or 0))
+            if len(batch) >= m:
+                break
+        merges.extend(batch)
+        batch_sizes.append(len(batch))
+        expr = "syms"
+        for a, b in batch:
+            expr = _bpe_merge_expr(a, b, inner=expr)
         wf = (
-            wf.select(F.expr(_bpe_merge_expr(a, b)).alias("syms"), "freq")
+            wf.select(F.expr(expr).alias("syms"), "freq")
             .filter(F.size("syms") >= 2)
             .localCheckpoint(eager=True)
         )
+    if stats is not None:
+        stats["passes"] = len(batch_sizes)
+        stats["batch_sizes"] = batch_sizes
     return merges
 
 

@@ -650,12 +650,20 @@ def sim_ivf_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # twin's frozen nprobe/|labels| = 40%. Recall-floored vs brute force,
 # plan-pinned, and scan-fraction-tested in tests/test_ivf_kmeans.py.
 @query("sim_ivf_kmeans_topk", driver=False)
+# rows-only: nlists="auto" makes the unrolled coarse-Lloyd CTE width a
+# function of the corpus ROW COUNT, which a static oracle_sql() string
+# cannot express — the pinned-nlists twin sim_ivf_kmeans_topk_pinned
+# (a driver slot since r16) hash-gates the identical pipeline end to end.
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ fit+serve with the kmeans-TRAINED coarse codebook at
     auto-scaled nlists (operators/similarity.ivf_pq_fit coarse="kmeans"):
     identical PQ/ADC/refine pipeline as sim_ivf_pq_topk, but the coarse
     lists grow ~sqrt(n) with the corpus so the serve cost contract
-    tightens as data grows instead of freezing at nprobe/|labels|."""
+    tightens as data grows instead of freezing at nprobe/|labels|.
+    Serves at nprobe="auto" (r16: auto_nprobe ~ sqrt(nlists)) so the
+    probe count tracks the grown list count — the production pairing of
+    the two auto sizers; calibrate_nprobe is the measured override when
+    a recall target must hold."""
     index = S.ivf_pq_fit(
         load_table(spark, sf_dir, "embeddings"),
         dims=DIMS,
@@ -666,7 +674,7 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         coarse="kmeans",
     )
     return S.ivf_pq_serve(
-        index, QUERY_IDS, k=TOP_K, nprobe=NPROBE, refine=PQ_REFINE
+        index, QUERY_IDS, k=TOP_K, nprobe="auto", refine=PQ_REFINE
     )
 
 

@@ -1458,7 +1458,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table over the documents corpus: rank +
     merge pair, from the composed count→argmax→rewrite loop (corpus
     touched once; each of the n_merges iterations costs O(vocabulary))."""
-    merges = TA.bpe_train(load_table(spark, sf_dir, "documents"), n_merges=6)
+    merges = TA.bpe_train(
+        # batch_m=4: the r16 safe-prefix batched passes — proven
+        # sequence-identical to batch_m=1 (tests/test_bpe_batched.py),
+        # so the registry row exercises the production pass shape
+        load_table(spark, sf_dir, "documents"), n_merges=6, batch_m=4
+    )
     return spark.createDataFrame(
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "rnk int, a string, b string",
@@ -1620,14 +1625,137 @@ def text_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 PERC_DIM = 512
 PERC_EPOCHS = 3
 PERC_THRESHOLD = 0.75
+PERC_BUCKETS = 8  # train_quality_perceptron's n_buckets default
 
 
-@query("text_quality_perceptron", driver=False)
-# rows-only: the trainer is an ITERATIVE weight-update loop (3 synchronized
-# batch-perceptron epochs) — not single-statement-SQL-expressible without
-# replaying the weight sequence; correctness is instead equivalence-gated
-# against a sequential python model over the same corpus
-# (tests/test_classifier.py), the repo's kmeans/BPE discipline.
+def _perceptron_oracle(
+    dim: int, epochs: int, n_buckets: int, threshold: float
+) -> str:
+    """Pinned-iteration unroll of the averaged mini-batch perceptron
+    (r15 verdict Next #5 — the sim_ivf_kmeans_topk_pinned trick applied
+    to the trainer): every one of the epochs*n_buckets synchronized
+    weight updates is one CTE triple — weights-so-far (sum of prior
+    updates), per-doc integer margins in the step's hash bucket,
+    misclassified-doc update vector — and the AVERAGED weights fold
+    closed-form as avg = sum_k w_k = sum_j (K-j+1)*u_j, so the final
+    scoring joins ONE aggregated weight table. All integer math (md5
+    bucket hashing, exact count sums), so the driver hash-compare is
+    bit-exact."""
+    h8 = "('0x' || substr(md5({v}), 1, 8))::BIGINT"
+    steps = epochs * n_buckets
+    ctes = [
+        f"""base AS (
+            SELECT doc_id, text,
+                   len({_W}) AS n_tok, len({_DW}) AS n_dis,
+                   {_STOP_SUM} AS stop_hits,
+                   length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+                   length(text) AS n_chars
+            FROM documents
+        )""",
+        f"""lab AS MATERIALIZED (
+            SELECT doc_id, text,
+                   CASE WHEN {_QUALITY_EXPR} >= {threshold} THEN 1 ELSE -1 END AS y
+            FROM base
+        )""",
+        f"""bg AS (
+            SELECT doc_id, y, unnest(
+                CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                     ELSE [w[i] || ' ' || w[i + 1]
+                           for i in generate_series(1, len(w) - 1)]
+                END) AS g
+            FROM (SELECT doc_id, y, {_W} AS w FROM lab)
+        )""",
+        f"""cnt AS (
+            SELECT doc_id, y,
+                   CAST({h8.format(v="g")} % {dim} AS INT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM bg GROUP BY doc_id, y, bucket
+        )""",
+        f"""feats AS MATERIALIZED (
+            SELECT doc_id, y, bucket, cnt,
+                   CAST({h8.format(v="CAST(doc_id AS VARCHAR)")}
+                        % {n_buckets} AS INT) AS mb
+            FROM (
+                SELECT * FROM cnt
+                UNION ALL
+                SELECT doc_id, y, {dim} AS bucket, CAST(1 AS BIGINT) AS cnt
+                FROM lab
+            )
+        )""",
+    ]
+    for k in range(1, steps + 1):
+        b = (k - 1) % n_buckets
+        if k == 1:
+            ctes.append(
+                "wp1 AS (SELECT CAST(NULL AS INT) AS bucket, "
+                "CAST(NULL AS BIGINT) AS w WHERE 1 = 0)"
+            )
+        else:
+            prior = "\n                UNION ALL ".join(
+                f"SELECT bucket, u FROM u{j}" for j in range(1, k)
+            )
+            ctes.append(
+                f"""wp{k} AS (
+                SELECT bucket, CAST(SUM(u) AS BIGINT) AS w
+                FROM ({prior}) GROUP BY bucket
+            )"""
+            )
+        ctes.append(
+            f"""m{k} AS (
+            SELECT f.doc_id, f.y,
+                   CAST(SUM(f.cnt * COALESCE(w.w, 0)) AS BIGINT) AS margin
+            FROM feats f LEFT JOIN wp{k} w USING (bucket)
+            WHERE f.mb = {b}
+            GROUP BY f.doc_id, f.y
+        )"""
+        )
+        ctes.append(
+            f"""u{k} AS MATERIALIZED (
+            SELECT f.bucket, CAST(SUM(f.y * f.cnt) AS BIGINT) AS u
+            FROM feats f JOIN m{k} m ON m.doc_id = f.doc_id
+            WHERE f.mb = {b} AND m.y * m.margin <= 0
+            GROUP BY f.bucket
+        )"""
+        )
+    allu = "\n            UNION ALL ".join(
+        f"SELECT bucket, u, {steps - j + 1} AS mult FROM u{j}"
+        for j in range(1, steps + 1)
+    )
+    ctes.append(
+        f"""avg AS (
+            SELECT bucket, CAST(SUM(mult * u) AS BIGINT) AS w
+            FROM ({allu}) GROUP BY bucket
+        )"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT doc_id, y, score,
+           CAST(CASE WHEN score > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+           (CASE WHEN score > 0 THEN 1 ELSE -1 END) = y AS correct
+    FROM (
+        SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
+               CAST(SUM(f.cnt * COALESCE(a.w, 0)) AS BIGINT) AS score
+        FROM feats f LEFT JOIN avg a USING (bucket)
+        GROUP BY f.doc_id, f.y
+    )
+    """
+
+
+@query(
+    "text_quality_perceptron",
+    driver=False,
+    # ORACLE-BACKED since r16 (verdict Next #5): the trainer's
+    # epochs*n_buckets synchronized integer weight updates replay as a
+    # pinned-iteration CTE unroll (_perceptron_oracle — the
+    # sim_ivf_kmeans_topk_pinned stance applied to the perceptron), so
+    # training AND scoring are hash-parity-gated end to end; the python
+    # sequential-model equivalence test (tests/test_classifier.py) stays
+    # as the cross-check on unpinned geometries.
+    oracle=_perceptron_oracle(
+        PERC_DIM, PERC_EPOCHS, PERC_BUCKETS, PERC_THRESHOLD
+    ),
+)
 def text_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-bigram linear quality classifier (averaged batch
     perceptron, operators/classifier.py): trains on the curation

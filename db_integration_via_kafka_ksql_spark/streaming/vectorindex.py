@@ -315,7 +315,7 @@ class StreamingVectorIndex:
         self,
         queries: DataFrame,
         k: int = 5,
-        nprobe: int = 4,
+        nprobe: int | str = 4,
         refine: int | None = 4,
     ) -> DataFrame:
         """Serve arbitrary query vectors against base + all committed
