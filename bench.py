@@ -964,6 +964,14 @@ def compact_report(report: dict) -> dict:
         # Capped at 8 names to keep the line inside STDOUT_BUDGET; the
         # full list is always in BENCH_DETAIL.json.
         compact["spread_suspect"] = report["spread_suspect"][:8]
+    movers = report.get("cross_round_movers", {}).get("movers") or {}
+    if movers:
+        # cross-round out-of-band movers (r15 Next #3): names + direction
+        # in the compact line so the per-round artifact itself carries the
+        # classification; bands + history stay in BENCH_DETAIL.json
+        compact["cross_round_movers"] = {
+            k: movers[k]["direction"] for k in sorted(movers)[:8]
+        }
     if report.get("errors"):
         compact["n_errors"] = len(report["errors"])
     if report.get("replay_events_per_sec") is not None:

@@ -1296,7 +1296,7 @@ def ivf_pq_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 5,
-    nprobe: int = 4,
+    nprobe: int | str = 4,
     dims: int = 64,
     m: int = 8,
     ksub: int = 16,

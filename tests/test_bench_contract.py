@@ -262,3 +262,24 @@ def test_cross_round_movers_on_committed_history():
     t = {"star_sales_by_region_segment": 2.18, "sim_ivf_pq_fit": 5.38}
     out = bench.cross_round_movers(t, hist)
     assert out["movers"] == {} and out["n_within_band"] == 2
+
+
+def test_cross_round_movers_propagate_to_compact_line():
+    report = {
+        "metric": "headline_queries_total", "value": 1.0, "unit": "sec",
+        "sf": 0.1, "n_timed": 1, "n_reps": 3,
+        "queries": {"a": 1.0},
+        "cross_round_movers": {
+            "window_rounds": [13, 14, 15], "tolerance": 1.6,
+            "n_within_band": 0, "n_no_history": 0,
+            "movers": {
+                "a": {"current": 1.0, "band": [0.1, 0.5],
+                      "history": {"15": 0.3}, "direction": "up"},
+            },
+        },
+    }
+    compact = bench.compact_report(report)
+    assert compact["cross_round_movers"] == {"a": "up"}
+    assert len(json.dumps(compact)) <= bench.STDOUT_BUDGET
+    del report["cross_round_movers"]
+    assert "cross_round_movers" not in bench.compact_report(report)
