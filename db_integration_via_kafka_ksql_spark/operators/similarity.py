@@ -689,6 +689,8 @@ def calibrate_nprobe(
     refine: int | None = 4,
     max_fraction: float = 1.0,
     plateau_eps: float = 0.02,
+    escalate_refine: bool = True,
+    max_refine: int = 32,
 ) -> dict:
     """MEASURED nprobe governance (r15 verdict weak): find the smallest
     nprobe (doubling search from auto_nprobe) whose recall@k against the
@@ -710,13 +712,20 @@ def calibrate_nprobe(
     holding the target costs a ~constant fraction at any scale — a
     measurement, not a guess, either way.
 
-    Ceiling detection: when doubling nprobe stops improving recall
-    (gain < ``plateau_eps``) below the target, the search stops and
-    ``ceiling_suspected`` is set — the residual loss is then NOT coarse
-    probing but PQ resolution (the refine*k shortlist / m / ksub
-    geometry), and burning more probes cannot buy it back (measured at
-    the 20K-vector isotropic corpus: full-scan recall plateaus at
-    ~0.44 with refine=4 while the curve 48->96->141 moves < 0.02)."""
+    Two-axis governance (r16): recall is bounded by BOTH the probed
+    fraction (coarse axis) and the exact-rescore shortlist refine*k (PQ
+    resolution axis) — measured at the 20K isotropic corpus, refine=4
+    plateaus at ~0.44 no matter the probes, while (nprobe=24,
+    refine=16) reaches 0.55 at scan fraction 0.17. The search therefore
+    doubles nprobe while that axis is productive (last doubling gained
+    >= ``plateau_eps``), and when it plateaus below the target,
+    ESCALATES refine (doubling, up to ``max_refine``) and resumes —
+    ``escalate_refine=False`` pins the r15 single-axis ladder.
+    ``ceiling_suspected`` is set only when the search stops because
+    every available axis plateaued (more probes AND a bigger shortlist
+    both stopped helping — the m/ksub geometry itself is the binding
+    constraint); stopping at the axis LIMITS while still productive
+    reports met_target=False without the flag."""
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
     nlists = index.cent.count()
@@ -729,7 +738,10 @@ def calibrate_nprobe(
     limit = max(1, int(nlists * max_fraction))
     nprobe = min(auto_nprobe(nlists), limit)
     curve: list[dict] = []
-    while True:
+    # last measured gain per axis: None = never doubled on that axis yet
+    gain: dict[str, float | None] = {"nprobe": None, "refine": None}
+
+    def _measure() -> float:
         got: dict[int, set[int]] = {}
         served = ivf_pq_serve(index, query_ids, k=k, nprobe=nprobe, refine=refine)
         for r in served.collect():
@@ -741,32 +753,64 @@ def calibrate_nprobe(
         curve.append(
             {
                 "nprobe": nprobe,
+                "refine": refine,
                 "recall": round(recall, 4),
                 "scan_fraction": round(nprobe / nlists, 4),
             }
         )
-        if recall >= target_recall or nprobe >= limit:
+        return recall
+
+    recall = _measure()
+    plateaued = False
+    while recall < target_recall:
+        nprobe_ok = nprobe < limit and (
+            gain["nprobe"] is None or gain["nprobe"] >= plateau_eps
+        )
+        refine_ok = (
+            escalate_refine
+            and refine is not None
+            and refine < max_refine
+            and (gain["refine"] is None or gain["refine"] >= plateau_eps)
+        )
+        if nprobe_ok:
+            axis = "nprobe"
+            nprobe = min(nprobe * 2, limit)
+        elif refine_ok:
+            axis = "refine"
+            refine = min(refine * 2, max_refine)
+        else:
+            # stopped: distinguish a GEOMETRY ceiling (some axis measured
+            # flat) from a mere cap (an axis still productive but at its
+            # limit/max — raising max_fraction/max_refine could help, so
+            # the flag stays off)
+            capped_productive = (
+                nprobe >= limit
+                and (gain["nprobe"] is None or gain["nprobe"] >= plateau_eps)
+            ) or (
+                escalate_refine
+                and refine is not None
+                and refine >= max_refine
+                and (gain["refine"] is None or gain["refine"] >= plateau_eps)
+            )
+            plateaued = (
+                any(g is not None and g < plateau_eps for g in gain.values())
+                and not capped_productive
+            )
             break
-        if (
-            len(curve) >= 2
-            and recall - curve[-2]["recall"] < plateau_eps
-        ):
-            break  # more probes stopped helping: a PQ-resolution ceiling
-        nprobe = min(nprobe * 2, limit)
+        prev = recall
+        recall = _measure()
+        gain[axis] = recall - prev
     last = curve[-1]
     met = last["recall"] >= target_recall
     return {
         "nprobe": last["nprobe"],
+        "refine": last["refine"],
         "recall": last["recall"],
         "nlists": nlists,
         "scan_fraction": last["scan_fraction"],
         "met_target": met,
         "target_recall": target_recall,
-        "ceiling_suspected": (
-            not met
-            and len(curve) >= 2
-            and last["recall"] - curve[-2]["recall"] < plateau_eps
-        ),
+        "ceiling_suspected": not met and plateaued,
         "curve": curve,
     }
 

@@ -340,7 +340,7 @@ def test_calibrate_nprobe_stops_at_pq_resolution_ceiling(spark, sf_dir):
     idx = S.ivf_pq_fit(emb, m=16, ksub=16, coarse="kmeans")
     report = S.calibrate_nprobe(
         idx, list(range(8)), k=5, target_recall=0.999, refine=2,
-        plateau_eps=0.05,
+        plateau_eps=0.05, escalate_refine=False,
     )
     print(f"ceiling probe: {report}")
     assert not report["met_target"]
@@ -357,3 +357,29 @@ def test_calibrate_nprobe_stops_at_pq_resolution_ceiling(spark, sf_dir):
     else:
         # no plateau on this corpus draw: the search ran to the limit
         assert report["nprobe"] == report["nlists"]
+
+
+def test_calibrate_escalates_refine_past_pq_ceiling(spark):
+    """Two-axis governance (r16): when the nprobe ladder plateaus below
+    the target because the refine*k shortlist is too small to cover the
+    near-tied true neighbors, calibration ESCALATES refine and meets the
+    target — on planted clusters of 20 with refine=1 (shortlist 5), the
+    coarse axis alone cannot reach 0.9 (the shortlist truncates inside
+    the cluster), and doubling refine recovers it."""
+    emb = _clustered_corpus(spark, 1000, n_clusters=50)
+    idx = S.ivf_pq_fit(emb, ksub=8, coarse="kmeans")
+    qids = list(range(0, 1000, 50))[:20]
+    # single-axis ladder with the starved shortlist: stuck under target
+    stuck = S.calibrate_nprobe(
+        idx, qids, k=5, target_recall=0.9, refine=1, escalate_refine=False
+    )
+    assert not stuck["met_target"], stuck
+    # two-axis search: same starting point, refine escalates, target met
+    report = S.calibrate_nprobe(
+        idx, qids, k=5, target_recall=0.9, refine=1
+    )
+    print(f"escalation: {report}")
+    assert report["met_target"], report
+    assert report["refine"] > 1  # the refine axis did the work
+    # the curve records both axes per step
+    assert all({"nprobe", "refine", "recall"} <= set(c) for c in report["curve"])

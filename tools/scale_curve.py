@@ -448,8 +448,8 @@ def main() -> None:
                 "calibrated_at_0.5": {
                     key: cal[key]
                     for key in (
-                        "nprobe", "recall", "scan_fraction", "met_target",
-                        "ceiling_suspected",
+                        "nprobe", "refine", "recall", "scan_fraction",
+                        "met_target", "ceiling_suspected",
                     )
                 },
                 "calibration_curve": cal["curve"],
@@ -567,8 +567,10 @@ def main() -> None:
             "fixed nprobe=4 (decays with nlists — the weak), "
             "auto_nprobe ~ sqrt(nlists) (probes grow, fraction still "
             "falls ~ n^-1/4), and calibrate_nprobe holding target 0.5 "
-            "(doubling search vs exact ground truth; the curve is "
-            "published). NOTE the data regime: this synthetic corpus is "
+            "(two-axis doubling search vs exact ground truth — nprobe "
+            "while productive, then refine escalation past the PQ "
+            "shortlist ceiling; the curve is published per step). NOTE "
+            "the data regime: this synthetic corpus is "
             "ISOTROPIC (within-label cosine ~ cross ~ 0 — measured), so "
             "recall can only track the scanned fraction and holding the "
             "target costs a ~constant fraction at any n; on a corpus "
