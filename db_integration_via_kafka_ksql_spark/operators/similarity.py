@@ -800,6 +800,15 @@ def calibrate_nprobe(
         prev = recall
         recall = _measure()
         gain[axis] = recall - prev
+        if gain[axis] >= plateau_eps:
+            # a productive move on one axis UNBLOCKS the other: the two
+            # are coupled (a larger shortlist makes extra probes useful
+            # again and vice versa), so a stale plateau marker must not
+            # pin an axis forever (r16 review finding). Terminates:
+            # nprobe/refine are monotone, each can only double
+            # log2(limit) times total regardless of resets.
+            other = "refine" if axis == "nprobe" else "nprobe"
+            gain[other] = None
     last = curve[-1]
     met = last["recall"] >= target_recall
     return {

@@ -376,10 +376,15 @@ def _prune_manifest_spark(
 
     The skip rule is zone_map_skip_report's, expressed as columns: a
     file is kept unless some predicate column's recorded [min, max] is
-    disjoint from its range; a null stats entry (no footer stats) or a
-    column the manifest never recorded keeps the file — correctness
-    before pruning, same as the Python rule. Driver state: the kept
-    path list only, and only when something was actually skipped."""
+    PROVABLY disjoint from its range; a null stats entry (no footer
+    stats), a null min/max element (a zero-row-group file), or a column
+    the manifest never recorded keeps the file — correctness before
+    pruning, same as the Python rule. The comparison runs in double
+    with a relative guard band of a few ulps, so an int64 stat beyond
+    2^53 that rounds across a predicate bound errs toward KEEPING the
+    file (a kept extra file costs I/O; a wrongly skipped one costs
+    rows). Driver state: the kept path list only, and only when
+    something was actually skipped."""
     import os
 
     from pyspark.sql.types import ArrayType, StructType
@@ -406,10 +411,18 @@ def _prune_manifest_spark(
         if not isinstance(stat_types.get(c), ArrayType):
             continue
         stat = F.col("cols").getField(c)
-        disjoint = (
-            stat.getItem(1).cast("double") < F.lit(float(lo))
-        ) | (stat.getItem(0).cast("double") > F.lit(float(hi)))
-        cond = cond & (stat.isNull() | ~disjoint)
+        mn = stat.getItem(0).cast("double")
+        mx = stat.getItem(1).cast("double")
+        # guard band ~ a few ulps of the operands: double rounding of
+        # exact int64 stats must err toward keep, never toward skip
+        tol_hi = (F.abs(mx) + F.lit(abs(float(lo)) + 1.0)) * F.lit(1e-15)
+        tol_lo = (F.abs(mn) + F.lit(abs(float(hi)) + 1.0)) * F.lit(1e-15)
+        disjoint = (mx < F.lit(float(lo)) - tol_hi) | (
+            mn > F.lit(float(hi)) + tol_lo
+        )
+        # null-safe: a NULL disjoint (null entry or null element) must
+        # KEEP the file, so require disjoint to be provably true
+        cond = cond & ~F.coalesce(disjoint, F.lit(False))
     kept_df = mdf.filter(cond)
     n_kept = kept_df.count()
     if n_kept == total:
@@ -422,6 +435,7 @@ def zone_map_scan(
     path: str,
     predicates: dict[str, tuple[float, float]],
     manifest_path: str | None = None,
+    refresh: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Zone-map-pruned range scan: evaluate a conjunctive range predicate
     against the per-file footer stats (`zone_map_stats`), open ONLY the
@@ -453,8 +467,13 @@ def zone_map_scan(
         # (JSONL) manifest AS A DATAFRAME — the cost is a distributed
         # manifest scan, not a per-file Python loop, and the driver
         # materializes only the KEPT file list (bounded by selectivity;
-        # nothing at all when the predicate keeps every file)
-        refresh_zone_manifest(path, manifest_path, cols)
+        # nothing at all when the predicate keeps every file).
+        # refresh=False skips the (separately-costed, linear-in-files
+        # os.walk) manifest maintenance for callers that refresh on
+        # their own commit cadence — the table-format split between
+        # commit-time stats upkeep and per-query planning.
+        if refresh:
+            refresh_zone_manifest(path, manifest_path, cols)
         n_total, kept = _prune_manifest_spark(spark, manifest_path, predicates)
     else:
         zmaps = zone_map_stats(path, cols)

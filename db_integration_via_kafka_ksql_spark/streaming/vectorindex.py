@@ -76,6 +76,25 @@ class StreamingVectorIndex:
     def _consumed_path(self) -> str:
         return os.path.join(self.adds_path, "__consumed.json")
 
+    def _adds_identity_path(self) -> str:
+        return os.path.join(self.adds_path, "__adds_checkpoint.json")
+
+    def _adds_identity(self) -> str | None:
+        """The checkpoint identity the COMMITTED adds were numbered
+        under (recorded by process_batch at commit time). The consumed
+        marker must carry THIS identity, not the refit-runner's current
+        one: adds committed under checkpoint A and folded by a refit
+        run under fresh checkpoint B must produce a marker that B's
+        renumbered batches 0..N IGNORE — stamping B would silently drop
+        them (r16 review finding)."""
+        import json
+
+        try:
+            with open(self._adds_identity_path()) as f:
+                return json.load(f)["checkpoint"]
+        except (OSError, ValueError, KeyError):
+            return None
+
     def _consumed_through(self) -> int | None:
         """Highest epoch id a past refit folded into the base, or None.
         process_batch treats epochs at or below this as committed: after
@@ -121,6 +140,10 @@ class StreamingVectorIndex:
         for p in (self._q_path(), self._lists_path()):
             if os.path.isdir(p):
                 shutil.rmtree(p)
+        try:
+            os.remove(self._adds_identity_path())
+        except OSError:
+            pass  # no adds were ever committed (or already cleared)
 
     def _recover_refit(self) -> None:
         """Finish or abort a refit that crashed mid-swap (the swapdir
@@ -144,16 +167,17 @@ class StreamingVectorIndex:
             pass
         if published is not None and published == intent.get("fit_id"):
             if intent.get("through") is not None:
+                # the intent carries the adds' RECORDED checkpoint
+                # identity (resolved at refit time); a pre-r16 intent
+                # without one writes a legacy identity-less marker —
+                # never fabricate the CURRENT identity here, a recovery
+                # run under a fresh checkpoint would otherwise stamp the
+                # new numbering and drop its batches (r16 review)
+                marker = {"through": int(intent["through"])}
+                if "checkpoint" in intent:
+                    marker["checkpoint"] = intent["checkpoint"]
                 with open(self._consumed_path(), "w") as f:
-                    json.dump(
-                        {
-                            "through": int(intent["through"]),
-                            "checkpoint": intent.get(
-                                "checkpoint", self.checkpoint_dir
-                            ),
-                        },
-                        f,
-                    )
+                    json.dump(marker, f)
             self._clear_adds()
         os.remove(intent_path)
 
@@ -195,10 +219,11 @@ class StreamingVectorIndex:
         Corpus-coverage gate (r15 advice): marking adds consumed TRUSTS
         ``corpus`` to carry them — a snapshot taken before the latest
         add commit would silently drop those vectors from serving. Before
-        anything is cleared, the committed adds' vec_ids are anti-joined
-        against the corpus (cost bounded by the adds, never the corpus:
-        the corpus side is ids-only and the join broadcasts the smaller
-        adds frame at scale). ``on_missing="error"`` (default) raises
+        anything is cleared, coverage is counted with ONE ids-only corpus
+        scan whose left-semi build side is the broadcast adds-id frame
+        (bounded: cleared at every refit) — Spark builds on the RIGHT of
+        a semi join, so the corpus must stream on the left.
+        ``on_missing="error"`` (default) raises
         with a sample; ``"warn"`` proceeds and reports
         ``missing_from_corpus`` in the returned dict for callers that
         intentionally drop (e.g. a curation refit).
@@ -209,17 +234,41 @@ class StreamingVectorIndex:
         import json
         import uuid
 
+        from pyspark.sql import functions as F
+
         if on_missing not in ("error", "warn"):
             raise ValueError(f"on_missing must be 'error'|'warn', got {on_missing!r}")
         missing = 0
         if epochdir.list_epochs(self._q_path(), self.batch_col):
-            adds_ids = self.spark.read.parquet(self._q_path()).select("vec_id")
-            gone = adds_ids.join(
-                corpus.select("vec_id"), on="vec_id", how="left_anti"
+            adds_ids = (
+                self.spark.read.parquet(self._q_path())
+                .select("vec_id")
+                .localCheckpoint(eager=True)
             )
-            missing = gone.count()
+            n_adds = adds_ids.count()
+            # coverage = one corpus scan with the (bounded: cleared each
+            # refit) adds ids BROADCAST as the left-semi build side —
+            # Spark only builds on the RIGHT of a semi/anti join, so the
+            # corpus must be the streamed (left) side or the gate would
+            # try to build on the full corpus (r16 review finding)
+            covered = (
+                corpus.select("vec_id")
+                .join(F.broadcast(adds_ids), "vec_id", "left_semi")
+                .count()
+            )
+            missing = n_adds - covered
             if missing and on_missing == "error":
-                sample = [r.vec_id for r in gone.limit(5).collect()]
+                # diagnostic path only: the anti join here streams the
+                # adds against the corpus build side — acceptable once,
+                # on the way to an exception
+                sample = [
+                    r.vec_id
+                    for r in adds_ids.join(
+                        corpus.select("vec_id"), "vec_id", "left_anti"
+                    )
+                    .limit(5)
+                    .collect()
+                ]
                 raise ValueError(
                     f"refit corpus is missing {missing} committed add "
                     f"vec_ids (sample: {sample}); refitting would drop "
@@ -240,18 +289,32 @@ class StreamingVectorIndex:
             nlists=nlists,
         )
         prev_through = self._consumed_through()
-        through = self._max_add_epoch()
-        if through is None or (
-            prev_through is not None and prev_through > through
-        ):
+        cur_max = self._max_add_epoch()
+        # the marker's identity is the checkpoint the FOLDED EPOCHS were
+        # numbered under (recorded by process_batch at commit time), NOT
+        # the refit runner's current one: a refit run after a
+        # fresh-checkpoint restart must produce a marker the new
+        # numbering IGNORES — stamping the current identity would make
+        # the renumbered batches 0..through silently drop (r16 review
+        # finding). No current adds -> carry the previous marker forward
+        # unchanged (same through, same identity).
+        if cur_max is not None:
+            marker_ckpt = self._adds_identity()
+            if marker_ckpt is None:  # adds committed before r16: legacy
+                marker_ckpt = self.checkpoint_dir
+            through = cur_max
+            if prev_through is not None and prev_through > through:
+                through = prev_through
+        else:
             through = prev_through
+            marker_ckpt = self.checkpoint_dir  # prev marker matched it
         os.makedirs(self.adds_path, exist_ok=True)
         with open(self._intent_path(), "w") as f:
             json.dump(
                 {
                     "fit_id": fit_id,
                     "through": through,
-                    "checkpoint": self.checkpoint_dir,
+                    "checkpoint": marker_ckpt,
                 },
                 f,
             )
@@ -259,7 +322,7 @@ class StreamingVectorIndex:
         if through is not None:
             with open(self._consumed_path(), "w") as f:
                 json.dump(
-                    {"through": int(through), "checkpoint": self.checkpoint_dir},
+                    {"through": int(through), "checkpoint": marker_ckpt},
                     f,
                 )
         self._clear_adds()
@@ -348,6 +411,20 @@ class StreamingVectorIndex:
             return  # fully committed replay
         if batch_df.isEmpty():
             return  # idle: commit nothing (the SCD2 idle discipline)
+        # record which checkpoint numbered these epochs, BEFORE the
+        # commits: refit's consumed marker copies this identity so a
+        # fold is only replay-skipped under the numbering it belongs to
+        # (last writer wins if the adds dir ever spans identities —
+        # a documented misuse that at worst re-serves duplicates)
+        import json
+
+        ident = {"checkpoint": self.checkpoint_dir}
+        if self._adds_identity() != self.checkpoint_dir or not os.path.exists(
+            self._adds_identity_path()
+        ):
+            os.makedirs(self.adds_path, exist_ok=True)
+            with open(self._adds_identity_path(), "w") as f:
+                json.dump(ident, f)
         q_rows, list_rows = self._base.encode(batch_df)
         q_parts: tuple[str, ...] = ()
         if self._base.n_q_buckets:

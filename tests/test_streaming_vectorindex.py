@@ -670,3 +670,54 @@ def test_consumed_marker_ignored_under_fresh_checkpoint(
     assert fresh._consumed_through() is None
     fresh.process_batch(added2, 0)
     assert fresh._max_add_epoch() == 0
+
+
+def test_refit_under_fresh_checkpoint_keeps_new_batches(
+    spark, corpus, tmp_path
+):
+    """r16 review finding: the consumed marker must carry the identity
+    the FOLDED epochs were numbered under (recorded at commit time),
+    not the refit runner's current checkpoint. Adds committed under
+    cp1, refit run by an instance restarted on fresh cp2: the marker
+    records cp1, so cp2's renumbered batches 0..N still COMMIT (no
+    silent loss) while a cp1 replay of the folded epoch stays a no-op."""
+    base, adds = corpus
+    path = str(tmp_path / "index")
+    S.ivf_pq_fit(base, dims=64, m=8, ksub=8, iters=1).save(path)
+    cp1, cp2 = str(tmp_path / "cp1"), str(tmp_path / "cp2")
+    writer = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0, checkpoint_dir=cp1,
+    )
+    ids = _batches(adds)[0]
+    added = adds.filter(F.col("vec_id").isin(ids)).localCheckpoint(eager=True)
+    writer.process_batch(added, 0)
+    # restart on a FRESH checkpoint, then fold the cp1 adds via refit
+    fresh = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0, checkpoint_dir=cp2,
+    )
+    full = base.unionByName(added).localCheckpoint(eager=True)
+    fresh.refit(full, ksub=8, iters=1)
+    import json
+
+    with open(fresh._consumed_path()) as f:
+        marker = json.load(f)
+    assert marker["checkpoint"] == cp1  # the adds' identity, not cp2's
+    # cp2's new numbering starts at 0: its batches must COMMIT
+    assert fresh._consumed_through() is None
+    ids2 = _batches(adds)[1]
+    added2 = adds.filter(F.col("vec_id").isin(ids2)).localCheckpoint(
+        eager=True
+    )
+    fresh.process_batch(added2, 0)
+    assert fresh._max_add_epoch() == 0
+    # while a cp1 instance still replay-skips its folded epoch ids...
+    old = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds2_probe"),
+        trigger_seconds=0, checkpoint_dir=cp1,
+    )
+    # (separate adds dir: only the marker semantics are probed)
+    assert old._consumed_through() is None  # its own dir has no marker
+    with open(fresh._consumed_path()) as f:
+        assert json.load(f)["checkpoint"] == cp1

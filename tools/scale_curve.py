@@ -490,9 +490,13 @@ def main() -> None:
             t0 = time.perf_counter()
             DSK.refresh_zone_manifest(path, mfp, ["value"])
             refresh_s = time.perf_counter() - t0
+            # refresh=False isolates the PLANNING cost (the DataFrame
+            # prune) from the commit-time stats upkeep the line above
+            # already measures — timing them together would publish a
+            # walk-dominated number as "prune" (r16 review finding)
             t0 = time.perf_counter()
             _df, stats = DSK.zone_map_scan(
-                spark, path, pred, manifest_path=mfp
+                spark, path, pred, manifest_path=mfp, refresh=False
             )
             prune_s = time.perf_counter() - t0
             zm[tag] = {
