@@ -291,11 +291,125 @@ def mm_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.audio_pcm_stats(media)
 
 
-@query("mm_cdc_chunk_dedup", driver=False)
-# rows-only: the gear rolling hash is a sequential byte recurrence — not
-# SQL-expressible; correctness is equivalence-gated against a sequential
-# byte-at-a-time python model plus the shift-resynchronization property
-# (tests/test_content_chunking.py), the repo's BPE/perceptron discipline.
+def _cdc_oracle(min_size: int = 48, mask_bits: int = 6, max_size: int = 512) -> str:
+    """Full SQL replay of the gear-hash CDC chunker (r15 verdict Next
+    #5 — closing the 'sequential byte recurrence, not SQL-expressible'
+    adjudication, which turned out to be wrong on both counts):
+
+    - the rolling hash h_i = (h_{i-1} << 1 + gear[b_i]) mod 2^64 has a
+      CLOSED FORM — the left shift decays every byte's influence to
+      zero after 64 positions, so h_i = sum over the trailing 64 bytes
+      of gear[b_j] << (i-j), a windowed sum (each term reduced mod 2^64
+      in HUGEINT, 64 contribution rows per byte);
+    - the cut chain (first candidate >= prev+min, force-cut at
+      prev+max, remainder at n) IS sequential, but over ~n/2^mask_bits
+      candidates, and walks as a RECURSIVE CTE whose step is a pure
+      join: next = LEAST(next_candidate(prev+min), prev+max, n), with
+      next_candidate precomputed for every position as a running min
+      from the right (branch-order equivalence with the python model's
+      if/elif proved by case analysis; differentially tested on
+      force-cut / remainder / sub-min / resynchronization corpora in
+      tests/test_content_chunking.py).
+
+    Slicing note: chunk_md5 slices the payload as VARCHAR characters,
+    which equals byte slicing because the corpus is pure ASCII
+    (asserted: octet_length == length for every sf) — this DuckDB build
+    has no BLOB substring/md5. The Spark side is byte-exact regardless.
+    """
+    import hashlib
+
+    gear = [
+        int(hashlib.md5(f"gear{b}".encode()).hexdigest()[:16], 16)
+        for b in range(256)
+    ]
+    gear_sql = "[" + ", ".join(f"'{v}'::UBIGINT" for v in gear) + "]"
+    m64 = str(1 << 64)
+    big = str((1 << 63) - 1)
+    return f"""
+    WITH pay AS MATERIALIZED (
+      SELECT doc_id, text, hex(text::BLOB) AS ph,
+             octet_length(text::BLOB)::BIGINT AS n
+      FROM documents WHERE text IS NOT NULL AND octet_length(text::BLOB) > 0
+    ),
+    byt AS MATERIALIZED (
+      SELECT doc_id, n,
+             unnest(generate_series(1, n)) AS j,
+             unnest([{gear_sql}[('0x' || ph[2*i-1:2*i])::INT + 1]
+                     for i in generate_series(1, n)]) AS g
+      FROM pay
+    ),
+    contrib AS (
+      SELECT doc_id, n, j + d AS i,
+             (g::HUGEINT * (1::HUGEINT << d)) % {m64} AS c
+      FROM byt, (SELECT unnest(generate_series(0, 63)) AS d)
+      WHERE j + d <= n
+    ),
+    h AS MATERIALIZED (
+      SELECT doc_id, i, (SUM(c) % {m64})::UBIGINT AS h
+      FROM contrib GROUP BY doc_id, i
+    ),
+    cand AS MATERIALIZED (
+      SELECT doc_id, i FROM h WHERE h % {1 << mask_bits} = 0
+    ),
+    posn AS (
+      SELECT doc_id, n, unnest(generate_series(1, n)) AS p FROM pay
+    ),
+    nextc AS MATERIALIZED (
+      SELECT doc_id, p,
+             MIN(ci) OVER (
+                 PARTITION BY doc_id ORDER BY p DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS nxt
+      FROM (
+          SELECT posn.doc_id, posn.p, c.i AS ci
+          FROM posn LEFT JOIN cand c
+            ON c.doc_id = posn.doc_id AND c.i = posn.p
+      )
+    ),
+    cuts AS (
+      WITH RECURSIVE walk(doc_id, cut) AS (
+          SELECT doc_id, 0::BIGINT FROM pay
+          UNION ALL
+          SELECT w.doc_id,
+                 LEAST(COALESCE(nx.nxt, {big}), w.cut + {max_size}, p.n)
+          FROM walk w
+          JOIN pay p USING (doc_id)
+          LEFT JOIN nextc nx
+            ON nx.doc_id = w.doc_id AND nx.p = w.cut + {min_size}
+          WHERE w.cut < p.n
+      )
+      SELECT * FROM walk
+    ),
+    chunks AS (
+      SELECT c.doc_id,
+             cut - COALESCE(
+                 LAG(cut) OVER (PARTITION BY c.doc_id ORDER BY cut), 0
+             ) AS length,
+             md5(p.text[(COALESCE(
+                 LAG(cut) OVER (PARTITION BY c.doc_id ORDER BY cut), 0
+             ) + 1) : cut]) AS chunk_md5
+      FROM cuts c JOIN pay p USING (doc_id)
+      WHERE cut > 0
+    )
+    SELECT chunk_md5,
+           CAST(MIN(length) AS BIGINT) AS chunk_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST((COUNT(*) - 1) * MIN(length) AS BIGINT) AS saved_bytes
+    FROM chunks
+    GROUP BY chunk_md5
+    HAVING COUNT(*) > 1
+    """
+
+
+@query(
+    "mm_cdc_chunk_dedup",
+    driver=False,
+    # ORACLE-BACKED since r16 (verdict Next #5): the gear hash has a
+    # windowed closed form and the cut chain walks as a recursive CTE —
+    # see _cdc_oracle. The sequential python model + resynchronization
+    # property (tests/test_content_chunking.py) stay as cross-checks.
+    oracle=_cdc_oracle(),
+)
 def mm_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunk dedup accounting over the corpus payloads
     (multimodal.content_defined_chunks -> cdc_chunk_dedup_report): the

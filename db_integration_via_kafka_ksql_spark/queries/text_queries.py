@@ -1450,10 +1450,200 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.dataset_card(load_table(spark, sf_dir, "documents"))
 
 
-@query("bpe_train_merges", driver=False)  # iterative: rows-only check —
-# the loop's SINGLE counting step is oracle-gated as
-# vocab_top_merge_pairs, and the composed loop is equivalence-tested
-# against a sequential python trainer (test_bpe_train_matches_...)
+def _bpe_trainer_ctes(n_merges: int) -> list[str]:
+    """Pinned-iteration unroll of the FULL BPE trainer (r15 verdict
+    Next #5, closing the straggler it named): each of the n_merges
+    passes is [argmax pair -> greedy leftmost rewrite], where the
+    argmax rides SCALAR SUBQUERIES (so nothing is pinned but the pass
+    count) and the rewrite — the one piece previously adjudicated
+    non-SQL — is expressed as RUN PARITY over match positions: within
+    each maximal run of consecutive matching positions, the fold's
+    (emitted, held) accumulator merges exactly the odd-ranked starts
+    ('aaaa' -> matches at 1,2,3 -> merge 1 and 3 -> ['aa','aa'], the
+    Sennrich single-pass semantics), and a position is consumed iff its
+    predecessor merged. The batched Spark trainer is sequence-identical
+    to the sequential model (tests/test_bpe_batched.py), so this
+    sequential replay oracles the batch_m=4 registry row too."""
+    ctes = [
+        """v0 AS MATERIALIZED (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+                   [w[i] for i in generate_series(1, length(w))] AS syms
+            FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+            WHERE length(w) >= 2 GROUP BY w
+        )"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        ctes.append(
+            f"""t{k} AS MATERIALIZED (
+            SELECT a, b, a || b AS ab FROM (
+                SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS n
+                FROM (
+                    SELECT freq, unnest(
+                        [{{'a': syms[i], 'b': syms[i + 1]}}
+                         for i in generate_series(1, len(syms) - 1)]) AS pr
+                    FROM v{p}
+                )
+                GROUP BY pr.a, pr.b
+                ORDER BY n DESC, a ASC, b ASC LIMIT 1
+            )
+        )"""
+        )
+        ctes.append(
+            f"""pos{k} AS MATERIALIZED (
+            SELECT w, freq,
+                   unnest(generate_series(1, len(syms))) AS i,
+                   unnest(syms) AS s
+            FROM v{p}
+        )"""
+        )
+        ctes.append(
+            f"""sel{k} AS MATERIALIZED (
+            SELECT w, i FROM (
+                SELECT w, i,
+                       row_number() OVER (
+                           PARTITION BY w, i - rk ORDER BY i
+                       ) AS rn
+                FROM (
+                    SELECT p1.w, p1.i,
+                           row_number() OVER (
+                               PARTITION BY p1.w ORDER BY p1.i
+                           ) AS rk
+                    FROM pos{k} p1
+                    JOIN pos{k} p2 ON p2.w = p1.w AND p2.i = p1.i + 1
+                    WHERE p1.s = (SELECT a FROM t{k})
+                      AND p2.s = (SELECT b FROM t{k})
+                )
+            ) WHERE rn % 2 = 1
+        )"""
+        )
+        ctes.append(
+            f"""v{k} AS MATERIALIZED (
+            SELECT w, freq, syms FROM (
+                SELECT p.w, p.freq,
+                       list(
+                           CASE WHEN m.i IS NOT NULL
+                                THEN (SELECT ab FROM t{k}) ELSE p.s END
+                           ORDER BY p.i
+                       ) AS syms
+                FROM pos{k} p
+                LEFT JOIN sel{k} m ON m.w = p.w AND m.i = p.i
+                LEFT JOIN sel{k} c ON c.w = p.w AND c.i = p.i - 1
+                WHERE c.i IS NULL
+                GROUP BY p.w, p.freq
+            ) WHERE len(syms) >= 2
+        )"""
+        )
+    return ctes
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """The merge-table oracle: the trainer CTE chain + one UNION of the
+    n_merges argmax rows (rnk, a, b)."""
+    ctes = _bpe_trainer_ctes(n_merges)
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS rnk, a, b FROM t{k}"
+        for k in range(1, n_merges + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    {finals}
+    """
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Full train→encode replay (the bpe_encode_pieces twin): the
+    trainer CTE chain above re-derives the merge table, then every
+    CORPUS word (all of them — single-char and fully-merged words the
+    trainer frame drops still encode) is rewritten through the same
+    run-parity pass PER RANK in ascending order. Rank-ascending
+    single-pass application equals the classic lowest-rank-first
+    one-occurrence-at-a-time encode because a merge's components always
+    predate it: no pass can create a pair of an EARLIER rank (its token
+    didn't exist yet when that rank was learned), and a pass cannot
+    create its own pair (the merged token is strictly longer than
+    either component) — the round-trip test pins the same identity on
+    the Spark side."""
+    ctes = list(_bpe_trainer_ctes(n_merges))
+    ctes += [
+        """docw AS MATERIALIZED (
+            SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi,
+                   unnest(ws) AS w
+            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        )""",
+        """e0 AS MATERIALIZED (
+            SELECT w, [w[i] for i in generate_series(1, length(w))] AS syms
+            FROM (SELECT DISTINCT w FROM docw)
+        )""",
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        ctes.append(
+            f"""epos{k} AS MATERIALIZED (
+            SELECT w, unnest(generate_series(1, len(syms))) AS i,
+                   unnest(syms) AS s
+            FROM e{p}
+        )"""
+        )
+        ctes.append(
+            f"""esel{k} AS MATERIALIZED (
+            SELECT w, i FROM (
+                SELECT w, i,
+                       row_number() OVER (
+                           PARTITION BY w, i - rk ORDER BY i
+                       ) AS rn
+                FROM (
+                    SELECT p1.w, p1.i,
+                           row_number() OVER (
+                               PARTITION BY p1.w ORDER BY p1.i
+                           ) AS rk
+                    FROM epos{k} p1
+                    JOIN epos{k} p2 ON p2.w = p1.w AND p2.i = p1.i + 1
+                    WHERE p1.s = (SELECT a FROM t{k})
+                      AND p2.s = (SELECT b FROM t{k})
+                )
+            ) WHERE rn % 2 = 1
+        )"""
+        )
+        ctes.append(
+            f"""e{k} AS MATERIALIZED (
+            SELECT p.w,
+                   list(
+                       CASE WHEN m.i IS NOT NULL
+                            THEN (SELECT ab FROM t{k}) ELSE p.s END
+                       ORDER BY p.i
+                   ) AS syms
+            FROM epos{k} p
+            LEFT JOIN esel{k} m ON m.w = p.w AND m.i = p.i
+            LEFT JOIN esel{k} c ON c.w = p.w AND c.i = p.i - 1
+            WHERE c.i IS NULL
+            GROUP BY p.w
+        )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(SUM(len(e.syms)), 0) AS BIGINT) AS n_pieces,
+           string_agg(array_to_string(e.syms, ' '), ' | ' ORDER BY d.wi)
+               AS pieces
+    FROM docw d JOIN e{n_merges} e ON e.w = d.w
+    GROUP BY d.doc_id
+    """
+
+
+@query(
+    "bpe_train_merges",
+    driver=False,
+    # ORACLE-BACKED since r16 (verdict Next #5): the full trainer
+    # replays as a pinned-pass unroll (argmax via scalar subqueries,
+    # greedy rewrite via run parity — see _bpe_train_oracle); the
+    # python sequential-model equivalence test and the batched-pass
+    # property test remain the unpinned-geometry cross-checks.
+    oracle=_bpe_train_oracle(6),
+)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table over the documents corpus: rank +
     merge pair, from the composed count→argmax→rewrite loop (corpus
@@ -1470,10 +1660,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_encode_pieces", driver=False)  # greedy sequential merge
-# application is non-SQL-expressible: rows-only check here; the encode
-# itself is equivalence-tested vs a python reference (known-sequence,
-# rank-beats-position, corpus equivalence, train round-trip)
+@query(
+    "bpe_encode_pieces",
+    driver=False,
+    # ORACLE-BACKED since r16 (verdict Next #5): train->encode replays
+    # end to end — the trainer CTE chain re-derives the merge table,
+    # then every corpus word rewrites through the run-parity pass per
+    # rank ascending (== the classic lowest-rank-first encode; see
+    # _bpe_encode_oracle's docstring for why). The python-reference
+    # equivalence tests stay as the unpinned cross-checks.
+    oracle=_bpe_encode_oracle(6),
+)
 def bpe_encode_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full train→encode composition on the documents corpus: learn a
     small merge table with bpe_train, then encode every document with the

@@ -77,3 +77,36 @@ def test_batched_rejects_bad_width(spark):
     docs = _docs(spark, ["ab ab"])
     with pytest.raises(ValueError, match="batch_m"):
         bpe_train(docs, n_merges=2, batch_m=0)
+
+
+def test_bpe_train_oracle_matches_python_on_adversarial_corpus():
+    """The r16 DuckDB trainer replay (_bpe_train_oracle) against the
+    sequential python model on the overlap-heavy corpus ('aaaa' run
+    parity, tie-breaks, multi-char merged symbols) — pure DuckDB, no
+    Spark: proves the run-parity rewrite IS the fold, independent of
+    the registry corpus the parity gate uses."""
+    import duckdb
+
+    # registry first: the query modules import each other in the fixed
+    # order registry establishes (direct import = circular)
+    from db_integration_via_kafka_ksql_spark import registry  # noqa: F401
+    from db_integration_via_kafka_ksql_spark.queries.text_queries import (
+        _bpe_train_oracle,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "aaaa aaab abab banana",
+        "low newer banana aaaa aaaaaa",
+        "xyxyxyxy zzzzz",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(text VARCHAR)")
+    for t in texts:
+        con.execute("INSERT INTO documents VALUES (?)", [t])
+    got = con.execute(_bpe_train_oracle(10)).fetchall()
+    want = [
+        (i + 1, a, b) for i, (a, b) in enumerate(_py_bpe_train(texts, 10))
+    ]
+    assert sorted(got) == sorted(want) and len(got) == 10
