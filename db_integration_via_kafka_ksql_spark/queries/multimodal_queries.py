@@ -312,9 +312,13 @@ def _cdc_oracle(min_size: int = 48, mask_bits: int = 6, max_size: int = 512) -> 
       tests/test_content_chunking.py).
 
     Slicing note: chunk_md5 slices the payload as VARCHAR characters,
-    which equals byte slicing because the corpus is pure ASCII
-    (asserted: octet_length == length for every sf) — this DuckDB build
-    has no BLOB substring/md5. The Spark side is byte-exact regardless.
+    which equals byte slicing because the corpus is pure ASCII — this
+    DuckDB build has no BLOB substring/md5. The precondition is
+    ENFORCED by tests/test_testdata_schema.py::
+    test_documents_text_is_pure_ascii (octet_length == length at every
+    sf), so a driver regeneration that ships non-ASCII text fails there
+    with a named cause instead of an opaque hash mismatch here. The
+    Spark side is byte-exact regardless.
     """
     import hashlib
 

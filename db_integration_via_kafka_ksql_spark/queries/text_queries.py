@@ -1450,6 +1450,64 @@ def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TA.dataset_card(load_table(spark, sf_dir, "documents"))
 
 
+def _bpe_rewrite_ctes(
+    k: int, src: str, out: str, prefix: str, freq_col: str, min_len: int
+) -> list[str]:
+    """ONE run-parity rewrite step (pos/sel/out CTEs for merge rank k,
+    shared by the trainer and encoder oracles so the subtle parity
+    logic exists once — r16 review finding): match starts against the
+    rank-k pair (scalar subqueries on t{k}), greedy leftmost selection
+    as odd ranks within runs of consecutive matches, and the rebuild
+    where a position is consumed iff its predecessor merged. `src` is
+    the incoming symbol frame; `freq_col` carries an extra column
+    through ('' for the encoder); `min_len` filters the output frame
+    (the trainer drops fully-merged words, the encoder keeps all)."""
+    fsel = f", {freq_col}" if freq_col else ""
+    fgrp = f", p.{freq_col}" if freq_col else ""
+    lenf = f" WHERE len(syms) >= {min_len}" if min_len else ""
+    return [
+        f"""{prefix}pos{k} AS MATERIALIZED (
+            SELECT w{fsel},
+                   unnest(generate_series(1, len(syms))) AS i,
+                   unnest(syms) AS s
+            FROM {src}
+        )""",
+        f"""{prefix}sel{k} AS MATERIALIZED (
+            SELECT w, i FROM (
+                SELECT w, i,
+                       row_number() OVER (
+                           PARTITION BY w, i - rk ORDER BY i
+                       ) AS rn
+                FROM (
+                    SELECT p1.w, p1.i,
+                           row_number() OVER (
+                               PARTITION BY p1.w ORDER BY p1.i
+                           ) AS rk
+                    FROM {prefix}pos{k} p1
+                    JOIN {prefix}pos{k} p2 ON p2.w = p1.w AND p2.i = p1.i + 1
+                    WHERE p1.s = (SELECT a FROM t{k})
+                      AND p2.s = (SELECT b FROM t{k})
+                )
+            ) WHERE rn % 2 = 1
+        )""",
+        f"""{out} AS MATERIALIZED (
+            SELECT * FROM (
+                SELECT p.w{fgrp},
+                       list(
+                           CASE WHEN m.i IS NOT NULL
+                                THEN (SELECT ab FROM t{k}) ELSE p.s END
+                           ORDER BY p.i
+                       ) AS syms
+                FROM {prefix}pos{k} p
+                LEFT JOIN {prefix}sel{k} m ON m.w = p.w AND m.i = p.i
+                LEFT JOIN {prefix}sel{k} c ON c.w = p.w AND c.i = p.i - 1
+                WHERE c.i IS NULL
+                GROUP BY p.w{fgrp}
+            ){lenf}
+        )"""
+    ]
+
+
 def _bpe_trainer_ctes(n_merges: int) -> list[str]:
     """Pinned-iteration unroll of the FULL BPE trainer (r15 verdict
     Next #5, closing the straggler it named): each of the n_merges
@@ -1489,50 +1547,9 @@ def _bpe_trainer_ctes(n_merges: int) -> list[str]:
             )
         )"""
         )
-        ctes.append(
-            f"""pos{k} AS MATERIALIZED (
-            SELECT w, freq,
-                   unnest(generate_series(1, len(syms))) AS i,
-                   unnest(syms) AS s
-            FROM v{p}
-        )"""
-        )
-        ctes.append(
-            f"""sel{k} AS MATERIALIZED (
-            SELECT w, i FROM (
-                SELECT w, i,
-                       row_number() OVER (
-                           PARTITION BY w, i - rk ORDER BY i
-                       ) AS rn
-                FROM (
-                    SELECT p1.w, p1.i,
-                           row_number() OVER (
-                               PARTITION BY p1.w ORDER BY p1.i
-                           ) AS rk
-                    FROM pos{k} p1
-                    JOIN pos{k} p2 ON p2.w = p1.w AND p2.i = p1.i + 1
-                    WHERE p1.s = (SELECT a FROM t{k})
-                      AND p2.s = (SELECT b FROM t{k})
-                )
-            ) WHERE rn % 2 = 1
-        )"""
-        )
-        ctes.append(
-            f"""v{k} AS MATERIALIZED (
-            SELECT w, freq, syms FROM (
-                SELECT p.w, p.freq,
-                       list(
-                           CASE WHEN m.i IS NOT NULL
-                                THEN (SELECT ab FROM t{k}) ELSE p.s END
-                           ORDER BY p.i
-                       ) AS syms
-                FROM pos{k} p
-                LEFT JOIN sel{k} m ON m.w = p.w AND m.i = p.i
-                LEFT JOIN sel{k} c ON c.w = p.w AND c.i = p.i - 1
-                WHERE c.i IS NULL
-                GROUP BY p.w, p.freq
-            ) WHERE len(syms) >= 2
-        )"""
+        ctes += _bpe_rewrite_ctes(
+            k, src=f"v{p}", out=f"v{k}", prefix="", freq_col="freq",
+            min_len=2,
         )
     return ctes
 
@@ -1579,47 +1596,9 @@ def _bpe_encode_oracle(n_merges: int) -> str:
     ]
     for k in range(1, n_merges + 1):
         p = k - 1
-        ctes.append(
-            f"""epos{k} AS MATERIALIZED (
-            SELECT w, unnest(generate_series(1, len(syms))) AS i,
-                   unnest(syms) AS s
-            FROM e{p}
-        )"""
-        )
-        ctes.append(
-            f"""esel{k} AS MATERIALIZED (
-            SELECT w, i FROM (
-                SELECT w, i,
-                       row_number() OVER (
-                           PARTITION BY w, i - rk ORDER BY i
-                       ) AS rn
-                FROM (
-                    SELECT p1.w, p1.i,
-                           row_number() OVER (
-                               PARTITION BY p1.w ORDER BY p1.i
-                           ) AS rk
-                    FROM epos{k} p1
-                    JOIN epos{k} p2 ON p2.w = p1.w AND p2.i = p1.i + 1
-                    WHERE p1.s = (SELECT a FROM t{k})
-                      AND p2.s = (SELECT b FROM t{k})
-                )
-            ) WHERE rn % 2 = 1
-        )"""
-        )
-        ctes.append(
-            f"""e{k} AS MATERIALIZED (
-            SELECT p.w,
-                   list(
-                       CASE WHEN m.i IS NOT NULL
-                            THEN (SELECT ab FROM t{k}) ELSE p.s END
-                       ORDER BY p.i
-                   ) AS syms
-            FROM epos{k} p
-            LEFT JOIN esel{k} m ON m.w = p.w AND m.i = p.i
-            LEFT JOIN esel{k} c ON c.w = p.w AND c.i = p.i - 1
-            WHERE c.i IS NULL
-            GROUP BY p.w
-        )"""
+        ctes += _bpe_rewrite_ctes(
+            k, src=f"e{p}", out=f"e{k}", prefix="e", freq_col="",
+            min_len=0,
         )
     joined = ",\n    ".join(ctes)
     return f"""
@@ -1627,9 +1606,11 @@ def _bpe_encode_oracle(n_merges: int) -> str:
     SELECT d.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(COALESCE(SUM(len(e.syms)), 0) AS BIGINT) AS n_pieces,
-           string_agg(array_to_string(e.syms, ' '), ' | ' ORDER BY d.wi)
-               AS pieces
-    FROM docw d JOIN e{n_merges} e ON e.w = d.w
+           string_agg(
+               COALESCE(array_to_string(e.syms, ' '), ''),
+               ' | ' ORDER BY d.wi
+           ) AS pieces
+    FROM docw d LEFT JOIN e{n_merges} e ON e.w = d.w
     GROUP BY d.doc_id
     """
 

@@ -95,6 +95,22 @@ class StreamingVectorIndex:
         except (OSError, ValueError, KeyError):
             return None
 
+    def _read_marker(self) -> dict | None:
+        """The consumed marker verbatim (through + optional checkpoint
+        identity), or None. refit needs the RAW identity: the filtered
+        view below compares against the CURRENT instance's checkpoint,
+        which is the wrong question when deciding whether a previous
+        fold's `through` is comparable to the current adds' numbering."""
+        import json
+
+        try:
+            with open(self._consumed_path()) as f:
+                marker = json.load(f)
+            int(marker["through"])
+            return marker
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+
     def _consumed_through(self) -> int | None:
         """Highest epoch id a past refit folded into the base, or None.
         process_batch treats epochs at or below this as committed: after
@@ -166,16 +182,22 @@ class StreamingVectorIndex:
         except OSError:
             pass
         if published is not None and published == intent.get("fit_id"):
-            if intent.get("through") is not None:
-                # the intent carries the adds' RECORDED checkpoint
-                # identity (resolved at refit time); a pre-r16 intent
-                # without one writes a legacy identity-less marker —
-                # never fabricate the CURRENT identity here, a recovery
-                # run under a fresh checkpoint would otherwise stamp the
-                # new numbering and drop its batches (r16 review)
-                marker = {"through": int(intent["through"])}
-                if "checkpoint" in intent:
-                    marker["checkpoint"] = intent["checkpoint"]
+            marker = intent.get("marker")
+            if marker is None and intent.get("through") is not None:
+                # pre-r16 intent ({fit_id, through[, checkpoint]}): the
+                # adds' true identity was never recorded, so stamp the
+                # recovery runner's — WEAKLY DOMINANT over omitting it
+                # (review finding #3): recovery usually runs under the
+                # same checkpoint as the adds (correct skip); under a
+                # fresh one it degrades exactly like an identity-less
+                # marker would have, never worse
+                marker = {
+                    "through": int(intent["through"]),
+                    "checkpoint": intent.get(
+                        "checkpoint", self.checkpoint_dir
+                    ),
+                }
+            if marker is not None:
                 with open(self._consumed_path(), "w") as f:
                     json.dump(marker, f)
             self._clear_adds()
@@ -240,9 +262,16 @@ class StreamingVectorIndex:
             raise ValueError(f"on_missing must be 'error'|'warn', got {on_missing!r}")
         missing = 0
         if epochdir.list_epochs(self._q_path(), self.batch_col):
+            # DISTINCT on both counts: duplicate vec_ids (the documented
+            # mixed-identity adds mode, or a caller corpus with dups)
+            # would otherwise skew the subtraction — a duplicated add
+            # counted twice against once-matched corpus rows reported
+            # phantom missing ids, and corpus dups made it negative
+            # (r16 review finding #2)
             adds_ids = (
                 self.spark.read.parquet(self._q_path())
                 .select("vec_id")
+                .distinct()
                 .localCheckpoint(eager=True)
             )
             n_adds = adds_ids.count()
@@ -254,6 +283,8 @@ class StreamingVectorIndex:
             covered = (
                 corpus.select("vec_id")
                 .join(F.broadcast(adds_ids), "vec_id", "left_semi")
+                .select("vec_id")
+                .distinct()
                 .count()
             )
             missing = n_adds - covered
@@ -288,43 +319,53 @@ class StreamingVectorIndex:
             coarse=coarse,
             nlists=nlists,
         )
-        prev_through = self._consumed_through()
         cur_max = self._max_add_epoch()
+        prev_marker = self._read_marker()
         # the marker's identity is the checkpoint the FOLDED EPOCHS were
         # numbered under (recorded by process_batch at commit time), NOT
         # the refit runner's current one: a refit run after a
         # fresh-checkpoint restart must produce a marker the new
         # numbering IGNORES — stamping the current identity would make
         # the renumbered batches 0..through silently drop (r16 review
-        # finding). No current adds -> carry the previous marker forward
-        # unchanged (same through, same identity).
+        # finding #1). A previous marker's `through` carries forward
+        # ONLY within the same numbering (identity equal to the adds'):
+        # epoch ids from different checkpoints are not comparable, and
+        # max()-ing them would assert folds that never happened (review
+        # finding #2) — a dropped old-identity marker at worst lets the
+        # old numbering replay folded epochs as duplicates, never loss.
+        has_ckpt = True
         if cur_max is not None:
             marker_ckpt = self._adds_identity()
             if marker_ckpt is None:  # adds committed before r16: legacy
                 marker_ckpt = self.checkpoint_dir
             through = cur_max
-            if prev_through is not None and prev_through > through:
-                through = prev_through
+            if (
+                prev_marker is not None
+                and prev_marker.get("checkpoint", marker_ckpt) == marker_ckpt
+                and int(prev_marker["through"]) > through
+            ):
+                through = int(prev_marker["through"])
+        elif prev_marker is not None:
+            # no current adds: re-publish the previous marker verbatim
+            # (same through, same identity — or identity-less if it was)
+            through = int(prev_marker["through"])
+            marker_ckpt = prev_marker.get("checkpoint")
+            has_ckpt = "checkpoint" in prev_marker
         else:
-            through = prev_through
-            marker_ckpt = self.checkpoint_dir  # prev marker matched it
+            through = None
+            marker_ckpt = None
+        marker = None
+        if through is not None:
+            marker = {"through": int(through)}
+            if has_ckpt:
+                marker["checkpoint"] = marker_ckpt
         os.makedirs(self.adds_path, exist_ok=True)
         with open(self._intent_path(), "w") as f:
-            json.dump(
-                {
-                    "fit_id": fit_id,
-                    "through": through,
-                    "checkpoint": marker_ckpt,
-                },
-                f,
-            )
+            json.dump({"fit_id": fit_id, "marker": marker}, f)
         idx.save(self.index_path, n_q_buckets=n_q_buckets, fit_id=fit_id)
-        if through is not None:
+        if marker is not None:
             with open(self._consumed_path(), "w") as f:
-                json.dump(
-                    {"through": int(through), "checkpoint": marker_ckpt},
-                    f,
-                )
+                json.dump(marker, f)
         self._clear_adds()
         os.remove(self._intent_path())
         self._base = S.IvfPqIndex.load(self.spark, self.index_path)

@@ -110,3 +110,66 @@ def test_bpe_train_oracle_matches_python_on_adversarial_corpus():
         (i + 1, a, b) for i, (a, b) in enumerate(_py_bpe_train(texts, 10))
     ]
     assert sorted(got) == sorted(want) and len(got) == 10
+
+
+def test_bpe_encode_oracle_matches_python_on_adversarial_corpus():
+    """The train->encode oracle (_bpe_encode_oracle) against the classic
+    lowest-rank-first python encoder on the overlap-heavy corpus PLUS
+    empty-word shapes (consecutive/leading/trailing spaces, empty text —
+    the r16 review's confirmed divergence case): pure DuckDB, no Spark.
+    Covers the rank-ascending == lowest-rank-first equivalence argument
+    with a localized failure instead of an opaque sf-corpus gate."""
+    import duckdb
+
+    from db_integration_via_kafka_ksql_spark import registry  # noqa: F401
+    from db_integration_via_kafka_ksql_spark.queries.text_queries import (
+        _bpe_encode_oracle,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "aaaa aaab abab banana",
+        "ab  ab",            # consecutive spaces -> empty middle word
+        " leading and trailing ",
+        "",                  # empty text -> one empty word
+        "xyxyxyxy zzzzz aaaaaa",
+    ]
+    n_merges = 8
+    merges = _py_bpe_train(texts, n_merges)
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def encode_word(word):
+        pieces = list(word)
+        while len(pieces) > 1:
+            best_rank = best_i = None
+            for i in range(len(pieces) - 1):
+                r = ranks.get((pieces[i], pieces[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            pieces[best_i : best_i + 2] = [
+                pieces[best_i] + pieces[best_i + 1]
+            ]
+        return pieces
+
+    want = []
+    for d, t in enumerate(texts):
+        words = t.split(" ")
+        enc = [encode_word(w) for w in words]
+        want.append(
+            (
+                d,
+                len(words),
+                sum(len(e) for e in enc),
+                " | ".join(" ".join(e) for e in enc),
+            )
+        )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for d, t in enumerate(texts):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [d, t])
+    got = sorted(con.execute(_bpe_encode_oracle(n_merges)).fetchall())
+    assert got == sorted(want)

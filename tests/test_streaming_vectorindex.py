@@ -704,6 +704,16 @@ def test_refit_under_fresh_checkpoint_keeps_new_batches(
     with open(fresh._consumed_path()) as f:
         marker = json.load(f)
     assert marker["checkpoint"] == cp1  # the adds' identity, not cp2's
+    # a cp1 instance on the SAME adds dir replay-skips its folded epoch
+    # — exercised for real, against the real marker, BEFORE any cp2
+    # commit could mask it behind the epoch-dir existence check
+    old = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0, checkpoint_dir=cp1,
+    )
+    assert old._consumed_through() == 0
+    old.process_batch(added, 0)  # checkpoint replay of the folded epoch
+    assert old._max_add_epoch() is None  # skipped: nothing re-committed
     # cp2's new numbering starts at 0: its batches must COMMIT
     assert fresh._consumed_through() is None
     ids2 = _batches(adds)[1]
@@ -712,12 +722,3 @@ def test_refit_under_fresh_checkpoint_keeps_new_batches(
     )
     fresh.process_batch(added2, 0)
     assert fresh._max_add_epoch() == 0
-    # while a cp1 instance still replay-skips its folded epoch ids...
-    old = StreamingVectorIndex(
-        spark, index_path=path, adds_path=str(tmp_path / "adds2_probe"),
-        trigger_seconds=0, checkpoint_dir=cp1,
-    )
-    # (separate adds dir: only the marker semantics are probed)
-    assert old._consumed_through() is None  # its own dir has no marker
-    with open(fresh._consumed_path()) as f:
-        assert json.load(f)["checkpoint"] == cp1

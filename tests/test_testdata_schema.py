@@ -181,3 +181,27 @@ def test_events_ts_epoch_us_matches_duckdb(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_documents_text_is_pure_ascii():
+    """The _cdc_oracle ASCII precondition, made real (r16 review
+    finding): chunk_md5 slices the payload as VARCHAR characters, which
+    equals byte slicing only while octet_length == length for every
+    document. A driver regeneration that ships non-ASCII text must fail
+    HERE with a named cause, not as an opaque mm_cdc_chunk_dedup
+    hash mismatch."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        bad = duckdb.sql(
+            f"SELECT count(*) FROM '{path}' "
+            "WHERE text IS NULL OR octet_length(text::BLOB) <> length(text)"
+        ).fetchall()[0][0]
+        assert bad == 0, (
+            f"sf{sf}: {bad} non-ASCII/null documents — the CDC oracle's "
+            "VARCHAR-slice md5 no longer equals byte slicing; see "
+            "queries/multimodal_queries._cdc_oracle"
+        )
