@@ -1581,7 +1581,14 @@ def _bpe_encode_oracle(n_merges: int) -> str:
     didn't exist yet when that rank was learned), and a pass cannot
     create its own pair (the merged token is strictly longer than
     either component) — the round-trip test pins the same identity on
-    the Spark side."""
+    the Spark side. Known corner (documented, not hit): if two learned
+    merges' RESULT strings collide ((a,bc) and (ab,c) both yielding
+    'abc'), a later pass could create a pair an earlier rank already
+    processed and the classic loop would diverge from pass-per-rank —
+    but such a collision also breaks Spark's own encode==trainer-replay
+    round-trip contract, so the repo's tests would flag it on both
+    engines; the adversarial differential in tests/test_bpe_batched.py
+    localizes any such failure."""
     ctes = list(_bpe_trainer_ctes(n_merges))
     ctes += [
         """docw AS MATERIALIZED (
