@@ -254,10 +254,20 @@ HISTORY_ROUNDS = 4
 CROSS_ROUND_TOLERANCE = 1.6
 
 
-def round_history(script_dir: str, sf) -> dict[str, dict[int, float]]:
+def round_history(
+    script_dir: str, sf, exclude_round: int | None = None
+) -> dict[str, dict[int, float]]:
     """Per-query timings from the last HISTORY_ROUNDS BENCH_r*.json files
     at the same sf: {query: {round_n: seconds}}. Missing/corrupt/foreign-
-    sf files are skipped — first round or fresh clone -> {}."""
+    sf files are skipped — first round or fresh clone -> {}.
+
+    `exclude_round` drops that round's snapshot from the window: a
+    SAME-ROUND re-run (after the driver committed BENCH_r{N}.json) would
+    otherwise band-compare its timings against a window containing its
+    own round's value, muting cross_round_movers exactly when
+    re-adjudicating that round. Set via SPARK_GRAFT_BENCH_CURRENT_ROUND;
+    the driver's first-of-round run needs nothing (its own file doesn't
+    exist yet)."""
     import glob
     import re as _re
 
@@ -265,7 +275,9 @@ def round_history(script_dir: str, sf) -> dict[str, dict[int, float]]:
     rounds: list[tuple[int, dict]] = []
     for p in glob.glob(os.path.join(script_dir, "BENCH_r*.json")):
         m = _re.search(r"BENCH_r(\d+)\.json$", p)
-        if not m:
+        if not m or (
+            exclude_round is not None and int(m.group(1)) == exclude_round
+        ):
             continue
         try:
             with open(p) as f:
@@ -282,6 +294,36 @@ def round_history(script_dir: str, sf) -> dict[str, dict[int, float]]:
             if isinstance(v, (int, float)) and v > 0:
                 hist.setdefault(name, {})[n] = float(v)
     return hist
+
+
+def round_drift_gates(
+    script_dir: str, sf, exclude_round: int | None = None
+) -> dict[int, bool | None]:
+    """Per-round `drift_gate_met` flags from the same BENCH_r*.json window
+    round_history reads: {round_n: bool | None-for-predates-the-flag}.
+    Published inside cross_round_movers so band readers can weight rounds
+    that ran above the drift gate (r16 verdict nit #1) without re-deriving
+    the comparison from two calibration fields."""
+    import glob
+    import re as _re
+
+    out: dict[int, bool | None] = {}
+    for p in glob.glob(os.path.join(script_dir, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m or (
+            exclude_round is not None and int(m.group(1)) == exclude_round
+        ):
+            continue
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            parsed = d.get("parsed") or {}
+            if parsed.get("sf") != sf:
+                continue
+            out[int(m.group(1))] = parsed.get("drift_gate_met")
+        except Exception:
+            continue
+    return dict(sorted(out.items())[-HISTORY_ROUNDS:])
 
 
 def cross_round_movers(timings: dict, history: dict) -> dict:
@@ -954,6 +996,11 @@ def compact_report(report: dict) -> dict:
     }
     if report.get("partial"):
         compact["partial"] = True
+    if "drift_gate_met" in report:
+        # explicit gate verdict in the compact line (r16 verdict nit #1):
+        # round_drift_gates reads it back per round so cross-round bands
+        # can weight rounds that published above the drift gate
+        compact["drift_gate_met"] = bool(report["drift_gate_met"])
     if report.get("load_suspect"):
         # host noise detected by the calibration probes — per-query deltas
         # in this artifact are NOT trustworthy regressions (round-7 lesson)
@@ -1213,6 +1260,15 @@ def main() -> None:
         "load_drift_measured": measured_drift(calibration),
         "load_drift_threshold": LOAD_DRIFT_RATIO,
         "drift_gate": DRIFT_GATE,
+        # first-class gate verdict (r16 verdict nit #1): the r16 official
+        # run published at drift 1.493 > the 1.3 gate via the documented
+        # best-of-attempts fallback, detectable only by comparing two
+        # fields — this boolean says it outright, here and in the compact
+        # line, so bands and judges can weight noisy rounds directly
+        "drift_gate_met": (
+            measured_drift(calibration) is not None
+            and measured_drift(calibration) <= DRIFT_GATE
+        ),
         "drift_attempts": drift_attempts,
         "ivf_pq_split": pq_split,
     }
@@ -1223,9 +1279,16 @@ def main() -> None:
     suspects = spread_suspects(rep_timings)
     if suspects:
         report["spread_suspect"] = suspects
+    _hist_dir = os.path.dirname(os.path.abspath(__file__))
+    _cur_round = os.environ.get("SPARK_GRAFT_BENCH_CURRENT_ROUND")
+    _excl = int(_cur_round) if _cur_round and _cur_round.isdigit() else None
     report["cross_round_movers"] = cross_round_movers(
-        timings, round_history(os.path.dirname(os.path.abspath(__file__)), sf)
+        timings, round_history(_hist_dir, sf, exclude_round=_excl)
     )
+    report["cross_round_movers"]["history_drift_gate_met"] = {
+        str(k): v
+        for k, v in round_drift_gates(_hist_dir, sf, exclude_round=_excl).items()
+    }
     if n_timed < len(timings):
         # the headline total covers fewer queries than registered — flag it
         # in the report itself so cross-round `value` comparisons can't

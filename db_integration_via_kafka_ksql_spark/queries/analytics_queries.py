@@ -18,6 +18,7 @@ FUNNEL_STEPS = ["view", "click", "purchase"]
 
 @query(
     "events_cohort_retention",
+    driver=False,  # r17 rotation: demoted to aux (still hash-parity-gated in tests)
     # round-14 rotation: promoted into the external driver window
     # round-10 rotation: promoted into the external driver window
     oracle=f"""

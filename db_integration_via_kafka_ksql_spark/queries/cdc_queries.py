@@ -249,7 +249,7 @@ _SESSIONS_SQL = """
 
 @query(
     "range_join_events_sessions",
-    driver=False,  # round-14 rotation: stable veteran slot ceded to events_value_robust_outliers
+    # r17 rotation: promoted back into the driver window (r14-demoted veteran)
     oracle=f"""
     WITH sess AS ({_SESSIONS_SQL})
     SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
@@ -417,6 +417,7 @@ _SCD2_END_CLOSED = 1 << 62  # open-ended current version, closed for the join
 
 @query(
     "cdc_scd2_point_in_time",
+    driver=False,  # r17 rotation: demoted to aux (still hash-parity-gated in tests)
     # round-13 rotation: promoted into the driver window
     oracle=f"""
     WITH ch AS (

@@ -381,7 +381,7 @@ NGRAM_DF_CAP = 30
 
 @query(
     "dedup_ngram_jaccard_capped",
-    driver=False,  # round-14 rotation: stable veteran slot ceded to text_tfidf_keyphrases
+    # r17 rotation: promoted back into the driver window (r14-demoted veteran)
     oracle=f"""
     WITH sh AS (SELECT doc_id, list_distinct({_SH3}) AS sh FROM documents),
     inv0 AS (SELECT doc_id, unnest(sh) AS g FROM sh),
@@ -546,7 +546,7 @@ SPLIT_WEIGHTS = [("train", 80), ("val", 10), ("test", 10)]
 
 @query(
     "split_leakage_free",
-    driver=False,  # round-14 rotation: stable veteran slot ceded to text_repetition_scores
+    # r17 rotation: promoted back into the driver window (r14-demoted veteran)
     # promoted to the driver window round 9 (rotation)
     oracle=f"""
     WITH RECURSIVE {_minhash_pair_ctes(MINHASH_K, MINHASH_BANDS)},
@@ -633,6 +633,7 @@ EDIT_MAX_DIST = 20
 
 @query(
     "dedup_edit_verified",
+    driver=False,  # r17 rotation: demoted to aux (still hash-parity-gated in tests)
     # round-13 rotation: promoted into the driver window
     oracle=f"""
     WITH {{ctes}}

@@ -222,6 +222,7 @@ def mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_image_neardup_pairs",
+    driver=False,  # r17 rotation: demoted to aux (still hash-parity-gated in tests)
     # round-13 rotation: promoted into the driver window
     # Oracle verifies RESULTS, not the candidate strategy: brute-force
     # all-pairs hamming over the replayed hashes. The Spark side's 4x16-bit
@@ -247,7 +248,7 @@ def mm_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mm_audio_pcm_stats",
-    driver=False,  # round-14 rotation: stable veteran slot ceded to mm_audio_fingerprint
+    # r17 rotation: promoted back into the driver window (r14-demoted veteran)
     # round-12 rotation: promoted into the driver window
     # DuckDB replays the s16le interpretation from hex-expanded bytes:
     # sample k = byte(2k) + 256*byte(2k+1), signed via the 32768 fold —
@@ -407,7 +408,7 @@ def _cdc_oracle(min_size: int = 48, mask_bits: int = 6, max_size: int = 512) -> 
 
 @query(
     "mm_cdc_chunk_dedup",
-    driver=False,
+    # r17 rotation: promoted into the driver window
     # ORACLE-BACKED since r16 (verdict Next #5): the gear hash has a
     # windowed closed form and the cut chain walks as a recursive CTE —
     # see _cdc_oracle. The sequential python model + resynchronization

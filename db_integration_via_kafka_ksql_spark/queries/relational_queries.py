@@ -427,7 +427,7 @@ def scalar_subquery_min_price_parts(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "json_props_stats",
-    driver=False,  # round-14 rotation: stable veteran slot ceded to corpus_dataset_card
+    # r17 rotation: promoted back into the driver window (r14-demoted veteran)
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
@@ -521,15 +521,38 @@ def except_no_open_order_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
-    "approx_order_stats", driver=False
-)  # rows-only even under the driver (sketch results are engine-specific) — the tolerance pytest is the real check; driver slot freed for an oracle-backed query
+    "approx_order_stats",
+    driver=False,
+    # ORACLE-BACKED since r17 (verdict Next #7). The raw sketch VALUES
+    # are engine-specific (Spark HLL++ register layout / GK summary vs
+    # DuckDB's HLL / t-digest), so they can never bit-hash across
+    # engines — instead the query exports the TOLERANCE CONTRACT itself:
+    # the exact distinct count (cross-engine hashable) plus 0/1 in-band
+    # flags computed Spark-side against Spark's own exact aggregates.
+    # The oracle asserts every flag is 1 and re-derives the exact count
+    # in DuckDB, so a sketch drifting outside its published error bound
+    # is an external HASH MISMATCH, not just a local pytest failure.
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(1 AS BIGINT) AS hll_in_band,
+           CAST(1 AS BIGINT) AS p50_in_band,
+           CAST(1 AS BIGINT) AS p99_in_band
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
 def approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregates — the 100 TB workhorses where exact distinct
     counts / percentiles would shuffle the world: HLL++ distinct customers
-    and t-digest-free percentile_approx of order value per segment. No
-    DuckDB oracle (sketch internals differ by engine); tolerance vs exact
-    is asserted in tests/test_extensions.py.
-    """
+    (rsd=0.02) and GK percentile_approx (accuracy=10000) of order value
+    per segment. Bands: HLL within 3*rsd of exact; each approx quantile
+    between the exact interpolated quantiles at p +/- 0.005 (50x the GK
+    rank-error guarantee of 1/accuracy, absorbing interpolation-vs-
+    element-return differences at small n). The exact aggregates feeding
+    the bands run in the same single groupBy pass — at scale the sketch
+    columns are the product and the exact columns are the (bench-scale)
+    audit; tests/test_extensions.py keeps the direct tolerance pytest."""
     from pyspark.sql import functions as F
 
     orders = load_table(spark, sf_dir, "orders")
@@ -538,10 +561,31 @@ def approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.select("c_custkey", "c_mktsegment"),
         orders.o_custkey == F.col("c_custkey"),
     )
-    return joined.groupBy("c_mktsegment").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_value"),
-        F.percentile_approx("o_totalprice", 0.99, 10000).alias("approx_p99_value"),
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("ac"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("ap50"),
+        F.percentile_approx("o_totalprice", 0.99, 10000).alias("ap99"),
+        F.expr("percentile(o_totalprice, 0.495)").alias("lo50"),
+        F.expr("percentile(o_totalprice, 0.505)").alias("hi50"),
+        F.expr("percentile(o_totalprice, 0.985)").alias("lo99"),
+        F.expr("percentile(o_totalprice, 0.995)").alias("hi99"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        F.col("exact_customers").cast("long").alias("exact_customers"),
+        (
+            F.abs(F.col("ac") - F.col("exact_customers"))
+            <= 3 * 0.02 * F.col("exact_customers")
+        )
+        .cast("long")
+        .alias("hll_in_band"),
+        ((F.col("ap50") >= F.col("lo50")) & (F.col("ap50") <= F.col("hi50")))
+        .cast("long")
+        .alias("p50_in_band"),
+        ((F.col("ap99") >= F.col("lo99")) & (F.col("ap99") <= F.col("hi99")))
+        .cast("long")
+        .alias("p99_in_band"),
     )
 
 
@@ -967,6 +1011,7 @@ HIST_QS = (500, 900, 990)
 
 @query(
     "events_value_quantiles_hist",
+    driver=False,  # r17 rotation: demoted to aux (still hash-parity-gated in tests)
     # round-13 rotation: promoted into the driver window
     oracle=f"""
     WITH bounds AS (
@@ -1222,7 +1267,7 @@ def _zorder_oracle() -> str:
 
 @query(
     "events_zorder_keys",
-    driver=False,  # round-14 rotation: stable veteran slot ceded to events_zone_map_skip
+    # r17 rotation: promoted back into the driver window (r14-demoted veteran)
     # round-10 rotation: promoted into the external driver window
     oracle=_zorder_oracle(),
 )
@@ -1303,6 +1348,7 @@ def _zone_map_oracle() -> str:
 
 @query(
     "events_zone_map_skip",
+    driver=False,  # r17 rotation: demoted to aux (still hash-parity-gated in tests)
     # round-14 rotation: promoted into the external driver window
     oracle=_zone_map_oracle(),
 )

@@ -159,6 +159,7 @@ RRF_TOP_K = 5
 
 @query(
     "text_rrf_fusion_topk",
+    driver=False,  # r17 rotation: demoted to aux (still hash-parity-gated in tests)
     # round-13 rotation: promoted into the driver window
     # replay: both ranked lists (the shared BM25 CTE chain + the brute
     # cosine ranking), then pure-integer fusion — each contribution is
@@ -274,6 +275,7 @@ def _tfidf_oracle() -> str:
 
 @query(
     "text_tfidf_keyphrases",
+    driver=False,  # r17 rotation: demoted to aux (still hash-parity-gated in tests)
     # round-14 rotation: promoted into the external driver window
     oracle=_tfidf_oracle(),
 )

@@ -107,7 +107,7 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sketch_kmv_source_token_overlap",
-    driver=False,  # round-14 rotation: stable veteran slot ceded to sketch_cms_join_size
+    # r17 rotation: promoted back into the driver window (r14-demoted veteran)
     # round-10 rotation: promoted into the external driver window
     oracle=f"""
     WITH toks AS (
@@ -341,6 +341,7 @@ MG_SRC_K = 18
 
 @query(
     "sketch_mg_heavy_sources",
+    driver=False,  # r17 rotation: demoted to aux (still hash-parity-gated in tests)
     # round-13 rotation: promoted into the driver window
     # weighted MG support: the measure is an integer weight SUM
     # (n_chars), threshold total_weight/(k+1) as a cross-multiplication
@@ -377,6 +378,7 @@ _CMSJ_II = ", ".join(str(i) for i in range(CMSJ_DEPTH))
 
 @query(
     "sketch_cms_join_size",
+    driver=False,  # r17 rotation: demoted to aux (still hash-parity-gated in tests)
     # round-14 rotation: promoted into the external driver window
     oracle=f"""
     WITH ii AS (SELECT unnest([{_CMSJ_II}]) AS i),

@@ -325,6 +325,7 @@ def _rep_cols() -> str:
 
 @query(
     "text_repetition_scores",
+    driver=False,  # r17 rotation: demoted to aux (still hash-parity-gated in tests)
     # round-14 rotation: promoted into the external driver window
     oracle=f"""
     WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
@@ -443,7 +444,11 @@ def _bloom_oracle() -> str:
     """
 
 
-@query("decontam_bloom_overlap", driver=False, oracle=_bloom_oracle())
+@query(
+    "decontam_bloom_overlap",
+    # r17 rotation: promoted into the driver window
+    oracle=_bloom_oracle(),
+)
 def decontam_bloom_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination twin: same columns as
     `decontam_ngram_overlap`, benchmark grams folded into a broadcast
@@ -1157,7 +1162,7 @@ _MIX_BUCKET = (
 
 @query(
     "mixture_realized_tokens",
-    driver=False,  # round-14 rotation: stable veteran slot ceded to text_pmi_collocations
+    # r17 rotation: promoted back into the driver window (r14-demoted veteran)
     # round-8 rotation: promoted into the external driver window
     oracle=f"""
     WITH avail AS (
@@ -1624,7 +1629,7 @@ def _bpe_encode_oracle(n_merges: int) -> str:
 
 @query(
     "bpe_train_merges",
-    driver=False,
+    # r17 rotation: promoted into the driver window
     # ORACLE-BACKED since r16 (verdict Next #5): the full trainer
     # replays as a pinned-pass unroll (argmax via scalar subqueries,
     # greedy rewrite via run parity — see _bpe_train_oracle); the
@@ -1650,7 +1655,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "bpe_encode_pieces",
-    driver=False,
+    # r17 rotation: promoted into the driver window
     # ORACLE-BACKED since r16 (verdict Next #5): train->encode replays
     # end to end — the trainer CTE chain re-derives the merge table,
     # then every corpus word rewrites through the run-parity pass per
@@ -1929,7 +1934,7 @@ def _perceptron_oracle(
 
 @query(
     "text_quality_perceptron",
-    driver=False,
+    # r17 rotation: promoted into the driver window
     # ORACLE-BACKED since r16 (verdict Next #5): the trainer's
     # epochs*n_buckets synchronized integer weight updates replay as a
     # pinned-iteration CTE unroll (_perceptron_oracle — the
@@ -1973,6 +1978,7 @@ _PMI_LN = _det_ln_sql(_PMI_LIFT, "duckdb")
 
 @query(
     "text_pmi_collocations",
+    driver=False,  # r17 rotation: demoted to aux (still hash-parity-gated in tests)
     # round-14 rotation: promoted into the external driver window
     # round-10 rotation: promoted into the external driver window
     oracle=f"""
@@ -2055,7 +2061,7 @@ def sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_version_diff",
-    driver=False,  # round-14 rotation: stable veteran slot ceded to events_zone_map_read_pruned
+    # r17 rotation: promoted back into the driver window (r14-demoted veteran)
     # round-12 rotation: promoted into the driver window
     # deterministic crawl-refresh simulation (same derivation both sides):
     # %7 docs dropped, %5 docs re-crawled with edited text, %11 docs
@@ -2112,6 +2118,7 @@ CURRICULUM_SALT = "curriculum-v1"
 
 @query(
     "text_curriculum_order",
+    driver=False,  # r17 rotation: demoted to aux (still hash-parity-gated in tests)
     # round-13 rotation: promoted into the driver window
     # replay: quality deciles (fixed-order IEEE recipe), easy-first bucket
     # flip, salted-md5 within-bucket shuffle, prefix-sum bucket offsets —
@@ -2170,6 +2177,7 @@ def text_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "quality_drift_by_source",
+    driver=False,  # r17 rotation: demoted to aux (still hash-parity-gated in tests)
     # round-13 rotation: promoted into the driver window
     oracle=f"""
     WITH scored AS (

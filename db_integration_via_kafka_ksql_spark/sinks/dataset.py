@@ -395,6 +395,18 @@ def _prune_manifest_spark(
     total = mdf.count()
     if total == 0:
         return 0, []
+    # A manifest whose inferred schema lacks a string 'file' column (a
+    # legacy single-object JSON, or a file of unparseable lines — Spark
+    # then infers only `_corrupt_record`) cannot be pruned over: its
+    # stats are meaningless and a pruned collect of `file` would hit
+    # nulls. Hard error, never a silent keep-nothing/keep-garbage.
+    field_names = {f.name for f in mdf.schema.fields}
+    if "file" not in field_names or "_corrupt_record" in field_names:
+        raise ValueError(
+            f"zone-map manifest at {manifest_path} is corrupt or in a "
+            "legacy format (no 'file' column per JSONL line); rebuild it "
+            "with refresh_zone_manifest / zone_map_scan(refresh=True)"
+        )
     cols_field = next(
         (f for f in mdf.schema.fields if f.name == "cols"), None
     )
@@ -461,6 +473,8 @@ def zone_map_scan(
     skip_permille} — the number the zorder layout is buying, now
     measured on the actual read path instead of only in the what-if
     report."""
+    import os
+
     cols = list(predicates)
     if manifest_path is not None:
         # r15 verdict Next #4: the prune predicate is evaluated over the
@@ -474,6 +488,20 @@ def zone_map_scan(
         # commit-time stats upkeep and per-query planning.
         if refresh:
             refresh_zone_manifest(path, manifest_path, cols)
+        elif (
+            not os.path.exists(manifest_path)
+            or os.path.getsize(manifest_path) == 0
+        ):
+            # refresh=False trusts the caller's commit-cadence upkeep; a
+            # missing/empty manifest then means that upkeep never ran.
+            # Returning the keep-nothing (0, []) prune would silently
+            # yield an EMPTY scan over a dataset that may have data —
+            # the one unacceptable failure mode. Loud error instead.
+            raise FileNotFoundError(
+                f"zone_map_scan(refresh=False): manifest {manifest_path} "
+                "is missing or empty; run refresh_zone_manifest (or pass "
+                "refresh=True) before scanning with refresh disabled"
+            )
         n_total, kept = _prune_manifest_spark(spark, manifest_path, predicates)
     else:
         zmaps = zone_map_stats(path, cols)

@@ -126,17 +126,18 @@ class StreamingVectorIndex:
         identity mismatch the marker is ignored: new data is never lost;
         if the new checkpoint's source re-delivers rows the refit
         already folded, they duplicate (the detectable pre-r16 misuse
-        mode, strictly better than silent loss). Markers written before
-        this field behave as before (no identity to compare)."""
+        mode, strictly better than silent loss). An identity-LESS marker
+        (written before this field) is NON-COMPARABLE for the same
+        reason — its numbering is unknowable, so honoring its `through`
+        after a fresh-checkpoint restart is the identical loss mode.
+        Ignored too (r16 advice): at worst the epoch it folded replays
+        as duplicates, never loss."""
         import json
 
         try:
             with open(self._consumed_path()) as f:
                 marker = json.load(f)
-            if (
-                "checkpoint" in marker
-                and marker["checkpoint"] != self.checkpoint_dir
-            ):
+            if marker.get("checkpoint") != self.checkpoint_dir:
                 return None
             return int(marker["through"])
         except (OSError, ValueError, KeyError):
@@ -339,9 +340,17 @@ class StreamingVectorIndex:
             if marker_ckpt is None:  # adds committed before r16: legacy
                 marker_ckpt = self.checkpoint_dir
             through = cur_max
+            # An identity-LESS (pre-r16) previous marker is
+            # non-comparable: defaulting its missing checkpoint to the
+            # adds' identity would carry its old `through` across a
+            # fresh-checkpoint restart and silently skip renumbered
+            # batches <= through — the exact loss mode the identity
+            # field exists to close. Dropping it instead costs at worst
+            # duplicate replays (the documented loss-vs-duplicates
+            # stance above).
             if (
                 prev_marker is not None
-                and prev_marker.get("checkpoint", marker_ckpt) == marker_ckpt
+                and prev_marker.get("checkpoint") == marker_ckpt
                 and int(prev_marker["through"]) > through
             ):
                 through = int(prev_marker["through"])

@@ -264,6 +264,55 @@ def test_cross_round_movers_on_committed_history():
     assert out["movers"] == {} and out["n_within_band"] == 2
 
 
+def test_round_history_excludes_current_round(tmp_path):
+    """ADVICE r16: a same-round RE-run must not band-compare against a
+    window containing its own round's committed snapshot."""
+    for n, q in ((14, {"a": 1.0}), (15, {"a": 1.1}), (16, {"a": 5.0})):
+        (tmp_path / f"BENCH_r{n}.json").write_text(
+            json.dumps({"parsed": {"sf": 0.1, "queries": q}})
+        )
+    # default window includes r16's own 5.0 -> a 5.0 re-measure is in band
+    assert bench.round_history(str(tmp_path), 0.1)["a"] == {
+        14: 1.0, 15: 1.1, 16: 5.0
+    }
+    # excluding the current round restores the honest band
+    hist = bench.round_history(str(tmp_path), 0.1, exclude_round=16)
+    assert hist["a"] == {14: 1.0, 15: 1.1}
+    out = bench.cross_round_movers({"a": 5.0}, hist)
+    assert out["movers"]["a"]["direction"] == "up"
+
+
+def test_drift_gate_met_flag_and_history(tmp_path):
+    """r16 verdict Next #4 (nit #1): the gate verdict is a first-class
+    boolean in the compact line, and round_drift_gates reads it back per
+    history round (None for rounds that predate the flag) so bands can
+    weight noisy rounds without re-deriving two-field comparisons."""
+    report = _full_report(bench.HEADLINE)
+    # all-attempts-fail path: best-of-attempts published above the gate
+    report["drift_gate_met"] = False
+    compact = bench.compact_report(report)
+    assert compact["drift_gate_met"] is False
+    assert len(json.dumps(compact)) <= bench.STDOUT_BUDGET
+    report["drift_gate_met"] = True
+    assert bench.compact_report(report)["drift_gate_met"] is True
+    # per-round read-back, including a pre-flag round (None) and a
+    # foreign-sf round (skipped)
+    for n, parsed in (
+        (14, {"sf": 0.1, "queries": {}}),  # predates the flag
+        (15, {"sf": 0.01, "queries": {}, "drift_gate_met": True}),
+        (16, {"sf": 0.1, "queries": {}, "drift_gate_met": False}),
+        (17, {"sf": 0.1, "queries": {}, "drift_gate_met": True}),
+    ):
+        (tmp_path / f"BENCH_r{n}.json").write_text(
+            json.dumps({"parsed": parsed})
+        )
+    gates = bench.round_drift_gates(str(tmp_path), 0.1)
+    assert gates == {14: None, 16: False, 17: True}
+    assert bench.round_drift_gates(str(tmp_path), 0.1, exclude_round=17) == {
+        14: None, 16: False
+    }
+
+
 def test_cross_round_movers_propagate_to_compact_line():
     report = {
         "metric": "headline_queries_total", "value": 1.0, "unit": "sec",

@@ -441,3 +441,69 @@ def test_zone_manifest_legacy_format_converts_and_spark_prune_matches(
     assert all_df.count() == ev.filter(
         (F.col("value") >= lo) & (F.col("value") <= hi)
     ).count()
+
+
+def test_zone_map_scan_refresh_false_guards(spark, sf_dir, tmp_path):
+    """ADVICE r16: the refresh=False opt-out path must fail LOUDLY on a
+    missing/empty manifest (a keep-nothing prune would silently return an
+    empty scan over real data) and on a manifest Spark can't infer a
+    'file' column from (legacy single-object / corrupt JSONL) — never
+    meaningless stats or a null-path collect crash."""
+    import json
+
+    import pytest
+
+    from db_integration_via_kafka_ksql_spark.sinks.dataset import (
+        refresh_zone_manifest,
+        zone_map_scan,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = str(tmp_path / "zm_guard")
+    write_dataset(
+        ev, root, partition_cols=["event_type"], zorder_cols=["value"],
+        max_records_per_file=200,
+    )
+    pred = {"value": (50.0, 60.0)}
+
+    # missing manifest + refresh=False -> loud, named error
+    missing = str(tmp_path / "never_written.json")
+    with pytest.raises(FileNotFoundError, match="refresh=False"):
+        zone_map_scan(spark, root, pred, manifest_path=missing, refresh=False)
+    assert not os.path.exists(missing)  # the guard didn't create one
+
+    # empty manifest file + refresh=False -> same loud error
+    empty = str(tmp_path / "empty.json")
+    open(empty, "w").close()
+    with pytest.raises(FileNotFoundError, match="missing or empty"):
+        zone_map_scan(spark, root, pred, manifest_path=empty, refresh=False)
+
+    # a real manifest serves refresh=False identically to refresh=True
+    mf = str(tmp_path / "manifest.json")
+    refresh_zone_manifest(root, mf, ["value"])
+    df_true, st_true = zone_map_scan(spark, root, pred, manifest_path=mf)
+    df_false, st_false = zone_map_scan(
+        spark, root, pred, manifest_path=mf, refresh=False
+    )
+    assert st_true == st_false
+    assert df_false.count() == df_true.count() == ev.filter(
+        (F.col("value") >= 50.0) & (F.col("value") <= 60.0)
+    ).count()
+
+    # legacy single-object manifest (no 'file' column per line): loud
+    # ValueError naming the rebuild path, not garbage stats
+    legacy = str(tmp_path / "legacy.json")
+    with open(legacy, "w") as f:
+        json.dump({"files": {"a.parquet": {"rows": 1, "cols": {}}}}, f)
+    with pytest.raises(ValueError, match="legacy format"):
+        zone_map_scan(spark, root, pred, manifest_path=legacy, refresh=False)
+
+    # corrupt JSONL (unparseable lines -> _corrupt_record schema): same
+    corrupt = str(tmp_path / "corrupt.json")
+    with open(corrupt, "w") as f:
+        f.write('{"file": "a.parquet", "rows": 1, "cols": {}}\n')
+        f.write("not json at all\n")
+    with pytest.raises(ValueError, match="corrupt"):
+        zone_map_scan(spark, root, pred, manifest_path=corrupt, refresh=False)

@@ -317,8 +317,11 @@ def test_interval_join_bucketed_exact(spark):
 
 
 def test_approx_stats_within_tolerance(spark, sf_dir):
-    """HLL distinct within 5% of exact; approx median within 2% of exact
-    (accuracy=10000 on ~thousands of rows is near-exact)."""
+    """The r17 oracle-backed shape exports the tolerance contract as 0/1
+    band flags (HLL within 3*rsd, approx quantiles inside the exact
+    p±0.005 envelope) plus the exact distinct count; every flag must be
+    1 and the exact count must match an independently computed exact
+    aggregate — the direct pytest twin of the DuckDB hash oracle."""
     from db_integration_via_kafka_ksql_spark.registry import all_queries
 
     approx = {
@@ -334,16 +337,15 @@ def test_approx_stats_within_tolerance(spark, sf_dir):
     exact = {
         r["c_mktsegment"]: r
         for r in joined.groupBy("c_mktsegment")
-        .agg(
-            F.countDistinct("o_custkey").alias("n"),
-            F.expr("percentile(o_totalprice, 0.5)").alias("med"),
-        )
+        .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
+    assert set(approx) == set(exact) and len(approx) > 0
     for seg, a in approx.items():
-        e = exact[seg]
-        assert abs(a["approx_customers"] - e["n"]) / e["n"] < 0.05
-        assert abs(a["approx_median_value"] - e["med"]) / e["med"] < 0.02
+        assert a["exact_customers"] == exact[seg]["n"]
+        assert a["hll_in_band"] == 1
+        assert a["p50_in_band"] == 1
+        assert a["p99_in_band"] == 1
 
 
 def test_lsh_recall_vs_brute_with_documented_floors(spark, sf_dir):

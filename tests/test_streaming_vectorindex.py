@@ -722,3 +722,50 @@ def test_refit_under_fresh_checkpoint_keeps_new_batches(
     )
     fresh.process_batch(added2, 0)
     assert fresh._max_add_epoch() == 0
+
+
+def test_identityless_legacy_marker_is_non_comparable(
+    spark, corpus, tmp_path
+):
+    """ADVICE r16: a pre-r16 consumed marker (no 'checkpoint' field) has
+    an unknowable numbering, so (1) process_batch must NOT skip batches
+    against its `through` (silent loss after a fresh-checkpoint restart)
+    and (2) refit must NOT carry its `through` forward into a
+    new-identity marker (which would launder the stale skip into the new
+    numbering forever). Dropping it costs at worst duplicate replays —
+    the documented loss-vs-duplicates stance."""
+    import json
+
+    base, adds = corpus
+    path = str(tmp_path / "index")
+    S.ivf_pq_fit(base, dims=64, m=8, ksub=8, iters=1).save(path)
+    svi = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0, checkpoint_dir=str(tmp_path / "cp_new"),
+    )
+    # simulate the pre-r16 artifact: identity-less marker, through=5
+    os.makedirs(svi.adds_path, exist_ok=True)
+    with open(svi._consumed_path(), "w") as f:
+        json.dump({"through": 5}, f)
+    # (1) non-comparable for skipping: renumbered epoch 0 must COMMIT
+    assert svi._consumed_through() is None
+    ids = _batches(adds)[0]
+    added = adds.filter(F.col("vec_id").isin(ids)).localCheckpoint(eager=True)
+    svi.process_batch(added, 0)
+    assert svi._max_add_epoch() == 0
+    # (2) non-comparable for carry-forward: refit folds epoch 0 and the
+    # new marker records through=0 under the adds' identity — NOT the
+    # legacy 5, which would skip the next five renumbered epochs
+    full = base.unionByName(added).localCheckpoint(eager=True)
+    report = svi.refit(full, ksub=8, iters=1)
+    assert report["consumed_through"] == 0
+    with open(svi._consumed_path()) as f:
+        marker = json.load(f)
+    assert marker == {"through": 0, "checkpoint": str(tmp_path / "cp_new")}
+    # epochs 1..5 of the new numbering still commit afterwards
+    ids2 = _batches(adds)[1]
+    added2 = adds.filter(F.col("vec_id").isin(ids2)).localCheckpoint(
+        eager=True
+    )
+    svi.process_batch(added2, 3)
+    assert svi._max_add_epoch() == 3
