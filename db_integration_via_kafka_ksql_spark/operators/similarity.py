@@ -681,12 +681,40 @@ def auto_nprobe(nlists: int, floor: int = 4) -> int:
     return min(max(floor, r), nlists)
 
 
+def auto_refine(nlists: int, floor: int = 4) -> int:
+    """Exact-rescore shortlist multiplier that GROWS with the list count:
+    ceil(sqrt(nlists)) clamped to [floor, ..] — the PQ-resolution-axis
+    twin of auto_nprobe (r16 verdict Next #5).
+
+    Why: the r16 two-axis measurement showed recall is bounded by BOTH
+    the probed fraction AND the refine*k shortlist — at the 20K
+    isotropic corpus a FIXED refine=4 plateaus recall at ~0.44 no matter
+    how many lists are probed, because the ADC shortlist itself is too
+    small for the PQ quantization noise to wash out; escalating to
+    refine=8 at 96 probes reached 0.62. Every other knob in this family
+    (nlists, nprobe, LSH planes, semdedup k) already auto-scales; this
+    closes the last fixed axis. Growing refine ~ sqrt(nlists) ~ n^(1/4)
+    keeps the exact-rescore cost refine*k*|queries| sublinear in the
+    corpus while the two axes escalate TOGETHER (the calibration search
+    proved they bind in turn, not independently). The measured policy
+    remains calibrate_nprobe, which starts from this default and
+    publishes what the stated target actually costs."""
+    if nlists < 1:
+        return floor
+    from math import isqrt
+
+    r = isqrt(nlists)
+    if r * r < nlists:
+        r += 1
+    return max(floor, r)
+
+
 def calibrate_nprobe(
     index: "IvfPqIndex",
     query_ids: list[int],
     k: int = 5,
     target_recall: float = 0.5,
-    refine: int | None = 4,
+    refine: int | str | None = "auto",
     max_fraction: float = 1.0,
     plateau_eps: float = 0.02,
     escalate_refine: bool = True,
@@ -729,6 +757,13 @@ def calibrate_nprobe(
     if not 0.0 < target_recall <= 1.0:
         raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
     nlists = index.cent.count()
+    if refine == "auto":
+        refine = auto_refine(nlists)
+    elif refine is not None and not isinstance(refine, int):
+        raise ValueError(f'refine must be an int, None or "auto", got {refine!r}')
+    if isinstance(refine, int):
+        # the escalation ladder keeps doubling room above the auto start
+        max_refine = max(max_refine, refine)
     exact: dict[int, set[int]] = {}
     for r in _brute_topk_quantized(index.q, query_ids, k).collect():
         exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
@@ -815,6 +850,7 @@ def calibrate_nprobe(
         "nprobe": last["nprobe"],
         "refine": last["refine"],
         "recall": last["recall"],
+        "k": k,
         "nlists": nlists,
         "scan_fraction": last["scan_fraction"],
         "met_target": met,
@@ -963,6 +999,13 @@ class IvfPqIndex:
         # refit-generation tag (set by load() from meta; save(fit_id=…)
         # persists it) — see StreamingVectorIndex.refit
         self.fit_id = None
+        # measured serve policy (r16 verdict Next #2): the
+        # calibrate_nprobe report, persisted by save(calibration=…) and
+        # restored by load(); nprobe="auto"/refine="auto" serve calls
+        # resolve to its (nprobe, refine) instead of the
+        # geometry-agnostic auto_nprobe/auto_refine policies, so a
+        # loaded index serves at the accuracy it was MEASURED to need
+        self.calibration: dict | None = None
 
     def encode(self, embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Encode NEW vectors against the FROZEN fit artifacts (coarse
@@ -1022,7 +1065,11 @@ class IvfPqIndex:
         return qn.select("vec_id", "label", "q"), list_rows
 
     def save(
-        self, path: str, n_q_buckets: int = 64, fit_id: str | None = None
+        self,
+        path: str,
+        n_q_buckets: int = 64,
+        fit_id: str | None = None,
+        calibration: dict | None = None,
     ) -> None:
         """Persist to `path`: q/cent/lists as parquet (distributed
         writes — the corpus-sized frames never pass through the
@@ -1077,6 +1124,15 @@ class IvfPqIndex:
             # two-phase swap's recovery decide whether a crashed refit
             # published this index before dying
             meta["fit_id"] = fit_id
+        if calibration is None:
+            calibration = self.calibration
+        if calibration is not None:
+            # persist the measured serve policy WITH the index (r16
+            # verdict Next #2): the calibration is a property of this
+            # fit's geometry + corpus, so it travels in meta.json and
+            # load() makes it the "auto" serve default — a json-sized
+            # driver artifact (curve included: a handful of dicts)
+            meta["calibration"] = calibration
         with open(f"{tmp}/meta.json", "w") as f:
             json.dump(meta, f)
         old = f"{path}__old_{uuid.uuid4().hex[:8]}"
@@ -1115,6 +1171,7 @@ class IvfPqIndex:
             n_q_buckets=meta.get("n_q_buckets"),
         )
         idx.fit_id = meta.get("fit_id")
+        idx.calibration = meta.get("calibration")
         return idx
 
 
@@ -1123,7 +1180,7 @@ def ivf_pq_serve(
     query_ids: list[int],
     k: int = 5,
     nprobe: int | str = 4,
-    refine: int | None = 4,
+    refine: int | str | None = 4,
     dims: int | None = None,
     m: int | None = None,
 ) -> DataFrame:
@@ -1161,7 +1218,7 @@ def ivf_pq_serve_vectors(
     queries: DataFrame,
     k: int = 5,
     nprobe: int | str = 4,
-    refine: int | None = 4,
+    refine: int | str | None = 4,
 ) -> DataFrame:
     """Serve ARBITRARY query vectors against a fitted/loaded index:
     `queries` is (query_id, embedding array<float>) — the vectors need
@@ -1196,7 +1253,7 @@ def _ivf_pq_serve_frame(
     qq_df: DataFrame,
     k: int,
     nprobe: int | str,
-    refine: int | None,
+    refine: int | str | None,
     exclude_self: bool,
 ) -> DataFrame:
     """Shared serve core over a (query_id, qq array<bigint>) frame.
@@ -1223,9 +1280,26 @@ def _ivf_pq_serve_frame(
     the oracle hash-gate pins it). The probed set is recorded on
     index.last_serve_stats for scan-fraction reporting."""
     if nprobe == "auto":
-        nprobe = auto_nprobe(index.cent.count())
+        # a persisted calibration (save/load round-trip, or a refit's
+        # recalibration) overrides the geometry-agnostic policy: the
+        # index serves at the accuracy it was MEASURED to need
+        if index.calibration is not None:
+            nprobe = int(index.calibration["nprobe"])
+        else:
+            nprobe = auto_nprobe(index.cent.count())
     elif not isinstance(nprobe, int):
         raise ValueError(f'nprobe must be an int or "auto", got {nprobe!r}')
+    if refine == "auto":
+        if index.calibration is not None:
+            refine = (
+                None
+                if index.calibration.get("refine") is None
+                else int(index.calibration["refine"])
+            )
+        else:
+            refine = auto_refine(index.cent.count())
+    elif refine is not None and not isinstance(refine, int):
+        raise ValueError(f'refine must be an int, None or "auto", got {refine!r}')
     dims, m = index.dims, index.m
     dsub = dims // m
     q, cent, codebook, lists = (
@@ -1270,7 +1344,11 @@ def _ivf_pq_serve_frame(
         r["probe_list"]
         for r in probes.select("probe_list").distinct().collect()
     )
-    index.last_serve_stats = {"probed_lists": probed}
+    # resolved policy recorded alongside the probed set: "auto" callers
+    # can see which (nprobe, refine) the calibration/policy chose
+    index.last_serve_stats = {
+        "probed_lists": probed, "nprobe": nprobe, "refine": refine,
+    }
     lists = lists.filter(F.col("list_id").isin(probed))
     self_guard = (
         (F.col("query_id") != F.col("neighbor_id"))
@@ -1355,7 +1433,7 @@ def ivf_pq_topk(
     ksub: int = 16,
     iters: int = 2,
     seed: int = 5,
-    refine: int | None = 4,
+    refine: int | str | None = 4,
 ) -> DataFrame:
     """IVF-PQ approximate top-k: IVF coarse lists + product-quantized
     residual codes + ADC scoring (+ exact refine) — the memory-scale ANN

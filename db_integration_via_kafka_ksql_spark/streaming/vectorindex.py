@@ -214,6 +214,7 @@ class StreamingVectorIndex:
         seed: int = 5,
         n_q_buckets: int = 64,
         on_missing: str = "error",
+        calibrate: dict | None | str = "inherit",
     ) -> dict:
         """Scheduled REFIT — the repair the distortion() drift gauge
         schedules: retrain the frozen artifacts (by default with the
@@ -250,6 +251,15 @@ class StreamingVectorIndex:
         with a sample; ``"warn"`` proceeds and reports
         ``missing_from_corpus`` in the returned dict for callers that
         intentionally drop (e.g. a curation refit).
+
+        Recalibration (r16 verdict Next #2): ``calibrate="inherit"``
+        (default) re-runs calibrate_nprobe on the retrain corpus iff the
+        outgoing index carried a calibration (same target/k), so the
+        published measured-accuracy policy survives refits instead of
+        silently reverting to geometry defaults; pass a dict
+        {target_recall, k, n_queries} to calibrate explicitly or None
+        to skip. The report is persisted with the new index (save ->
+        meta.json) and becomes its "auto" serve default.
 
         Call from the foreachBatch thread or with the query stopped
         (process_batch and refit share the adds dir single-threadedly,
@@ -320,6 +330,41 @@ class StreamingVectorIndex:
             coarse=coarse,
             nlists=nlists,
         )
+        # Recalibrate the measured serve policy against the RETRAIN
+        # corpus (r16 verdict Next #2): geometry changed (new centroids,
+        # possibly new nlists), so a carried-over calibration would
+        # assert recall the new index was never measured to have.
+        # "inherit" (default) recalibrates iff the outgoing index was
+        # calibrated, reusing its stated target/k; a dict overrides
+        # {target_recall, k, n_queries}; None skips (policy defaults).
+        calib_report = None
+        if calibrate == "inherit":
+            prev_cal = self._base.calibration
+            calibrate = (
+                None
+                if prev_cal is None
+                else {
+                    "target_recall": prev_cal.get("target_recall", 0.5),
+                    "k": prev_cal.get("k", 5),
+                }
+            )
+        if calibrate is not None:
+            n_queries = int(calibrate.get("n_queries", 20))
+            # deterministic bounded query sample off the retrain corpus
+            qids = [
+                r["vec_id"]
+                for r in corpus.select("vec_id")
+                .orderBy("vec_id")
+                .limit(n_queries)
+                .collect()
+            ]
+            calib_report = S.calibrate_nprobe(
+                idx,
+                qids,
+                k=int(calibrate.get("k", 5)),
+                target_recall=float(calibrate.get("target_recall", 0.5)),
+            )
+            idx.calibration = calib_report
         cur_max = self._max_add_epoch()
         prev_marker = self._read_marker()
         # the marker's identity is the checkpoint the FOLDED EPOCHS were
@@ -384,6 +429,7 @@ class StreamingVectorIndex:
             "nlists": idx.cent.count(),
             "coarse": coarse,
             "missing_from_corpus": missing,
+            "calibration": calib_report,
         }
 
     # -- serving view --------------------------------------------------------
@@ -413,7 +459,7 @@ class StreamingVectorIndex:
             lists = lists.select(
                 "neighbor_id", "list_id", "codes"
             ).unionByName(adds_l)
-        return S.IvfPqIndex(
+        merged = S.IvfPqIndex(
             q=q,
             cent=self._base.cent,
             corpus_res=None,
@@ -423,13 +469,17 @@ class StreamingVectorIndex:
             m=self._base.m,
             n_q_buckets=self._base.n_q_buckets,
         )
+        # the measured serve policy is a property of the FIT (geometry +
+        # trained artifacts), which the merged view shares with the base
+        merged.calibration = self._base.calibration
+        return merged
 
     def serve_vectors(
         self,
         queries: DataFrame,
         k: int = 5,
         nprobe: int | str = 4,
-        refine: int | None = 4,
+        refine: int | str | None = 4,
     ) -> DataFrame:
         """Serve arbitrary query vectors against base + all committed
         additions — the exact batch serve path over the merged view."""

@@ -383,3 +383,66 @@ def test_calibrate_escalates_refine_past_pq_ceiling(spark):
     assert report["refine"] > 1  # the refine axis did the work
     # the curve records both axes per step
     assert all({"nprobe", "refine", "recall"} <= set(c) for c in report["curve"])
+
+
+def test_auto_refine_arithmetic():
+    assert S.auto_refine(0) == 4
+    assert S.auto_refine(16) == 4            # floor clamp
+    assert S.auto_refine(22) == 5            # 500-vector corpus
+    assert S.auto_refine(44) == 7            # sf0.1 corpus
+    assert S.auto_refine(141) == 12          # sf1-derived corpus
+    assert S.auto_refine(65536) == 256
+    for nl in (8, 64, 512, 4096):
+        assert S.auto_refine(nl) <= S.auto_refine(nl * 4)  # monotone
+        # the two axes escalate together (same sqrt law)
+        assert S.auto_refine(nl) == max(4, S.auto_nprobe(nl, floor=1))
+
+
+def test_calibration_persists_with_index_and_serves_auto(spark, tmp_path):
+    """r16 verdict Next #2: the measured (nprobe, refine) policy is
+    saved WITH the index, restored by load, and becomes the "auto"
+    serve default — a loaded index serves at the accuracy it was
+    measured to need, not at geometry-agnostic defaults."""
+    emb = _clustered_corpus(spark, 600, n_clusters=30)
+    idx = S.ivf_pq_fit(emb, ksub=8, coarse="kmeans")
+    qids = list(range(0, 600, 30))[:15]
+    report = S.calibrate_nprobe(idx, qids, k=5, target_recall=0.9)
+    assert report["met_target"], report
+    path = str(tmp_path / "calibrated_index")
+    idx.calibration = report
+    idx.save(path)  # calibration defaults to self.calibration
+    loaded = S.IvfPqIndex.load(spark, path)
+    assert loaded.calibration == report  # json round-trip, curve included
+    # "auto" resolves to the CALIBRATED values, recorded in serve stats
+    got = sorted(
+        tuple(r)
+        for r in S.ivf_pq_serve(
+            loaded, qids[:5], k=5, nprobe="auto", refine="auto"
+        ).collect()
+    )
+    assert loaded.last_serve_stats["nprobe"] == report["nprobe"]
+    assert loaded.last_serve_stats["refine"] == report["refine"]
+    # identical rows to passing the calibrated values explicitly
+    want = sorted(
+        tuple(r)
+        for r in S.ivf_pq_serve(
+            loaded, qids[:5], k=5,
+            nprobe=report["nprobe"], refine=report["refine"],
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_auto_refine_is_the_uncalibrated_serve_default(spark, sf_dir):
+    """Without a persisted calibration, refine="auto" resolves to
+    auto_refine(nlists) — the last fixed accuracy axis now auto-scales
+    (r16 verdict Next #5)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = S.ivf_pq_fit(emb, ksub=8, coarse="kmeans")
+    assert idx.calibration is None
+    nlists = idx.cent.count()
+    S.ivf_pq_serve(idx, [0, 1], k=3, nprobe="auto", refine="auto").collect()
+    assert idx.last_serve_stats["nprobe"] == S.auto_nprobe(nlists)
+    assert idx.last_serve_stats["refine"] == S.auto_refine(nlists)
+    with pytest.raises(ValueError, match="refine"):
+        S.ivf_pq_serve(idx, [0], k=3, nprobe=4, refine="lots")

@@ -769,3 +769,64 @@ def test_identityless_legacy_marker_is_non_comparable(
     )
     svi.process_batch(added2, 3)
     assert svi._max_add_epoch() == 3
+
+
+def test_refit_recalibrates_and_post_refit_serve_uses_it(
+    spark, corpus, tmp_path
+):
+    """r16 verdict Next #2, the streaming leg: a refit over a CALIBRATED
+    base re-runs calibrate_nprobe against its retrain corpus (geometry
+    changed, so the old measurement no longer applies), persists the new
+    report with the published index, and the post-refit merged serve
+    resolves "auto" to the recalibrated values. An UNCALIBRATED base
+    inherits nothing (calibrate="inherit" -> skip)."""
+    import json
+
+    base, adds = corpus
+    path = str(tmp_path / "index")
+    idx = S.ivf_pq_fit(base, dims=64, m=8, ksub=8, iters=1)
+    base_cal = S.calibrate_nprobe(
+        idx, [r["vec_id"] for r in base.select("vec_id").limit(10).collect()],
+        k=3, target_recall=0.2,
+    )
+    idx.save(path, calibration=base_cal)
+    svi = StreamingVectorIndex(
+        spark, index_path=path, adds_path=str(tmp_path / "adds"),
+        trigger_seconds=0, checkpoint_dir=str(tmp_path / "cp"),
+    )
+    assert svi._base.calibration == base_cal
+    # the merged serving view inherits the measured policy
+    assert svi._merged().calibration == base_cal
+    ids = _batches(adds)[0]
+    added = adds.filter(F.col("vec_id").isin(ids)).localCheckpoint(eager=True)
+    svi.process_batch(added, 0)
+    full = base.unionByName(added).localCheckpoint(eager=True)
+    report = svi.refit(full, ksub=8, iters=1)
+    # refit recalibrated at the inherited target/k on the retrain corpus
+    cal = report["calibration"]
+    assert cal is not None
+    assert cal["target_recall"] == base_cal["target_recall"]
+    assert cal["k"] == base_cal["k"]
+    assert cal["nlists"] == report["nlists"]  # the NEW geometry
+    # persisted with the published index and live on the reloaded base
+    with open(os.path.join(path, "meta.json")) as f:
+        assert json.load(f)["calibration"] == cal
+    assert svi._base.calibration == cal
+    # post-refit "auto" serve resolves to the recalibrated values
+    merged = svi._merged()
+    queries = _queries(
+        spark, base.unionByName(added), [r["vec_id"] for r in added.limit(3).collect()]
+    )
+    S.ivf_pq_serve_vectors(merged, queries, k=3, nprobe="auto", refine="auto").collect()
+    assert merged.last_serve_stats["nprobe"] == cal["nprobe"]
+    assert merged.last_serve_stats["refine"] == cal["refine"]
+    # uncalibrated base: inherit is a no-op
+    path2 = str(tmp_path / "index2")
+    S.ivf_pq_fit(base, dims=64, m=8, ksub=8, iters=1).save(path2)
+    svi2 = StreamingVectorIndex(
+        spark, index_path=path2, adds_path=str(tmp_path / "adds2"),
+        trigger_seconds=0, checkpoint_dir=str(tmp_path / "cp2"),
+    )
+    report2 = svi2.refit(base, ksub=8, iters=1)
+    assert report2["calibration"] is None
+    assert svi2._base.calibration is None
