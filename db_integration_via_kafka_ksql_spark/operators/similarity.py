@@ -762,8 +762,11 @@ def calibrate_nprobe(
     elif refine is not None and not isinstance(refine, int):
         raise ValueError(f'refine must be an int, None or "auto", got {refine!r}')
     if isinstance(refine, int):
-        # the escalation ladder keeps doubling room above the auto start
-        max_refine = max(max_refine, refine)
+        # the escalation ladder keeps doubling room ABOVE the starting
+        # refine: max(cap, start) alone would pin the ladder exactly when
+        # auto_refine(nlists) >= the default cap (nlists >= 1024 — the
+        # large-corpus case the escalation exists for)
+        max_refine = max(max_refine, 2 * refine)
     exact: dict[int, set[int]] = {}
     for r in _brute_topk_quantized(index.q, query_ids, k).collect():
         exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
