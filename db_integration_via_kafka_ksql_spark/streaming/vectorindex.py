@@ -350,11 +350,14 @@ class StreamingVectorIndex:
             )
         if calibrate is not None:
             n_queries = int(calibrate.get("n_queries", 20))
-            # deterministic bounded query sample off the retrain corpus
+            # deterministic bounded query sample off the retrain corpus,
+            # SPREAD by id hash (total order: hash then id) — the lowest
+            # n ids could all share one cluster/source and bias the
+            # measured recall the policy is built on
             qids = [
                 r["vec_id"]
                 for r in corpus.select("vec_id")
-                .orderBy("vec_id")
+                .orderBy(F.pmod(F.hash("vec_id"), F.lit(997)), "vec_id")
                 .limit(n_queries)
                 .collect()
             ]
