@@ -242,15 +242,66 @@ def zone_map_stats(
     return out
 
 
-def load_zone_manifest(manifest_path: str) -> dict:
-    """Read a zone manifest into {file: {rows, cols}} — accepts both the
-    current JSONL layout (one entry object per line, the line-oriented
-    shape spark.read.json can scan DISTRIBUTED — r15 verdict Next #4)
-    and the legacy single-object {"files": {...}} layout, which the next
-    refresh rewrites as JSONL. Missing/corrupt -> {} (a manifest is a
-    derived cache; the refresh rebuilds it from footers)."""
+def _parse_manifest_jsonl(text: str) -> dict | None:
+    """JSONL manifest lines -> {file: {rows, cols}}, or None on a corrupt
+    line (rebuild rather than half-trust)."""
     import json
 
+    out: dict = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            ent = json.loads(line)
+            out[ent["file"]] = {"rows": ent["rows"], "cols": ent["cols"]}
+        except (json.JSONDecodeError, KeyError, TypeError):
+            return None
+    return out
+
+
+def _manifest_shard_files(manifest_dir: str) -> list[str]:
+    """The shard data files of a SHARDED manifest directory, sorted.
+    Underscore-prefixed names (`_meta.json`) are metadata by convention —
+    the same hidden-file rule Spark's file listing applies, which is what
+    lets `spark.read.json(manifest_dir)` scan only the shards."""
+    import os
+
+    try:
+        names = os.listdir(manifest_dir)
+    except OSError:
+        return []
+    return sorted(
+        os.path.join(manifest_dir, n)
+        for n in names
+        if n.endswith(".jsonl") and not n.startswith(("_", "."))
+    )
+
+
+def load_zone_manifest(manifest_path: str) -> dict:
+    """Read a zone manifest into {file: {rows, cols}} — accepts the
+    current JSONL layout (one entry object per line, the line-oriented
+    shape spark.read.json can scan DISTRIBUTED — r15 verdict Next #4),
+    a SHARDED manifest (a directory of JSONL shards — the 10^6-file
+    layout; see refresh_zone_manifest(shards=...)), and the legacy
+    single-object {"files": {...}} layout, which the next refresh
+    rewrites as JSONL. Missing/corrupt -> {} (a manifest is a derived
+    cache; the refresh rebuilds it from footers)."""
+    import json
+    import os
+
+    if os.path.isdir(manifest_path):
+        out: dict = {}
+        for shard in _manifest_shard_files(manifest_path):
+            try:
+                with open(shard) as f:
+                    parsed = _parse_manifest_jsonl(f.read())
+            except OSError:
+                return {}
+            if parsed is None:
+                return {}
+            out.update(parsed)
+        return out
     try:
         with open(manifest_path) as f:
             text = f.read()
@@ -264,21 +315,66 @@ def load_zone_manifest(manifest_path: str) -> dict:
             return dict(whole["files"])  # legacy single-object layout
     except json.JSONDecodeError:
         pass
-    out: dict = {}
-    for line in text.splitlines():
-        line = line.strip()
-        if not line:
-            continue
-        try:
-            ent = json.loads(line)
-            out[ent["file"]] = {"rows": ent["rows"], "cols": ent["cols"]}
-        except (json.JSONDecodeError, KeyError, TypeError):
-            return {}  # corrupt manifest: rebuild rather than half-trust
-    return out
+    return _parse_manifest_jsonl(text) or {}
+
+
+def _sweep_manifest_orphans(manifest_path: str) -> None:
+    """Recover a sharded manifest from a crash between the swap's two
+    renames (the swapdir discipline, streaming/swapdir.py): if the live
+    directory is missing, the newest `__old_*` sibling IS the last
+    published version — restore it; `__staging_*` siblings are always
+    incomplete or superseded — drop them."""
+    import os
+    import shutil
+
+    parent = os.path.dirname(os.path.abspath(manifest_path)) or "."
+    base = os.path.basename(manifest_path)
+    if not os.path.isdir(parent):
+        return
+    olds = []
+    for name in os.listdir(parent):
+        full = os.path.join(parent, name)
+        if name.startswith(f"{base}__staging_"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith(f"{base}__old_"):
+            olds.append(full)
+    if olds and not os.path.exists(manifest_path):
+        newest = max(olds, key=lambda p: os.stat(p).st_mtime)
+        os.rename(newest, manifest_path)
+        olds.remove(newest)
+    for full in olds:
+        shutil.rmtree(full, ignore_errors=True)
+
+
+def _manifest_missing_or_empty(manifest_path: str) -> bool:
+    """True iff no manifest content exists at `manifest_path` — handles
+    both layouts: a single JSONL file (missing or zero bytes) and a
+    sharded directory (no shard files, or every shard zero bytes)."""
+    import os
+
+    if os.path.isdir(manifest_path):
+        shard_files = _manifest_shard_files(manifest_path)
+        return not any(os.path.getsize(p) > 0 for p in shard_files)
+    return (
+        not os.path.exists(manifest_path)
+        or os.path.getsize(manifest_path) == 0
+    )
+
+
+def _manifest_entry_line(fpath: str, ent: dict) -> str:
+    import json
+
+    return (
+        json.dumps({"file": fpath, "rows": ent["rows"], "cols": ent["cols"]})
+        + "\n"
+    )
 
 
 def refresh_zone_manifest(
-    path: str, manifest_path: str, cols: Sequence[str]
+    path: str,
+    manifest_path: str,
+    cols: Sequence[str],
+    shards: int | None = None,
 ) -> dict:
     """Incrementally maintain a MANIFEST of per-file zone maps — the
     commit-log stats table every real table format keeps (Delta's
@@ -293,11 +389,39 @@ def refresh_zone_manifest(
     write-once with UUID names: a rewritten dataset produces NEW part
     names, never new bytes under an old name.
 
-    Returns {files_total, files_walked, files_cached, files_dropped}.
+    ``shards=K`` (or an existing sharded manifest at `manifest_path`)
+    selects the SHARDED layout — `manifest_path` becomes a DIRECTORY of
+    K JSONL shards keyed by md5(file) — the 10^6-file escape hatch: a
+    single JSONL manifest is rewritten WHOLESALE every refresh (~150 MB
+    per commit at 10^6 files), while the sharded refresh rewrites only
+    the shards whose membership changed and HARDLINKS the rest into the
+    new version, so commit-time write cost is O(changed files), not
+    O(total). Publish is a crash-safe two-phase directory swap (the
+    swapdir discipline): stage everything, one rename window, orphans
+    restored/swept on the next refresh. The prune side is unchanged —
+    `spark.read.json` scans the shard directory exactly as it scans the
+    single file (`_meta.json` is underscore-hidden from Spark's file
+    listing), so `zone_map_scan` works on both layouts transparently.
+    The shard count is fixed at creation (persisted in `_meta.json`;
+    a differing `shards` on a later refresh re-buckets the whole
+    manifest — entries are path-keyed, so this is safe, just a full
+    rewrite for that one refresh).
+
+    Returns {files_total, files_walked, files_cached, files_dropped}
+    (+ {shards_total, shards_written} for the sharded layout).
     """
+    import hashlib
     import json
     import os
+    import uuid
 
+    # sweep BEFORE layout detection: after a crash inside the swap's
+    # rename window the live dir is missing and only an __old_* sibling
+    # knows this manifest was sharded — the sweep restores it, and the
+    # isdir probe below then sees the recovered layout (one listdir on
+    # the no-orphan path)
+    _sweep_manifest_orphans(manifest_path)
+    sharded = shards is not None or os.path.isdir(manifest_path)
     old = load_zone_manifest(manifest_path)
     current: list[str] = []
     for dirpath, _dirnames, filenames in sorted(os.walk(path)):
@@ -318,27 +442,92 @@ def refresh_zone_manifest(
         fresh[fpath] = rec
         walked += 1
     dropped = len(old) - sum(1 for p in old if p in fresh)
-    tmp = f"{manifest_path}.tmp"
-    os.makedirs(os.path.dirname(os.path.abspath(manifest_path)), exist_ok=True)
-    with open(tmp, "w") as f:
-        # JSONL, one entry per line: the line-oriented layout lets the
-        # planner evaluate the prune predicate over the manifest AS a
-        # DataFrame (spark.read.json) instead of a per-file Python loop
-        for fpath in sorted(fresh):
-            ent = fresh[fpath]
-            f.write(
-                json.dumps(
-                    {"file": fpath, "rows": ent["rows"], "cols": ent["cols"]}
-                )
-                + "\n"
-            )
-    os.replace(tmp, manifest_path)
-    return {
+    stats = {
         "files_total": len(current),
         "files_walked": walked,
         "files_cached": len(current) - walked,
         "files_dropped": dropped,
     }
+    os.makedirs(
+        os.path.dirname(os.path.abspath(manifest_path)), exist_ok=True
+    )
+    if not sharded:
+        tmp = f"{manifest_path}.tmp"
+        with open(tmp, "w") as f:
+            # JSONL, one entry per line: the line-oriented layout lets
+            # the planner evaluate the prune predicate over the manifest
+            # AS a DataFrame (spark.read.json), not a per-file loop
+            for fpath in sorted(fresh):
+                f.write(_manifest_entry_line(fpath, fresh[fpath]))
+        os.replace(tmp, manifest_path)
+        return stats
+
+    # -- sharded layout ---------------------------------------------------
+    meta_path = os.path.join(manifest_path, "_meta.json")
+    n_shards = None
+    if os.path.isfile(meta_path):
+        try:
+            with open(meta_path) as f:
+                n_shards = int(json.load(f)["n_shards"])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            n_shards = None
+    if shards is not None:
+        n_shards = shards  # explicit request wins (full re-bucket if changed)
+    if n_shards is None or n_shards < 1:
+        n_shards = 64
+    # serialize each shard's content deterministically, then write only
+    # the shards whose bytes changed — unchanged ones hardlink into the
+    # staged version (same inode, zero data written)
+    per_shard: list[list[str]] = [[] for _ in range(n_shards)]
+    for fpath in sorted(fresh):
+        h = int(hashlib.md5(fpath.encode()).hexdigest()[:8], 16) % n_shards
+        per_shard[h].append(_manifest_entry_line(fpath, fresh[fpath]))
+    staging = f"{manifest_path}__staging_{uuid.uuid4().hex[:8]}"
+    os.makedirs(staging)
+    written = 0
+    for i, lines in enumerate(per_shard):
+        content = "".join(lines)
+        name = f"shard-{i:05d}.jsonl"
+        cur = os.path.join(manifest_path, name)
+        dst = os.path.join(staging, name)
+        reuse = False
+        if os.path.isfile(cur):
+            try:
+                with open(cur) as f:
+                    reuse = f.read() == content
+            except OSError:
+                reuse = False
+        if reuse:
+            try:
+                os.link(cur, dst)  # zero-copy carry-forward
+            except OSError:
+                with open(dst, "w") as f:
+                    f.write(content)
+                written += 1
+        else:
+            with open(dst, "w") as f:
+                f.write(content)
+            written += 1
+    with open(os.path.join(staging, "_meta.json"), "w") as f:
+        json.dump({"n_shards": n_shards}, f)
+    if os.path.isdir(manifest_path):
+        old_dir = f"{manifest_path}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(manifest_path, old_dir)
+        os.rename(staging, manifest_path)
+        import shutil
+
+        shutil.rmtree(old_dir, ignore_errors=True)
+    elif os.path.exists(manifest_path):
+        # a single-file manifest is being CONVERTED to sharded: the old
+        # file's entries were already folded in via load_zone_manifest
+        os.replace(manifest_path, f"{manifest_path}.pre_sharded")
+        os.rename(staging, manifest_path)
+        os.remove(f"{manifest_path}.pre_sharded")
+    else:
+        os.rename(staging, manifest_path)
+    stats["shards_total"] = n_shards
+    stats["shards_written"] = written
+    return stats
 
 
 def zone_map_stats_of_file(fpath: str, cols: Sequence[str]) -> dict:
@@ -385,11 +574,9 @@ def _prune_manifest_spark(
     file (a kept extra file costs I/O; a wrongly skipped one costs
     rows). Driver state: the kept path list only, and only when
     something was actually skipped."""
-    import os
-
     from pyspark.sql.types import ArrayType, StructType
 
-    if not os.path.exists(manifest_path) or os.path.getsize(manifest_path) == 0:
+    if _manifest_missing_or_empty(manifest_path):
         return 0, []
     mdf = spark.read.json(manifest_path)
     total = mdf.count()
@@ -448,6 +635,7 @@ def zone_map_scan(
     predicates: dict[str, tuple[float, float]],
     manifest_path: str | None = None,
     refresh: bool = True,
+    manifest_shards: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """Zone-map-pruned range scan: evaluate a conjunctive range predicate
     against the per-file footer stats (`zone_map_stats`), open ONLY the
@@ -472,9 +660,12 @@ def zone_map_scan(
     (df, stats) with stats = {files_total, files_kept, files_skipped,
     skip_permille} — the number the zorder layout is buying, now
     measured on the actual read path instead of only in the what-if
-    report."""
-    import os
+    report.
 
+    `manifest_shards=K` (forwarded to refresh_zone_manifest) selects
+    the SHARDED manifest layout — a directory of K JSONL shards, the
+    10^6-file escape hatch where refresh rewrites only changed shards;
+    the prune is layout-transparent (spark.read.json scans either)."""
     cols = list(predicates)
     if manifest_path is not None:
         # r15 verdict Next #4: the prune predicate is evaluated over the
@@ -487,11 +678,10 @@ def zone_map_scan(
         # their own commit cadence — the table-format split between
         # commit-time stats upkeep and per-query planning.
         if refresh:
-            refresh_zone_manifest(path, manifest_path, cols)
-        elif (
-            not os.path.exists(manifest_path)
-            or os.path.getsize(manifest_path) == 0
-        ):
+            refresh_zone_manifest(
+                path, manifest_path, cols, shards=manifest_shards
+            )
+        elif _manifest_missing_or_empty(manifest_path):
             # refresh=False trusts the caller's commit-cadence upkeep; a
             # missing/empty manifest then means that upkeep never ran.
             # Returning the keep-nothing (0, []) prune would silently

@@ -507,3 +507,172 @@ def test_zone_map_scan_refresh_false_guards(spark, sf_dir, tmp_path):
         f.write("not json at all\n")
     with pytest.raises(ValueError, match="corrupt"):
         zone_map_scan(spark, root, pred, manifest_path=corrupt, refresh=False)
+
+
+def test_sharded_manifest_parity_and_incremental_shard_writes(
+    spark, sf_dir, tmp_path
+):
+    """The 10^6-file manifest escape hatch: `shards=K` makes the manifest
+    a DIRECTORY of K JSONL shards keyed by md5(file). A commit-cadence
+    refresh then rewrites ONLY the shards whose membership changed and
+    hardlinks the rest into the new version (O(changed) write cost, not
+    O(total) — the single-file layout rewrites everything every call),
+    published via a crash-safe two-phase directory swap. The prune side
+    is layout-transparent: spark.read.json scans the shard dir exactly
+    like the single file (`_meta.json` is underscore-hidden)."""
+    from db_integration_via_kafka_ksql_spark.sinks.dataset import (
+        load_zone_manifest,
+        refresh_zone_manifest,
+        zone_map_scan,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = str(tmp_path / "zm_shard")
+    write_dataset(
+        ev.filter("event_id % 2 = 0"), root,
+        partition_cols=["event_type"], zorder_cols=["value"],
+        max_records_per_file=50,
+    )
+    single = str(tmp_path / "manifest.json")
+    shard_dir = str(tmp_path / "manifest.d")
+    r_single = refresh_zone_manifest(root, single, ["value"])
+    r_shard = refresh_zone_manifest(root, shard_dir, ["value"], shards=16)
+    assert os.path.isdir(shard_dir)
+    assert r_shard["shards_total"] == 16
+    assert r_shard["files_walked"] == r_single["files_total"] > 0
+    # both layouts load to the identical entry map
+    assert load_zone_manifest(shard_dir) == load_zone_manifest(single)
+
+    # prune parity across: footer walk, single-file manifest, sharded
+    pred = {"value": (50.0, 60.0)}
+    df_walk, s_walk = zone_map_scan(spark, root, pred)
+    df_single, s_single = zone_map_scan(spark, root, pred, manifest_path=single)
+    df_shard, s_shard = zone_map_scan(spark, root, pred, manifest_path=shard_dir)
+    assert s_shard == s_single == s_walk
+    want = sorted(map(tuple, df_walk.collect()))
+    assert sorted(map(tuple, df_shard.collect())) == want
+    assert s_shard["files_skipped"] > 0  # the zorder layout is selective
+
+    # no-op refresh: every shard byte-identical -> zero shards written,
+    # carried forward as hardlinks (same inode)
+    inodes0 = {
+        os.path.basename(p): os.stat(p).st_ino
+        for p in sorted(
+            os.path.join(shard_dir, n)
+            for n in os.listdir(shard_dir)
+            if n.endswith(".jsonl")
+        )
+    }
+    r_noop = refresh_zone_manifest(root, shard_dir, ["value"])
+    assert r_noop["files_walked"] == 0
+    assert r_noop["shards_written"] == 0
+    inodes1 = {
+        os.path.basename(p): os.stat(p).st_ino
+        for p in sorted(
+            os.path.join(shard_dir, n)
+            for n in os.listdir(shard_dir)
+            if n.endswith(".jsonl")
+        )
+    }
+    assert inodes1 == inodes0  # hardlink carry-forward, zero data written
+
+    # append: only the shards holding NEW entries are rewritten; every
+    # untouched shard keeps its inode
+    write_dataset(
+        ev.filter("event_id % 2 = 1"), root,
+        partition_cols=["event_type"], zorder_cols=["value"],
+        max_records_per_file=50, mode="append",
+    )
+    r_inc = refresh_zone_manifest(root, shard_dir, ["value"])
+    assert 0 < r_inc["files_walked"] < r_inc["files_total"]
+    assert 0 < r_inc["shards_written"] <= r_inc["shards_total"]
+    inodes2 = {
+        os.path.basename(p): os.stat(p).st_ino
+        for p in sorted(
+            os.path.join(shard_dir, n)
+            for n in os.listdir(shard_dir)
+            if n.endswith(".jsonl")
+        )
+    }
+    unchanged = sum(
+        1 for n, ino in inodes2.items() if inodes1.get(n) == ino
+    )
+    assert unchanged == r_inc["shards_total"] - r_inc["shards_written"]
+
+    # post-append parity again (vs a fresh footer walk)
+    df_walk2, s_walk2 = zone_map_scan(spark, root, pred)
+    df_shard2, s_shard2 = zone_map_scan(spark, root, pred, manifest_path=shard_dir)
+    assert s_shard2 == s_walk2
+    assert sorted(map(tuple, df_shard2.collect())) == sorted(
+        map(tuple, df_walk2.collect())
+    )
+
+    # refresh=False serves the sharded dir; missing/empty dirs are loud
+    import pytest
+
+    df_nf, s_nf = zone_map_scan(
+        spark, root, pred, manifest_path=shard_dir, refresh=False
+    )
+    assert s_nf == s_shard2
+    with pytest.raises(FileNotFoundError, match="missing or empty"):
+        zone_map_scan(
+            spark, root, pred,
+            manifest_path=str(tmp_path / "never.d"), refresh=False,
+        )
+    hollow = tmp_path / "hollow.d"
+    hollow.mkdir()
+    (hollow / "shard-00000.jsonl").write_text("")
+    with pytest.raises(FileNotFoundError, match="missing or empty"):
+        zone_map_scan(
+            spark, root, pred, manifest_path=str(hollow), refresh=False
+        )
+
+
+def test_sharded_manifest_conversion_and_crash_recovery(
+    spark, sf_dir, tmp_path
+):
+    """(1) A single-file manifest CONVERTS in place when a refresh asks
+    for shards — entries carry over, nothing rewalks. (2) A crash
+    between the two swap renames leaves either the old or the staged
+    version recoverable: the next refresh restores the newest __old_*
+    when the live dir is gone and sweeps stranded __staging_* dirs."""
+    import shutil
+
+    from db_integration_via_kafka_ksql_spark.sinks.dataset import (
+        load_zone_manifest,
+        refresh_zone_manifest,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    root = str(tmp_path / "zm_conv")
+    write_dataset(
+        ev, root, partition_cols=["event_type"], zorder_cols=["value"],
+        max_records_per_file=200,
+    )
+    mf = str(tmp_path / "manifest.json")
+    refresh_zone_manifest(root, mf, ["value"])
+    before = load_zone_manifest(mf)
+    r_conv = refresh_zone_manifest(root, mf, ["value"], shards=8)
+    assert os.path.isdir(mf)
+    assert r_conv["files_walked"] == 0  # all entries carried over
+    assert load_zone_manifest(mf) == before
+
+    # crash inside the rename window: live dir gone, __old_* holds the
+    # last published version, a half-built __staging_* is stranded
+    old_sib = f"{mf}__old_deadbeef"
+    os.rename(mf, old_sib)
+    stag_sib = f"{mf}__staging_feedface"
+    os.makedirs(stag_sib)
+    with open(os.path.join(stag_sib, "shard-00000.jsonl"), "w") as f:
+        f.write("half-written garbage\n")
+    r_rec = refresh_zone_manifest(root, mf, ["value"])
+    assert os.path.isdir(mf)
+    assert not os.path.exists(old_sib)
+    assert not os.path.exists(stag_sib)
+    assert r_rec["files_walked"] == 0  # restored, nothing rewalked
+    assert load_zone_manifest(mf) == before
+    shutil.rmtree(root)

@@ -572,6 +572,54 @@ def main() -> None:
                 "refresh": round(refresh_s, 3),
                 "prune": round(prune_s, 3),
             }
+            if nf == 6400:
+                # SHARDED-manifest write amplification at the largest
+                # decade (r17): a commit-cadence refresh of the single
+                # JSONL rewrites ALL manifest bytes; the sharded layout
+                # (refresh_zone_manifest(shards=K)) rewrites only the
+                # shards whose membership changed, hardlinking the rest.
+                # Measured: add 64 files (a 1% commit) to the 6400-file
+                # dataset and compare bytes actually rewritten.
+                smf = os.path.join(td, "manifest.d")
+                DSK.refresh_zone_manifest(path, smf, ["value"], shards=256)
+                inodes = {
+                    p: os.stat(p).st_ino
+                    for p in DSK._manifest_shard_files(smf)
+                }
+                (
+                    ev.limit(6400)
+                    .repartitionByRange(64, "value")
+                    .sortWithinPartitions("value")
+                    .write.mode("append")
+                    .parquet(path)
+                )
+                t0 = time.perf_counter()
+                rs = DSK.refresh_zone_manifest(path, smf, ["value"])
+                shard_inc_s = time.perf_counter() - t0
+                rewritten = sum(
+                    os.path.getsize(p)
+                    for p in DSK._manifest_shard_files(smf)
+                    if inodes.get(p) != os.stat(p).st_ino
+                )
+                t0 = time.perf_counter()
+                DSK.refresh_zone_manifest(path, mfp, ["value"])
+                single_inc_s = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                _df, sstats = DSK.zone_map_scan(
+                    spark, path, pred, manifest_path=smf, refresh=False
+                )
+                shard_prune_s = time.perf_counter() - t0
+                zm["sharded6400"] = {
+                    "n_shards": rs["shards_total"],
+                    "shards_written": rs["shards_written"],
+                    "files_added": rs["files_walked"],
+                    "bytes_rewritten_sharded": rewritten,
+                    "bytes_rewritten_single": os.path.getsize(mfp),
+                    "refresh_incremental_sharded": round(shard_inc_s, 3),
+                    "refresh_incremental_single": round(single_inc_s, 3),
+                    "prune_sharded": round(shard_prune_s, 3),
+                    "files_skipped": sstats["files_skipped"],
+                }
         bench.release_checkpoints(spark)
         print("zone_map_files", tag, zm.get(tag), flush=True)
     zm["prune_ratio_at_10x_files"] = round(
@@ -666,11 +714,18 @@ def main() -> None:
             "expected shape, 0 walked on an unchanged tree). r16 Next "
             "#6 adds the 6,400-file decade + manifest_bytes: at ~10^6 "
             "files (100 TB) the single-JSONL manifest itself becomes "
-            "the planner's scan — if prune ever turns linear in "
-            "n_files, the escape hatch is partitioning the manifest by "
-            "a stat-column range (or hive bucket) so the prune reads "
-            "only the manifest shards its predicate can touch, exactly "
-            "the Iceberg/Delta manifest-list design"
+            "the planner's scan. The prune measured FLAT, but the "
+            "refresh WRITE side is O(total) for a single file — so r17 "
+            "IMPLEMENTS the escape hatch (sharded6400 row): "
+            "refresh_zone_manifest(shards=K) keys K JSONL shards by "
+            "md5(file), a commit rewrites only membership-changed "
+            "shards (hardlinking the rest into a crash-safe dir swap), "
+            "and the prune scans the shard dir exactly like the single "
+            "file — the Iceberg/Delta manifest-list design. The row "
+            "records bytes_rewritten sharded-vs-single for a 1% commit "
+            "(expect ~shards_written/n_shards of the single-file "
+            "rewrite) and the sharded prune wall (expect ~ the "
+            "single-file prune: same Spark scan, K small files)"
         ),
         "ivf_kmeans_clustered": (
             "r16 Next #1: each corpus size also carries a CLUSTERED-"
