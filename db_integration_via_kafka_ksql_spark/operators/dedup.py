@@ -292,12 +292,29 @@ def _shingle_index(
     this is O(total shingles) local disk, far cheaper than re-shingling
     the corpus per consumer. (Measured at sf0.1: 10.3s -> ~4s for the
     capped Jaccard variant.) The shingle-set size rides along from
-    explode time (+8 bytes/row in the g-shuffle, no extra join)."""
+    explode time (+8 bytes/row in the g-shuffle, no extra join).
+
+    Shingles are folded to 64-bit xxhash64 fingerprints BEFORE the
+    distinct/checkpoint (r17, guide §2.3 "narrower types"): every
+    downstream shuffle — the df-count aggregate, the anti-join, the
+    inverted self-join and the pair groupBy — moves 8-byte bigints
+    instead of variable-length gram strings, and the checkpointed arrays
+    shrink the same way. Both consumers only test shingle EQUALITY and
+    count intersections, so results are unchanged up to a ~2^-64
+    per-pair collision (the duplicate_spans / allpairs_jaccard_pairs
+    stance: at 1e12 shingles the expected colliding pairs are ~0.03;
+    acceptable for a dedup signal, and the sf-scale oracles hash-verify
+    the actual outputs)."""
     sh = _spread(docs).select(
         "doc_id", F.col(text_col), F.split(F.col(text_col), " ").alias("_ws")
     ).select(
         "doc_id",
-        F.array_distinct(T.shingles_of_words("_ws", text_col, n)).alias("sh"),
+        F.array_distinct(
+            F.transform(
+                T.shingles_of_words("_ws", text_col, n),
+                lambda g: F.xxhash64(g),
+            )
+        ).alias("sh"),
     )
     sh = sh.localCheckpoint(eager=True)
     inv = sh.select(

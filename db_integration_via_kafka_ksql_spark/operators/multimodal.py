@@ -970,6 +970,14 @@ def image_ahash(media: DataFrame, decode=None) -> DataFrame:
             heights = np.zeros(n, dtype=np.int64)
             los = np.zeros(n, dtype=np.int64)
             his = np.zeros(n, dtype=np.int64)
+            # decode per row (with a real codec the unavoidable per-image
+            # step), then group rows by decoded (w, h) so the block-sum
+            # reduceat and the threshold/bit-pack math run ONCE per
+            # distinct shape over a (k, h, w) stack instead of once per
+            # image (r17, guide §4.2 — the resize_images shape-group
+            # pattern; identical integer math per row)
+            raws: list[bytes] = [b""] * n
+            groups: dict[tuple[int, int], list[int]] = {}
             for i, payload in enumerate(pdf["payload"]):
                 if payload is None:
                     continue
@@ -977,23 +985,34 @@ def image_ahash(media: DataFrame, decode=None) -> DataFrame:
                 widths[i], heights[i] = w, h
                 if w <= 0 or h <= 0:
                     continue
-                arr = (
-                    np.frombuffer(raw[: w * h], dtype=np.uint8)
-                    .reshape(h, w)
+                raws[i] = raw
+                groups.setdefault((w, h), []).append(i)
+            for (w, h), idx in groups.items():
+                k = len(idx)
+                stack = (
+                    np.frombuffer(
+                        b"".join(raws[i][: w * h] for i in idx),
+                        dtype=np.uint8,
+                    )
+                    .reshape(k, h, w)
                     .astype(np.int64)
                 )
                 ys = (edges * h) // grid
                 xs = (edges * w) // grid
                 # empty reduceat segments return the element AT the start
                 # index, not 0 — the cnt mask below zeroes exactly those
-                rs = np.add.reduceat(arr, ys[:-1], axis=0)
-                bs = np.add.reduceat(rs, xs[:-1], axis=1)
+                rs = np.add.reduceat(stack, ys[:-1], axis=1)
+                bs = np.add.reduceat(rs, xs[:-1], axis=2)
                 cnt = np.outer(np.diff(ys), np.diff(xs))
-                means = np.where(cnt > 0, bs // np.maximum(cnt, 1), 0).ravel()
-                thr = means.sum() // (grid * grid)
-                bits = (means > thr).astype(np.int64)
-                los[i] = int(np.dot(bits[:32], shifts))
-                his[i] = int(np.dot(bits[32:], shifts))
+                means = np.where(
+                    cnt[None, :, :] > 0,
+                    bs // np.maximum(cnt, 1)[None, :, :],
+                    0,
+                ).reshape(k, grid * grid)
+                thr = means.sum(axis=1) // (grid * grid)
+                bits = (means > thr[:, None]).astype(np.int64)
+                los[idx] = bits[:, :32] @ shifts
+                his[idx] = bits[:, 32:] @ shifts
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
@@ -1241,11 +1260,25 @@ def audio_energy_fingerprint(media: DataFrame) -> DataFrame:
 
     def fp_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         shifts = 1 << np.arange(32, dtype=np.int64)
+        t_idx = np.arange(segs, dtype=np.int64)
         for pdf in batches:
             n = len(pdf)
             ns = np.zeros(n, dtype=np.int64)
             los = np.zeros(n, dtype=np.int64)
             his = np.zeros(n, dtype=np.int64)
+            # batch vectorization (r17, guide §4.2 — the extract_features
+            # concat+reduceat pattern): decode every payload into ONE flat
+            # sample buffer and compute all payloads' 65 segment energies
+            # with a single global reduceat. Per payload, segment starts
+            # are ceil(t*k/65) (sample j belongs to segment j*65 DIV k —
+            # the SQL replay's formula), clipped to k-1 for the reduceat
+            # call with empty segments zeroed via the UNclipped widths —
+            # bit-identical to the pre-r17 per-payload loop. Payload p's
+            # last segment ends exactly where p+1's first start (its
+            # offset) begins, so the global reduceat never crosses a
+            # payload boundary.
+            xs: list["np.ndarray"] = []
+            rows: list[int] = []
             for i, payload in enumerate(pdf["payload"]):
                 if payload is None:
                     continue
@@ -1254,19 +1287,28 @@ def audio_energy_fingerprint(media: DataFrame) -> DataFrame:
                 ns[i] = k
                 if k == 0:
                     continue
-                x = np.frombuffer(b[: k * 2], dtype="<i2").astype(np.int64)
-                # segment starts: ceil(t*k/65) — sample j belongs to
-                # segment j*65 DIV k (the SQL replay's formula)
-                starts = (np.arange(segs, dtype=np.int64) * k + segs - 1) // segs
-                # reduceat needs indices < k; a start AT k marks an empty
-                # segment (k < 65) — clip for the call, then zero every
-                # empty segment via the UNclipped widths
-                e = np.add.reduceat(x * x, np.minimum(starts, k - 1))
-                width = np.diff(np.append(starts, k))
-                e = np.where(width > 0, e, 0)
-                bits = (e[1:] > e[:-1]).astype(np.int64)
-                los[i] = int(np.dot(bits[:32], shifts))
-                his[i] = int(np.dot(bits[32:], shifts))
+                xs.append(np.frombuffer(b[: k * 2], dtype="<i2"))
+                rows.append(i)
+            if xs:
+                flat = np.concatenate(xs).astype(np.int64)
+                sq = flat * flat
+                ks = np.array([len(x) for x in xs], dtype=np.int64)
+                offsets = np.zeros(len(ks), dtype=np.int64)
+                np.cumsum(ks[:-1], out=offsets[1:])
+                starts = (t_idx[None, :] * ks[:, None] + segs - 1) // segs
+                widths = np.diff(
+                    np.concatenate([starts, ks[:, None]], axis=1), axis=1
+                )
+                gstarts = (
+                    np.minimum(starts, ks[:, None] - 1) + offsets[:, None]
+                )
+                e = np.add.reduceat(sq, gstarts.ravel()).reshape(
+                    len(ks), segs
+                )
+                e = np.where(widths > 0, e, 0)
+                bits = (e[:, 1:] > e[:, :-1]).astype(np.int64)
+                los[rows] = bits[:, :32] @ shifts
+                his[rows] = bits[:, 32:] @ shifts
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
@@ -1372,54 +1414,100 @@ def content_defined_chunks(
             ],
             dtype=np.uint64,
         )
+        # the rolling hash window is exactly 64 positions (the << 1 decay
+        # zeroes a byte's influence after 64 shifts), so 63 ZEROED gear
+        # positions between payloads make the batch-concatenated hash
+        # bit-identical to per-payload computation: a position's window
+        # can reach at most 63 back, i.e. into the pad (gear 0 ->
+        # contributes nothing), never into the previous payload. One
+        # 64-term vector pass per GROUP replaces one per payload (64 x
+        # n_payloads small numpy ops -> 64 per ~GROUP_BYTES; the r17
+        # guide-§4.2 batch-vectorization pass, measured in
+        # OPTIMIZATION_r17.md). GROUP_BYTES bounds the h+g scratch
+        # (~16 bytes per payload byte) per group.
+        PAD = 63
+        GROUP_BYTES = 4 << 20
 
-        def cut_points(payload: bytes) -> list[int]:
-            n = len(payload)
-            g = gear[np.frombuffer(payload, dtype=np.uint8)]
-            h = np.zeros(n, dtype=np.uint64)
-            for k in range(min(64, n)):
-                h[k:] += g[: n - k] << np.uint64(k)
-            cand = (np.nonzero((h & np.uint64(mask)) == 0)[0] + 1).tolist()
-            cuts: list[int] = []
-            last = 0
-            while n - last > 0:
-                i = bisect_left(cand, last + min_size)
-                nxt = cand[i] if i < len(cand) else None
-                if nxt is not None and nxt - last <= max_size:
-                    cuts.append(nxt)
-                    last = nxt
-                elif n - last > max_size:
-                    cuts.append(last + max_size)
-                    last += max_size
-                else:
-                    cuts.append(n)
-                    break
-            return cuts
+        def group_cut_points(payloads: list[bytes]) -> list[list[int]]:
+            lens = [len(p) for p in payloads]
+            total = sum(lens) + PAD * len(payloads)
+            g = np.zeros(total, dtype=np.uint64)
+            starts = []
+            off = 0
+            for p, n in zip(payloads, lens):
+                starts.append(off)
+                g[off : off + n] = gear[np.frombuffer(p, dtype=np.uint8)]
+                off += n + PAD
+            h = np.zeros(total, dtype=np.uint64)
+            for k in range(64):
+                h[k:] += g[: total - k] << np.uint64(k)
+            cand_all = np.nonzero((h & np.uint64(mask)) == 0)[0]
+            out: list[list[int]] = []
+            for st, n in zip(starts, lens):
+                lo = np.searchsorted(cand_all, st)
+                hi = np.searchsorted(cand_all, st + n)
+                cand = (cand_all[lo:hi] - st + 1).tolist()
+                cuts: list[int] = []
+                last = 0
+                while n - last > 0:
+                    i = bisect_left(cand, last + min_size)
+                    nxt = cand[i] if i < len(cand) else None
+                    if nxt is not None and nxt - last <= max_size:
+                        cuts.append(nxt)
+                        last = nxt
+                    elif n - last > max_size:
+                        cuts.append(last + max_size)
+                        last += max_size
+                    else:
+                        cuts.append(n)
+                        break
+                out.append(cuts)
+            return out
 
         for pdf in batches:
             ids: list[int] = []
             idxs: list[int] = []
             offs: list[int] = []
-            lens: list[int] = []
+            lens_out: list[int] = []
             md5s: list[str] = []
+            pend_ids: list[int] = []
+            pend_pay: list[bytes] = []
+            pend_bytes = 0
+
+            def flush() -> None:
+                nonlocal pend_ids, pend_pay, pend_bytes
+                if not pend_pay:
+                    return
+                for pid, payload, cuts in zip(
+                    pend_ids, pend_pay, group_cut_points(pend_pay)
+                ):
+                    last = 0
+                    for ci, cut in enumerate(cuts):
+                        ids.append(pid)
+                        idxs.append(ci)
+                        offs.append(last)
+                        lens_out.append(cut - last)
+                        md5s.append(
+                            hashlib.md5(payload[last:cut]).hexdigest()
+                        )
+                        last = cut
+                pend_ids, pend_pay, pend_bytes = [], [], 0
+
             for pid, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None or len(payload) == 0:
                     continue
-                payload = bytes(payload)
-                last = 0
-                for ci, cut in enumerate(cut_points(payload)):
-                    ids.append(int(pid))
-                    idxs.append(ci)
-                    offs.append(last)
-                    lens.append(cut - last)
-                    md5s.append(hashlib.md5(payload[last:cut]).hexdigest())
-                    last = cut
+                pend_ids.append(int(pid))
+                pend_pay.append(bytes(payload))
+                pend_bytes += len(pend_pay[-1])
+                if pend_bytes >= GROUP_BYTES:
+                    flush()
+            flush()
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
                     "chunk_idx": pd.Series(idxs, dtype="int64"),
                     "offset": pd.Series(offs, dtype="int64"),
-                    "length": pd.Series(lens, dtype="int64"),
+                    "length": pd.Series(lens_out, dtype="int64"),
                     "chunk_md5": pd.Series(md5s, dtype="object"),
                 }
             )

@@ -472,10 +472,10 @@ def _pq_sub_dot(q_col: str, s: int, dsub: int, centroid: list[int]) -> str:
     )
 
 
-def _pq_codes_expr(codebook: list[list[list[int]]], dsub: int) -> F.Column:
-    """codes array<int>: per subspace, the argmin codeword id — a pure
-    scan-side projection over literal codewords (zero joins/shuffles),
-    ties to the lowest cid via (dist2, cid) struct ordering."""
+def _pq_codes_sql(codebook: list[list[list[int]]], dsub: int) -> str:
+    """SQL text of the per-subspace argmin codeword ids (see
+    _pq_codes_expr) — shared by the encode projection and the Lloyd
+    assignment step inside pq_fit_codebook."""
     per_s = []
     for s, words in enumerate(codebook):
         structs = ", ".join(
@@ -483,7 +483,14 @@ def _pq_codes_expr(codebook: list[list[list[int]]], dsub: int) -> F.Column:
             for j, w in enumerate(words)
         )
         per_s.append(f"array_min(array({structs})).cid")
-    return F.expr("array(" + ", ".join(per_s) + ")")
+    return "array(" + ", ".join(per_s) + ")"
+
+
+def _pq_codes_expr(codebook: list[list[list[int]]], dsub: int) -> F.Column:
+    """codes array<int>: per subspace, the argmin codeword id — a pure
+    scan-side projection over literal codewords (zero joins/shuffles),
+    ties to the lowest cid via (dist2, cid) struct ordering."""
+    return F.expr(_pq_codes_sql(codebook, dsub))
 
 
 def _pq_lut_expr(codebook: list[list[list[int]]], dsub: int) -> F.Column:
@@ -512,30 +519,33 @@ def pq_fit_codebook(
     neighbor_id) seed EVERY subspace (cid = md5 rank) — one ranking
     shared across subspaces keeps the oracle replay to a single seed CTE.
 
-    Scale: the corpus explodes to n x m subvector rows ONCE
-    (localCheckpoint — fit-time cost, amortized over the fit's iters
-    passes); each iteration is one broadcast join against the m x ksub
-    codebook frame plus one map-side-combined aggregate collecting
-    m x ksub rows of dsub sums — driver state is m x ksub x dsub ints,
-    the MLlib-style bounded footprint. Assignment ties break (dist2,
-    cid), matching the SQL oracle's row_number order."""
-    spark = corpus_res.sparkSession
+    Scale: assignment is a pure SCAN-SIDE projection over literal
+    codewords (_pq_codes_sql — the exact expression the encode step
+    already uses, same (dist2, cid) tie-break as the SQL oracle's
+    row_number order), so each Lloyd iteration is ONE job: project the
+    per-subspace argmin ids, explode to (s, cid, subvector) in the same
+    stage, and map-side-combine into m x ksub rows of dsub sums —
+    driver state is m x ksub x dsub ints, the MLlib-style bounded
+    footprint, and NOTHING corpus-sized is ever shuffled or
+    materialized. (Pre-r17 this exploded the corpus to an n x m
+    checkpointed subvector frame and shuffled all n x m argmin groups
+    per iteration — the kmeans.assign_clusters literal-expression shape
+    applied here removed both, guide §2.4/§1.2.) The caller owns
+    materialization of `corpus_res` (pass a checkpointed frame or the
+    iters + 2 passes below each re-plan its upstream chain)."""
     dsub = dims // m
     if m * dsub != dims:
         raise ValueError(f"dims={dims} not divisible into m={m} subspaces")
-    sub = corpus_res.select(
-        "neighbor_id",
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"),
-        "res",
-    ).select(
-        "neighbor_id",
-        "s",
-        F.expr(f"slice(res, s * {dsub} + 1, {dsub})").alias("v"),
-    ).localCheckpoint(eager=True)
 
+    # ONE bounded collect for seeding: the md5 top-ksub ranking carries
+    # the full residual vectors along (ksub rows — TakeOrdered keeps the
+    # driver payload k-bounded), sliced into per-subspace codewords
+    # driver-side; pre-r17 this was two jobs (rank ids, then re-scan to
+    # fetch the seed subvectors)
     seed_rows = (
         corpus_res.select(
             "neighbor_id",
+            "res",
             F.md5(
                 F.concat(
                     F.lit(f"pq{seed}|"), F.col("neighbor_id").cast("string")
@@ -548,46 +558,33 @@ def pq_fit_codebook(
     )
     if not seed_rows:
         raise ValueError("pq_fit_codebook: empty corpus")
-    seed_ids = [r.neighbor_id for r in seed_rows]
-    rank_of = {vid: i for i, vid in enumerate(seed_ids)}
-    seed_sub = sub.filter(F.col("neighbor_id").isin(seed_ids)).collect()
-    k_eff = len(seed_ids)  # n < ksub degrades to n codewords, like kmeans
+    k_eff = len(seed_rows)  # n < ksub degrades to n codewords, like kmeans
     codebook: list[list[list[int]]] = [[None] * k_eff for _ in range(m)]
-    for r in seed_sub:
-        codebook[r.s][rank_of[r.neighbor_id]] = list(r.v)
+    for j, r in enumerate(seed_rows):
+        full = list(r.res)
+        for s in range(m):
+            codebook[s][j] = full[s * dsub : (s + 1) * dsub]
 
-    d2 = (
-        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), "
-        "cast(0 as bigint), (a, x) -> a + x)"
-    )
+    sums = [
+        F.sum(F.element_at("v", i + 1)).cast("bigint").alias(f"s{i}")
+        for i in range(dsub)
+    ]
     for _ in range(iters):
-        cb_df = spark.createDataFrame(
-            [
-                (s, j, codebook[s][j])
-                for s in range(m)
-                for j in range(k_eff)
-            ],
-            "s int, cid int, c array<bigint>",
-        )
-        best = (
-            sub.join(F.broadcast(cb_df), "s")
-            .select(
-                "neighbor_id", "s", "v", "cid", F.expr(d2).alias("d2")
-            )
-            .groupBy("neighbor_id", "s")
-            .agg(F.min(F.struct("d2", "cid", "v")).alias("m"))
-        )
+        # (s, cid, subvector) rows from the literal-codeword argmin —
+        # generated and partially aggregated inside the scan stage; only
+        # <= m x ksub rows per task reach the exchange
+        asg = corpus_res.select(
+            F.explode(
+                F.expr(
+                    f"transform({_pq_codes_sql(codebook, dsub)}, "
+                    f"(cid, s) -> struct(s AS s, cid AS cid, "
+                    f"slice(res, s * {dsub} + 1, {dsub}) AS v))"
+                )
+            ).alias("e")
+        ).select("e.s", "e.cid", "e.v")
         stats = (
-            best.groupBy("s", F.col("m.cid").alias("cid"))
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n"),
-                *[
-                    F.sum(F.element_at("m.v", i + 1))
-                    .cast("bigint")
-                    .alias(f"s{i}")
-                    for i in range(dsub)
-                ],
-            )
+            asg.groupBy("s", "cid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"), *sums)
             .collect()
         )
         nxt = [list(words) for words in codebook]  # empty keeps previous
