@@ -477,10 +477,15 @@ def decontaminate_bloom(
     p = B.BloomParams(n_bits=n_bits, n_hashes=n_hashes, hash=hash_fn)
     grams = _decontam_grams(docs, n)
     is_bench = (F.col("doc_id") % bench_mod) == 0
-    bench_grams = (
-        grams.filter(is_bench)
-        .select(F.explode("grams").alias("gram"))
-        .distinct()
+    # NO distinct before the build (r17, guide §2.3): duplicate grams OR
+    # the same bit positions into the same words, so the filter is
+    # identical — and dropping the distinct removes a full shuffle of
+    # the benchmark GRAM STRINGS; the only cost is re-hashing cross-doc
+    # duplicates scan-side, cycles instead of network. (The exact
+    # decontaminate keeps its distinct: there the gram strings ARE the
+    # broadcast payload.)
+    bench_grams = grams.filter(is_bench).select(
+        F.explode("grams").alias("gram")
     )
     words = B.build_bloom(bench_grams, "gram", p)
     bf = B.bloom_frame(docs.sparkSession, words, p)
