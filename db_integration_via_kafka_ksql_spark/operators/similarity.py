@@ -453,37 +453,40 @@ def _pq_lit_array(c: list[int]) -> str:
     return V.lit_bigint_array(c)
 
 
-def _pq_sub_dist2(res_col: str, s: int, dsub: int, centroid: list[int]) -> str:
-    """Integer squared distance between residual subspace s and a literal
-    codeword, as one compact fold (slice keeps the codegen unit small —
-    the kmeans literal-centroid pattern)."""
-    arr = _pq_lit_array(centroid)
+def _pq_codebook_sql(codebook: list[list[list[int]]]) -> str:
+    """The full codebook as ONE nested array<array<array<bigint>>>
+    literal (m x ksub x dsub). Downstream expressions walk it with
+    higher-order functions, so the expression TREE stays constant-shape
+    no matter the PQ geometry — pre-r18 the codes/LUT/distortion
+    expressions unrolled one aggregate(zip_with(...)) subtree PER
+    codeword (m x ksub lambda-bearing subtrees), and pq_fit_codebook
+    re-parsed/re-analyzed that whole forest every Lloyd iteration
+    (r17 verdict #1: driver-bound planning cost that grew with ksub)."""
     return (
-        f"aggregate(zip_with(slice({res_col}, {s * dsub + 1}, {dsub}), {arr}, "
-        f"(x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, v) -> a + v)"
-    )
-
-
-def _pq_sub_dot(q_col: str, s: int, dsub: int, centroid: list[int]) -> str:
-    arr = _pq_lit_array(centroid)
-    return (
-        f"aggregate(zip_with(slice({q_col}, {s * dsub + 1}, {dsub}), {arr}, "
-        f"(x, y) -> x * y), cast(0 as bigint), (a, v) -> a + v)"
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_pq_lit_array(w) for w in words) + ")"
+            for words in codebook
+        )
+        + ")"
     )
 
 
 def _pq_codes_sql(codebook: list[list[list[int]]], dsub: int) -> str:
     """SQL text of the per-subspace argmin codeword ids (see
     _pq_codes_expr) — shared by the encode projection and the Lloyd
-    assignment step inside pq_fit_codebook."""
-    per_s = []
-    for s, words in enumerate(codebook):
-        structs = ", ".join(
-            f"struct({_pq_sub_dist2('res', s, dsub, w)} as d, {j} as cid)"
-            for j, w in enumerate(words)
-        )
-        per_s.append(f"array_min(array({structs})).cid")
-    return "array(" + ", ".join(per_s) + ")"
+    assignment step inside pq_fit_codebook. Constant-shape: three nested
+    higher-order functions over the codebook literal, regardless of
+    m/ksub. Semantics identical to the pre-r18 unrolled form: per
+    subspace s, argmin_j ||res_s - C_s[j]||^2 with ties to the lowest
+    cid via (dist2, cid) struct ordering."""
+    cb = _pq_codebook_sql(codebook)
+    return (
+        f"transform({cb}, (ws, s) -> array_min(transform(ws, (w, j) -> "
+        f"struct(aggregate(zip_with(slice(res, s * {dsub} + 1, {dsub}), w, "
+        f"(x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, v) -> a + v)"
+        f" AS d, j AS cid))).cid)"
+    )
 
 
 def _pq_codes_expr(codebook: list[list[list[int]]], dsub: int) -> F.Column:
@@ -496,11 +499,12 @@ def _pq_codes_expr(codebook: list[list[list[int]]], dsub: int) -> F.Column:
 def _pq_lut_expr(codebook: list[list[list[int]]], dsub: int) -> F.Column:
     """lut array<array<bigint>>: lut[s][j] = <query subvector s, C_s[j]>
     — the per-query ADC table, built on the (tiny) probe frame only."""
-    per_s = []
-    for s, words in enumerate(codebook):
-        dots = ", ".join(_pq_sub_dot("qq", s, dsub, w) for w in words)
-        per_s.append(f"array({dots})")
-    return F.expr("array(" + ", ".join(per_s) + ")")
+    cb = _pq_codebook_sql(codebook)
+    return F.expr(
+        f"transform({cb}, (ws, s) -> transform(ws, w -> "
+        f"aggregate(zip_with(slice(qq, s * {dsub} + 1, {dsub}), w, "
+        f"(x, y) -> x * y), cast(0 as bigint), (a, v) -> a + v)))"
+    )
 
 
 def pq_fit_codebook(
@@ -1499,13 +1503,13 @@ def ivf_pq_distortion(index: "IvfPqIndex") -> DataFrame:
             index.q.select("vec_id", "q"), index.cent
         )
     dsub = index.dims // index.m
-    per_s = [
-        "array_min(array("
-        + ", ".join(_pq_sub_dist2("res", s, dsub, w) for w in words)
-        + "))"
-        for s, words in enumerate(index.codebook)
-    ]
-    err = " + ".join(per_s)
+    cb = _pq_codebook_sql(index.codebook)
+    err = (
+        f"aggregate(transform({cb}, (ws, s) -> array_min(transform(ws, w -> "
+        f"aggregate(zip_with(slice(res, s * {dsub} + 1, {dsub}), w, "
+        f"(x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, v) -> a + v)"
+        f"))), cast(0 as bigint), (ae, ve) -> ae + ve)"
+    )
     return (
         corpus_res.select(
             "list_id", F.expr(f"CAST({err} AS BIGINT)").alias("err")

@@ -332,3 +332,84 @@ def test_cross_round_movers_propagate_to_compact_line():
     assert len(json.dumps(compact)) <= bench.STDOUT_BUDGET
     del report["cross_round_movers"]
     assert "cross_round_movers" not in bench.compact_report(report)
+
+
+def test_queries_survive_full_suspect_and_mover_load():
+    """r17 verdict #3: the c8 run carried 8 spread-suspect names, the
+    line outgrew STDOUT_BUDGET, and the old wholesale queries-drop
+    emptied PERF's scaling.per_query. Per-query timings are the payload:
+    under the full worst-case flag load (real 47-query headline set + 8
+    suspects + 8 movers + host-speed fields + errors) the queries map
+    must survive — suspect/mover DETAIL is what gets trimmed to counts."""
+    report = _full_report(bench.HEADLINE + ["sim_ivf_pq_fit",
+                                            "sim_ivf_pq_serve",
+                                            "dedup_clusters_embedding"])
+    report["spread_suspect"] = sorted(report["queries"])[:20]
+    report["cross_round_movers"] = {
+        "movers": {
+            q: {"current": 9.9, "band": [0.1, 0.5],
+                "history": {"17": 0.3}, "direction": "up"}
+            for q in sorted(report["queries"])[:12]
+        }
+    }
+    report["drift_gate_met"] = True
+    report["host_speed_vs_history"] = 0.597
+    report["host_speed_suspect"] = True
+    report["errors"] = {"q_bad": "boom"}
+    compact = bench.compact_report(report)
+    assert len(json.dumps(compact)) <= bench.STDOUT_BUDGET
+    # the payload survived intact
+    assert len(compact["queries"]) == len(report["queries"])
+    # trimmed lists are replaced by counts, never silently vanished
+    for key, count_key in (
+        ("cross_round_movers", "n_cross_round_movers"),
+        ("spread_suspect", "n_spread_suspect"),
+    ):
+        assert (key in compact) != (count_key in compact)
+    # core adjudication fields always survive
+    assert compact["drift_gate_met"] is True
+    assert compact["host_speed_vs_history"] == 0.597
+    assert compact["host_speed_suspect"] is True
+
+
+def test_host_speed_ratio_logic():
+    """r17 verdict #2: replay_events_per_sec is the absolute host-speed
+    anchor — current rate vs the history-window median, flagged when it
+    moves >20% either way."""
+    hist = {14: 3.0e6, 15: 3.2e6, 16: 3.13e6}
+    # the r17 case: 1.87M on a 3.13M-median history -> 0.6, suspect
+    assert bench.host_speed_ratio(1.87e6, hist) == 0.597
+    assert abs(bench.host_speed_ratio(1.87e6, hist) - 1.0) > (
+        bench.HOST_SPEED_TOLERANCE
+    )
+    # healthy host: within tolerance
+    assert abs(bench.host_speed_ratio(3.1e6, hist) - 1.0) <= (
+        bench.HOST_SPEED_TOLERANCE
+    )
+    # degenerate inputs -> None (first round, failed replay)
+    assert bench.host_speed_ratio(None, hist) is None
+    assert bench.host_speed_ratio(0, hist) is None
+    assert bench.host_speed_ratio(3.0e6, {}) is None
+    assert bench.host_speed_ratio(3.0e6, {14: 0}) is None
+
+
+def test_replay_rate_history_reads_artifacts(tmp_path):
+    for n, sf, rate in (
+        (13, 0.1, 2.9e6),
+        (14, 0.1, 3.0e6),
+        (15, 0.01, 9.9e6),   # foreign sf: skipped
+        (16, 0.1, 3.13e6),
+        (17, 0.1, 1.87e6),
+        (18, 0.1, None),     # replay failed that round: skipped
+    ):
+        (tmp_path / f"BENCH_r{n}.json").write_text(json.dumps(
+            {"parsed": {"sf": sf, "replay_events_per_sec": rate}}
+        ))
+    (tmp_path / "BENCH_r19.json").write_text("not json")
+    hist = bench.replay_rate_history(str(tmp_path), 0.1)
+    assert hist == {13: 2.9e6, 14: 3.0e6, 16: 3.13e6, 17: 1.87e6}
+    # same-round rerun exclusion, mirroring round_history
+    assert 17 not in bench.replay_rate_history(
+        str(tmp_path), 0.1, exclude_round=17
+    )
+    assert bench.replay_rate_history(str(tmp_path), 0.5) == {}

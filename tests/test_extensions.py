@@ -1604,6 +1604,71 @@ def test_pq_codes_shape_and_determinism(spark, sf_dir):
     assert all(0 <= x < ksub for c in codes1.values() for x in c)
 
 
+def test_pq_exprs_match_python_reference(spark):
+    """Bit-equivalence of the r18 constant-shape PQ expressions (one
+    nested-transform walk over a codebook array literal, replacing the
+    m x ksub unrolled subtrees that pq_fit_codebook re-analyzed every
+    Lloyd iteration — r17 verdict #1) against a pure-Python argmin/LUT
+    reference, including the (dist2, cid) tie -> lowest-cid rule."""
+    import random
+
+    rng = random.Random(7)
+    m, ksub, dims = 4, 5, 16
+    dsub = dims // m
+    cb = [
+        [[rng.randint(-50, 50) for _ in range(dsub)] for _ in range(ksub)]
+        for _ in range(m)
+    ]
+    # force exact distance ties in subspace 0: codewords 1 and 3 equal,
+    # so any vector's argmin there must tie-break to the LOWER cid
+    cb[0][3] = list(cb[0][1])
+    rows = [
+        (i, [rng.randint(-100, 100) for _ in range(dims)]) for i in range(80)
+    ]
+    # one row sits exactly ON a duplicated codeword (distance 0 twice)
+    rows.append((80, list(cb[0][1]) + [0] * (dims - dsub)))
+
+    def py_codes(res):
+        out = []
+        for s in range(m):
+            sub = res[s * dsub:(s + 1) * dsub]
+            out.append(min(
+                range(ksub),
+                key=lambda j: (
+                    sum((x - y) ** 2 for x, y in zip(sub, cb[s][j])), j
+                ),
+            ))
+        return out
+
+    df = spark.createDataFrame(rows, "neighbor_id long, res array<bigint>")
+    got = {
+        r.neighbor_id: list(r.codes)
+        for r in df.select(
+            "neighbor_id", S._pq_codes_expr(cb, dsub).alias("codes")
+        ).collect()
+    }
+    assert got == {nid: py_codes(res) for nid, res in rows}
+    assert got[80][0] == 1  # the forced tie broke to the lower cid
+
+    qdf = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows[:3]], "query_id long, qq array<bigint>"
+    )
+    luts = {
+        r.query_id: [list(x) for x in r.lut]
+        for r in qdf.select(
+            "query_id", S._pq_lut_expr(cb, dsub).alias("lut")
+        ).collect()
+    }
+    for nid, qq in rows[:3]:
+        assert luts[nid] == [
+            [
+                sum(x * y for x, y in zip(qq[s * dsub:(s + 1) * dsub], w))
+                for w in cb[s]
+            ]
+            for s in range(m)
+        ]
+
+
 # --- bpe_train (the composed vocabulary-induction loop) ---
 
 
