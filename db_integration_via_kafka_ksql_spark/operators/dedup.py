@@ -735,12 +735,19 @@ def allpairs_jaccard_pairs(
         F.size("sh").cast("bigint").alias("sz"),
         F.explode("sh").alias("g"),
     )
-    dfreq = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # df as count(*) over (partition by g) on the inverted index itself:
+    # the aggregate + join-back pair it replaces cost a SECOND full-index
+    # exchange (groupBy g, then re-hash inv by g for the join) — the
+    # window computes the identical per-gram count with ONE g-keyed
+    # exchange (guide §2.4 "two operations keyed the same way can share
+    # one exchange"; the cooccurrence_knn_edges r17 fix, same shape)
     # prefix length p = sz - ceil(t*sz) + 1, all-integer (DIV, not IEEE /):
     # the pos filter runs BEFORE the checkpoint, so only prefix rows (about
     # (1-t) of the index) are materialized for the two join sides
     pfx = (
-        inv.join(dfreq, "g")
+        inv.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
+        )
         .withColumn(
             "pos",
             F.row_number().over(
@@ -750,7 +757,7 @@ def allpairs_jaccard_pairs(
             ),
         )
         .filter(F.expr(f"pos <= sz - ((sz * {num} + {den - 1}) DIV {den}) + 1"))
-        .select("doc_id", "sz", "g")
+        .select("doc_id", "sz", "g", "pos")
         .localCheckpoint(eager=True)
     )
     par = docs.sparkSession.sparkContext.defaultParallelism
@@ -764,7 +771,25 @@ def allpairs_jaccard_pairs(
             # the t ratio can never pass — and the prefix lengths are only
             # safe GIVEN this filter (required overlap >= ceil(t*max))
             & (F.col("a.sz") * den >= num * F.col("b.sz"))
-            & (F.col("b.sz") * den >= num * F.col("a.sz")),
+            & (F.col("b.sz") * den >= num * F.col("a.sz"))
+            # positional filter (Bayardo §3.2 / PPJoin): a match at prefix
+            # positions (pa, pb) bounds the overlap by
+            # 1 + min(sza - pa, szb - pb) — elements BEFORE the pair's
+            # FIRST common gram are disjoint by definition, and that first
+            # match maximizes the bound, so keeping pairs where ANY match
+            # row reaches alpha = ceil(num*(sza+szb)/(num+den)) is
+            # lossless (integer cross-multiplied, like the threshold test)
+            & (
+                (
+                    1
+                    + F.least(
+                        F.col("a.sz") - F.col("a.pos"),
+                        F.col("b.sz") - F.col("b.pos"),
+                    )
+                )
+                * (num + den)
+                >= num * (F.col("a.sz") + F.col("b.sz"))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
